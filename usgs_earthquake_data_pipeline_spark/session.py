@@ -1,0 +1,84 @@
+"""SparkSession factory.
+
+The reference pins no engine config at all (DuckDB/Polars defaults,
+single node). Here we centralize the Spark config that its behavior
+implies:
+
+- UTC session timezone. The reference converts epoch-ms with
+  local-timezone ``datetime.fromtimestamp`` (reference
+  usgs-earthquake-data-ingest.py:89-101,136-141); we deliberately pin
+  UTC instead so results are host-independent and match a DuckDB
+  oracle bit-for-bit.
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting,
+  which is what makes one static ``spark.sql.shuffle.partitions``
+  setting survive a 1000x scale-up.
+- Arrow on for any pandas interchange (the reference is Arrow-columnar
+  end-to-end via Polars; Arrow-batched Pandas UDFs are our equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Storage format for bronze/silver tables. The reference writes Delta
+# (save_to_raw_delta_prod.py:92-147); delta-spark is optional here, so
+# fall back to plain partitioned Parquet (same layout, same pruning).
+try:  # pragma: no cover - environment probe
+    import delta  # noqa: F401
+
+    DELTA_AVAILABLE = True
+except Exception:  # pragma: no cover
+    DELTA_AVAILABLE = False
+
+TABLE_FORMAT = "delta" if DELTA_AVAILABLE else "parquet"
+
+
+def get_spark(
+    app_name: str = "usgs_earthquake_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's canonical config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and let spark-submit provide it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable subset of our canonical config to an
+    externally created session (e.g. the driver's).
+
+    Only touches conf that is safe to set post-startup.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    return spark
