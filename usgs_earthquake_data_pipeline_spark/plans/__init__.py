@@ -1,0 +1,6 @@
+"""Named-query catalog: every SURVEY.md §2 operator (and the
+LLM-pipeline extensions) exposed as a (Spark callable, DuckDB oracle
+SQL) pair. The driver's correctness harness consumes this via
+``__spark_entry__.queries()`` / ``oracle_sql()``."""
+
+from .catalog import CATALOG, CatalogEntry, oracle_map, query_map  # noqa: F401

@@ -1,0 +1,595 @@
+"""The named-query catalog.
+
+Each entry pairs an idiomatic-PySpark callable ``(spark, sf_dir) ->
+DataFrame`` with the equivalent ANSI SQL that DuckDB runs on the same
+parquet tables (the driver's correctness oracle). Entries without
+oracle SQL get a weaker rows-only check (genuinely non-SQL-expressible
+ops: LSH bucketing, streaming, multimodal plumbing).
+
+Alignment rules (the driver hash-compares collected values after
+sorting columns by name, order-insensitively):
+
+- Every computed column is aliased identically on both sides.
+- Integer-kind columns are cast so Spark/DuckDB widths agree
+  (DuckDB ``year()``/``row_number()`` return BIGINT; Spark returns INT
+  — the SQL side carries the cast).
+- Timestamps are projected as ``epoch_us`` BIGINT (Spark
+  ``unix_micros``) or ISO strings: never raw timestamp values, whose
+  tz-awareness differs between the engines' client layers.
+- Double aggregates are computed exactly: cast each term to DECIMAL
+  before SUM (deterministic, order-independent) and cast the final
+  result back to DOUBLE on both sides. Raw stored doubles (min/max,
+  pass-through projections) compare exactly without this.
+
+Reference parity map (SURVEY.md §2): the driver's ``events`` table
+stands in for the USGS events fact table — ``event_type = 'error'``
+plays the ``tsunami = 1`` flag (F1), ``year(ts)``/``month(ts)`` play
+the derived partition columns (P5/P6/F2), and the A1-A5 aggregation
+shapes mirror /root/reference/usgs_tsunami_count_fact_silver.py:31-55,
+116-124.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # DuckDB SQL; None => rows-only check
+    headline: bool = False  # included in bench.py
+    tags: tuple[str, ...] = field(default=())
+
+
+CATALOG: dict[str, CatalogEntry] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        CATALOG[name] = CatalogEntry(name, fn, oracle, headline, tags)
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.spark_fn for name, e in CATALOG.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {name: e.oracle for name, e in CATALOG.items() if e.oracle is not None}
+
+
+# helper: exact, order-independent SUM over doubles (see module docstring)
+def _dsum(col, scale: int = 2):
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: aggregations A1-A5
+# (/root/reference/usgs_tsunami_count_fact_silver.py:31-55,116-124)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_count_year_filter",
+    oracle="SELECT count(*) AS cnt FROM events WHERE year(ts) = 2024",
+    headline=True,
+    tags=("parity", "A1"),
+)
+def a1_count_year_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: ungrouped count under a year-equality filter (partition-prunable)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.year("ts") == 2024).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "a2_count_by_year",
+    oracle=(
+        "SELECT CAST(year(ts) AS INT) AS year, count(*) AS cnt "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("parity", "A2"),
+)
+def a2_count_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: count grouped by derived year."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.year("ts").alias("year"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("year")
+    )
+
+
+@register(
+    "a3_fact_yearly",
+    oracle=(
+        "SELECT CAST(year(ts) AS INT) AS year, count(*) AS yearly_count "
+        "FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY 1"
+    ),
+    headline=True,
+    tags=("parity", "A3"),
+)
+def a3_fact_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the yearly 'tsunami' fact — flag filter + year group + count.
+
+    Mirrors fact_tsunami_yearly
+    (/root/reference/usgs_tsunami_count_fact_silver.py:47-55).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.year("ts").alias("year"))
+        .agg(F.count("*").alias("yearly_count"))
+        .orderBy("year")
+    )
+
+
+@register(
+    "a4_fact_monthly",
+    oracle=(
+        "SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month, "
+        "count(*) AS monthly_count "
+        "FROM events WHERE event_type = 'error' GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    headline=True,
+    tags=("parity", "A4", "O3"),
+)
+def a4_fact_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/O3: the monthly 'tsunami' fact with result ORDER BY.
+
+    Mirrors fact_tsunami_monthly
+    (/root/reference/usgs_tsunami_count_fact_silver.py:116-124).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.year("ts").alias("year"), F.month("ts").alias("month"))
+        .agg(F.count("*").alias("monthly_count"))
+        .orderBy("year", "month")
+    )
+
+
+@register(
+    "a5_row_count",
+    oracle="SELECT count(*) AS cnt FROM events",
+    tags=("parity", "A5"),
+)
+def a5_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: bare row count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: filters F1/F2, sorts O1/O2/O4, projection S6
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_flag_filter",
+    oracle=(
+        "SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, props "
+        "FROM events WHERE event_type = 'error'"
+    ),
+    tags=("parity", "F1"),
+)
+def f1_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: equality filter on the flag column, full-row projection.
+
+    Mirrors WHERE tsunami = 1
+    (/root/reference/usgs_tsunami_count_fact_silver.py:52).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value", "props"
+    )
+
+
+@register(
+    "f2_time_filter_daily",
+    oracle=(
+        "SELECT CAST(day(ts) AS INT) AS day, count(*) AS cnt FROM events "
+        "WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) <= 7 "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("parity", "F2"),
+)
+def f2_time_filter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: filter on the derived partition columns (year, month) —
+    the predicate Catalyst prunes to matching partitions on a
+    partitioned layout (mirrors WHERE year=2010,
+    /root/reference/usgs_duckdb_s3.py:96-97)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.year("ts") == 2024) & (F.month("ts") == 1) & (F.dayofmonth("ts") <= 7)
+        )
+        .groupBy(F.dayofmonth("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "o1_sort_eventtime",
+    oracle=(
+        "SELECT event_id, epoch_us(ts) AS ts_us FROM events "
+        "ORDER BY ts, event_id LIMIT 100"
+    ),
+    tags=("parity", "O1"),
+)
+def o1_sort_eventtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: single-column time sort (+ unique tie-break), top 100.
+
+    Mirrors dataframe.sort(["eventtime"])
+    (/root/reference/usgs-earthquake-data-ingest-dynamic-dev.py:289).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy("ts", "event_id")
+        .select("event_id", F.unix_micros("ts").alias("ts_us"))
+        .limit(100)
+    )
+
+
+@register(
+    "o2_clustering_sort",
+    oracle=(
+        "SELECT event_id, event_type, value FROM events "
+        "ORDER BY event_type, value DESC, event_id LIMIT 100"
+    ),
+    tags=("parity", "O2"),
+)
+def o2_clustering_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: multi-column clustering sort (the reference's 'z-order'
+    proxy, /root/reference/usgs-earthquake-data-ingest-dynamic-dev.py:290-292)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("event_type"), F.col("value").desc(), F.col("event_id"))
+        .select("event_id", "event_type", "value")
+        .limit(100)
+    )
+
+
+@register(
+    "o4_limit_offset",
+    oracle=(
+        "SELECT event_id, user_id, event_type FROM events "
+        "ORDER BY event_id LIMIT 100 OFFSET 500"
+    ),
+    tags=("parity", "O4"),
+)
+def o4_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: LIMIT/OFFSET pagination (the reference pages the REST source
+    this way; relationally it's offset+limit,
+    /root/reference/usgs-earthquake-data-ingestion-prod.py:392-437)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy("event_id")
+        .select("event_id", "user_id", "event_type")
+        .offset(500)
+        .limit(100)
+    )
+
+
+@register(
+    "s6_projection",
+    oracle="SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem",
+    headline=True,
+    tags=("parity", "S6"),
+)
+def s6_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: explicit column projection — Catalyst prunes the parquet
+    scan to exactly these columns (mirrors pl.read_delta(columns=[...]),
+    /root/reference/usgs_read_polars.py:47-60)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Beyond-parity relational coverage: joins, windows, distinct, set ops,
+# rollup. The reference has none of these (SURVEY.md §2.4/2.6/2.8); the
+# engine gets them from Spark and they must hold at 100 TB: dims are
+# broadcast, facts shuffle on join keys only.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+        " AS sum_disc_price, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    headline=True,
+    tags=("tpch", "agg"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: scan-heavy partial-agg
+    benchmark. Map-side combine makes the shuffle 6 rows regardless of
+    input scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_orders",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+        " AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "AND l_shipdate > TIMESTAMP '1998-01-01' "
+        "GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10"
+    ),
+    headline=True,
+    tags=("tpch", "join", "topk"),
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped top-k revenue: broadcast the filtered customer
+    dim into orders, shuffle lineitem once on orderkey, TakeOrdered
+    top-10 (no global sort materialization)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust), orders.o_custkey == cust.c_custkey
+                ).select("o_orderkey")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=(
+        "SELECT r_name, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+        " AS revenue "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "JOIN customer ON c_nationkey = n_nationkey "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    headline=True,
+    tags=("tpch", "join"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped star join: every dim (region/nation/customer)
+    broadcasts; only fact-fact (orders⋈lineitem) shuffles, on the join
+    key. This is the flagship plan shape for 100 TB."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("r_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "revenue"
+            )
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "join_semi_nations",
+    oracle=(
+        "SELECT n_nationkey, n_name FROM nation "
+        "WHERE n_nationkey IN "
+        "(SELECT s_nationkey FROM supplier WHERE s_acctbal > 4000) "
+        "ORDER BY n_nationkey"
+    ),
+    tags=("join", "semi"),
+)
+def join_semi_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: nations having a well-funded supplier."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 4000)
+    return (
+        nation.join(
+            F.broadcast(supp), nation.n_nationkey == supp.s_nationkey, "left_semi"
+        )
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "join_anti_customers",
+    oracle=(
+        "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderdate < TIMESTAMP '1996-01-01')"
+    ),
+    tags=("join", "anti"),
+)
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders before 1996."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+@register(
+    "window_topn_per_type",
+    oracle=(
+        "SELECT event_type, event_id, value, rn FROM ("
+        "SELECT event_type, event_id, value, "
+        "CAST(row_number() OVER "
+        "(PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rn "
+        "FROM events) t WHERE rn <= 3 ORDER BY event_type, rn"
+    ),
+    tags=("window", "topk"),
+)
+def window_topn_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 events by value per type. One shuffle on
+    the partition key; no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value", "rn")
+        .orderBy("event_type", "rn")
+    )
+
+
+@register(
+    "distinct_users_by_type",
+    oracle=(
+        "SELECT event_type, count(DISTINCT user_id) AS n_users, "
+        "count(*) AS n_events FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("agg", "distinct"),
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT alongside a plain count (expand + two-phase agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_minmax_by_type",
+    oracle=(
+        "SELECT event_type, min(value) AS min_value, max(value) AS max_value, "
+        "min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("agg",),
+)
+def agg_minmax_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max aggregates (exact on stored doubles — no FP-order risk)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min(F.unix_micros("ts")).alias("first_ts_us"),
+            F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_rollup_by_type",
+    oracle=(
+        "SELECT event_type, count(*) AS cnt FROM events "
+        "GROUP BY ROLLUP(event_type) ORDER BY event_type NULLS FIRST"
+    ),
+    tags=("agg", "rollup"),
+)
+def agg_rollup_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping set: per-type counts plus the grand total."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(F.count("*").alias("cnt")).orderBy(
+        F.col("event_type").asc_nulls_first()
+    )
+
+
+@register(
+    "setop_except_users",
+    oracle=(
+        "SELECT DISTINCT user_id FROM events "
+        "WHERE event_type = 'click' AND value > 400 "
+        "EXCEPT "
+        "SELECT DISTINCT user_id FROM events "
+        "WHERE event_type = 'purchase' AND value > 400"
+    ),
+    tags=("setop",),
+)
+def setop_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set operation: high-value clickers who never made a
+    high-value purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 400))
+        .select("user_id")
+        .distinct()
+    )
+    purchasers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 400))
+        .select("user_id")
+        .distinct()
+    )
+    return clickers.subtract(purchasers)

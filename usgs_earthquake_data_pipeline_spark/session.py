@@ -14,6 +14,11 @@ implies:
   setting survive a 1000x scale-up.
 - Arrow on for any pandas interchange (the reference is Arrow-columnar
   end-to-end via Polars; Arrow-batched Pandas UDFs are our equivalent).
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver's
+  ``events.parquet`` stores ``TIMESTAMP(NANOS)`` which Spark's parquet
+  reader otherwise rejects (PARQUET_TYPE_ILLEGAL). With this flag the
+  column reads as bigint nanoseconds; ``sources.tables.load_table``
+  converts it back to a proper timestamp.
 """
 
 from __future__ import annotations
@@ -34,6 +39,19 @@ except Exception:  # pragma: no cover
 
 TABLE_FORMAT = "delta" if DELTA_AVAILABLE else "parquet"
 
+# Conf that is safe (and required) to set on an already-running session.
+# Applied both at build time and by configure_runtime() so the driver's
+# externally created SparkSession gets identical semantics.
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet is TIMESTAMP(NANOS); read as long, convert in loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
 
 def get_spark(
     app_name: str = "usgs_earthquake_data_pipeline_spark",
@@ -44,6 +62,12 @@ def get_spark(
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
     cluster leave it unset and let spark-submit provide it.
+
+    Note: when a SparkSession already exists in the process,
+    ``getOrCreate`` ignores builder config — so the runtime-settable
+    subset is re-applied via :func:`configure_runtime` afterwards.
+    JVM-startup-only options (driver memory, etc.) belong on
+    ``spark-submit`` and are intentionally not set here.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name)
@@ -53,32 +77,27 @@ def get_spark(
         builder = builder.master(master)
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
-    builder = (
-        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-    )
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.ui.enabled", "false")
+    for key, value in _RUNTIME_CONF.items():
+        builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return spark
+    # getOrCreate silently drops builder conf on a pre-existing session.
+    return configure_runtime(spark)
 
 
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable subset of our canonical config to an
     externally created session (e.g. the driver's).
 
-    Only touches conf that is safe to set post-startup.
+    Only touches conf that is safe to set post-startup. Idempotent and
+    cheap — called from every table loader so queries behave the same
+    no matter who built the session.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    try:
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    except Exception:
-        pass
+    for key, value in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf locked down
+            pass
     return spark
