@@ -1,0 +1,150 @@
+"""Tests for the approximate (rows-only) LLM-pipeline operators:
+LSH recall against exact twins, simhash determinism, multimodal
+plumbing edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usgs_earthquake_data_pipeline_spark.functions import multimodal as M
+from usgs_earthquake_data_pipeline_spark.functions import text as T
+from usgs_earthquake_data_pipeline_spark.operators import dedup as D
+from usgs_earthquake_data_pipeline_spark.operators import similarity as S
+from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates (then exact-verified) must recover nearly all
+    true Jaccard>=0.3 pairs found by the exact inverted-index op."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert lsh <= exact, "LSH must never invent pairs (exact verify step)"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_minhash_lsh_finds_planted_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1
+        (3, "completely different words about spark shuffles and parquet files"),
+        (4, base.replace("quick", "slow")),  # near-dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.4, num_hashes=64, bands=16
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 4) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_exact_dedup_drops_planted_copies(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "other text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert D.exact_dedup(df, ["text"]).count() == 2
+
+
+def test_simhash_deterministic_and_locality(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # 1 token changed
+        (3, "totally unrelated content about databases and indexes"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp1 = {r.doc_id: r.simhash for r in D.simhash_col(df, "text").collect()}
+    fp2 = {r.doc_id: r.simhash for r in D.simhash_col(df, "text").collect()}
+    assert fp1 == fp2, "simhash must be deterministic"
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(fp1[1], fp1[2]) < hamming(fp1[1], fp1[3])
+
+
+def test_ann_lsh_subset_and_recall(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    lsh_rows = S.lsh_topk(emb, queries, k=5).collect()
+    # scores LSH reports must agree with exact cosine (same math)
+    brute_scores = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in S.brute_force_topk(emb, queries, k=500).collect()
+    }
+    for r in lsh_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in brute_scores:
+            assert abs(r.score - brute_scores[key]) < 1e-9
+    # sanity: some overlap with the true top-k (approximate ≠ useless)
+    lsh = {(r.query_id, r.neighbor_id) for r in lsh_rows}
+    assert len(lsh & brute) > 0
+
+
+def test_embedding_near_dup_planted(spark):
+    v = [1.0] * 64
+    w = [1.0] * 63 + [0.9]  # cosine ~ 0.9999
+    u = [(-1.0) ** i for i in range(64)]  # orthogonal-ish
+    df = spark.createDataFrame(
+        [(1, v), (2, w), (3, u)], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.99).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_multimodal_decode_invalid_and_empty(spark):
+    rows = [(1, bytearray(b"xx")), (2, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r.format for r in M.decode_image_meta(df).collect()}
+    assert out == {1: "invalid", 2: "invalid"}
+
+
+def test_multimodal_real_format_raises(spark):
+    png_header = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 24)
+    df = spark.createDataFrame([(1, png_header)], "media_id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
+        M.decode_image_meta(df).collect()
+
+
+def test_text_functions_edge_cases(spark):
+    rows = [(1, ""), (2, "   "), (3, "one"), (4, "a b!! c??")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n, r.b, r.lang)
+        for r in df.select(
+            "doc_id",
+            T.token_count("text").alias("n"),
+            T.bpe_token_count("text").alias("b"),
+            T.lang_id("text").alias("lang"),
+        ).collect()
+    }
+    assert out[1] == (0, 0, "und")
+    assert out[2] == (0, 0, "und")
+    assert out[3] == (1, 1, "und")
+    assert out[4][0] == 3  # "a b!! c??" → 3 whitespace tokens
+    assert out[4][1] == 7  # a, b, !, !, c, ?, ?
+    assert out[4][2] == "en"  # 'a' is an en stopword

@@ -1,0 +1,138 @@
+"""Text-analysis column functions for a training-data pipeline:
+tokenization, token counting, quality scoring, language ID, document
+fingerprinting.
+
+Everything here is a pure Column expression over built-in
+``pyspark.sql.functions`` — no Python UDFs — so at 100 TB the work
+stays inside whole-stage codegen on the executors, pipelined with the
+parquet scan (no shuffle is introduced by any function in this
+module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword marker sets for the heuristic
+# language ID. Deliberately tiny: at pipeline scale the point is the
+# *shape* (pure-expression n-gram/stopword scoring); richer lists drop
+# in without changing the plan.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+_WORD_RE = r"\s+"
+# BPE-ish pre-tokenizer: word pieces or single non-space punctuation,
+# the usual pre-split a byte-pair encoder sees.
+_BPE_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, _WORD_RE)
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (word pieces + punctuation marks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(_BPE_RE))
+
+
+def avg_token_length(col: Column | str) -> Column:
+    """Mean token length in characters (NULL for empty text)."""
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of tokens that are stopwords (0.0 for empty text)."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punctuation_ratio(col: Column | str) -> Column:
+    """Fraction of non-space characters that are punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9_\s]"))
+    return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic [0,1] quality score for training-data filtering.
+
+    Combines length, stopword presence, and punctuation sanity — the
+    standard cheap pre-filter a corpus pipeline applies before
+    expensive dedup/model scoring. Weights are illustrative.
+    """
+    n_tok = token_count(col)
+    length_ok = F.when(n_tok.between(5, 100_000), F.lit(1.0)).otherwise(
+        n_tok / F.lit(5.0)
+    )
+    sw = stopword_ratio(col, LANG_STOPWORDS["en"])
+    sw_ok = F.least(sw * 4, F.lit(1.0))  # ≥25% stopwords saturates
+    punct = punctuation_ratio(col)
+    punct_ok = F.lit(1.0) - F.least(punct * 2, F.lit(1.0))
+    return F.round(
+        (length_ok * 0.4 + sw_ok * 0.3 + punct_ok * 0.3).cast("double"), 6
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language guess: argmax of per-language stopword hit
+    counts; 'und' (undetermined) when nothing matches.
+
+    A real pipeline swaps in character-n-gram profiles; the plan shape
+    (pure expression, no shuffle, no UDF) is identical.
+    """
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+
+    def _hits(stopwords: tuple[str, ...]) -> Column:
+        sw_arr = F.array(*[F.lit(s) for s in stopwords])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+
+    scored = F.array(
+        *[
+            F.struct(_hits(sw).alias("hits"), F.lit(lang).alias("lang"))
+            for lang, sw in LANG_STOPWORDS.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Exact-content fingerprint (hex MD5) — the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def rolling_fingerprint(col: Column | str, n: int = 3) -> Column:
+    """Order-sensitive document fingerprint: min 64-bit hash over the
+    document's word ``n``-gram shingles (a 1-hash MinHash). Robust to
+    small appends/truncations, unlike MD5 of the whole text."""
+    from ..operators.dedup import shingles
+
+    sh = shingles(col, n)
+    return F.when(
+        F.size(sh) > 0,
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s))),
+    )

@@ -1,0 +1,294 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Four tiers, all shuffle-minimal and expressed over built-in functions
+(JVM-side; zero Python UDFs):
+
+- exact: hash-groupBy on content (or an explicit key). One shuffle on
+  the dedup key; with AQE the post-shuffle partitions track the
+  number of *distinct* keys, not input rows.
+- latest-wins: per-key window rank — the canonical-record picker.
+- MinHash-LSH near-dup: shingle → minhash signature → band → bucket
+  self-join → exact-Jaccard verify. The join key is the band bucket,
+  so candidate generation never goes all-pairs: cost is
+  O(sum of bucket² sizes), the textbook LSH bound.
+- SimHash: 64-bit sign-of-weighted-bit-sums fingerprint; near-dups
+  are fingerprints within a small Hamming distance.
+
+At 100 TB: every stage is a narrow map over the documents scan plus
+exactly one shuffle (on fingerprint, key, or band bucket). Skewed
+buckets (boilerplate shingles) are handled by AQE skew-split; the
+``max_bucket`` guard drops degenerate buckets outright, which is also
+what production LSH dedup does (a bucket with 10k docs is boilerplate,
+not near-duplication signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def exact_dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Exact dedup: first row per key set (all columns when None).
+
+    ``dropDuplicates`` compiles to a hash aggregate on the keys — one
+    shuffle, map-side partial dedup first.
+    """
+    return df.dropDuplicates(keys) if keys else df.dropDuplicates()
+
+
+def latest_wins_dedup(
+    df: DataFrame, key_cols: list[str], order_col: str, tiebreak_col: str | None = None
+) -> DataFrame:
+    """Keep the newest row per key (row_number over desc order).
+
+    Single shuffle on ``key_cols``; no global sort.
+    """
+    order = [F.col(order_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word ``n``-gram shingles of a text column.
+
+    Pure expression: split → sliding window via transform(sequence) →
+    array_distinct. Executes inside codegen alongside the scan.
+    """
+    toks = tokens(col)
+    k = F.size(toks)
+    grams = F.when(k < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for hash function ``i``, the min of
+    ``xxhash64(i, shingle)`` over the shingle set. Seeding by
+    prepending the function index gives ``num_hashes`` independent
+    hash families from one built-in hash."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.xxhash64(F.concat_ws(":", i.cast("string"), s)),
+            )
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold (exact Jaccard on shingle sets, verified
+    after candidate generation — LSH only proposes).
+
+    Plan shape: scan → shingle/signature (narrow) → explode bands →
+    shuffle on (band, bucket) → within-bucket self-join → verify.
+    ``max_bucket`` drops boilerplate buckets to bound the quadratic
+    term at scale.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, n_shingle).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    banded = sigs.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+    # prune degenerate (boilerplate) buckets before the self-join
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("n").between(2, max_bucket)).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+
+    left = banded.select(
+        "band", "bucket", F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    right = banded.select(
+        "band", "bucket", F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    return (
+        candidates.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via an inverted shingle
+    index (no LSH approximation; no all-pairs cross join either).
+
+    Explode shingles → self-join on shingle (the inverted index) →
+    count shared shingles per pair → Jaccard from
+    |A∩B| / (|A| + |B| - |A∩B|). Quadratic only within identical
+    shingles — the exact analogue of a posting-list intersection.
+    Use MinHash-LSH above when shingle frequency is skewed.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n_shingle).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = docs.select("id", F.size("sh").alias("n_sh"))
+    posting = docs.select("id", F.explode("sh").alias("shingle"))
+
+    a = posting.select(F.col("id").alias("id_a"), "shingle")
+    b = posting.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_col(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """Add a 64-bit SimHash fingerprint column.
+
+    SQL-expression form (shiftright by a *column* amount isn't
+    reachable from the Python Column DSL, so the per-bit loop is a
+    SQL lambda — still fully JVM-side/codegen).
+    """
+    bits = 64
+    expr = f"""
+    aggregate(
+      transform(
+        CASE WHEN trim(`{text_col}`) = '' THEN array()
+             ELSE split(trim(`{text_col}`), '\\\\s+') END,
+        t -> xxhash64(t)),
+      transform(sequence(0, {bits - 1}), i -> 0L),
+      (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                           (a, i) -> a + CASE WHEN shiftright(h, CAST(i AS INT)) % 2 != 0 THEN 1L ELSE -1L END),
+      acc -> aggregate(zip_with(acc, sequence(0, {bits - 1}),
+                                (a, i) -> CASE WHEN a > 0 THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END),
+                       0L, (s, x) -> s | x)
+    )
+    """
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on ``64/band_bits`` fingerprint
+    bands (pigeonhole: any pair within ``max_hamming`` shares at least
+    one exact band when bands > max_hamming), then verify Hamming
+    distance. Same ban-the-cross-join shape as MinHash-LSH."""
+    n_bands = 64 // band_bits
+    assert n_bands > max_hamming, "need more bands than allowed bit flips"
+    fp = simhash_col(
+        df.select(F.col(id_col).alias("id"), text_col), text_col
+    ).select("id", "simhash")
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    left = banded.select(
+        "band", "key", F.col("id").alias("id_a"), F.col("simhash").alias("fp_a")
+    )
+    right = banded.select(
+        "band", "key", F.col("id").alias("id_b"), F.col("simhash").alias("fp_b")
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,223 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two tiers:
+
+- ``brute_force_topk``: exact cosine top-k. The query side is
+  broadcast (queries are small by definition); the corpus is scanned
+  once, never shuffled. Cosine is a pure JVM expression
+  (``zip_with`` dot product + ``aggregate`` sum) — no Python in the
+  hot loop. This is the correctness baseline and is already the right
+  plan for "few queries × huge corpus": cost is one corpus scan.
+- ``lsh_topk``: approximate top-k via random-hyperplane (signed
+  projection) buckets. Corpus and queries hash to ``n_planes``-bit
+  signatures; candidates are corpus rows sharing a bucket with the
+  query under multi-probe (flip each single bit); exact cosine ranks
+  the candidates. At 100 TB the bucket join replaces the full scan
+  with a hash-partitioned equi-join on the signature — the scale
+  path. Hyperplanes are generated from a deterministic counter hash
+  (no RNG state, reproducible across runs/executors).
+
+Embedding-cosine near-dup (the fifth dedup modality) is
+``embedding_near_dup_pairs`` — same bucketing, symmetric self-join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two double arrays (JVM-side fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two vectors (arrays cast to double)."""
+    ad, bd = _as_double(a), _as_double(b)
+    denom = l2_norm(ad) * l2_norm(bd)
+    return F.when(denom > 0, dot(ad, bd) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, score, rank).
+
+    ``queries`` is broadcast; the corpus partitioning is untouched —
+    the whole computation is a narrow pass over the corpus followed by
+    a top-k window on query_id (shuffle of only candidate rows).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    pairs = c.crossJoin(q)
+    if not include_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "usgs-lsh") -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from a counter
+    hash (Box-Muller over md5-derived uniforms). No RNG state — the
+    same planes materialize on every run and executor."""
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        vec: list[float] = []
+        j = 0
+        while len(vec) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{j}".encode()).digest()
+            u1 = (int.from_bytes(h[:8], "big") + 1) / (2**64 + 2)
+            u2 = (int.from_bytes(h[8:], "big") + 1) / (2**64 + 2)
+            r = math.sqrt(-2 * math.log(u1))
+            vec.append(r * math.cos(2 * math.pi * u2))
+            if len(vec) < dim:
+                vec.append(r * math.sin(2 * math.pi * u2))
+            j += 1
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        planes.append([x / norm for x in vec])
+    return planes
+
+
+def signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-projection signature: bit p = (vec · plane_p) >= 0."""
+    vd = _as_double(vec)
+    bits = [
+        F.when(
+            dot(vd, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        sig = sig + (b.cast("long") * F.lit(1 << i))
+    return sig
+
+
+def _probe_signatures(sig: Column, n_planes: int) -> Column:
+    """Multi-probe set: the signature plus every single-bit flip."""
+    return F.array(
+        sig, *[sig.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate cosine top-k via hyperplane-LSH bucketing with
+    single-bit multi-probe. Returns (query_id, neighbor_id, score,
+    rank) — same schema as brute force, possibly missing true
+    neighbors that hash far away (the recall/cost dial is
+    ``n_planes``)."""
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+        signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        F.explode(
+            _probe_signatures(signature_col(F.col(vec_col), planes), n_planes)
+        ).alias("bucket"),
+    )
+    pairs = c.join(F.broadcast(q), "bucket")
+    if not include_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.dropDuplicates(["query_id", "neighbor_id"]).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, score >=
+    threshold) via the same hyperplane buckets — near-identical
+    vectors land in the same bucket with overwhelming probability at
+    high thresholds."""
+    planes = _hyperplanes(dim, n_planes)
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    left = sigs.select(
+        "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    right = sigs.select(
+        "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )

@@ -4,3 +4,4 @@ SQL) pair. The driver's correctness harness consumes this via
 ``__spark_entry__.queries()`` / ``oracle_sql()``."""
 
 from .catalog import CATALOG, CatalogEntry, oracle_map, query_map  # noqa: F401
+from . import llm_ops  # noqa: F401  (registers the LLM-pipeline entries)

@@ -1,0 +1,313 @@
+"""Catalog entries for the LLM-training-data-pipeline operators:
+dedup family, similarity search, text analysis, multimodal plumbing.
+
+SQL-expressible entries carry DuckDB oracles; approximation-bearing
+entries (MinHash-LSH, hyperplane-LSH, SimHash banding) are rows-only
+by nature — their exact twins (ngram_jaccard, brute-force ANN) ARE
+oracle-checked, so the approximate variants are validated by recall
+tests in tests/ instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import multimodal as M
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..sources.tables import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle=(
+        "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies "
+        "FROM documents GROUP BY 1"
+    ),
+    headline=True,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: one hash-shuffle on md5,
+    keep the smallest id as canonical. The 100 TB shape: partial agg
+    map-side, shuffle carries one row per distinct document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(T.fingerprint_md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "dedup_latest_per_user",
+    oracle=(
+        "SELECT user_id, event_id FROM ("
+        "SELECT user_id, event_id, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) t WHERE rn = 1"
+    ),
+    tags=("llm", "dedup", "window"),
+)
+def dedup_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins canonicalization: newest event per user via window
+    rank — single shuffle on the key, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return D.latest_wins_dedup(ev, ["user_id"], "ts", "event_id").select(
+        "user_id", "event_id"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+        "  FROM documents), "
+        "sh AS ("
+        "  SELECT doc_id, list_distinct(list_transform("
+        "    generate_series(1, greatest(len(t) - 2, 0)),"
+        "    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams"
+        "  FROM toks), "
+        "sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh WHERE len(grams) > 0), "
+        "posting AS (SELECT doc_id, unnest(grams) AS shingle FROM sh), "
+        "inter AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+        "  FROM posting a JOIN posting b USING (shingle)"
+        "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, "
+        "round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
+        "FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3"
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs via inverted shingle index
+    (posting-list self-join; no cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+
+
+@register("dedup_minhash_lsh", tags=("llm", "dedup", "approx"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (approximate candidate generation,
+    exact Jaccard verify). Rows-only check: LSH recall is validated
+    against the exact ngram_jaccard oracle in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+
+
+@register("dedup_simhash", tags=("llm", "dedup", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit fingerprint, banded Hamming
+    blocking). Rows-only: the fingerprint itself is deterministic but
+    has no SQL twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register("dedup_embedding_cosine", tags=("llm", "dedup", "approx"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over LSH buckets (rows-only;
+    the exact cosine math is oracle-checked by ann_brute_force).
+
+    Threshold note: production near-dup uses ~0.95+; the driver's
+    synthetic random embeddings max out near cosine 0.4, so 0.3 here
+    demonstrates a non-degenerate result set on the test tables.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_brute_force",
+    oracle=(
+        "SELECT query_id, neighbor_id, score, rnk AS rank FROM ("
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        "  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "                               CAST(c.embedding AS DOUBLE[])), 6) AS score,"
+        "  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+        "    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "                           CAST(c.embedding AS DOUBLE[])) DESC,"
+        "    c.vec_id) AS INT) AS rnk"
+        "  FROM embeddings q CROSS JOIN embeddings c"
+        "  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t "
+        "WHERE rnk <= 5"
+    ),
+    headline=True,
+    tags=("llm", "ann"),
+)
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: broadcast queries,
+    one corpus scan, JVM-side dot products, per-query top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+@register("ann_lsh_bucketed", tags=("llm", "ann", "approx"))
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (the 100 TB scale path: the
+    full scan becomes a bucket equi-join). Rows-only; recall vs the
+    brute-force oracle is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=(
+        "SELECT doc_id, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+        "len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe, "
+        "length(text) AS n_chars_actual, n_chars "
+        "FROM documents"
+    ),
+    headline=True,
+    tags=("llm", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokens +
+    character counts. Pure codegen expressions over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_token_count("text").cast("long").alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="SELECT doc_id, md5(text) AS fp FROM documents",
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content document fingerprint (hex MD5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint_md5("text").alias("fp"))
+
+
+@register(
+    "text_lang_guess",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents), "
+        "hits AS (SELECT doc_id, "
+        "len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS en, "
+        "len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS de, "
+        "len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS fr, "
+        "len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS es "
+        "FROM toks) "
+        "SELECT doc_id, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' "
+        "WHEN fr = greatest(en, de, fr, es) THEN 'fr' "
+        "WHEN es = greatest(en, de, fr, es) THEN 'es' "
+        "WHEN en = greatest(en, de, fr, es) THEN 'en' "
+        "ELSE 'de' END AS lang_guess FROM hits"
+    ),
+    tags=("llm", "text"),
+)
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax; ties break to the
+    lexicographically larger language code on both sides)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id("text").alias("lang_guess"))
+
+
+@register(
+    "text_quality_filter",
+    oracle=(
+        "WITH t AS (SELECT doc_id, text, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok, "
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        "    x -> x IN ('the','a','of','and','is'))) AS sw_hits, "
+        "length(regexp_replace(text, '\\s', '', 'g')) AS nonspace, "
+        "len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS punct "
+        "FROM documents) "
+        "SELECT doc_id FROM t "
+        "WHERE n_tok >= 20 AND sw_hits / n_tok >= 0.05 "
+        "AND punct / greatest(nonspace, 1) <= 0.2 "
+        "ORDER BY doc_id"
+    ),
+    tags=("llm", "text"),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality pre-filter: keep docs passing token-count, stopword-
+    ratio and punctuation-ratio gates (the cheap corpus filter before
+    dedup). Expressed as boolean gates — no float scoring in the
+    oracle path, so the comparison is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count("text")
+    sw = T.stopword_ratio("text", T.LANG_STOPWORDS["en"])
+    punct = T.punctuation_ratio("text")
+    return (
+        docs.filter((n_tok >= 20) & (sw >= 0.05) & (punct <= 0.2))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing — the oracle predicts, from first principles,
+# what the mapInPandas decoder must extract from the JVM-built bytes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_image_meta",
+    oracle=(
+        "SELECT doc_id AS media_id, "
+        "CAST(doc_id % 64 + 16 AS INT) AS width, "
+        "CAST(doc_id % 48 + 16 AS INT) AS height, "
+        "16 + ((doc_id % 64 + 16) * (doc_id % 48 + 16)) % 256 + 16 AS n_bytes, "
+        "'fake' AS format FROM documents"
+    ),
+    tags=("llm", "multimodal"),
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → typed metadata via an Arrow-batched
+    mapInPandas decoder. The oracle computes the expected header
+    fields directly from the id, independently validating the whole
+    encode→decode path."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs, "doc_id")
+    return M.decode_image_meta(media)
+
+
+@register(
+    "multimodal_frame_counts",
+    oracle=(
+        "SELECT doc_id AS media_id, CAST(ceil(("
+        "((doc_id % 64 + 16) * (doc_id % 48 + 16)) % 256 + 16"
+        ") / 64.0) AS BIGINT) AS n_frames FROM documents"
+    ),
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (video-frame analogue):
+    count of 64-byte frames per media row, again predicted exactly by
+    the oracle from the payload-length formula."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs, "doc_id")
+    frames = M.frame_sample(media, every_n_bytes=64)
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
