@@ -1,0 +1,131 @@
+"""Sink tests: partitioned round-trip with pruning, empty-skip,
+invalid mode, CSV/JSON exports, foreachPartition serving sink."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from usgs_earthquake_data_pipeline_spark import sinks
+from usgs_earthquake_data_pipeline_spark.operators import silver
+from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def events(spark):
+    # small synthetic bronze-shaped frame with year/month/tsunami
+    rows = [
+        (i, 2020 + i % 3, 1 + i % 12, i % 7 == 0, float(i))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, year int, month int, is_flag boolean, value double"
+    ).withColumn("tsunami", F.col("is_flag").cast("int")).drop("is_flag")
+
+
+def test_partitioned_roundtrip_and_pruning(spark, events, tmp_path):
+    path = str(tmp_path / "bronze")
+    wrote = sinks.save_partitioned_table(
+        events, path, mode="overwrite", partition_cols=["year", "month"],
+        cluster_cols=["value"],
+    )
+    assert wrote
+    # layout on disk is hive-partitioned
+    assert glob.glob(os.path.join(path, "year=2020", "month=1", "*.parquet"))
+
+    back = sinks.read_partitioned_table(spark, path)
+    assert back.count() == 200
+    pruned = back.filter(F.col("year") == 2020)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (partition pruning)
+    assert "PartitionFilters" in plan and "year" in plan
+    assert pruned.count() == events.filter(F.col("year") == 2020).count()
+
+
+def test_append_accumulates(spark, events, tmp_path):
+    path = str(tmp_path / "t")
+    sinks.save_partitioned_table(events, path, mode="append")
+    sinks.save_partitioned_table(events, path, mode="append")
+    assert sinks.read_partitioned_table(spark, path).count() == 400
+
+
+def test_invalid_mode_raises(events, tmp_path):
+    with pytest.raises(ValueError, match="Invalid mode"):
+        sinks.save_partitioned_table(events, str(tmp_path / "x"), mode="upsert")
+
+
+def test_empty_skip(spark, events, tmp_path):
+    empty = events.filter(F.lit(False))
+    assert not sinks.save_partitioned_table(empty, str(tmp_path / "e"))
+    assert sinks.save_to_csv(empty, str(tmp_path)) is None
+    assert sinks.save_to_json(empty, str(tmp_path)) is None
+
+
+def test_csv_json_exports(spark, events, tmp_path):
+    csv_path = sinks.save_to_csv(events.limit(10), str(tmp_path))
+    json_path = sinks.save_to_json(events.limit(10), str(tmp_path))
+    assert csv_path and "earthquake_data_" in csv_path
+    assert spark.read.option("header", "true").csv(csv_path).count() == 10
+    assert spark.read.json(json_path).count() == 10
+
+
+def test_foreach_partition_sink_batching(spark, events, tmp_path):
+    """Executor-side writer receives every row exactly once, in
+    batches no larger than batch_size."""
+    out_dir = str(tmp_path / "served")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def factory():
+        import json
+        import os as _os
+        import uuid
+
+        def write(batch):
+            assert len(batch) <= 50
+            fname = _os.path.join(out_dir, f"{uuid.uuid4().hex}.json")
+            with open(fname, "w") as fh:
+                json.dump([r["id"] for r in batch], fh)
+
+        return write
+
+    sinks.foreach_partition_sink(events, factory, batch_size=50)
+    import json as _json
+
+    seen = []
+    for f in glob.glob(os.path.join(out_dir, "*.json")):
+        seen.extend(_json.load(open(f)))
+    assert sorted(seen) == list(range(200))
+
+
+def test_cassandra_sink_disabled_noop(events):
+    # feature-flagged off like the reference: must not touch network
+    sinks.save_to_cassandra(events, ["127.0.0.1"], "ks", "t", enabled=False)
+
+
+def test_silver_layer_roundtrip(spark, events, tmp_path):
+    yearly_path = str(tmp_path / "fact_yearly")
+    monthly_path = str(tmp_path / "fact_monthly")
+    yearly, monthly = silver.build_silver_layer(events, yearly_path, monthly_path)
+    back = sinks.read_partitioned_table(spark, yearly_path)
+    expected = {
+        (r.year, r.tsunami_yearly_count) for r in yearly.collect()
+    }
+    got = {(r.year, r.tsunami_yearly_count) for r in back.collect()}
+    assert got == expected and expected
+    back_m = sinks.read_partitioned_table(spark, monthly_path)
+    assert back_m.count() == monthly.count()
+
+
+def test_driver_events_table_silver(spark, sf_dir, tmp_path):
+    """Silver aggregations also run over the driver's events table
+    mapped to bronze shape (year/month derived, flag from type)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        (F.col("event_type") == "error").cast("int").alias("tsunami"),
+    )
+    yearly = silver.fact_tsunami_yearly(ev).collect()
+    assert yearly and all(r.tsunami_yearly_count > 0 for r in yearly)

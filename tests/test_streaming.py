@@ -1,0 +1,78 @@
+"""Structured Streaming tests: file-arrival bronze ingest and the
+watermarked silver aggregation, both under availableNow triggers."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from usgs_earthquake_data_pipeline_spark import sinks
+from usgs_earthquake_data_pipeline_spark.streaming.ingest import (
+    stream_geojson_to_bronze,
+    stream_silver_counts,
+)
+
+JAN_2024 = 1704067200000  # 2024-01-01T00:00:00Z
+
+
+def _doc(ids, ts_ms=JAN_2024, tsunami=1):
+    return json.dumps(
+        {
+            "type": "FeatureCollection",
+            "metadata": {"generated": 0, "count": len(ids)},
+            "features": [
+                {
+                    "type": "Feature",
+                    "id": i,
+                    "properties": {"mag": 1.0, "time": ts_ms, "tsunami": tsunami},
+                    "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+                }
+                for i in ids
+            ],
+        }
+    )
+
+
+def test_stream_bronze_ingest_and_incremental(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+
+    (inbox / "page1.json").write_text(_doc(["a1", "a2"]))
+    (inbox / "page2.json").write_text(_doc(["a3"], ts_ms=JAN_2024 + 86400000))
+
+    q = stream_geojson_to_bronze(spark, str(inbox), bronze, ckpt)
+    q.awaitTermination(120)
+    back = sinks.read_partitioned_table(spark, bronze)
+    assert back.count() == 3
+    assert set(back.select("year").distinct().toPandas()["year"]) == {2024}
+
+    # incremental: a new file arrives; restart picks up ONLY the new one
+    (inbox / "page3.json").write_text(_doc(["a4", "a5"]))
+    q2 = stream_geojson_to_bronze(spark, str(inbox), bronze, ckpt)
+    q2.awaitTermination(120)
+    assert sinks.read_partitioned_table(spark, bronze).count() == 5
+
+
+def test_stream_silver_watermarked_counts(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    bronze = str(tmp_path / "bronze")
+    (inbox / "p.json").write_text(
+        _doc(["b1", "b2", "b3"]) )
+    q = stream_geojson_to_bronze(
+        spark, str(inbox), bronze, str(tmp_path / "c1")
+    )
+    q.awaitTermination(120)
+
+    q2 = stream_silver_counts(
+        spark, bronze, str(tmp_path / "c2"), query_name="t_silver"
+    )
+    q2.awaitTermination(120)
+    out = spark.sql("SELECT * FROM t_silver").collect()
+    assert len(out) == 1
+    assert out[0].tsunami_count == 3
+    assert out[0].window_start is not None

@@ -1,0 +1,235 @@
+"""Sinks: CSV/JSON exports (K1/K2), partitioned bronze/silver table
+writes (K3-K6), layout clustering sort (O1/O2), and the
+Cassandra-shaped serving sink (K7-K9).
+
+Reference semantics preserved:
+
+- timestamped output names (P11, usgs-earthquake-data-ingest.py:179,191)
+- empty-DataFrame skip, not fail (F3, :175-177, 187-189)
+- invalid write mode → ValueError (save_to_raw_delta_prod.py:127-128)
+- partition layout ``year, month`` for raw, ``year[, month]`` for
+  silver (save_to_raw_delta_prod.py:112,124,144;
+  usgs_tsunami_count_fact_silver.py:71,141)
+
+Deliberately NOT preserved: the reference's per-chunk S3 *overwrite*
+(save_to_raw_delta_prod.py:143 called per page), which leaves the
+remote table holding only the newest page — an apparent bug (SURVEY.md
+§3.1 step 8). Remote writes here use the same append semantics as
+local.
+
+At scale: writes go through ``clustering_sort`` first —
+``repartitionByRange`` on the partition columns (one range exchange,
+so each output partition is written by few tasks → few large files,
+no small-file explosion) then ``sortWithinPartitions`` for the
+clustering columns (data-skipping locality), the distributed
+equivalent of the reference's lexicographic "z-order" sort
+(usgs-earthquake-data-ingest-dynamic-dev.py:289-292).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterator
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .session import TABLE_FORMAT
+
+VALID_MODES = ("append", "overwrite")
+
+RAW_PARTITION_COLS = ["year", "month"]
+
+
+def _timestamp_name(prefix: str, suffix: str) -> str:
+    """P11: timestamped output name, driver-side like the reference."""
+    return f"{prefix}_{datetime.now(timezone.utc).strftime('%Y%m%d%H%M%S')}{suffix}"
+
+
+def clustering_sort(
+    df: DataFrame,
+    partition_cols: list[str],
+    cluster_cols: list[str] | None = None,
+) -> DataFrame:
+    """O1/O2: range-partition on the table partition columns, sort
+    within partitions by the clustering columns. Reproduces the
+    reference's sort-before-write clustering in distributed form."""
+    out = df.repartitionByRange(*[F.col(c) for c in partition_cols])
+    sort_cols = partition_cols + (cluster_cols or [])
+    return out.sortWithinPartitions(*[F.col(c) for c in sort_cols])
+
+
+def save_to_csv(df: DataFrame, output_dir: str, prefix: str = "earthquake_data") -> str | None:
+    """K1: CSV export with timestamped directory name; skip if empty."""
+    if df.isEmpty():
+        return None
+    path = os.path.join(output_dir, _timestamp_name(prefix, ".csv"))
+    df.write.option("header", "true").csv(path)
+    return path
+
+
+def save_to_json(df: DataFrame, output_dir: str, prefix: str = "earthquake_data") -> str | None:
+    """K2: JSON-lines export with timestamped directory name; skip if empty."""
+    if df.isEmpty():
+        return None
+    path = os.path.join(output_dir, _timestamp_name(prefix, ".json"))
+    df.write.json(path)
+    return path
+
+
+def save_partitioned_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_cols: list[str] | None = None,
+    cluster_cols: list[str] | None = None,
+    table_format: str | None = None,
+    merge_schema: bool = False,
+    skip_empty: bool = True,
+) -> bool:
+    """K3/K4/K5/K6: partitioned table write (Delta when delta-spark is
+    importable, else plain partitioned parquet — same layout, same
+    partition pruning).
+
+    Returns True when data was written, False on the empty-skip path.
+    Raises ValueError on an invalid mode (reference
+    save_to_raw_delta_prod.py:127-128).
+
+    ``skip_empty=True`` (default) is the reference's F3 ingest
+    semantics: never write on empty input. Silver/fact writes pass
+    ``skip_empty=False`` — an empty fact table is a valid result and
+    must exist and be readable: it is written unpartitioned as a
+    single empty file (a partitioned empty write would emit no
+    parquet footer at all, making the path unreadable).
+    """
+    if mode not in VALID_MODES:
+        raise ValueError(
+            f"Invalid mode: {mode}. Choose 'append' or 'overwrite'."
+        )
+    if df.isEmpty():
+        if skip_empty:
+            return False
+        df.repartition(1).write.format(table_format or TABLE_FORMAT).mode(
+            mode
+        ).save(path)
+        return True
+    partition_cols = partition_cols if partition_cols is not None else RAW_PARTITION_COLS
+    out = clustering_sort(df, partition_cols, cluster_cols) if partition_cols else df
+    writer = out.write.format(table_format or TABLE_FORMAT).mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if merge_schema:
+        # K6: schema evolution (delta's mergeSchema; parquet accepts and
+        # resolves on read via mergeSchema read option)
+        writer = writer.option("mergeSchema", "true")
+    writer.save(path)
+    return True
+
+
+def read_partitioned_table(spark, path: str, table_format: str | None = None) -> DataFrame:
+    """Read back a table written by save_partitioned_table."""
+    return spark.read.format(table_format or TABLE_FORMAT).load(path)
+
+
+def configure_s3(
+    spark,
+    endpoint: str,
+    access_key: str,
+    secret_key: str,
+    path_style_access: bool = True,
+) -> None:
+    """K4 plumbing: point s3a at an S3-compatible endpoint (the
+    reference targets such storage via storage_options,
+    save_to_raw_delta_prod.py:82-89). Hadoop conf only — callers then
+    write to ``s3a://bucket/...`` with the same writers above."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("fs.s3a.endpoint", endpoint)
+    hconf.set("fs.s3a.access.key", access_key)
+    hconf.set("fs.s3a.secret.key", secret_key)
+    hconf.set("fs.s3a.path.style.access", str(path_style_access).lower())
+
+
+# ---------------------------------------------------------------------------
+# Cassandra-shaped serving sink (K7-K9)
+# ---------------------------------------------------------------------------
+
+#: rows are delivered to the writer as plain dicts, batched like the
+#: reference's BatchStatement flushes (save_to_cassandra.py:57-120)
+RowWriter = Callable[[list[dict]], None]
+
+
+def foreach_partition_sink(
+    df: DataFrame,
+    writer_factory: Callable[[], RowWriter],
+    batch_size: int = 100,
+) -> None:
+    """K7/K8 core: stream every partition through a per-partition
+    writer in batches — executor-side, connection-per-partition, the
+    Spark shape of the reference's batched/concurrent Cassandra insert
+    (save_to_cassandra.py:57-192). ``writer_factory`` runs on the
+    executor (create the DB session there, never on the driver)."""
+
+    def handle(rows: Iterator) -> None:
+        write = writer_factory()
+        batch: list[dict] = []
+        for row in rows:
+            batch.append(row.asDict())
+            if len(batch) >= batch_size:
+                write(batch)
+                batch = []
+        if batch:
+            write(batch)
+
+    df.foreachPartition(handle)
+
+
+def save_to_cassandra(
+    df: DataFrame,
+    contact_points: list[str],
+    keyspace: str,
+    table: str,
+    batch_size: int = 100,
+    enabled: bool = False,
+) -> None:
+    """K9: Cassandra serving sink. Feature-flagged off by default —
+    exactly like the reference, which ships with its insert calls
+    commented out (save_to_cassandra.py:18-19). When enabled it
+    requires the ``cassandra-driver`` package on the executors.
+
+    The serving layout this feeds is PRIMARY KEY ((month, year),
+    eventtime DESC) (db-script.cql:37-38); the equivalent lake layout
+    is produced by ``save_partitioned_table(partition_cols=["year",
+    "month"], cluster_cols=["eventtime"])``.
+    """
+    if not enabled:
+        return
+
+    columns = df.columns
+
+    def factory() -> RowWriter:
+        try:
+            from cassandra.cluster import Cluster  # type: ignore[import-not-found]
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "save_to_cassandra requires the cassandra-driver package "
+                "on executors; install it or keep enabled=False"
+            ) from exc
+        session = Cluster(contact_points).connect(keyspace)
+        cols = ", ".join(columns)
+        binds = ", ".join(["?"] * len(columns))
+        prepared = session.prepare(
+            f"INSERT INTO {table} ({cols}) VALUES ({binds})"
+        )
+
+        def write(batch: list[dict]) -> None:
+            from cassandra.concurrent import (  # type: ignore[import-not-found]
+                execute_concurrent_with_args,
+            )
+
+            args = [tuple(r[c] for c in columns) for r in batch]
+            execute_concurrent_with_args(session, prepared, args, concurrency=20)
+
+        return write
+
+    foreach_partition_sink(df, factory, batch_size=batch_size)

@@ -71,7 +71,14 @@ def _flatten_feature(feature: Column) -> list[Column]:
     ]
 
 
-def geojson_docs_to_events(docs: DataFrame, json_col: str = "value") -> DataFrame:
+#: columns declared non-nullable in USGS_EVENTS_SCHEMA that from_json can
+#: still produce as NULL from malformed/truncated documents
+_REQUIRED_EVENT_COLS = ("id", "latitude", "longitude", "eventtime", "geometry")
+
+
+def geojson_docs_to_events(
+    docs: DataFrame, json_col: str = "value", drop_invalid: bool = True
+) -> DataFrame:
     """Parse a DataFrame of raw GeoJSON FeatureCollection documents
     (one JSON string per row in ``json_col``) into the canonical events
     table.
@@ -79,6 +86,18 @@ def geojson_docs_to_events(docs: DataFrame, json_col: str = "value") -> DataFram
     Empty/missing ``features`` arrays simply produce zero rows
     (explode drops them), reproducing the reference's empty-DF
     short-circuit (F3/F4) declaratively.
+
+    ``drop_invalid`` enforces the schema's declared nullability:
+    malformed documents that parse to NULL in a required column
+    (id/latitude/longitude/eventtime/geometry) are filtered out rather
+    than silently passed through. Set False to keep them for
+    quarantine-style handling.
+
+    Known divergence (documented, accepted): ``geometry`` is the
+    re-serialization of the *parsed* struct, so coordinates render as
+    doubles (``10`` → ``10.0``); byte-exact string comparison against
+    the reference's ``geojson.dumps`` of raw values can differ.
+    Compare geometry semantically (re-parse) in correctness checks.
     """
     parsed = docs.select(
         F.from_json(F.col(json_col), GEOJSON_FEATURE_COLLECTION_SCHEMA).alias("doc")
@@ -87,7 +106,14 @@ def geojson_docs_to_events(docs: DataFrame, json_col: str = "value") -> DataFram
     flat = features.select(*_flatten_feature(F.col("feature")))
     # enforce the canonical column types (P10: schema-enforced construction)
     casts = [F.col(f.name).cast(f.dataType).alias(f.name) for f in USGS_EVENTS_SCHEMA.fields]
-    return flat.select(*casts)
+    out = flat.select(*casts)
+    if drop_invalid:
+        predicate = None
+        for c in _REQUIRED_EVENT_COLS:
+            cond = F.col(c).isNotNull()
+            predicate = cond if predicate is None else (predicate & cond)
+        out = out.filter(predicate)
+    return out
 
 
 def events_from_geojson_strings(spark: SparkSession, docs: list[str]) -> DataFrame:
@@ -108,18 +134,23 @@ def read_geojson_files(spark: SparkSession, path: str) -> DataFrame:
 
 def events_to_geojson_features(events: DataFrame) -> DataFrame:
     """Inverse of P1 (operator P9, reference save_to_cassandra.py:22-35):
-    each event row → a GeoJSON Feature JSON string."""
+    each event row → a GeoJSON Feature JSON string.
+
+    Matches the reference's feature shape: ``id`` lives *inside*
+    properties (not top-level), the magnitude key is ``magnitude``,
+    and ``time`` preserves sub-second precision like Python
+    ``isoformat()`` on millisecond timestamps.
+    """
     feature = F.struct(
         F.lit("Feature").alias("type"),
-        F.col("id").alias("id"),
         F.struct(
-            F.col("magnitude").alias("mag"),
+            F.col("id").alias("id"),
+            F.col("magnitude").alias("magnitude"),
             F.col("place").alias("place"),
-            F.date_format("eventtime", "yyyy-MM-dd'T'HH:mm:ss").alias("time"),
+            F.date_format("eventtime", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("time"),
             F.col("tsunami").alias("tsunami"),
             F.col("significance").alias("sig"),
             F.col("type").alias("type"),
-            F.col("title").alias("title"),
         ).alias("properties"),
         F.struct(
             F.lit("Point").alias("type"),

@@ -1,0 +1,103 @@
+"""Structured Streaming bronze/silver pipeline.
+
+The reference approximates streaming with an hourly cron re-running a
+paged batch ingest (deploy.yml:53) and hints at intended streaming
+reads via ignoreDeletes/readChangeFeed options it passes to Polars
+(usgs_read_polars.py:34-37). This module is the Spark-native version:
+
+- ``stream_geojson_to_bronze``: file-arrival stream of GeoJSON
+  documents (one FeatureCollection per line) → parse (same
+  from_json/explode plan as batch) → partitioned bronze append via
+  foreachBatch. ``availableNow`` trigger = the cron-batch shape;
+  ``processingTime`` = continuous ingest. Exactly-once via the
+  checkpoint + per-batch idempotent append.
+- ``stream_silver_counts``: incremental silver — watermarked windowed
+  counts over eventtime, the streaming twin of fact_tsunami_monthly.
+  Late events beyond the watermark are dropped (documented bound),
+  in-watermark updates revise the counts.
+
+At scale both are standard stateful-streaming shapes: state is keyed
+by (window, year/month) — bounded by the watermark horizon, not by
+input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sinks import save_partitioned_table
+from ..sources.geojson import geojson_docs_to_events
+
+
+def stream_geojson_to_bronze(
+    spark: SparkSession,
+    input_path: str,
+    bronze_path: str,
+    checkpoint_path: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Bronze ingest stream: watch ``input_path`` for GeoJSON document
+    files (one FeatureCollection JSON per line), flatten to canonical
+    events, append partitioned."""
+    raw = spark.readStream.text(input_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        events = geojson_docs_to_events(batch_df, "value")
+        save_partitioned_table(events, bronze_path, mode="append")
+
+    writer = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_silver_counts(
+    spark: SparkSession,
+    bronze_path: str,
+    checkpoint_path: str,
+    query_name: str = "silver_tsunami_counts",
+    *,
+    watermark: str = "30 days",
+    window_size: str = "7 days",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental silver: tsunami-event counts in tumbling eventtime
+    windows with a late-data watermark, maintained into an in-memory
+    sink (swap for a Delta/parquet upsert sink in production).
+
+    Streaming twin of fact_tsunami_monthly: same filter + time-bucket
+    + count shape, expressed as a watermarked stateful aggregation.
+    """
+    from ..schema import USGS_EVENTS_SCHEMA
+
+    bronze = (
+        spark.readStream.schema(USGS_EVENTS_SCHEMA)
+        .format("parquet")
+        .load(bronze_path)
+    )
+    counts = (
+        bronze.filter(F.col("tsunami") == 1)
+        .withWatermark("eventtime", watermark)
+        .groupBy(F.window("eventtime", window_size).alias("win"))
+        .agg(F.count("*").alias("tsunami_count"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "tsunami_count",
+        )
+    )
+    writer = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
