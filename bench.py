@@ -24,8 +24,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     headline = [e for e in CATALOG.values() if e.headline]
-    # warm-up: trivial job so JVM/codegen startup isn't billed to q1
+    # warm-up: JVM/codegen startup + parquet footer/file-listing caches,
+    # so steady-state execution is what gets timed
     spark.range(1000).count()
+    for entry in headline:
+        entry.spark_fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for entry in headline:

@@ -360,9 +360,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "topk"),
 )
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q3-shaped top-k revenue: broadcast the filtered customer
-    dim into orders, shuffle lineitem once on orderkey, TakeOrdered
-    top-10 (no global sort materialization)."""
+    """TPC-H-Q3-shaped top-k revenue. Customer (the only true dim) is
+    broadcast; the lineitem⋈orders fact-fact join is left to AQE —
+    at bench scale it converts to a broadcast of the filtered orders
+    side, at 100 TB it degrades gracefully to a shuffle join on the
+    join key instead of OOMing a forced broadcast. Top-10 compiles to
+    TakeOrderedAndProject (no global sort materialization)."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -373,14 +376,8 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     return (
-        li.join(
-            F.broadcast(
-                orders.join(
-                    F.broadcast(cust), orders.o_custkey == cust.c_custkey
-                ).select("o_orderkey")
-            ),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey")
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
