@@ -1,0 +1,283 @@
+"""Relational-breadth catalog entries: set operations, grouping sets,
+HAVING, subqueries, outer joins, conditional aggregation / pivot,
+string and date functions, exact percentiles.
+
+The reference has none of these (SURVEY.md §2.4/2.6/2.8) — they're
+what makes this a complete analytics engine rather than a port of the
+reference's five aggregate shapes. Same alignment rules as
+catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import register
+
+
+@register(
+    "setop_union_counts",
+    oracle=(
+        "SELECT user_id, count(*) AS n FROM ("
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "UNION ALL SELECT user_id FROM events WHERE event_type = 'purchase'"
+        ") t GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("setop",),
+)
+def setop_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered streams, re-aggregated."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        clicks.unionByName(buys).groupBy("user_id").agg(F.count("*").alias("n"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "setop_intersect_users",
+    oracle=(
+        "SELECT user_id FROM events WHERE event_type = 'error' AND value > 450 "
+        "INTERSECT "
+        "SELECT user_id FROM events WHERE event_type = 'signup' AND value > 450"
+    ),
+    tags=("setop",),
+)
+def setop_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two filtered user sets."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "error") & (F.col("value") > 450)).select(
+        "user_id"
+    )
+    b = ev.filter((F.col("event_type") == "signup") & (F.col("value") > 450)).select(
+        "user_id"
+    )
+    return a.intersect(b)
+
+
+@register(
+    "agg_cube_type_day",
+    oracle=(
+        "SELECT event_type, CAST(day(ts) AS INT) AS day, count(*) AS cnt "
+        "FROM events WHERE day(ts) <= 3 "
+        "GROUP BY CUBE(event_type, CAST(day(ts) AS INT)) "
+        "ORDER BY event_type NULLS FIRST, day NULLS FIRST"
+    ),
+    tags=("agg", "cube"),
+)
+def agg_cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over two dimensions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.dayofmonth("ts") <= 3)
+    return (
+        ev.cube(F.col("event_type"), F.dayofmonth("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "agg_having_hot_users",
+    oracle=(
+        "SELECT user_id, count(*) AS n_events FROM events "
+        "GROUP BY 1 HAVING count(*) > 70 ORDER BY 1"
+    ),
+    tags=("agg", "having"),
+)
+def agg_having_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: post-aggregation filter."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") > 70)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "subquery_scalar_acctbal",
+    oracle=(
+        "SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_acctbal > (SELECT max(c_acctbal) FROM customer) - 1000 "
+        "ORDER BY c_custkey"
+    ),
+    tags=("subquery",),
+)
+def subquery_scalar_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers within 1000 of the max balance
+    (max is exact on stored doubles — no FP-order risk)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("__cust_scalar")
+    return spark.sql(
+        "SELECT c_custkey, c_acctbal FROM __cust_scalar "
+        "WHERE c_acctbal > (SELECT max(c_acctbal) FROM __cust_scalar) - 1000 "
+        "ORDER BY c_custkey"
+    )
+
+
+@register(
+    "subquery_exists_orders",
+    oracle=(
+        "SELECT o_orderstatus, count(*) AS n FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_quantity >= 49) GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("subquery", "semi"),
+)
+def subquery_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (compiles to a left-semi join): orders having
+    a near-max-quantity line item, counted by status."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "join_full_outer_nation_profile",
+    oracle=(
+        "SELECT n_name, coalesce(s.n_supp, 0) AS n_supp, "
+        "coalesce(c.n_cust, 0) AS n_cust "
+        "FROM nation "
+        "LEFT JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier "
+        "GROUP BY 1) s ON s_nationkey = n_nationkey "
+        "LEFT JOIN (SELECT c_nationkey, count(*) AS n_cust FROM customer "
+        "GROUP BY 1) c ON c_nationkey = n_nationkey "
+        "ORDER BY n_name"
+    ),
+    tags=("join", "outer"),
+)
+def join_full_outer_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer joins with null-coalescing: per-nation supplier and
+    customer counts including empty nations."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    return (
+        nation.join(F.broadcast(supp), nation.n_nationkey == supp.s_nationkey, "left")
+        .join(F.broadcast(cust), nation.n_nationkey == cust.c_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "pivot_event_counts",
+    oracle=(
+        "SELECT user_id, "
+        "count(*) FILTER (WHERE event_type = 'click') AS click, "
+        "count(*) FILTER (WHERE event_type = 'error') AS error, "
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase "
+        "FROM events WHERE user_id < 20 GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("agg", "pivot"),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT / conditional aggregation: per-user counts of selected
+    event types as columns."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "error", "purchase"])
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "string_funcs_customers",
+    oracle=(
+        "SELECT c_custkey, upper(c_name) AS uname, "
+        "substr(c_name, 1, 9) AS prefix, length(c_name) AS name_len, "
+        "concat(c_mktsegment, ':', c_name) AS tagged "
+        "FROM customer WHERE c_name LIKE '%7' ORDER BY c_custkey"
+    ),
+    tags=("scalar", "string"),
+)
+def string_funcs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions + LIKE predicate."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_name").like("%7"))
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("uname"),
+            F.substring("c_name", 1, 9).alias("prefix"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "date_funcs_orders",
+    oracle=(
+        "SELECT CAST(year(o_orderdate) AS INT) AS yr, "
+        "CAST(quarter(o_orderdate) AS INT) AS qtr, count(*) AS n, "
+        "CAST(min(strftime(o_orderdate, '%Y-%m-%d')) AS VARCHAR) AS first_day "
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("scalar", "date"),
+)
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date extraction and formatting grouped by year/quarter."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+@register(
+    "percentile_quantity",
+    oracle=(
+        "SELECT l_returnflag, "
+        "round(quantile_cont(l_quantity, 0.5), 6) AS p50, "
+        "round(quantile_cont(l_quantity, 0.9), 6) AS p90 "
+        "FROM lineitem GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("agg", "percentile"),
+)
+def percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
