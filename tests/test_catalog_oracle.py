@@ -28,11 +28,16 @@ def _canon(value):
     return value
 
 
+def _sort_key(row):
+    # None-safe, type-stable ordering (rows may hold NULLs; the check
+    # is multiset equality, so any consistent total order works)
+    return tuple((v is None, repr(v)) for v in row)
+
+
 def _rowset(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(
-        tuple(_canon(row[i]) for i in order) for row in rows
-    ), [columns[i] for i in order]
+    canon = [tuple(_canon(row[i]) for i in order) for row in rows]
+    return sorted(canon, key=_sort_key), [columns[i] for i in order]
 
 
 @pytest.mark.parametrize("entry", SQL_ENTRIES, ids=[e.name for e in SQL_ENTRIES])

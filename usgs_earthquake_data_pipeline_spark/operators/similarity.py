@@ -69,21 +69,28 @@ def brute_force_topk(
     the whole computation is a narrow pass over the corpus followed by
     a top-k window on query_id (shuffle of only candidate rows).
     """
+    # norms are precomputed once per side (not once per pair): the
+    # scoring expression then does a single dot product per pair.
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
-        )
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+        ).withColumn("q_norm", l2_norm(F.col("q_vec")))
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+    ).withColumn("c_norm", l2_norm(F.col("c_vec")))
     pairs = c.crossJoin(q)
     if not include_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    denom = F.col("q_norm") * F.col("c_norm")
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        F.when(denom > 0, dot(F.col("q_vec"), F.col("c_vec")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -165,21 +172,24 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("c_vec"),
         signature_col(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("c_norm", l2_norm(F.col("c_vec")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
         F.explode(
             _probe_signatures(signature_col(F.col(vec_col), planes), n_planes)
         ).alias("bucket"),
-    )
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
     pairs = c.join(F.broadcast(q), "bucket")
     if not include_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    denom = F.col("q_norm") * F.col("c_norm")
     scored = pairs.dropDuplicates(["query_id", "neighbor_id"]).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        F.when(denom > 0, dot(F.col("q_vec"), F.col("c_vec")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -6,3 +6,4 @@ SQL) pair. The driver's correctness harness consumes this via
 from .catalog import CATALOG, CatalogEntry, oracle_map, query_map  # noqa: F401
 from . import llm_ops  # noqa: F401  (registers the LLM-pipeline entries)
 from . import relational  # noqa: F401  (registers the relational-breadth entries)
+from . import temporal  # noqa: F401  (registers the temporal-operator entries)

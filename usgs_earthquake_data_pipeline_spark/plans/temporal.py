@@ -1,0 +1,140 @@
+"""Catalog entries for the temporal operators (as-of join, bucketed
+range join, hypertable-style rollup). DuckDB supports ASOF JOIN and
+non-equi joins natively, so all three are fully oracle-checked — the
+oracle runs the naive formulation, the Spark side runs the scalable
+composition, and the results must be identical."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import temporal as TP
+from ..sources.tables import load_table
+from .catalog import register
+
+
+@register(
+    "asof_join_last_error",
+    oracle=(
+        "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, "
+        "e.err_value, epoch_us(e.ts) AS err_ts_us "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+        "ASOF LEFT JOIN (SELECT user_id, ts, value AS err_value FROM events "
+        "WHERE event_type = 'error') e "
+        "ON c.user_id = e.user_id AND c.ts >= e.ts"
+    ),
+    headline=True,
+    tags=("temporal", "asof"),
+)
+def asof_join_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click enriched with the user's most recent
+    error at or before it. Spark side is the union-window composition
+    (one shuffle on user_id); the oracle is DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    joined = TP.asof_join(clicks, errors, "user_id", "ts", "ts", ["err_value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "err_value",
+        F.unix_micros("asof_ts").alias("err_ts_us"),
+    )
+
+
+@register(
+    "range_join_error_purchase",
+    oracle=(
+        "SELECT l.event_id AS error_id, r.event_id AS purchase_id "
+        "FROM events l JOIN events r ON l.user_id = r.user_id "
+        "AND l.event_type = 'error' AND r.event_type = 'purchase' "
+        "AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 600000000"
+    ),
+    tags=("temporal", "range-join"),
+)
+def range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: (error, purchase) pairs for the same user within 10
+    minutes. Spark side blocks on time buckets (pure equi-join, 3×
+    constant replication); the oracle is the naive non-equi join."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("l_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("r_ts")
+    )
+    return TP.range_join_buckets(
+        errors, purchases, "user_id", "l_ts", "r_ts", tolerance_seconds=600
+    ).select("error_id", "purchase_id")
+
+
+@register(
+    "sessionize_gap_10min",
+    oracle=(
+        "WITH g AS (SELECT user_id, ts, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 "
+        "THEN 1 ELSE 0 END AS new_s FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, SUM(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "FROM g) "
+        "SELECT user_id, epoch_us(min(ts)) AS session_start_us, "
+        "epoch_us(max(ts)) AS session_end_us, CAST(count(*) AS INT) AS n_events "
+        "FROM s GROUP BY user_id, sid"
+    ),
+    tags=("temporal", "session"),
+)
+def sessionize_gap_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (batch form of the stateful streaming
+    operator): 10-minute-gap sessions per user via lag + cumulative
+    counter — one shuffle on user_id. The streaming twin
+    (applyInPandasWithState) is validated against this in tests."""
+    from ..streaming.sessionize import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return sessionize_batch(ev, gap_seconds=600).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+@register(
+    "time_bucket_rollup_hourly",
+    oracle=(
+        "SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT) "
+        "AS bucket_start_us, event_type, count(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("temporal", "rollup"),
+)
+def time_bucket_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    out = TP.time_bucket_rollup(
+        ev,
+        "ts",
+        3600,
+        aggs=[
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        ],
+        extra_keys=["event_type"],
+    )
+    return out.select(
+        F.unix_micros("bucket_start").alias("bucket_start_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("bucket_start_us", "event_type")
