@@ -1,0 +1,99 @@
+"""Plan-shape regression tests: the physical plans the engine must
+keep producing at any scale — pushed filters, pruned scans, broadcast
+dims, no accidental cartesian products."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+from usgs_earthquake_data_pipeline_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
+from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+#: queries that intentionally contain a (bounded, broadcast) cross join
+_CROSS_OK = {"ann_brute_force"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [e.name for e in CATALOG.values() if e.oracle is not None],
+)
+def test_no_accidental_cartesian(name, spark, sf_dir):
+    if name in _CROSS_OK:
+        pytest.skip("intentional broadcast cross join (bounded query side)")
+    plan = _plan(CATALOG[name].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark, sf_dir):
+    plan = _plan(CATALOG["q1_pricing_summary"].spark_fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # scan must read only the 6 needed columns, not all 11
+    assert "l_comment" not in plan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_returnflag" in read and "l_orderkey" not in read
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    plan = _plan(CATALOG["q5_region_revenue"].spark_fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan  # nothing falls back at test scale
+
+
+def test_s6_reads_exactly_three_columns(spark, sf_dir):
+    plan = _plan(CATALOG["s6_projection"].spark_fn(spark, sf_dir))
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert read.count(":") == 3  # three fields in the struct
+
+
+def test_lsh_join_is_hash_not_cartesian(spark, sf_dir):
+    plan = _plan(CATALOG["dedup_minhash_lsh"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type, r.n)
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    salted = {
+        (r.event_type, r.n)
+        for r in salted_aggregate(
+            ev, ["event_type"], {"n": ("count", "event_id")}, salt_col="event_id"
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_total"))
+    )
+    plain = set(
+        (r.event_id, r.n_total) for r in ev.join(users, "user_id").collect()
+    )
+    salted = set(
+        (r.event_id, r.n_total)
+        for r in salted_join(ev, users, "user_id", n_salts=4).collect()
+    )
+    assert salted == plain
+
+
+def test_salted_aggregate_rejects_non_algebraic(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_aggregate(ev, ["event_type"], {"a": ("avg", "value")})

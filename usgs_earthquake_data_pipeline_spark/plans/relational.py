@@ -260,6 +260,33 @@ def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_aggregate_by_type",
+    oracle=(
+        "SELECT event_type, count(*) AS n, min(value) AS min_value, "
+        "max(value) AS max_value FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("agg", "skew"),
+)
+def salted_aggregate_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a (deliberately low-
+    cardinality, i.e. maximally skewed) key — must produce exactly the
+    same result as the plain group-by oracle."""
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "event_id"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_col="event_id",
+    ).orderBy("event_type")
+
+
+@register(
     "percentile_quantity",
     oracle=(
         "SELECT l_returnflag, "
