@@ -1,0 +1,86 @@
+"""Upsert (dynamic partition overwrite), compaction, cluster
+resolution, and IVF ANN tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from usgs_earthquake_data_pipeline_spark import sinks
+from usgs_earthquake_data_pipeline_spark.operators import dedup as D
+from usgs_earthquake_data_pipeline_spark.operators import similarity as S
+from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+
+def _events(spark, month, tag):
+    rows = [(i, 2024, month, f"{tag}{i}") for i in range(10)]
+    return spark.createDataFrame(rows, "id long, year int, month int, payload string")
+
+
+def test_upsert_overwrites_only_touched_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sinks.save_partitioned_table(
+        _events(spark, 1, "jan_v1_").unionByName(_events(spark, 2, "feb_v1_")),
+        path, mode="overwrite",
+    )
+    # re-ingest ONLY February with new content
+    assert sinks.upsert_partitions(_events(spark, 2, "feb_v2_"), path)
+    back = sinks.read_partitioned_table(spark, path)
+    assert back.count() == 20  # no duplicates: feb replaced, not appended
+    jan = {r.payload for r in back.filter(F.col("month") == 1).collect()}
+    feb = {r.payload for r in back.filter(F.col("month") == 2).collect()}
+    assert all(p.startswith("jan_v1_") for p in jan)  # untouched
+    assert all(p.startswith("feb_v2_") for p in feb)  # replaced
+
+
+def test_upsert_empty_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sinks.save_partitioned_table(_events(spark, 1, "a"), path, mode="overwrite")
+    empty = _events(spark, 1, "x").filter(F.lit(False))
+    assert not sinks.upsert_partitions(empty, path)
+    assert sinks.read_partitioned_table(spark, path).count() == 10
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # 5 appends → many files per partition
+    for i in range(5):
+        sinks.save_partitioned_table(_events(spark, 1, f"v{i}_"), path, mode="append")
+    before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    sinks.compact_partitioned_table(spark, path, target_files_per_partition=1)
+    after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert sinks.read_partitioned_table(spark, path).count() == 50
+    assert after < before and after <= 2
+
+
+def test_resolve_dup_clusters_chain(spark):
+    # chain a-b-c plus isolated pair d-e: two components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id, r.canonical_id)
+        for r in D.resolve_dup_clusters(pairs).collect()
+    }
+    assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf_rows = S.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    # n_probe == n_lists → IVF degenerates to exact: full recall
+    assert ivf == brute
+
+    ivf_approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=2).collect()
+    }
+    assert len(ivf_approx & brute) > 0  # partial recall when probing fewer lists

@@ -217,6 +217,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def resolve_dup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Near-dup pair list → connected components → (id, canonical_id).
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors until a full
+    iteration changes nothing. Each iteration is one join + one
+    aggregate (shuffles on id) — the standard Spark connected-
+    components shape; iterations needed = graph diameter, which for
+    near-dup clusters (dense blobs) is tiny. Canonical id = min doc id
+    in the cluster, matching exact-dedup's keep-min convention.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("canonical_id"))
+
+
 def simhash_col(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
     """Add a 64-bit SimHash fingerprint column.
 

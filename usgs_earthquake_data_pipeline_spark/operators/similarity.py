@@ -199,6 +199,80 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the
+    corpus into ``n_lists`` inverted lists; each query probes its
+    ``n_probe`` nearest lists and exact-ranks only those candidates.
+
+    Centroids are the first ``n_lists`` corpus vectors by id —
+    deterministic, no RNG, no iterative training. (A production build
+    would run a few k-means rounds; the plan shape — broadcast
+    centroids, one assignment pass, equi-join on list id — is
+    identical, and that shape is the point: the full scan becomes a
+    join that touches ~n_probe/n_lists of the corpus per query.)
+    """
+    w_c = Window.orderBy(F.asc(id_col))
+    centroids = F.broadcast(
+        corpus.orderBy(F.asc(id_col))
+        .limit(n_lists)
+        .select(
+            F.row_number().over(w_c).alias("list_id"),
+            _as_double(F.col(vec_col)).alias("centroid"),
+        )
+    )
+
+    def nearest_lists(df: DataFrame, vec: str, n: int) -> DataFrame:
+        scored = df.crossJoin(centroids).withColumn(
+            "__csim", cosine(F.col(vec), F.col("centroid"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("list_id"))
+        return (
+            scored.withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= n)
+            .drop("centroid", "__csim", "__crank")
+        )
+
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    c_assigned = nearest_lists(c, "c_vec", 1).select(
+        F.col(id_col).alias("neighbor_id"), "c_vec", "list_id"
+    ).withColumn("c_norm", l2_norm(F.col("c_vec")))
+
+    q = queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias("q_vec"))
+    q_probes = nearest_lists(q, "q_vec", n_probe).select(
+        F.col(id_col).alias("query_id"), "q_vec", "list_id"
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
+
+    pairs = c_assigned.join(F.broadcast(q_probes), "list_id")
+    if not include_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    denom = F.col("q_norm") * F.col("c_norm")
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.when(denom > 0, dot(F.col("q_vec"), F.col("c_vec")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

@@ -437,6 +437,86 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_cheapest_per_brand",
+    oracle=(
+        "SELECT p_partkey, p_brand, p_retailprice FROM part p "
+        "WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 "
+        "WHERE p2.p_brand = p.p_brand) ORDER BY p_brand, p_partkey"
+    ),
+    tags=("tpch", "subquery", "window"),
+)
+def q2_cheapest_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated-min: parts priced at their brand's
+    minimum. The correlated subquery is expressed as a min-over-window
+    — one shuffle on the correlation key instead of a re-scan per
+    row."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("__min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("__min_price"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=(
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS INT) AS l_year, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
+        "AS DOUBLE) AS revenue "
+        "FROM lineitem "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN nation n1 ON n1.n_nationkey = s_nationkey "
+        "JOIN nation n2 ON n2.n_nationkey = c_nationkey "
+        "WHERE n1.n_name IN ('NATION_0', 'NATION_1') "
+        "AND n2.n_name IN ('NATION_2', 'NATION_3') "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    ),
+    tags=("tpch", "join"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped nation-pair trade volume: the fact joins both a
+    supplier-side and a customer-side dimension chain. All dims
+    broadcast; the only shuffle partners lineitem with orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.filter(F.col("n_name").isin("NATION_0", "NATION_1")).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin("NATION_2", "NATION_3")).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp_dim = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust_dim = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        li.join(F.broadcast(supp_dim), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_dim), orders.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
     "join_semi_nations",
     oracle=(
         "SELECT n_nationkey, n_name FROM nation "

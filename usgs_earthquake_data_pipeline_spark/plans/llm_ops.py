@@ -95,6 +95,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
 
 
+@register(
+    "dedup_resolve_clusters",
+    oracle=(
+        "WITH RECURSIVE toks AS ("
+        "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+        "  FROM documents), "
+        "sh AS ("
+        "  SELECT doc_id, list_distinct(list_transform("
+        "    generate_series(1, greatest(len(t) - 2, 0)),"
+        "    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams"
+        "  FROM toks), "
+        "sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh WHERE len(grams) > 0), "
+        "posting AS (SELECT doc_id, unnest(grams) AS shingle FROM sh), "
+        "inter AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+        "  FROM posting a JOIN posting b USING (shingle)"
+        "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS ("
+        "  SELECT id_a, id_b FROM inter "
+        "  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "  UNION SELECT id_b, id_a FROM pairs), "
+        "reach(id, r) AS ("
+        "  SELECT src, src FROM edges "
+        "  UNION SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id) "
+        "SELECT id, min(r) AS canonical_id FROM reach GROUP BY id"
+    ),
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical id per doc
+    (the step that turns pair lists into an actionable keep/drop set).
+    Spark side is iterative min-label propagation (one join + one agg
+    per iteration, converges in graph-diameter rounds); the oracle is
+    a recursive-CTE transitive closure over the same exact-Jaccard
+    pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    return D.resolve_dup_clusters(pairs)
+
+
+@register("ann_ivf", tags=("llm", "ann", "approx"))
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5 (coarse quantizer → probe n_probe
+    lists → exact rank). Rows-only; recall vs brute force asserted in
+    tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+
+
 @register("dedup_minhash_lsh", tags=("llm", "dedup", "approx"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (approximate candidate generation,

@@ -132,6 +132,68 @@ def read_partitioned_table(spark, path: str, table_format: str | None = None) ->
     return spark.read.format(table_format or TABLE_FORMAT).load(path)
 
 
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    cluster_cols: list[str] | None = None,
+    table_format: str | None = None,
+) -> bool:
+    """Partition-level upsert: overwrite ONLY the partitions present
+    in ``df``, leaving all others untouched (dynamic partition
+    overwrite). This is the idempotent re-ingest primitive — re-running
+    a month's ingest replaces that month instead of duplicating it
+    (the correct form of the reference's append-forever raw layer;
+    with delta-spark this would be MERGE, the parquet layout gets the
+    same semantics from partitionOverwriteMode=dynamic).
+
+    At scale: the write touches exactly the affected partitions; the
+    clustering sort keeps file counts low within each.
+    """
+    if df.isEmpty():
+        return False
+    partition_cols = partition_cols if partition_cols is not None else RAW_PARTITION_COLS
+    out = clustering_sort(df, partition_cols, cluster_cols)
+    spark = df.sparkSession
+    previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            out.write.format(table_format or TABLE_FORMAT)
+            .mode("overwrite")
+            .partitionBy(*partition_cols)
+            .save(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+    return True
+
+
+def compact_partitioned_table(
+    spark,
+    path: str,
+    partition_cols: list[str] | None = None,
+    target_files_per_partition: int = 1,
+    table_format: str | None = None,
+) -> None:
+    """Small-file compaction: rewrite the table so each partition holds
+    ``target_files_per_partition`` files (the maintenance job an
+    append-heavy ingest needs; the reference's hourly append produces
+    one file set per run). Uses the same dynamic-overwrite mechanics
+    as upsert_partitions, so a compaction run is safe to scope to a
+    subset by pre-filtering."""
+    partition_cols = partition_cols if partition_cols is not None else RAW_PARTITION_COLS
+    df = read_partitioned_table(spark, path, table_format)
+    compacted = df.repartition(
+        target_files_per_partition, *[F.col(c) for c in partition_cols]
+    )
+    # materialize (executor-side) before overwriting the files being read
+    compacted = compacted.localCheckpoint()
+    upsert_partitions(
+        compacted, path, partition_cols=partition_cols, table_format=table_format
+    )
+
+
 def configure_s3(
     spark,
     endpoint: str,
