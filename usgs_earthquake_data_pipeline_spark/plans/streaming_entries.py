@@ -1,0 +1,76 @@
+"""Streaming catalog entry: a real Structured Streaming query whose
+final result is oracle-checked.
+
+The callable runs a bounded streaming job (availableNow trigger over
+the events parquet) computing a daily windowed rollup into a memory
+sink, then returns the sink's content as a batch DataFrame. The
+DuckDB oracle computes the same rollup with date_trunc — so the
+streaming engine's windowing itself is under the hash-equality gate,
+not just its batch twin.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_runtime
+from .catalog import register
+
+
+@register(
+    "streaming_daily_rollup",
+    oracle=(
+        "SELECT epoch_us(date_trunc('day', ts)) AS day_start_us, "
+        "count(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("streaming", "window"),
+)
+def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling-window rollup computed BY THE STREAMING ENGINE
+    (availableNow over the events parquet, complete-mode memory sink).
+    Window boundaries are UTC days — identical to date_trunc('day')
+    in the oracle because the session timezone is pinned UTC."""
+    configure_runtime(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # post-nanosAsLong schema
+    # the file-stream source wants a directory: stream the sf_dir with a
+    # glob pinned to the events file
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # same nanos repair as the batch loader
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = (
+        ev.groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("day_start_us"),
+            "n",
+            "sum_value",
+        )
+    )
+    name = "streaming_daily_rollup_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name).orderBy("day_start_us")
