@@ -137,6 +137,29 @@ def test_week_fallback_on_month_failure(spark, tmp_path):
     assert sinks.read_partitioned_table(spark, bronze).count() == 3
 
 
+def test_idempotent_reingest_no_duplicates(spark, tmp_path):
+    """Re-running the same window in idempotent mode replaces its
+    partitions instead of duplicating rows; plain append duplicates."""
+    feats = [_feature(i) for i in range(25)]
+    bronze = str(tmp_path / "bronze")
+    for _ in range(2):  # same window ingested twice
+        api = FakeApi({"2020-01-01": feats})
+        pipeline.ingest_window_paged(
+            spark, "http://x", "2020-01-01", "2020-02-01", bronze,
+            limit=10, http_get=api, idempotent=True,
+        )
+    assert sinks.read_partitioned_table(spark, bronze).count() == 25
+
+    bronze2 = str(tmp_path / "bronze2")
+    for _ in range(2):
+        api = FakeApi({"2020-01-01": feats})
+        pipeline.ingest_window_paged(
+            spark, "http://x", "2020-01-01", "2020-02-01", bronze2,
+            limit=10, http_get=api,
+        )
+    assert sinks.read_partitioned_table(spark, bronze2).count() == 50
+
+
 def test_two_phase_etl(spark, tmp_path):
     feats = [_feature(i, tsunami=int(i % 3 == 0)) for i in range(12)]
     api = FakeApi({m: feats if m == "2021-03-01" else [] for m, _ in

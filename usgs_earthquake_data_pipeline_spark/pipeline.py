@@ -25,7 +25,7 @@ from pyspark.sql import SparkSession
 from .sources.geojson import events_from_geojson_strings
 from .sources.rest import FetchError, HttpGet, fetch_earthquake_data_limit_offset
 from .operators.silver import build_silver_layer
-from .sinks import read_partitioned_table, save_partitioned_table
+from .sinks import read_partitioned_table, save_partitioned_table, upsert_partitions
 
 logger = logging.getLogger(__name__)
 
@@ -79,14 +79,25 @@ def ingest_window_paged(
     limit: int = 15000,
     http_get: HttpGet | None = None,
     stats: IngestStats | None = None,
+    idempotent: bool = False,
 ) -> int:
     """C3: offset-pagination loop for one time window; each page is
     parsed and appended to the partitioned bronze table. Terminates on
     an empty page or a short page (reference
-    usgs-earthquake-data-ingestion-prod.py:392-437)."""
+    usgs-earthquake-data-ingestion-prod.py:392-437).
+
+    ``idempotent=True`` accumulates the window's pages and lands them
+    with a partition-level upsert instead of appends: re-running the
+    same window replaces its (year, month) partitions rather than
+    duplicating rows — the fix for the reference's append-forever
+    semantics (and its per-chunk S3 overwrite bug, SURVEY §3.1 step 8).
+    """
+    import json
+
     stats = stats if stats is not None else IngestStats()
     offset = 1  # FDSN offsets are 1-based
     total = 0
+    window_docs: list[str] = []
     while True:
         doc = fetch_earthquake_data_limit_offset(
             api_url, start_time, end_time, limit, offset, http_get
@@ -94,16 +105,20 @@ def ingest_window_paged(
         features = doc.get("features") or []
         if not features:  # F4: empty page ends pagination
             break
-        import json
-
-        events = events_from_geojson_strings(spark, [json.dumps(doc)])
-        save_partitioned_table(events, bronze_path, mode="append")
+        if idempotent:
+            window_docs.append(json.dumps(doc))
+        else:
+            events = events_from_geojson_strings(spark, [json.dumps(doc)])
+            save_partitioned_table(events, bronze_path, mode="append")
         stats.pages += 1
         stats.events += len(features)
         total += len(features)
         if len(features) < limit:  # short page: final one
             break
         offset += limit
+    if idempotent and window_docs:
+        events = events_from_geojson_strings(spark, window_docs)
+        upsert_partitions(events, bronze_path)
     return total
 
 
