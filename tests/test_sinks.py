@@ -119,6 +119,22 @@ def test_silver_layer_roundtrip(spark, events, tmp_path):
     assert back_m.count() == monthly.count()
 
 
+def test_silver_sql_twins_match_dataframe_api(spark, events):
+    """The spark.sql string forms of A3/A4 must produce the same rows
+    as the DataFrame implementations."""
+    events.createOrReplaceTempView("usgs_events")
+    sql_yearly = {
+        tuple(r) for r in spark.sql(silver.SILVER_SQL["fact_tsunami_yearly"]).collect()
+    }
+    df_yearly = {tuple(r) for r in silver.fact_tsunami_yearly(events).collect()}
+    assert sql_yearly == df_yearly and sql_yearly
+    sql_monthly = {
+        tuple(r) for r in spark.sql(silver.SILVER_SQL["fact_tsunami_monthly"]).collect()
+    }
+    df_monthly = {tuple(r) for r in silver.fact_tsunami_monthly(events).collect()}
+    assert sql_monthly == df_monthly
+
+
 def test_driver_events_table_silver(spark, sf_dir, tmp_path):
     """Silver aggregations also run over the driver's events table
     mapped to bronze shape (year/month derived, flag from type)."""

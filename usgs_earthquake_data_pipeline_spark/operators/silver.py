@@ -52,6 +52,28 @@ def fact_tsunami_monthly(events: DataFrame) -> DataFrame:
     )
 
 
+# SQL-string twins of A1-A4 (SURVEY §7: "as both DataFrame API and
+# spark.sql strings") — run with events registered as a view:
+#   events_df.createOrReplaceTempView("usgs_events")
+#   spark.sql(SILVER_SQL["fact_tsunami_yearly"])
+SILVER_SQL = {
+    "count_in_year": (
+        "SELECT COUNT(*) AS cnt FROM usgs_events WHERE year = {year}"
+    ),
+    "count_by_year": (
+        "SELECT year, COUNT(*) AS cnt FROM usgs_events GROUP BY year ORDER BY year"
+    ),
+    "fact_tsunami_yearly": (
+        "SELECT year, COUNT(*) AS tsunami_yearly_count FROM usgs_events "
+        "WHERE tsunami = 1 GROUP BY year ORDER BY year"
+    ),
+    "fact_tsunami_monthly": (
+        "SELECT year, month, COUNT(*) AS tsunami_monthly_count FROM usgs_events "
+        "WHERE tsunami = 1 GROUP BY year, month ORDER BY year, month"
+    ),
+}
+
+
 def build_silver_layer(
     events: DataFrame, yearly_path: str, monthly_path: str
 ) -> tuple[DataFrame, DataFrame]:
