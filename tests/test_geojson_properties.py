@@ -50,7 +50,11 @@ def features(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
-@given(feats=st.lists(features(), min_size=0, max_size=8))
+@given(
+    feats=st.lists(
+        features(), min_size=0, max_size=8, unique_by=lambda f: f["id"]
+    )
+)
 def test_flatten_invariants(spark, feats):
     doc = json.dumps(
         {"type": "FeatureCollection", "metadata": {"count": len(feats)}, "features": feats}

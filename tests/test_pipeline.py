@@ -77,7 +77,7 @@ def test_month_and_week_windows():
     mw = pipeline.month_windows(2020, 2020)
     assert len(mw) == 12
     assert mw[0] == ("2020-01-01", "2020-02-01")
-    assert mw[-1][1] == "2020-12-31"
+    assert mw[-1] == ("2020-12-01", "2021-01-01")  # Dec 31 events covered
     ww = pipeline.week_windows("2020-01-01", "2020-02-01")
     assert ww[0] == ("2020-01-01", "2020-01-08")
     assert ww[-1][1] == "2020-02-01"

@@ -128,9 +128,11 @@ def minhash_lsh_pairs(
     ).filter(F.size("sh") > 0)
     sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
 
+    # band explode carries ONLY (id, band, bucket) — never the shingle
+    # arrays, which would multiply shuffle volume by ~2×bands; shingles
+    # are joined back exactly once per side for the verify step.
     banded = sigs.select(
         "id",
-        "sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -148,22 +150,29 @@ def minhash_lsh_pairs(
         ["band", "bucket"],
     )
 
-    left = banded.select(
-        "band", "bucket", F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    right = banded.select(
-        "band", "bucket", F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
-    )
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"))
     candidates = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    shingle_sets = docs.select("id", "sh")
+    verified = (
+        candidates.join(
+            shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            shingle_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
     return (
-        candidates.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
+        verified.filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
@@ -222,7 +231,7 @@ def resolve_dup_clusters(
     *,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iterations: int = 10,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """Near-dup pair list → connected components → (id, canonical_id).
 
@@ -233,6 +242,11 @@ def resolve_dup_clusters(
     components shape; iterations needed = graph diameter, which for
     near-dup clusters (dense blobs) is tiny. Canonical id = min doc id
     in the cluster, matching exact-dedup's keep-min convention.
+
+    Raises RuntimeError if the graph hasn't converged after
+    ``max_iterations`` (a silent partial result would emit multiple
+    canonical ids for one component); pathological long-chain graphs
+    need a higher bound, never a quiet wrong answer.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -246,6 +260,7 @@ def resolve_dup_clusters(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -270,7 +285,13 @@ def resolve_dup_clusters(
         )
         labels = updated.localCheckpoint()
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"resolve_dup_clusters did not converge in {max_iterations} "
+            "iterations; raise max_iterations (graph diameter exceeds it)"
+        )
     return labels.select("id", F.col("label").alias("canonical_id"))
 
 

@@ -40,20 +40,19 @@ def asof_join(
     right row precedes). ``tolerance_seconds`` bounds staleness like
     pandas ``merge_asof(tolerance=...)``.
     """
-    lt = left.withColumn("__side", F.lit(1))
-    rt = (
-        right.select(
-            F.col(key_col),
-            F.col(right_ts).alias(left_ts),
-            *[F.col(c) for c in right_value_cols],
-        )
-        .withColumn("__side", F.lit(0))
-    )
-    carried = [f"__r_{c}" for c in right_value_cols]
-    unioned = lt.unionByName(
-        rt.withColumnsRenamed(dict(zip(right_value_cols, carried))),
-        allowMissingColumns=True,
-    )
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__r", F.lit(None))
+    # the whole right row travels as ONE struct: last(ignorenulls) then
+    # skips missed rows (left rows carry NULL structs) but never skips a
+    # right row whose VALUE is NULL — the struct itself is non-null.
+    rt = right.select(
+        F.col(key_col),
+        F.col(right_ts).alias(left_ts),
+        F.struct(
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(c) for c in right_value_cols],
+        ).alias("__r"),
+    ).withColumn("__side", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
     # right rows sort before left rows at the same timestamp (__side
     # 0 < 1), so "at or before" includes equal timestamps.
     w = (
@@ -61,23 +60,18 @@ def asof_join(
         .orderBy(F.col(left_ts), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    for c in carried:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    filled = filled.withColumn(
-        "__r_ts", F.last(F.when(F.col("__side") == 0, F.col(left_ts)), True).over(w)
-    )
+    filled = unioned.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
     out = filled.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
         in_range = (
-            F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__r_ts"))
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__r.__ts"))
         ) <= tolerance_seconds * 1_000_000
-        for c in carried:
-            out = out.withColumn(c, F.when(in_range, F.col(c)))
-        out = out.withColumn("__r_ts", F.when(in_range, F.col("__r_ts")))
-    renames = dict(zip(carried, right_value_cols))
-    return out.drop("__side").withColumnsRenamed(renames).withColumnRenamed(
-        "__r_ts", f"asof_{right_ts}"
+        out = out.withColumn("__r", F.when(in_range, F.col("__r")))
+    for c in right_value_cols:
+        out = out.withColumn(c, F.col("__r")[c])
+    return (
+        out.withColumn(f"asof_{right_ts}", F.col("__r.__ts"))
+        .drop("__side", "__r")
     )
 
 

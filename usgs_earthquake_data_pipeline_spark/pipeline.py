@@ -33,11 +33,20 @@ USGS_API_URL = "https://earthquake.usgs.gov/fdsnws/event/1/query"
 
 
 def month_windows(start_year: int, end_year: int) -> list[tuple[str, str]]:
-    """C1: [start_year-01-01, end_year-12-31] in 1-month windows."""
+    """C1: [start_year-01-01, end_year+1-01-01) in 1-month windows.
+
+    Each window ends at the NEXT month's first day, so the final
+    window covers all of December (FDSN start/end are inclusive; an
+    end pinned to 12-31T00:00 would drop Dec-31 events). A boundary
+    instant (exactly 00:00 on the 1st) is matched by both adjacent
+    windows — harmless under idempotent ingest (the later window's
+    upsert converges the partition) and a documented at-least-once
+    in append mode.
+    """
     windows = []
     current = date(start_year, 1, 1)
-    end = date(end_year, 12, 31)
-    while current <= end:
+    end = date(end_year + 1, 1, 1)
+    while current < end:
         nxt = (current.replace(day=1) + timedelta(days=32)).replace(day=1)
         windows.append((current.isoformat(), min(nxt, end).isoformat()))
         current = nxt
@@ -81,45 +90,66 @@ def ingest_window_paged(
     stats: IngestStats | None = None,
     idempotent: bool = False,
 ) -> int:
-    """C3: offset-pagination loop for one time window; each page is
-    parsed and appended to the partitioned bronze table. Terminates on
+    """C3: offset-pagination loop for one time window; terminates on
     an empty page or a short page (reference
     usgs-earthquake-data-ingestion-prod.py:392-437).
 
-    ``idempotent=True`` accumulates the window's pages and lands them
-    with a partition-level upsert instead of appends: re-running the
-    same window replaces its (year, month) partitions rather than
-    duplicating rows — the fix for the reference's append-forever
-    semantics (and its per-chunk S3 overwrite bug, SURVEY §3.1 step 8).
+    The window is ATOMIC with respect to bronze: pages land in a
+    per-window staging directory (O(1 page) driver memory — never the
+    whole window in RAM), and only a fully fetched window is moved
+    into bronze; a mid-window failure leaves bronze and ``stats``
+    untouched, so the week-granularity retry (C2) can re-fetch the
+    month without duplicating the pages the failed attempt already
+    saw.
+
+    ``idempotent=True`` lands the window with a partition-level upsert
+    instead of an append: re-running the same window replaces its
+    (year, month) partitions rather than duplicating rows — the fix
+    for the reference's append-forever semantics (and its per-chunk
+    S3 overwrite bug, SURVEY §3.1 step 8).
     """
     import json
 
     stats = stats if stats is not None else IngestStats()
+    staging = f"{bronze_path.rstrip('/')}__staging_{start_time}"
     offset = 1  # FDSN offsets are 1-based
+    pages = 0
     total = 0
-    window_docs: list[str] = []
-    while True:
-        doc = fetch_earthquake_data_limit_offset(
-            api_url, start_time, end_time, limit, offset, http_get
-        )
-        features = doc.get("features") or []
-        if not features:  # F4: empty page ends pagination
-            break
-        if idempotent:
-            window_docs.append(json.dumps(doc))
-        else:
+    try:
+        while True:
+            doc = fetch_earthquake_data_limit_offset(
+                api_url, start_time, end_time, limit, offset, http_get
+            )
+            features = doc.get("features") or []
+            if not features:  # F4: empty page ends pagination
+                break
             events = events_from_geojson_strings(spark, [json.dumps(doc)])
-            save_partitioned_table(events, bronze_path, mode="append")
-        stats.pages += 1
-        stats.events += len(features)
-        total += len(features)
-        if len(features) < limit:  # short page: final one
-            break
-        offset += limit
-    if idempotent and window_docs:
-        events = events_from_geojson_strings(spark, window_docs)
-        upsert_partitions(events, bronze_path)
-    return total
+            save_partitioned_table(events, staging, mode="append")
+            pages += 1
+            total += len(features)
+            if len(features) < limit:  # short page: final one
+                break
+            offset += limit
+        if pages:
+            window_events = read_partitioned_table(spark, staging)
+            if idempotent:
+                upsert_partitions(window_events, bronze_path)
+            else:
+                save_partitioned_table(window_events, bronze_path, mode="append")
+        stats.pages += pages
+        stats.events += total
+        return total
+    finally:
+        _delete_path(spark, staging)
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursive delete via the Hadoop FS API (local/hdfs/s3a alike);
+    silently succeeds when the path doesn't exist."""
+    jvm = spark.sparkContext._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hadoop_path, True)
 
 
 def ingest_range(

@@ -242,7 +242,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
+        T.token_count("text").cast("long").alias("n_tokens"),
         T.bpe_token_count("text").cast("long").alias("n_bpe"),
         F.length("text").cast("long").alias("n_chars_actual"),
         "n_chars",

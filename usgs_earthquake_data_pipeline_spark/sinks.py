@@ -176,22 +176,41 @@ def compact_partitioned_table(
     target_files_per_partition: int = 1,
     table_format: str | None = None,
 ) -> None:
-    """Small-file compaction: rewrite the table so each partition holds
-    ``target_files_per_partition`` files (the maintenance job an
+    """Small-file compaction: rewrite the table so each Hive partition
+    holds ~``target_files_per_partition`` files (the maintenance job an
     append-heavy ingest needs; the reference's hourly append produces
-    one file set per run). Uses the same dynamic-overwrite mechanics
-    as upsert_partitions, so a compaction run is safe to scope to a
-    subset by pre-filtering."""
+    one file set per run).
+
+    The shuffle is a hash repartition on the partition columns (plus a
+    bounded salt when target > 1), so every partition-key's rows land
+    in exactly ``target`` tasks → ``target`` output files. The write
+    goes through dynamic partition overwrite directly (no clustering
+    re-sort — compaction must not re-shuffle what it just arranged).
+    """
     partition_cols = partition_cols if partition_cols is not None else RAW_PARTITION_COLS
     df = read_partitioned_table(spark, path, table_format)
-    compacted = df.repartition(
-        target_files_per_partition, *[F.col(c) for c in partition_cols]
-    )
+    keys = [F.col(c) for c in partition_cols]
+    if target_files_per_partition > 1:
+        salt = F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()),
+            F.lit(target_files_per_partition),
+        )
+        compacted = df.repartition(*keys, salt)
+    else:
+        compacted = df.repartition(*keys)
     # materialize (executor-side) before overwriting the files being read
     compacted = compacted.localCheckpoint()
-    upsert_partitions(
-        compacted, path, partition_cols=partition_cols, table_format=table_format
-    )
+    previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            compacted.write.format(table_format or TABLE_FORMAT)
+            .mode("overwrite")
+            .partitionBy(*partition_cols)
+            .save(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
 
 
 def configure_s3(

@@ -9,8 +9,12 @@ reads via ignoreDeletes/readChangeFeed options it passes to Polars
   documents (one FeatureCollection per line) → parse (same
   from_json/explode plan as batch) → partitioned bronze append via
   foreachBatch. ``availableNow`` trigger = the cron-batch shape;
-  ``processingTime`` = continuous ingest. Exactly-once via the
-  checkpoint + per-batch idempotent append.
+  ``processingTime`` = continuous ingest. Delivery is AT-LEAST-ONCE:
+  the checkpoint prevents re-reading committed input, but a crash
+  between the batch's append and the checkpoint commit replays that
+  batch. Downstream exact semantics come from the dedup operators
+  (exact_dedup on event id) or a transactional sink (Delta + txn
+  app/batch id) — a blind parquet append alone cannot be exactly-once.
 - ``stream_silver_counts``: incremental silver — watermarked windowed
   counts over eventtime, the streaming twin of fact_tsunami_monthly.
   Late events beyond the watermark are dropped (documented bound),
