@@ -1,0 +1,395 @@
+"""Extended TPC-H-shaped relational coverage (Q4/Q9/Q12/Q13/Q14/Q18/
+Q19/Q22 shapes) plus frame-spec window analytics.
+
+The driver's star schema is a simplified TPC-H (no partsupp, no
+l_commitdate/l_receiptdate/l_shipmode, no c_phone) — each query keeps
+the *plan shape* of its namesake (the part Spark must execute well at
+100 TB: semi-join decorrelation, conditional aggregation, outer-join
+distribution, disjunctive predicate pushdown, having-filtered
+self-aggregation) with predicates adapted to the columns that exist.
+
+Alignment rules follow plans/catalog.py: identical aliases both sides,
+decimal-cast SUMs for FP-order-proof doubles, BIGINT→INT casts on the
+DuckDB side where Spark returns 32-bit, timestamps projected as
+epoch_us.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import _dsum, register
+
+
+@register(
+    "q4_priority_late_ship",
+    oracle=(
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-07-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("tpch", "semi", "subquery"),
+)
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority check: orders in a quarter having
+    at least one line shipped >60 days after order date (the schema's
+    stand-in for commitdate<receiptdate). The correlated EXISTS
+    decorrelates to a left-semi hash join on the order key — one
+    shuffle, no per-row re-scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q9_profit_nation_year",
+    oracle=(
+        "SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
+        "AS DOUBLE) AS profit "
+        "FROM lineitem "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN part ON p_partkey = l_partkey "
+        "JOIN nation ON n_nationkey = s_nationkey "
+        "WHERE p_type = 'ECONOMY' "
+        "GROUP BY 1, 2 ORDER BY 1, 2 DESC"
+    ),
+    tags=("tpch", "join"),
+)
+def q9_profit_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped profit by supplier nation and year. Part and
+    supplier⋈nation both broadcast (the part filter shrinks the build
+    side further); lineitem never shuffles — the aggregation's partial
+    phase reduces it to |nation|×|year| rows before exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_dim = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_dim), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "profit"
+            )
+        )
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@register(
+    "q12_status_priority",
+    oracle=(
+        "SELECT l_linestatus, "
+        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS high_line_count, "
+        "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS low_line_count "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("tpch", "join", "agg"),
+)
+def q12_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped conditional aggregation (l_linestatus stands in
+    for the schema's missing l_shipmode): counts split by order
+    priority inside one pass — no second scan, no self-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle=(
+        "SELECT c_count, count(*) AS custdist FROM ("
+        "SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '5-LOW' "
+        "GROUP BY 1) c_orders "
+        "GROUP BY 1 ORDER BY custdist DESC, c_count DESC"
+    ),
+    tags=("tpch", "join", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer order-count distribution: left outer
+    join keeps order-less customers (count 0), then a second, tiny
+    aggregation over the counts. The first agg shuffles on c_custkey;
+    the second is a few dozen rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=(
+        "SELECT 100.0 * "
+        "CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END "
+        "AS DECIMAL(18,4))) AS DOUBLE) / "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+        "AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
+        "AND l_shipdate < TIMESTAMP '1997-10-01'"
+    ),
+    tags=("tpch", "join", "agg"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo-revenue ratio: conditional and total sums
+    in one aggregation, part broadcast. Both sums are decimal-exact so
+    the final double division is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * _dsum(
+                    F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0),
+                    scale=4,
+                )
+                / _dsum(disc_price, scale=4)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle=(
+        "SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS odate_us, "
+        "o_totalprice, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) "
+        "GROUP BY 1, 2, 3, 4, 5 "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+    ),
+    tags=("tpch", "join", "having", "topk"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume customers: a HAVING-filtered
+    self-aggregation of lineitem picks big orders; the surviving key
+    set (tiny) broadcasts back as a semi-join filter before the final
+    join+agg. lineitem is scanned twice but shuffled on l_orderkey
+    only; the key-set broadcast avoids shuffling it a second time."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select(F.col("l_orderkey").alias("__big_key"))
+    )
+    return (
+        li.join(F.broadcast(big_orders), li.l_orderkey == F.col("__big_key"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            # o_orderdate parquet-loads as TIMESTAMP_NTZ; session tz is
+            # pinned UTC so the LTZ cast matches DuckDB's epoch_us
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+            "o_totalprice",
+        )
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=(
+        "SELECT "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
+        "AS DOUBLE) AS revenue, count(*) AS n "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 "
+        "AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 "
+        "AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 20 AND 30)"
+    ),
+    tags=("tpch", "join", "predicate"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive predicate join: three OR'd
+    brand/size/quantity conjunctions evaluated inside the join. The
+    part-side conjuncts (brand, size) are pushed below the join into
+    the broadcast build; only the mixed predicate runs at join time."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle=(
+        "SELECT c_nationkey, count(*) AS numcust, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal "
+        "FROM customer c "
+        "WHERE c_acctbal > (SELECT "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) "
+        "FROM customer WHERE c_acctbal > 0.0) "
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT') "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("tpch", "subquery", "anti"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped opportunity report: above-average-balance
+    customers with no urgent orders, grouped by nation. The scalar
+    average is a one-row broadcast (decimal-exact so the threshold
+    comparison is engine-stable); NOT EXISTS decorrelates to a
+    left-anti join on the filtered o_custkey set."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((_dsum(F.col("c_acctbal")) / F.count("*")).alias("__avg"))
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "window_rolling_revenue",
+    oracle=(
+        "SELECT day_us, daily_rev, "
+        "round(avg(daily_rev) OVER (ORDER BY day_us "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7, "
+        "round(daily_rev - lag(daily_rev, 1, daily_rev) OVER (ORDER BY day_us), 4) "
+        "AS day_delta "
+        "FROM (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_rev "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-04-01' GROUP BY 1) d "
+        "ORDER BY day_us"
+    ),
+    tags=("window", "frame"),
+)
+def window_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window analytics: 7-row moving average + lag delta
+    over daily revenue. The daily pre-aggregation shrinks the input to
+    ~90 rows before the single-partition ordered window — at 100 TB the
+    window input stays O(days), never O(orders). Rounded to 4 decimals
+    both sides: window-frame FP accumulation order is engine-specific."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    daily = orders.groupBy(
+        F.unix_micros(F.date_trunc("day", "o_orderdate")).alias("day_us")
+    ).agg(_dsum(F.col("o_totalprice")).alias("daily_rev"))
+    w = Window.orderBy("day_us")
+    ma = w.rowsBetween(-6, 0)
+    return (
+        daily.withColumn("ma7", F.round(F.avg("daily_rev").over(ma), 4))
+        .withColumn(
+            "day_delta",
+            F.round(
+                F.col("daily_rev")
+                - F.coalesce(F.lag("daily_rev", 1).over(w), F.col("daily_rev")),
+                4,
+            ),
+        )
+        .orderBy("day_us")
+    )
