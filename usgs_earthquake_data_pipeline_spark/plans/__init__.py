@@ -8,4 +8,5 @@ from . import llm_ops  # noqa: F401  (registers the LLM-pipeline entries)
 from . import relational  # noqa: F401  (registers the relational-breadth entries)
 from . import temporal  # noqa: F401  (registers the temporal-operator entries)
 from . import tpch_extra  # noqa: F401  (registers the extended TPC-H shapes)
+from . import curation  # noqa: F401  (registers the curation pipeline + sketches)
 from . import streaming_entries  # noqa: F401  (registers the streaming entry)

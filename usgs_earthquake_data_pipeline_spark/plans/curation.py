@@ -1,0 +1,122 @@
+"""End-to-end training-data curation pipeline + sketch operators.
+
+``curation_corpus_pipeline`` chains the individual LLM-pipeline stages
+(quality gates → exact dedup → per-source corpus stats) into the one
+composite a real corpus build runs — verified end-to-end against a
+single DuckDB oracle, proving the stages compose without driver-side
+materialization between them.
+
+The sketch entries (``sketch_*``) are the approximate, fixed-memory
+scale path for distinct counts and quantiles: HyperLogLog++ and
+KLL/GK-style sketches whose merge is associative, so at 100 TB the
+shuffle carries one small sketch per group instead of the raw values.
+Spark's and DuckDB's sketch implementations differ, so these are
+rows-only catalog entries; their accuracy is bounded against the exact
+answers in ``tests/test_sketches.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources.tables import load_table
+from .catalog import register
+
+# the shared quality-gate CTE (identical to text_quality_filter's
+# oracle, kept verbatim so the composite provably reuses the stage)
+_QUALITY_CTE = (
+    "WITH t AS (SELECT doc_id, text, lang, source, "
+    "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok, "
+    "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+    "    x -> x IN ('the','a','of','and','is'))) AS sw_hits, "
+    "length(regexp_replace(text, '\\s', '', 'g')) AS nonspace, "
+    "len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS punct, "
+    "md5(text) AS fp "
+    "FROM documents), "
+    "q AS (SELECT * FROM t "
+    "WHERE n_tok >= 20 AND sw_hits / n_tok >= 0.05 "
+    "AND punct / greatest(nonspace, 1) <= 0.2), "
+)
+
+
+@register(
+    "curation_corpus_pipeline",
+    oracle=(
+        _QUALITY_CTE
+        + "d AS (SELECT * FROM (SELECT q.*, row_number() OVER "
+        "(PARTITION BY fp ORDER BY doc_id) AS rn FROM q) WHERE rn = 1) "
+        "SELECT source, lang, count(*) AS n_docs, "
+        "SUM(n_tok) AS total_tokens, SUM(length(text)) AS total_chars "
+        "FROM d GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("llm", "pipeline", "dedup", "text"),
+)
+def curation_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite corpus build: quality gates → exact dedup
+    (first-doc-wins per content fingerprint) → per-(source, lang)
+    token/char budget. One scan, one shuffle on the fingerprint, one
+    tiny aggregation shuffle — each stage is pure-expression codegen,
+    so the chain pipelines without materialization. At 100 TB this is
+    the shape the whole engine exists for: the dedup shuffle carries
+    only gate-surviving rows, and the final exchange is |source×lang|
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count("text")
+    sw = T.stopword_ratio("text", T.LANG_STOPWORDS["en"])
+    punct = T.punctuation_ratio("text")
+    gated = docs.filter((n_tok >= 20) & (sw >= 0.05) & (punct <= 0.2)).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        n_tok.cast("long").alias("n_tok"),
+        T.fingerprint_md5("text").alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register("sketch_distinct_users", tags=("sketch", "approx", "agg"))
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per event type
+    (``approx_count_distinct``, rsd 1%). Fixed-size sketch per group
+    merges associatively across partitions — at 100 TB the exchange
+    carries a few KB per group where exact COUNT(DISTINCT) shuffles
+    every distinct value. Accuracy bounded vs exact in
+    tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@register("sketch_value_quantiles", tags=("sketch", "approx", "agg"))
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantile sketch of event value per type
+    (``percentile_approx``, accuracy 10000). Like the HLL entry, the
+    sketch is mergeable: quantiles of 100 TB without sorting or
+    shuffling raw values. Error bound asserted in
+    tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", [0.5, 0.9, 0.99], 10000
+            ).alias("approx_p50_p90_p99")
+        )
+        .orderBy("event_type")
+    )
