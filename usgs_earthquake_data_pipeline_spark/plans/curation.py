@@ -51,6 +51,7 @@ _QUALITY_CTE = (
         "SUM(n_tok) AS total_tokens, SUM(length(text)) AS total_chars "
         "FROM d GROUP BY 1, 2 ORDER BY 1, 2"
     ),
+    headline=True,
     tags=("llm", "pipeline", "dedup", "text"),
 )
 def curation_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -308,3 +308,29 @@ def percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=(
+        "SELECT event_type, yr, count(*) AS cnt FROM "
+        "(SELECT event_type, CAST(year(ts) AS INT) AS yr FROM events) t "
+        "GROUP BY GROUPING SETS ((event_type), (yr), ()) "
+        "ORDER BY event_type NULLS FIRST, yr NULLS FIRST"
+    ),
+    tags=("agg", "groupingsets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither a cube nor a rollup: per-type,
+    per-year, and grand-total — no (type, year) cell). The DataFrame
+    API exposes only cube/rollup, so this is the catalog's spark.sql
+    form; Catalyst expands it to the same Expand+Aggregate the cube
+    entries compile to."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        "SELECT event_type, yr, count(*) AS cnt FROM "
+        "(SELECT event_type, year(ts) AS yr FROM __gs_events) t "
+        "GROUP BY GROUPING SETS ((event_type), (yr), ()) "
+        "ORDER BY event_type ASC NULLS FIRST, yr ASC NULLS FIRST"
+    )

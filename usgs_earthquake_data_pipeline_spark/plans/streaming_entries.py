@@ -74,3 +74,73 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
     return spark.table(name).orderBy("day_start_us")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file-stream over the events table (nanos-repaired),
+    shared by the streaming catalog entries."""
+    configure_runtime(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register(
+    "streaming_conversion_join",
+    oracle=(
+        "SELECT c.user_id, epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us "
+        "FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c "
+        "JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p "
+        "ON c.user_id = p.user_id AND p.ts >= c.ts "
+        "AND p.ts <= c.ts + INTERVAL 10 MINUTE "
+        "ORDER BY 1, 2, 3"
+    ),
+    tags=("streaming", "join"),
+)
+def streaming_conversion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream self-join BY THE STREAMING ENGINE: purchases
+    attributed to a click by the same user within the preceding 10
+    minutes. Watermarks on both sides + the event-time range condition
+    bound the join state to one hour per side — the property that lets
+    this run forever at production rates. Inner-join matches emit
+    immediately (watermark only evicts state), so the bounded
+    availableNow run produces exactly the batch answer the DuckDB
+    oracle computes."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+    name = "streaming_conversion_join_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "click_us", "purchase_us")

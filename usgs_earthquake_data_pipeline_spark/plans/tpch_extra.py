@@ -73,6 +73,7 @@ def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE p_type = 'ECONOMY' "
         "GROUP BY 1, 2 ORDER BY 1, 2 DESC"
     ),
+    headline=True,
     tags=("tpch", "join"),
 )
 def q9_profit_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
