@@ -314,3 +314,42 @@ def save_to_cassandra(
         return write
 
     foreach_partition_sink(df, factory, batch_size=batch_size)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (optionally bucket-sorted) managed/external table.
+
+    Bucketing is the persisted half of a co-located join: two tables
+    bucketed by the same key into the same bucket count join with NO
+    exchange on either side — at 100 TB that removes the dominant cost
+    of every recurring fact-fact join (e.g. orders⋈lineitem on the
+    order key, re-joined by every downstream query). The write itself
+    shuffles once into ``n_buckets`` files per partition; every
+    subsequent join amortizes against it. Bucket-sorting additionally
+    removes the per-join sort of a sort-merge join.
+
+    Spark's bucketed layout requires the session catalog
+    (``saveAsTable``); pass ``path`` for an external table.
+    """
+    if mode not in VALID_MODES:
+        raise ValueError(
+            f"Invalid mode: {mode}. Choose 'append' or 'overwrite'."
+        )
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
