@@ -41,7 +41,11 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
-    # the downstream agg shuffles only its group keys, not the join
+    # the downstream agg shuffles only its group keys, not the join key:
+    # exactly one exchange, hash-partitioned on o_orderstatus
+    agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert agg_plan.count("Exchange") == 1, agg_plan
+    assert "hashpartitioning(o_orderstatus" in agg_plan, agg_plan
     agg.collect()
 
 

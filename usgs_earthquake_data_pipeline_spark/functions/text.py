@@ -96,6 +96,39 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+# Quality-gate thresholds — the single source for both the Spark
+# predicate (quality_gate) and the DuckDB oracle fragments below.
+QUALITY_MIN_TOKENS = 20
+QUALITY_MIN_STOPWORD_RATIO = 0.05
+QUALITY_MAX_PUNCT_RATIO = 0.2
+
+#: DuckDB SQL: the gate's input columns, computed over a `text` column
+QUALITY_COLS_SQL = (
+    "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok, "
+    "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+    "    x -> x IN ('the','a','of','and','is'))) AS sw_hits, "
+    "length(regexp_replace(text, '\\s', '', 'g')) AS nonspace, "
+    "len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS punct"
+)
+
+#: DuckDB SQL: the gate predicate over QUALITY_COLS_SQL's columns
+QUALITY_WHERE_SQL = (
+    f"n_tok >= {QUALITY_MIN_TOKENS} "
+    f"AND sw_hits / n_tok >= {QUALITY_MIN_STOPWORD_RATIO} "
+    f"AND punct / greatest(nonspace, 1) <= {QUALITY_MAX_PUNCT_RATIO}"
+)
+
+
+def quality_gate(col: Column | str) -> Column:
+    """The boolean quality gate (Spark twin of QUALITY_WHERE_SQL):
+    token-count, stopword-ratio and punctuation-ratio thresholds."""
+    return (
+        (token_count(col) >= QUALITY_MIN_TOKENS)
+        & (stopword_ratio(col, LANG_STOPWORDS["en"]) >= QUALITY_MIN_STOPWORD_RATIO)
+        & (punctuation_ratio(col) <= QUALITY_MAX_PUNCT_RATIO)
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Heuristic language guess: argmax of per-language stopword hit
     counts; 'und' (undetermined) when nothing matches.

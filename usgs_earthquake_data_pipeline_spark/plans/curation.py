@@ -24,20 +24,13 @@ from ..functions import text as T
 from ..sources.tables import load_table
 from .catalog import register
 
-# the shared quality-gate CTE (identical to text_quality_filter's
-# oracle, kept verbatim so the composite provably reuses the stage)
+# the quality-gate CTE, built from the same threshold constants and
+# SQL fragments text_quality_filter's oracle uses (functions/text.py)
 _QUALITY_CTE = (
     "WITH t AS (SELECT doc_id, text, lang, source, "
-    "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok, "
-    "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
-    "    x -> x IN ('the','a','of','and','is'))) AS sw_hits, "
-    "length(regexp_replace(text, '\\s', '', 'g')) AS nonspace, "
-    "len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS punct, "
-    "md5(text) AS fp "
+    f"{T.QUALITY_COLS_SQL}, md5(text) AS fp "
     "FROM documents), "
-    "q AS (SELECT * FROM t "
-    "WHERE n_tok >= 20 AND sw_hits / n_tok >= 0.05 "
-    "AND punct / greatest(nonspace, 1) <= 0.2), "
+    f"q AS (SELECT * FROM t WHERE {T.QUALITY_WHERE_SQL}), "
 )
 
 
@@ -64,15 +57,12 @@ def curation_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     only gate-surviving rows, and the final exchange is |source×lang|
     rows."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tok = T.token_count("text")
-    sw = T.stopword_ratio("text", T.LANG_STOPWORDS["en"])
-    punct = T.punctuation_ratio("text")
-    gated = docs.filter((n_tok >= 20) & (sw >= 0.05) & (punct <= 0.2)).select(
+    gated = docs.filter(T.quality_gate("text")).select(
         "doc_id",
         "text",
         "lang",
         "source",
-        n_tok.cast("long").alias("n_tok"),
+        T.token_count("text").cast("long").alias("n_tok"),
         T.fingerprint_md5("text").alias("fp"),
     )
     w = Window.partitionBy("fp").orderBy("doc_id")

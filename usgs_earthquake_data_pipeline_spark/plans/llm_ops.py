@@ -289,16 +289,9 @@ def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_filter",
     oracle=(
-        "WITH t AS (SELECT doc_id, text, "
-        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok, "
-        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
-        "    x -> x IN ('the','a','of','and','is'))) AS sw_hits, "
-        "length(regexp_replace(text, '\\s', '', 'g')) AS nonspace, "
-        "len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS punct "
+        f"WITH t AS (SELECT doc_id, text, {T.QUALITY_COLS_SQL} "
         "FROM documents) "
-        "SELECT doc_id FROM t "
-        "WHERE n_tok >= 20 AND sw_hits / n_tok >= 0.05 "
-        "AND punct / greatest(nonspace, 1) <= 0.2 "
+        f"SELECT doc_id FROM t WHERE {T.QUALITY_WHERE_SQL} "
         "ORDER BY doc_id"
     ),
     tags=("llm", "text"),
@@ -307,16 +300,11 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality pre-filter: keep docs passing token-count, stopword-
     ratio and punctuation-ratio gates (the cheap corpus filter before
     dedup). Expressed as boolean gates — no float scoring in the
-    oracle path, so the comparison is exact."""
+    oracle path, so the comparison is exact. Thresholds and oracle
+    fragments are shared with the composite curation pipeline via
+    functions/text.py."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tok = T.token_count("text")
-    sw = T.stopword_ratio("text", T.LANG_STOPWORDS["en"])
-    punct = T.punctuation_ratio("text")
-    return (
-        docs.filter((n_tok >= 20) & (sw >= 0.05) & (punct <= 0.2))
-        .select("doc_id")
-        .orderBy("doc_id")
-    )
+    return docs.filter(T.quality_gate("text")).select("doc_id").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,23 @@ from ..session import configure_runtime
 from .catalog import register
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file-stream over the events table, shared by the
+    streaming catalog entries. The file-stream source wants a
+    directory, so the sf_dir is streamed with a glob pinned to the
+    events file; the nanos repair matches the batch loader
+    (post-nanosAsLong schema read first)."""
+    configure_runtime(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 @register(
     "streaming_daily_rollup",
     oracle=(
@@ -36,18 +53,7 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (availableNow over the events parquet, complete-mode memory sink).
     Window boundaries are UTC days — identical to date_trunc('day')
     in the oracle because the session timezone is pinned UTC."""
-    configure_runtime(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # post-nanosAsLong schema
-    # the file-stream source wants a directory: stream the sf_dir with a
-    # glob pinned to the events file
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # same nanos repair as the batch loader
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _events_stream(spark, sf_dir)
     counts = (
         ev.groupBy(F.window("ts", "1 day").alias("win"))
         .agg(
@@ -74,20 +80,6 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
     return spark.table(name).orderBy("day_start_us")
-
-
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded file-stream over the events table (nanos-repaired),
-    shared by the streaming catalog entries."""
-    configure_runtime(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 @register(
