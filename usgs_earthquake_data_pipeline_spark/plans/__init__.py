@@ -9,4 +9,5 @@ from . import relational  # noqa: F401  (registers the relational-breadth entrie
 from . import temporal  # noqa: F401  (registers the temporal-operator entries)
 from . import tpch_extra  # noqa: F401  (registers the extended TPC-H shapes)
 from . import curation  # noqa: F401  (registers the curation pipeline + sketches)
+from . import sampling  # noqa: F401  (registers deterministic sampling/splits)
 from . import streaming_entries  # noqa: F401  (registers the streaming entry)

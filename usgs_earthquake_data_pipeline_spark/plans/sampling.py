@@ -1,0 +1,136 @@
+"""Deterministic sampling and dataset splitting for training-data
+pipelines.
+
+Random sampling (``df.sample`` / ``TABLESAMPLE``) is not reproducible
+across engines, runs, or partitionings — useless for a corpus build
+that must be re-runnable and auditable. The operators here bucket each
+row by a hash of its stable id (first 8 hex chars of md5, mod 100) and
+select bucket ranges: the same row lands in the same sample/split on
+every engine, every run, at every scale, and adding data never moves
+existing rows between splits. Both engines compute the identical
+bucket (verified by the oracle hash-equality gate), so the *sampling
+itself* is under test, not just counts.
+
+At 100 TB the bucket is a pure codegen expression on the scan — a
+sample is a filter (no shuffle), a split is a one-pass conditional
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import register
+
+
+def hash_bucket(col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from a stable id: first 8
+    hex chars of md5, parsed base-16, mod n_buckets. Pure expression —
+    no RNG state, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % n_buckets
+
+
+def _bucket_sql(expr: str, n_buckets: int = 100) -> str:
+    """DuckDB twin of hash_bucket (DuckDB has no base-16 conv; fold
+    the hex digits explicitly)."""
+    return (
+        "list_reduce(list_transform("
+        f"regexp_extract_all(substr(md5(CAST({expr} AS VARCHAR)), 1, 8), '.'), "
+        "c -> strpos('0123456789abcdef', c) - 1), "
+        f"(a, b) -> a * 16 + b) % {n_buckets}"
+    )
+
+
+@register(
+    "sample_hash_10pct",
+    oracle=(
+        f"SELECT doc_id, CAST({_bucket_sql('doc_id')} AS BIGINT) AS bucket "
+        f"FROM documents WHERE {_bucket_sql('doc_id')} < 10 ORDER BY doc_id"
+    ),
+    tags=("llm", "sampling"),
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% document sample: hash-bucket filter on the
+    scan. Unlike df.sample, membership is a property of the row, not
+    of the run."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("bucket", hash_bucket("doc_id"))
+        .filter(F.col("bucket") < 10)
+        .select("doc_id", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "split_train_val_test",
+    oracle=(
+        "WITH b AS (SELECT doc_id, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok, "
+        f"{_bucket_sql('doc_id')} AS bucket FROM documents) "
+        "SELECT CASE WHEN bucket < 80 THEN 'train' "
+        "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, "
+        "count(*) AS n_docs, SUM(n_tok) AS total_tokens "
+        "FROM b GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "sampling"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by id-hash bucket, with per-split
+    token budgets. Split assignment is stable under corpus growth:
+    new docs never move old docs across splits (no leakage between
+    re-builds)."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id")
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"), T.token_count("text").cast("long").alias("n_tok")
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "sample_stratified_events",
+    oracle=(
+        "WITH b AS (SELECT event_type, "
+        f"{_bucket_sql('event_id')} AS bucket FROM events) "
+        "SELECT event_type, count(*) AS n_sampled FROM b "
+        "WHERE bucket < (CASE event_type WHEN 'error' THEN 100 "
+        "WHEN 'purchase' THEN 50 ELSE 10 END) "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "sampling"),
+)
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (sampleBy twin): keep all
+    errors, half the purchases, 10% of everything else — per-stratum
+    rates as a per-row bucket threshold, one filter on the scan, no
+    RNG, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    rate = (
+        F.when(F.col("event_type") == "error", 100)
+        .when(F.col("event_type") == "purchase", 50)
+        .otherwise(10)
+    )
+    return (
+        ev.withColumn("bucket", hash_bucket("event_id"))
+        .filter(F.col("bucket") < rate)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("event_type")
+    )
