@@ -334,3 +334,35 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY GROUPING SETS ((event_type), (yr), ()) "
         "ORDER BY event_type ASC NULLS FIRST, yr ASC NULLS FIRST"
     )
+
+
+@register(
+    "agg_regression_per_type",
+    oracle=(
+        "SELECT event_type, "
+        "round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6) AS slope, "
+        "round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 6) "
+        "AS intercept, "
+        "round(corr(value, epoch_us(ts) / 86400000000.0), 6) AS r "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("agg", "regression"),
+)
+def agg_regression_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates per event type: value trend over
+    time (x = fractional days since epoch). regr_slope/intercept/corr
+    are single-pass mergeable moment aggregates — partial moments
+    combine map-side exactly like SUM, so the shuffle is one small
+    state per group at any scale. Rounded to 6 decimals both sides
+    (moment accumulation order is engine-specific)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / 86400000000.0
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+            F.round(F.corr(F.col("value"), x), 6).alias("r"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,5 +1,6 @@
-"""Extended TPC-H-shaped relational coverage (Q4/Q9/Q12/Q13/Q14/Q18/
-Q19/Q22 shapes) plus frame-spec window analytics.
+"""Extended TPC-H-shaped relational coverage — with plans/catalog.py's
+Q1/Q2/Q3/Q5/Q6/Q7/Q10, every one of the 22 TPC-H query shapes
+(Q4/Q8/Q9/Q11-Q22 here) — plus frame-spec window analytics.
 
 The driver's star schema is a simplified TPC-H (no partsupp, no
 l_commitdate/l_receiptdate/l_shipmode, no c_phone) — each query keeps
@@ -393,4 +394,320 @@ def window_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("day_us")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=(
+        "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+        "CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_0' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END "
+        "AS DECIMAL(18,4))) AS DOUBLE) / "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+        "AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share "
+        "FROM lineitem "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation n1 ON n1.n_nationkey = s_nationkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN nation n2 ON n2.n_nationkey = c_nationkey "
+        "JOIN region ON r_regionkey = n2.n_regionkey "
+        "WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("tpch", "join", "agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: among sales to ASIA customers,
+    NATION_0 suppliers' revenue share per year. Both dimension chains
+    broadcast; the conditional and total sums are decimal-exact so the
+    final share division is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp_dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                    "left_semi",
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp_dim), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_dim), orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                _dsum(
+                    F.when(F.col("supp_nation") == "NATION_0", vol).otherwise(0.0),
+                    scale=4,
+                )
+                / _dsum(vol, scale=4)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q11_part_value_concentration",
+    oracle=(
+        "SELECT l_partkey, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value "
+        "FROM lineitem GROUP BY 1 HAVING "
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > "
+        "(SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001 FROM lineitem) "
+        "ORDER BY part_value DESC, l_partkey"
+    ),
+    tags=("tpch", "subquery", "having"),
+)
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped value concentration: parts whose total traded
+    value exceeds a fraction of the global total (the schema has no
+    partsupp; lineitem extended price plays the stock value). The
+    global total is a one-row broadcast; both sides of the HAVING
+    comparison are decimal-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    total = li.agg((F.sum(dec_price) * F.lit(0.001)).alias("__threshold"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec_price).alias("__value_dec")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("__value_dec") > F.col("__threshold"))
+        .select(
+            "l_partkey", F.col("__value_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=(
+        "WITH rev AS (SELECT l_suppkey, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
+        "AS DOUBLE) AS total_revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY 1) "
+        "SELECT s_suppkey, s_name, total_revenue FROM supplier "
+        "JOIN rev ON s_suppkey = l_suppkey "
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) "
+        "ORDER BY s_suppkey"
+    ),
+    tags=("tpch", "subquery", "window"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: quarterly revenue per supplier,
+    keep the max (ties included). The scalar max is a window over the
+    aggregated (100-row) revenue view — no second scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+            "total_revenue"
+        )
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("__max", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("__max")
+    )
+    return (
+        supp.join(F.broadcast(top), supp.s_suppkey == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_diversity",
+    oracle=(
+        "SELECT p_brand, p_type, p_size, "
+        "count(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13) "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY 1, 2, 3 "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+    ),
+    tags=("tpch", "join", "distinct", "anti"),
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier diversity: distinct suppliers per
+    (brand, type, size), excluding one brand and negative-balance
+    suppliers. NOT IN becomes a broadcast anti join (safe here: the
+    key set is scanned for NULLs by Catalyst); COUNT DISTINCT expands
+    to a two-phase aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=(
+        "WITH pa AS (SELECT l_partkey AS pk, "
+        "0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+        "/ count(*)) AS half_avg_qty FROM lineitem GROUP BY 1) "
+        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "/ 7.0 AS avg_yearly, count(*) AS n "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "JOIN pa ON pk = l_partkey "
+        "WHERE p_brand = 'Brand#1' AND l_quantity < half_avg_qty"
+    ),
+    tags=("tpch", "subquery", "join"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity revenue: lineitems below half
+    their part's average quantity. The correlated avg subquery is a
+    per-part aggregate joined back — one extra shuffle on l_partkey,
+    not a per-row re-scan; the avg is decimal-exact so the threshold
+    comparison is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    half_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.5)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(half_avg, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            (_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle=(
+        "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN ("
+        "SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_type = 'ECONOMY' "
+        "AND l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) "
+        "ORDER BY s_suppkey"
+    ),
+    tags=("tpch", "semi", "having"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped excess-stock suppliers: suppliers who shipped
+    >300 units of ECONOMY parts in a year. IN-subquery = HAVING-
+    filtered aggregate broadcast as a left-semi join key set."""
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_orders",
+    oracle=(
+        "WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), "
+        "late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) "
+        "SELECT lt.l_suppkey AS s_key, count(*) AS numwait FROM late lt "
+        "WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.l_orderkey = lt.l_orderkey "
+        "AND p.l_suppkey <> lt.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM late l2 WHERE l2.l_orderkey = lt.l_orderkey "
+        "AND l2.l_suppkey <> lt.l_suppkey) "
+        "GROUP BY 1 ORDER BY numwait DESC, s_key"
+    ),
+    tags=("tpch", "semi", "anti"),
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped waiting-orders report: suppliers who were the
+    SOLE late shipper on multi-supplier orders (late = shipped >90
+    days after order date). EXISTS/NOT EXISTS become a left-semi and a
+    left-anti self-join of the distinct (order, supplier) pair sets —
+    both equi-keyed on the order key with a supplier inequality riding
+    the join, nothing quadratic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("p_ok"), F.col("l_suppkey").alias("p_sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ol_ok"), F.col("l_suppkey").alias("ol_sk")
+    )
+    return (
+        late.join(
+            other,
+            (late.l_orderkey == F.col("p_ok")) & (late.l_suppkey != F.col("p_sk")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (late.l_orderkey == F.col("ol_ok"))
+            & (late.l_suppkey != F.col("ol_sk")),
+            "left_anti",
+        )
+        .groupBy(F.col("l_suppkey").alias("s_key"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_key")
     )
