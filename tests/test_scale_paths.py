@@ -1,0 +1,57 @@
+"""Scale-path differential: at 100 TB AQE stops broadcasting and the
+fact-fact joins run as sort-merge joins. Force that path locally
+(autoBroadcastJoinThreshold = -1 strips both AQE's and our explicit
+broadcast hints' effect on sizes — hints are still honored, so pick
+queries whose fact-fact join carries no hint) and require the results
+to be identical to the small-scale broadcast plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+# queries with an unhinted fact-fact join that flips to SMJ
+_QUERIES = ["q3_top_orders", "q5_region_revenue", "q12_status_priority",
+            "q13_customer_distribution", "q21_waiting_orders"]
+
+
+_THRESHOLD_KEYS = (
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+)
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = {}
+    for key in _THRESHOLD_KEYS:
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, "-1")
+    yield
+    for key, value in old.items():
+        if value is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, value)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_smj_path_matches_broadcast_path(name, spark, sf_dir, no_broadcast):
+    entry = CATALOG[name]
+    df = entry.spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, f"{name}: expected the SMJ scale path\n{plan}"
+    smj_rows = _rows(df)
+
+    for key in _THRESHOLD_KEYS:
+        spark.conf.set(key, "10MB")
+    bc_rows = _rows(entry.spark_fn(spark, sf_dir))
+    assert smj_rows == bc_rows, f"{name}: SMJ path diverges from broadcast path"
