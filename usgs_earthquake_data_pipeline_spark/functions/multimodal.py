@@ -156,3 +156,83 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
 
     return df.select("media_id", "content").mapInPandas(sample, schema)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+def resize_images(df: DataFrame, max_dim: int = 16) -> DataFrame:
+    """Resize (downscale) to a bounding box, aspect-ratio preserved —
+    the standard pre-train normalization pass. Integer floor math so
+    the output dims are exactly predictable; the fake codec re-encodes
+    at the new dims (REAL-CODEC INTEGRATION POINT: PIL's
+    Image.thumbnail goes where encode_fake_image is called). Narrow
+    map, one Python crossing per Arrow batch."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, int, int]] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) < _HEADER_SIZE:
+                    continue
+                magic, w, h = struct.unpack(_HEADER_FMT, bytes(content)[:_HEADER_SIZE])
+                if magic != FAKE_MAGIC:
+                    raise NotImplementedError(
+                        "real image resizing requires PIL/pillow"
+                    )
+                longest = max(w, h)
+                nw = max(1, w * max_dim // longest)
+                nh = max(1, h * max_dim // longest)
+                rows.append((mid, nw, nh, len(encode_fake_image(mid, nw, nh))))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_bytes"]
+            ).astype(
+                {"media_id": "int64", "width": "Int32", "height": "Int32",
+                 "n_bytes": "int64"}
+            )
+
+    return df.select("media_id", "content").mapInPandas(do, RESIZED_SCHEMA)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Feature extraction over the decoded payload: per-image pixel
+    statistics computed vectorized (numpy over the Arrow batch) — the
+    shape of an embedding/featurization pass, with media bytes never
+    leaving the executor."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_px", LongType(), True),
+            StructField("mean_px", DoubleType(), True),
+            StructField("max_px", IntegerType(), True),
+        ]
+    )
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, float, int]] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) < _HEADER_SIZE:
+                    continue
+                px = np.frombuffer(bytes(content)[_HEADER_SIZE:], dtype=np.uint8)
+                rows.append(
+                    (mid, int(px.size), float(px.mean()), int(px.max()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_px", "mean_px", "max_px"]
+            ).astype(
+                {"media_id": "int64", "n_px": "int64", "mean_px": "float64",
+                 "max_px": "Int32"}
+            )
+
+    return df.select("media_id", "content").mapInPandas(do, schema)

@@ -351,3 +351,49 @@ def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.attach_fake_media(docs, "doc_id")
     frames = M.frame_sample(media, every_n_bytes=64)
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+@register(
+    "multimodal_resize_meta",
+    oracle=(
+        "WITH dims AS (SELECT doc_id AS media_id, "
+        "CAST(doc_id % 64 + 16 AS INT) AS w, "
+        "CAST(doc_id % 48 + 16 AS INT) AS h FROM documents) "
+        "SELECT media_id, "
+        "CAST(greatest(1, w * 16 // greatest(w, h)) AS INT) AS width, "
+        "CAST(greatest(1, h * 16 // greatest(w, h)) AS INT) AS height, "
+        "16 + (greatest(1, w * 16 // greatest(w, h)) "
+        "* greatest(1, h * 16 // greatest(w, h))) % 256 + 16 AS n_bytes "
+        "FROM dims"
+    ),
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize to a 16px bounding box via the
+    Arrow-batched fake codec; the oracle predicts the floor-math output
+    dims and re-encoded byte size from the id alone, validating the
+    whole resize path."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs, "doc_id")
+    return M.resize_images(media, max_dim=16)
+
+
+@register(
+    "multimodal_image_features",
+    oracle=(
+        "SELECT doc_id AS media_id, "
+        "CAST(((doc_id % 64 + 16) * (doc_id % 48 + 16)) % 256 + 16 AS BIGINT) "
+        "AS n_px, "
+        "CAST(doc_id % 256 AS DOUBLE) AS mean_px, "
+        "CAST(doc_id % 256 AS INT) AS max_px "
+        "FROM documents"
+    ),
+    tags=("llm", "multimodal"),
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized per-image pixel statistics (numpy over Arrow
+    batches) — the featurization-pass shape. The fake payload is
+    id-valued bytes, so the oracle knows every statistic exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs, "doc_id")
+    return M.image_features(media)
