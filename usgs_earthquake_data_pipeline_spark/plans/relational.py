@@ -366,3 +366,46 @@ def agg_regression_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "pandas_grouped_mad",
+    oracle=(
+        "SELECT event_type, "
+        "round(median(abs(value - m)), 6) AS mad, CAST(count(*) AS BIGINT) AS n "
+        "FROM (SELECT event_type, value, "
+        "median(value) OVER (PARTITION BY event_type) AS m FROM events) t "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("agg", "pandas", "udf"),
+)
+def pandas_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas) under the oracle gate:
+    per-type median absolute deviation — an order-statistic no
+    single-pass built-in computes. One shuffle on the group key, then
+    each group is a pandas frame on an executor (Arrow both ways).
+    Medians are order statistics, not accumulations, so the values
+    compare exactly; rounded 6dp only for the avg-of-two-middles
+    case."""
+    import pandas as pd
+
+    from ..sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["value"].median()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "mad": [round(float((pdf["value"] - med).abs().median()), 6)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return (
+        ev.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(mad, "event_type string, mad double, n bigint")
+        .orderBy("event_type")
+    )

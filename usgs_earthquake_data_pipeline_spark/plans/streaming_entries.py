@@ -136,3 +136,38 @@ def streaming_conversion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
     return spark.table(name).orderBy("user_id", "click_us", "purchase_us")
+
+@register(
+    "streaming_dedup_user_type",
+    oracle=(
+        "SELECT DISTINCT user_id, event_type FROM events"
+    ),
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming dedup: first (user_id, event_type)
+    occurrence wins, duplicates dropped BY THE STREAMING ENGINE
+    (dropDuplicatesWithinWatermark — the idempotent-ingest primitive;
+    plain dropDuplicates without the event-time key would hold state
+    forever). The watermark bounds dedup state to O(keys seen within
+    the delay), not O(stream). On the bounded availableNow run nothing
+    is evicted mid-batch, so the result is exactly the batch
+    DISTINCT."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = "streaming_dedup_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "event_type")
