@@ -10,7 +10,7 @@ catalog.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -408,4 +408,46 @@ def pandas_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .applyInPandas(mad, "event_type string, mad double, n bigint")
         .orderBy("event_type")
+    )
+
+
+@register(
+    "window_analytics_suite",
+    oracle=(
+        "SELECT event_id, event_type, "
+        "CAST(ntile(4) OVER w AS INT) AS quartile, "
+        "round(percent_rank() OVER w, 6) AS pct_rank, "
+        "round(cume_dist() OVER w, 6) AS cume, "
+        "first_value(event_id) OVER w AS cheapest_id, "
+        "last_value(event_id) OVER "
+        "(PARTITION BY event_type ORDER BY value, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "AS priciest_id "
+        "FROM events WHERE user_id < 20 "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) "
+        "ORDER BY event_type, pct_rank, event_id"
+    ),
+    tags=("window", "analytic"),
+)
+def window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth in one pass: ntile quartiles,
+    percent_rank, cume_dist, first/last_value (with the explicit
+    unbounded frame last_value needs). All five share one window
+    ordering — a single shuffle on the partition key serves every
+    function. Rank ratios are exact (n-1 denominators), rounded 6dp
+    only to normalize the trailing digits of the division."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("event_id").over(w).alias("cheapest_id"),
+            F.last("event_id").over(w_full).alias("priciest_id"),
+        )
+        .orderBy("event_type", "pct_rank", "event_id")
     )
