@@ -11,3 +11,4 @@ from . import tpch_extra  # noqa: F401  (registers the extended TPC-H shapes)
 from . import curation  # noqa: F401  (registers the curation pipeline + sketches)
 from . import sampling  # noqa: F401  (registers deterministic sampling/splits)
 from . import streaming_entries  # noqa: F401  (registers the streaming entry)
+from . import parity_geojson  # noqa: F401  (registers the GeoJSON parse-path entry)
