@@ -61,6 +61,16 @@ def test_lsh_join_is_hash_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_corpus_assignment_does_not_shuffle(spark, sf_dir):
+    """IVF list assignment must be a pure projection: the corpus is
+    never hash-partitioned on its own id (round-2 review finding); the
+    only hash exchange in the whole plan is the final top-k window on
+    query_id."""
+    plan = _plan(CATALOG["ann_ivf"].spark_fn(spark, sf_dir))
+    assert "hashpartitioning(vec_id" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_salted_aggregate_matches_plain(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plain = {

@@ -220,27 +220,62 @@ def ivf_topk(
     centroids, one assignment pass, equi-join on list id — is
     identical, and that shape is the point: the full scan becomes a
     join that touches ~n_probe/n_lists of the corpus per query.)
+
+    List assignment is a *pure per-row expression*: the centroid set
+    collapses to a one-row array that a broadcast nested-loop join
+    attaches to every row, and the nearest list(s) come from an
+    ``array_sort`` over the per-centroid similarities. The corpus is
+    never exploded, windowed, or shuffled on its own id — its only
+    wide exchange is the final candidate equi-join on ``list_id``.
+    (Round-2 review: the previous crossJoin+row_number assignment
+    shuffled n_lists× the corpus.)
     """
     w_c = Window.orderBy(F.asc(id_col))
-    centroids = F.broadcast(
+    centroid_array = F.broadcast(
         corpus.orderBy(F.asc(id_col))
         .limit(n_lists)
         .select(
             F.row_number().over(w_c).alias("list_id"),
             _as_double(F.col(vec_col)).alias("centroid"),
         )
+        .agg(
+            F.collect_list(F.struct("list_id", "centroid")).alias("__cents")
+        )
     )
 
+    def _ranked_lists(vec: str) -> Column:
+        # array<struct<sim,list_id>> sorted desc by sim, asc by list_id
+        return F.array_sort(
+            F.transform(
+                "__cents",
+                lambda c: F.struct(
+                    cosine(F.col(vec), c["centroid"]).alias("sim"),
+                    c["list_id"].alias("list_id"),
+                ),
+            ),
+            lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
+            .when(l["sim"] < r["sim"], F.lit(1))
+            .otherwise(l["list_id"] - r["list_id"]),
+        )
+
     def nearest_lists(df: DataFrame, vec: str, n: int) -> DataFrame:
-        scored = df.crossJoin(centroids).withColumn(
-            "__csim", cosine(F.col(vec), F.col("centroid"))
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("list_id"))
-        return (
-            scored.withColumn("__crank", F.row_number().over(w))
-            .filter(F.col("__crank") <= n)
-            .drop("centroid", "__csim", "__crank")
-        )
+        scored = df.crossJoin(centroid_array)
+        if n == 1:
+            # scalar argmax — a straight projection, no row multiplication
+            out = scored.withColumn(
+                "list_id", F.element_at(_ranked_lists(vec), 1)["list_id"]
+            )
+        else:
+            out = scored.withColumn(
+                "list_id",
+                F.explode(
+                    F.transform(
+                        F.slice(_ranked_lists(vec), 1, n),
+                        lambda s: s["list_id"],
+                    )
+                ),
+            )
+        return out.drop("__cents")
 
     c = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")
