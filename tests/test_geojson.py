@@ -120,6 +120,7 @@ def test_roundtrip_to_geojson_feature(spark):
     # reference shape: id inside properties, key 'magnitude', no title
     assert feature["properties"]["id"] == "us7000abcd"
     assert feature["properties"]["magnitude"] == 4.5
+    assert feature["properties"]["significance"] == 120  # key name per reference
     assert "title" not in feature["properties"]
     assert "id" not in feature
     assert feature["geometry"]["coordinates"] == [-117.12, 36.12, 5.2]

@@ -72,6 +72,67 @@ def test_stream_sessionization_matches_batch(spark, tmp_path):
     assert (1, T0, 3, 16.0) in got
 
 
+def test_stream_late_event_does_not_shrink_session(spark, tmp_path):
+    """An in-watermark late event arriving in a LATER micro-batch must
+    extend the open session's interval, not drag session_end (and the
+    state timeout) backwards."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "value": pa.array([r[2] for r in rows], pa.float64()),
+                }
+            ),
+            str(src / name),
+        )
+
+    # batch 1: open session [T0, T0+20]
+    write("a.parquet", [(1, T0, 10.0), (1, T0 + timedelta(minutes=20), 1.0)])
+    # batch 2: late event inside the session, then a gap-breaker
+    write(
+        "b.parquet",
+        [
+            (1, T0 + timedelta(minutes=10), 5.0),
+            (1, T0 + timedelta(minutes=80), 2.0),
+        ],
+    )
+    now = time.time()
+    os.utime(src / "a.parquet", (now - 100, now - 100))  # processed first
+    os.utime(src / "b.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sessions = sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "streaming run did not terminate"
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_sessions_late").collect()
+    }
+    assert (1, T0, T0 + timedelta(minutes=20), 3, 16.0) in got
+
+
 def test_batch_sessionization_on_driver_events(spark, sf_dir):
     from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
 

@@ -38,6 +38,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _run_available_now(stream_df, name: str, output_mode: str, timeout: int = 300):
+    """Run a bounded availableNow query into a memory sink; raise if it
+    does not terminate within ``timeout`` seconds — a partial sink must
+    never feed the correctness gate silently."""
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout):
+                raise TimeoutError(
+                    f"{name}: streaming run still active after {timeout}s"
+                )
+        finally:
+            if q.isActive:  # pragma: no cover - timeout path
+                q.stop()
+
+
 @register(
     "streaming_daily_rollup",
     oracle=(
@@ -69,16 +92,7 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "streaming_daily_rollup_sink"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            counts.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    _run_available_now(counts, name, "complete")
     return spark.table(name).orderBy("day_start_us")
 
 
@@ -125,16 +139,7 @@ def streaming_conversion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("purchase_ts").alias("purchase_us"),
     )
     name = "streaming_conversion_join_sink"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    _run_available_now(joined, name, "append")
     return spark.table(name).orderBy("user_id", "click_us", "purchase_us")
 
 @register(
@@ -160,14 +165,5 @@ def streaming_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     name = "streaming_dedup_sink"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    _run_available_now(deduped, name, "append")
     return spark.table(name).orderBy("user_id", "event_type")

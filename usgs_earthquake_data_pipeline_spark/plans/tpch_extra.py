@@ -484,7 +484,12 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison are decimal-exact."""
     li = load_table(spark, sf_dir, "lineitem")
     dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
-    total = li.agg((F.sum(dec_price) * F.lit(0.001)).alias("__threshold"))
+    # decimal-exact threshold: a bare 0.001 literal would promote the
+    # product to double and compare decimal > double, which can diverge
+    # from the oracle's exact decimal comparison on boundary ties
+    total = li.agg(
+        (F.sum(dec_price) * F.lit(0.001).cast("decimal(4,3)")).alias("__threshold")
+    )
     per_part = li.groupBy("l_partkey").agg(
         F.sum(dec_price).alias("__value_dec")
     )

@@ -138,8 +138,10 @@ def events_to_geojson_features(events: DataFrame) -> DataFrame:
 
     Matches the reference's feature shape: ``id`` lives *inside*
     properties (not top-level), the magnitude key is ``magnitude``,
-    and ``time`` preserves sub-second precision like Python
-    ``isoformat()`` on millisecond timestamps.
+    and the significance key is ``significance`` (reference
+    convert_to_geojson). Accepted divergence: ``time`` always carries a
+    6-digit fraction (``.SSSSSS``), whereas Python ``isoformat()``
+    omits the fraction entirely when microseconds are exactly 0.
     """
     feature = F.struct(
         F.lit("Feature").alias("type"),
@@ -149,7 +151,7 @@ def events_to_geojson_features(events: DataFrame) -> DataFrame:
             F.col("place").alias("place"),
             F.date_format("eventtime", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("time"),
             F.col("tsunami").alias("tsunami"),
-            F.col("significance").alias("sig"),
+            F.col("significance").alias("significance"),
             F.col("type").alias("type"),
         ).alias("properties"),
         F.struct(

@@ -52,19 +52,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every available table; a single unreadable table is skipped
-    (not fatal) so one bad file can't break view registration for all."""
+    """Load every available table. Genuinely absent files are skipped
+    (smaller scale factors ship fewer tables); a file that exists but
+    fails to load raises immediately — swallowing it would surface
+    later as a confusing "table not found" far from the root cause."""
     tables: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        try:
-            tables[name] = load_table(spark, sf_dir, name)
-        except Exception as exc:  # pragma: no cover - defensive
-            import logging
-
-            logging.getLogger(__name__).warning("skipping table %s: %s", name, exc)
+        tables[name] = load_table(spark, sf_dir, name)
     return tables
 
 

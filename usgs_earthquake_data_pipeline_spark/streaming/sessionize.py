@@ -89,7 +89,13 @@ def sessionize_stream(
                 if s_us is None:
                     s_us, e_us, n, sv = t, t, 1, float(v or 0.0)
                 elif t - e_us <= gap_us:
-                    e_us, n, sv = t, n + 1, sv + float(v or 0.0)
+                    # in-watermark late arrival: an event from an
+                    # earlier micro-batch may precede the open
+                    # session's frontier — extend the interval, never
+                    # shrink it (a bare e_us = t would move the
+                    # session end, and its timeout, backwards)
+                    s_us, e_us = min(s_us, t), max(e_us, t)
+                    n, sv = n + 1, sv + float(v or 0.0)
                 else:
                     closed.append((user_id, s_us, e_us, n, sv))
                     s_us, e_us, n, sv = t, t, 1, float(v or 0.0)
