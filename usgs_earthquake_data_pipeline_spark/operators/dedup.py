@@ -24,10 +24,28 @@ not near-duplication signal).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Widen a CPU-bound narrow stage to the cluster's parallelism.
+
+    A small-on-disk input (one parquet file) scans as one partition,
+    serializing shingle/fingerprint computation onto a single core. If
+    the scan produced fewer partitions than ``defaultParallelism``,
+    repartition up — the shuffle moves only the raw rows (cheap)
+    while the expensive per-row expressions then run on every core.
+    At real scale the input has plenty of partitions and this is a
+    no-op, so it never adds a shuffle to the 100 TB plan."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
@@ -74,20 +92,106 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: for hash function ``i``, the min of
-    ``xxhash64(i, shingle)`` over the shingle set. Seeding by
-    prepending the function index gives ``num_hashes`` independent
-    hash families from one built-in hash."""
+def shingle_hashes(shingle_col: Column) -> Column:
+    """Hash each shingle string to a long exactly once (the base for
+    every MinHash family). Materialize this as its own projection —
+    higher-order lambdas evaluate interpreted without subexpression
+    elimination, so inlining it under the per-family loop would redo
+    the string hashing ``num_hashes`` times."""
+    return F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+
+def gram_hashes(tokens_col: Column | str, n: int = 3) -> Column:
+    """Distinct hashed word n-grams of a token array column, as a
+    chained ``zip_with`` over ``n`` shifted slices of the array.
+
+    Why this exact shape: higher-order lambdas re-evaluate any
+    *captured* expression tree per element (no subexpression
+    elimination), so indexing the token array inside the lambda
+    (``element_at(toks, i+j)``) re-tokenizes the document for every
+    gram. Here the shifted slices are plain function ARGUMENTS —
+    evaluated once per row — and the lambdas touch only their scalar
+    elements, folding the gram hash incrementally:
+    ``h_j = xxhash64(h_{j-1}, tok_{i+j})``. Per gram: n hash calls,
+    zero array lookups, zero string building.
+    """
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    k = F.size(t)
+    m = k - n + 1  # gram count (only used when k >= n)
+
+    def chain(cur: Column, j: int) -> Column:
+        return F.zip_with(
+            cur, F.slice(t, j + 1, m), lambda h, x: F.xxhash64(h, x)
+        )
+
+    hashed = F.transform(F.slice(t, 1, m), lambda x: F.xxhash64(x))
+    for j in range(1, n):
+        hashed = chain(hashed, j)
+    grams = F.when(k < n, F.array().cast("array<bigint>")).otherwise(hashed)
+    return F.array_distinct(grams)
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks) projection with the token array materialized, so
+    downstream gram lambdas index it instead of re-splitting."""
+    return _widen(df).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    )
+
+
+def minhash_signature(hashed_shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature over pre-hashed shingles (``shingle_hashes``):
+    for family ``i``, the min of ``xxhash64(base_hash, i)`` over the
+    set. Pure-expression form — kept as the no-Arrow fallback and for
+    plan-shape docs; ``minhash_signature_udf`` below is the fast path
+    (higher-order lambdas evaluate interpreted, so this form costs
+    ~num_hashes × |shingles| closure evaluations per row)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s: F.xxhash64(F.concat_ws(":", i.cast("string"), s)),
-            )
+            F.transform(hashed_shingle_col, lambda h: F.xxhash64(h, i))
         ),
     )
+
+
+def minhash_signature_udf(num_hashes: int = 32):
+    """Arrow-batched vectorized MinHash: the ``num_hashes`` family
+    minima computed in one numpy broadcast over the pre-hashed shingle
+    longs (multiply-shift universal hashing on uint64, wrap-around
+    multiplication — the classic a*h+b family).
+
+    This is the sanctioned Pandas-UDF fast path: the string→long
+    hashing stays JVM-side (one xxhash64 per shingle); only the
+    (family × shingle) min-reduction — which Spark's interpreted
+    higher-order lambdas make ~100× slower — crosses to numpy. The
+    family constants derive from a counter hash (deterministic across
+    runs and executors, no RNG state)."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _const(tag: str, i: int) -> int:
+        return int.from_bytes(
+            hashlib.md5(f"minhash-{tag}:{i}".encode()).digest()[:8], "big"
+        )
+
+    a = np.array(
+        [_const("a", i) | 1 for i in range(num_hashes)], dtype=np.uint64
+    )  # odd multipliers
+    b = np.array([_const("b", i) for i in range(num_hashes)], dtype=np.uint64)
+
+    @pandas_udf("array<bigint>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in hs:
+                h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+                v = a[:, None] * h[None, :] + b[:, None]  # (families, shingles)
+                out.append(v.min(axis=1).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return _sig
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -122,11 +226,18 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, n_shingle).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # two-step projection: tokens materialize first, then the hashed
+    # gram set (array<long>). Three consumers read it (signature,
+    # verify-a, verify-b), so persist the tiny intermediate rather
+    # than re-evaluating the tokenize+gram expressions per branch;
+    # MEMORY_AND_DISK spills cleanly at scale and Spark evicts LRU.
+    docs = (
+        _tokenized(df, id_col, text_col)
+        .select("id", gram_hashes("toks", n_shingle).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .persist()
+    )
+    sigs = docs.withColumn("sig", minhash_signature_udf(num_hashes)(F.col("hs")))
 
     # band explode carries ONLY (id, band, bucket) — never the shingle
     # arrays, which would multiply shuffle volume by ~2×bands; shingles
@@ -159,14 +270,16 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    shingle_sets = docs.select("id", "sh")
+    # verify on the hashed shingle sets: Jaccard over 64-bit hashes
+    # equals string-set Jaccard up to xxhash64 collisions (negligible
+    # at these set sizes) and compares longs instead of strings
     verified = (
         candidates.join(
-            shingle_sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            docs.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a")),
             "id_a",
         )
         .join(
-            shingle_sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            docs.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b")),
             "id_b",
         )
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
@@ -194,28 +307,34 @@ def ngram_jaccard_pairs(
     shingles — the exact analogue of a posting-list intersection.
     Use MinHash-LSH above when shingle frequency is skewed.
     """
-    docs = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n_shingle).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sizes = docs.select("id", F.size("sh").alias("n_sh"))
-    posting = docs.select("id", F.explode("sh").alias("shingle"))
+    docs = (
+        _tokenized(df, id_col, text_col)
+        .select("id", gram_hashes("toks", n_shingle).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    # carry |A| through the explode: the set size rides along as a
+    # constant long per posting row, so the expensive shingling
+    # expression evaluates exactly once and no size-lookup join exists;
+    # the posting key is the 64-bit gram hash (Jaccard over hashed
+    # grams equals string-gram Jaccard up to xxhash64 collisions)
+    posting = docs.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
 
-    a = posting.select(F.col("id").alias("id_a"), "shingle")
-    b = posting.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
+    a = posting.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = posting.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    return (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    return (
-        inter.join(
-            F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))),
-            "id_b",
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
         )
         .withColumn(
             "jaccard",
@@ -340,7 +459,7 @@ def simhash_near_pairs(
     n_bands = 64 // band_bits
     assert n_bands > max_hamming, "need more bands than allowed bit flips"
     fp = simhash_col(
-        df.select(F.col(id_col).alias("id"), text_col), text_col
+        _widen(df).select(F.col(id_col).alias("id"), text_col), text_col
     ).select("id", "simhash")
     banded = fp.select(
         "id",

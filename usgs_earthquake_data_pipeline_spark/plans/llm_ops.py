@@ -86,6 +86,7 @@ def dedup_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
         "WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3"
     ),
+    headline=True,  # data-dominated bench entry (round-2 verdict #4)
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
