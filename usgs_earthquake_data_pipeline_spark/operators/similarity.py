@@ -3,11 +3,13 @@
 Two tiers:
 
 - ``brute_force_topk``: exact cosine top-k. The query side is
-  broadcast (queries are small by definition); the corpus is scanned
-  once, never shuffled. Cosine is a pure JVM expression
-  (``zip_with`` dot product + ``aggregate`` sum) — no Python in the
-  hot loop. This is the correctness baseline and is already the right
-  plan for "few queries × huge corpus": cost is one corpus scan.
+  driver-collected (small by definition, the same bound as a
+  broadcast); the corpus is scanned once by an Arrow-batched
+  ``mapInPandas`` that scores whole batches with numpy matmuls and
+  emits only per-batch top-k candidates, so the single shuffle
+  carries ~|queries|·k·n_batches rows. This is the correctness
+  baseline and the right plan for "few queries × huge corpus":
+  cost is one vectorized corpus scan.
 - ``lsh_topk``: approximate top-k via random-hyperplane (signed
   projection) buckets. Corpus and queries hash to ``n_planes``-bit
   signatures; candidates are corpus rows sharing a bucket with the
@@ -26,8 +28,11 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .dedup import _widen
 
 
 def _as_double(col: Column) -> Column:
@@ -65,38 +70,65 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, score, rank).
 
-    ``queries`` is broadcast; the corpus partitioning is untouched —
-    the whole computation is a narrow pass over the corpus followed by
-    a top-k window on query_id (shuffle of only candidate rows).
+    The query side is driver-collected and closed over (queries are
+    small by contract — same bound as a broadcast); the corpus is
+    scanned ONCE by an Arrow-batched ``mapInPandas`` that scores each
+    batch against all queries with one numpy matmul and keeps only the
+    per-batch top-k per query. The final exchange therefore carries
+    ~|queries| × k × n_batches candidate rows — not |queries| × |corpus|
+    scored pairs (the round-2 review's shuffle-trim) — and a window
+    ranks the candidates exactly (the global top-k is always a subset
+    of the per-batch top-k union, ties broken by neighbor_id asc at
+    both levels).
     """
-    # norms are precomputed once per side (not once per pair): the
-    # scoring expression then does a single dot product per pair.
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("q_vec"),
-        ).withColumn("q_norm", l2_norm(F.col("q_vec")))
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("c_vec"),
-    ).withColumn("c_norm", l2_norm(F.col("c_vec")))
-    pairs = c.crossJoin(q)
-    if not include_self:
-        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    denom = F.col("q_norm") * F.col("c_norm")
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.when(denom > 0, dot(F.col("q_vec"), F.col("c_vec")) / denom)
-        .otherwise(F.lit(0.0))
-        .alias("score"),
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, score double"
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # deterministic tie-break: pre-sort by neighbor id, then
+            # stable argsort by -score keeps id order within ties
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            ids = pdf[id_col].to_numpy()
+            c_mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            denom = c_norm[:, None] * q_norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(denom > 0, (c_mat @ q_mat.T) / denom, 0.0)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = scores[:, j]
+                mask = np.ones(len(ids), dtype=bool)
+                if not include_self:
+                    mask &= ids != qid
+                idx = np.flatnonzero(mask)
+                top = idx[np.argsort(-col[idx], kind="mergesort")[:k]]
+                out_q.extend([qid] * len(top))
+                out_n.extend(ids[top].tolist())
+                out_s.extend(col[top].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    cand = _widen(corpus.select(id_col, vec_col)).mapInPandas(
+        score_batches, out_schema
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
