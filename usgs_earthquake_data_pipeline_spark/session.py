@@ -79,6 +79,23 @@ def get_spark(
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.ui.enabled", "false")
+    if DELTA_AVAILABLE:
+        # Builder-time only (extensions cannot be injected post-startup):
+        # when delta-spark is importable, TABLE_FORMAT flips to "delta"
+        # and the session must carry the Delta SQL extension + catalog
+        # for the writers in sinks.py to resolve the format.
+        # configure_spark_with_delta_pip additionally wires the Delta
+        # jars onto the classpath (the pip wheel ships Python only).
+        from delta import configure_spark_with_delta_pip
+
+        builder = builder.config(
+            "spark.sql.extensions",
+            "io.delta.sql.DeltaSparkSessionExtension",
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        builder = configure_spark_with_delta_pip(builder)
     for key, value in _RUNTIME_CONF.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
