@@ -20,7 +20,7 @@ def _plan(df) -> str:
 
 
 #: queries that intentionally contain a (bounded, broadcast) cross join
-_CROSS_OK = {"ann_brute_force"}
+_CROSS_OK: set[str] = set()
 
 
 @pytest.mark.parametrize(
@@ -59,6 +59,19 @@ def test_lsh_join_is_hash_not_cartesian(spark, sf_dir):
     plan = _plan(CATALOG["dedup_minhash_lsh"].spark_fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_ann_shuffles_candidates_not_pairs(spark, sf_dir):
+    """Exact ANN must not materialize |queries|x|corpus| pairs: the
+    corpus is scored by one Arrow-batched MapInPandas emitting
+    per-batch top-k, and the only hash exchange is the final exact
+    ranking on query_id (round-2 review: the previous plan shuffled
+    every scored pair through that window)."""
+    plan = _plan(CATALOG["ann_brute_force"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_ivf_corpus_assignment_does_not_shuffle(spark, sf_dir):
