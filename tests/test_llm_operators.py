@@ -148,3 +148,41 @@ def test_text_functions_edge_cases(spark):
     assert out[4][0] == 3  # "a b!! c??" → 3 whitespace tokens
     assert out[4][1] == 7  # a, b, !, !, c, ?, ?
     assert out[4][2] == "en"  # 'a' is an en stopword
+
+
+def test_word_ngrams_and_duplicate_fraction(spark):
+    rows = [(1, ""), (2, "one"), (3, "a b"), (4, "a b a b a"), (5, "x x x x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.g2, r.dup_w, r.dup_2)
+        for r in df.select(
+            "doc_id",
+            T.word_ngrams("text", 2).alias("g2"),
+            T.duplicate_fraction(T.tokens("text")).alias("dup_w"),
+            T.duplicate_fraction(T.word_ngrams("text", 2)).alias("dup_2"),
+        ).collect()
+    }
+    assert out[1] == ([], 0.0, 0.0)  # empty text: no grams, no dups
+    assert out[2] == ([], 0.0, 0.0)  # 1 token: no bigrams
+    assert out[3] == (["a b"], 0.0, 0.0)
+    # "a b a b a": words 2/5 distinct... 5 tokens {a,b} -> 1 - 2/5
+    assert out[4][0] == ["a b", "b a", "a b", "b a"]
+    assert out[4][1] == 0.6
+    assert out[4][2] == 0.5  # 4 bigrams, 2 distinct
+    assert out[5] == (["x x", "x x", "x x"], 0.75, round(1 - 1 / 3, 6))
+
+
+def test_redact_pii_patterns(spark):
+    rows = [
+        (1, "mail bob.smith+x@sub.example.org now"),
+        (2, "server at 192.168.001.1 and 8.8.8.8"),
+        (3, "no pii here"),
+        (4, "a@b.co 1.2.3.4 c@d.info"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.red for r in df.select(
+        "doc_id", T.redact_pii("text").alias("red")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> and <IP>"
+    assert out[3] == "no pii here"
+    assert out[4] == "<EMAIL> <IP> <EMAIL>"

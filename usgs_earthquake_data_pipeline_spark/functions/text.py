@@ -169,3 +169,51 @@ def rolling_fingerprint(col: Column | str, n: int = 3) -> Column:
         F.size(sh) > 0,
         F.array_min(F.transform(sh, lambda s: F.xxhash64(s))),
     )
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Overlapping word ``n``-grams as space-joined strings (empty
+    array when the text has fewer than ``n`` tokens). Pure expression:
+    one ``transform`` over an index ``sequence`` — no explode, no
+    shuffle, so repetition stats pipeline with the scan."""
+    toks = tokens(col)
+    # stop clamped to >=1 so the sequence never runs descending; the
+    # outer when() discards the junk gram it produces for short texts.
+    stop = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), stop),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def duplicate_fraction(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier
+    element: ``1 - distinct/total`` (0.0 for an empty array)."""
+    return F.when(
+        F.size(arr) > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(arr)) / F.size(arr), 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+# PII patterns — deliberately RE2-compatible (no backrefs, no
+# lookaround) so the identical pattern runs in Spark (Java regex) and
+# the DuckDB oracle (RE2) with the same matches.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails then IPv4 literals with typed placeholder tokens
+    — the standard pre-training scrub pass. Order matters and is
+    fixed: the email pattern can consume a dotted host, so it runs
+    first; placeholders contain no digits/@ so passes don't re-match."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")

@@ -120,10 +120,14 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "streaming_dedup_user_type",
     # -- new in round 3 --------------------------------------------------
     "geojson_flatten",
+    "text_repetition_gopher",
+    "text_redact_pii",
+    "dedup_repeated_chunks",
+    "streaming_left_outer_join",
+    "join_salted_skew",
     # -- round-2 green, re-confirm in the remaining window slots ---------
+    # (ann_brute_force kept: its implementation changed in round 3)
     "a1_count_year_filter",
-    "a3_fact_yearly",
-    "a4_fact_monthly",
     "s6_projection",
     "q1_pricing_summary",
     "q3_top_orders",
@@ -131,9 +135,6 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_exact_fingerprint",
     "ann_brute_force",
     "text_token_stats",
-    "q2_cheapest_per_brand",
-    "q10_returned_revenue",
-    "window_topn_per_type",
 )
 
 

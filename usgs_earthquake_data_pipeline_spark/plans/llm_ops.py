@@ -398,3 +398,140 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_fake_media(docs, "doc_id")
     return M.image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: repetition signals, PII scrub, boilerplate chunks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_gopher",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk "
+        "FROM documents), "
+        "g AS (SELECT doc_id, tk, "
+        "CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)), "
+        "i -> tk[i] || ' ' || tk[i+1]) ELSE CAST([] AS VARCHAR[]) END AS g2, "
+        "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), "
+        "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) "
+        "ELSE CAST([] AS VARCHAR[]) END AS g3 FROM t) "
+        "SELECT doc_id, "
+        "round(CASE WHEN len(tk) > 0 THEN 1.0 - len(list_distinct(tk)) / len(tk) "
+        "ELSE 0.0 END, 6) AS dup_word_frac, "
+        "round(CASE WHEN len(g2) > 0 THEN 1.0 - len(list_distinct(g2)) / len(g2) "
+        "ELSE 0.0 END, 6) AS dup_bigram_frac, "
+        "round(CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3)) / len(g3) "
+        "ELSE 0.0 END, 6) AS dup_trigram_frac FROM g"
+    ),
+    tags=("llm", "text"),
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: fraction of duplicate words /
+    bigrams / trigrams per document — the standard repetitious-text
+    filter for pre-training corpora (Rae et al. 2021's repetition
+    rules). Pure codegen: n-grams are a ``transform`` over an index
+    sequence (no explode), dup fraction is ``1 - distinct/total`` per
+    row, so the whole signal pipelines with the scan — zero shuffles
+    at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.duplicate_fraction(T.tokens("text")).alias("dup_word_frac"),
+        T.duplicate_fraction(T.word_ngrams("text", 2)).alias("dup_bigram_frac"),
+        T.duplicate_fraction(T.word_ngrams("text", 3)).alias("dup_trigram_frac"),
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle=(
+        "WITH injected AS (SELECT doc_id, "
+        "text || ' contact user' || doc_id || '@example.com from 10.0.' "
+        "|| (doc_id % 256) || '.7' AS itext FROM documents) "
+        f"SELECT doc_id, "
+        f"len(regexp_extract_all(itext, '{T.EMAIL_RE}')) AS n_emails, "
+        f"len(regexp_extract_all(itext, '{T.IPV4_RE}')) AS n_ips, "
+        f"regexp_replace(regexp_replace(itext, '{T.EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{T.IPV4_RE}', '<IP>', 'g') AS redacted "
+        "FROM injected"
+    ),
+    tags=("llm", "text"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: replace emails and IPv4 literals with typed
+    placeholders and count the redactions — the standard pre-training
+    privacy pass. The corpus carries no PII, so a deterministic
+    email+IP suffix derived from doc_id is injected first (both
+    engines inject identically); patterns are RE2-compatible so Spark
+    and the oracle match the same spans. Pure regexp codegen — no
+    shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(T.EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(injected, F.lit(T.IPV4_RE)).cast("long").alias("n_ips"),
+        T.redact_pii(injected).alias("redacted"),
+    )
+
+
+@register(
+    "dedup_repeated_chunks",
+    oracle=(
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk "
+        "FROM documents WHERE trim(text) <> ''), "
+        "c AS (SELECT doc_id, unnest(list_transform("
+        "range(0, CAST(floor(len(tk) / 3) AS INT)), "
+        "i -> tk[i*3+1] || ' ' || tk[i*3+2] || ' ' || tk[i*3+3])) AS chunk FROM t) "
+        "SELECT chunk, count(*) AS n_occurrences, "
+        "count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc "
+        "FROM c GROUP BY chunk HAVING count(*) > 1 "
+        "ORDER BY n_occurrences DESC, chunk LIMIT 100"
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: non-overlapping 3-token chunks repeated
+    across the corpus (the exact-substring flavor of C4/RefinedWeb
+    boilerplate removal). Chunking is a pure per-row expression; the
+    only shuffle is the chunk-key aggregation, whose map-side partial
+    agg collapses within-partition repeats, so exchange volume is
+    bounded by distinct-chunk cardinality — not corpus size. Top-100
+    by occurrence with a total deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_chunks = F.floor(F.size(toks) / F.lit(3)).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i * 3 + 1),
+                F.element_at(toks, i * 3 + 2),
+                F.element_at(toks, i * 3 + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("chunk"))
+        .groupBy("chunk")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), F.asc("chunk"))
+        .limit(100)
+    )

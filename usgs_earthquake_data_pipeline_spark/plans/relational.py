@@ -451,3 +451,44 @@ def window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "pct_rank", "event_id")
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle=(
+        "SELECT e.event_type, count(*) AS n_events, "
+        "CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM events e JOIN ("
+        "SELECT DISTINCT event_type FROM events WHERE event_type <> 'error'"
+        ") d ON e.event_type = d.event_type GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join on a maximally skewed key (5 distinct
+    event types over the whole fact table — the worst-case key
+    distribution): the big side is salted, the dim side replicated
+    per salt, so each hot key spreads across ``n_salts`` tasks instead
+    of landing on one straggler. Must equal the plain-join oracle
+    bit-for-bit. This is the manual fallback for skew AQE can't fix
+    (e.g. when the dim is too large to broadcast); result-equality
+    with broadcast off is separately proven in tests/test_plans.py."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") != "error")
+        .select("event_type")
+        .distinct()
+    )
+    joined = salted_join(ev, dim, "event_type", n_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -167,3 +167,61 @@ def streaming_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "streaming_dedup_sink"
     _run_available_now(deduped, name, "append")
     return spark.table(name).orderBy("user_id", "event_type")
+
+
+@register(
+    "streaming_left_outer_join",
+    oracle=(
+        "WITH wm AS (SELECT least("
+        "(SELECT max(ts) FROM events WHERE event_type = 'click'), "
+        "(SELECT max(ts) FROM events WHERE event_type = 'purchase')) "
+        "- INTERVAL 1 HOUR AS w), "
+        "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), "
+        "p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "j AS (SELECT c.user_id, c.ts AS cts, p.ts AS pts FROM c LEFT JOIN p "
+        "ON c.user_id = p.user_id AND p.ts >= c.ts "
+        "AND p.ts <= c.ts + INTERVAL 10 MINUTE) "
+        "SELECT user_id, epoch_us(cts) AS click_us, epoch_us(pts) AS purchase_us "
+        "FROM j, wm WHERE pts IS NOT NULL OR cts + INTERVAL 10 MINUTE < w "
+        "ORDER BY 1, 2, 3"
+    ),
+    tags=("streaming", "join"),
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join BY THE STREAMING ENGINE — the
+    attribution query that must also emit never-converted clicks.
+    Null-extended results are produced by watermark EVICTION, not by
+    matching: an unmatched click emits only once the global watermark
+    (min over both sides of max-event-time − 1 h delay) passes the end
+    of its match window (click_ts + 10 min). The bounded availableNow
+    run therefore retains the trailing clicks forever in state and
+    never null-emits them — and the oracle encodes exactly that
+    semantics (the WHERE clause), so the hash gate verifies Spark's
+    documented eviction rule, not just the happy path. At production
+    rates the same plan runs continuously with state bounded to ~1 h
+    per side."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select(
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+    name = "streaming_left_outer_join_sink"
+    _run_available_now(joined, name, "append")
+    return spark.table(name).orderBy("user_id", "click_us", "purchase_us")
