@@ -186,3 +186,24 @@ def test_redact_pii_patterns(spark):
     assert out[2] == "server at <IP> and <IP>"
     assert out[3] == "no pii here"
     assert out[4] == "<EMAIL> <IP> <EMAIL>"
+
+
+def test_kmeans_lloyd_separable_clusters(spark):
+    from usgs_earthquake_data_pipeline_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    # two tight blobs in 4-d; init picks first 2 points (one per blob)
+    blob_a = [[0.0, 0.0, 0.0, float(i) / 100] for i in range(5)]
+    blob_b = [[9.0, 9.0, 9.0, 9.0 + float(i) / 100] for i in range(5)]
+    rows = [(0, blob_a[0]), (1, blob_b[0])] + [
+        (i + 2, v) for i, v in enumerate(blob_a[1:] + blob_b[1:])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_lloyd(df, k=2, iterations=2, dim=4).collect()
+    assert [r.list_id for r in out] == [1, 2]
+    assert [r.n_members for r in out] == [5, 5]
+    # cluster 1 centroid = mean of blob_a
+    assert out[0].centroid[0] == 0.0
+    assert abs(out[0].centroid[3] - 0.02) < 1e-9
+    assert out[1].centroid[0] == 9.0

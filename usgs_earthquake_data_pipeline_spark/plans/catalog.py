@@ -125,9 +125,9 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_repeated_chunks",
     "streaming_left_outer_join",
     "join_salted_skew",
+    "kmeans_refine_centroids",
     # -- round-2 green, re-confirm in the remaining window slots ---------
     # (ann_brute_force kept: its implementation changed in round 3)
-    "a1_count_year_filter",
     "s6_projection",
     "q1_pricing_summary",
     "q3_top_orders",

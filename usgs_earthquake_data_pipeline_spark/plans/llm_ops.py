@@ -535,3 +535,63 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("chunk"))
         .limit(100)
     )
+
+
+def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
+    """Unrolled-SQL twin of two Lloyd rounds (see operators/
+    clustering.py for the determinism contract: decimal-exact
+    distances and sums, double means, ties to the lower list id)."""
+    d = dim + 1  # range() upper bound is exclusive
+    sq = (
+        "list_sum(list_transform(range(1, {d}), i -> "
+        "CAST(({e}.v[i] - {c}.c[i]) * ({e}.v[i] - {c}.c[i]) "
+        "AS DECIMAL(30,12))))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "c0 AS (SELECT row_number() OVER (ORDER BY id) AS list_id, v AS c "
+        f"FROM (SELECT id, v FROM e ORDER BY id LIMIT {k})), "
+        "d1 AS (SELECT e.id, e.v, c0.list_id, "
+        f"{sq.format(d=d, e='e', c='c0')} AS d FROM e, c0), "
+        "a1 AS (SELECT id, v, list_id FROM (SELECT id, v, list_id, "
+        "row_number() OVER (PARTITION BY id ORDER BY d, list_id) AS rn "
+        "FROM d1) WHERE rn = 1), "
+        "u1 AS (SELECT list_id, i, "
+        "CAST(sum(CAST(v[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mu "
+        f"FROM a1, range(1, {d}) t(i) GROUP BY 1, 2), "
+        "c1 AS (SELECT list_id, list(mu ORDER BY i) AS c FROM u1 GROUP BY 1), "
+        "d2 AS (SELECT e.id, e.v, c1.list_id, "
+        f"{sq.format(d=d, e='e', c='c1')} AS d FROM e, c1), "
+        "a2 AS (SELECT id, v, list_id FROM (SELECT id, v, list_id, "
+        "row_number() OVER (PARTITION BY id ORDER BY d, list_id) AS rn "
+        "FROM d2) WHERE rn = 1), "
+        "u2 AS (SELECT list_id, i, "
+        "CAST(sum(CAST(v[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mu "
+        f"FROM a2, range(1, {d}) t(i) GROUP BY 1, 2), "
+        "n2 AS (SELECT list_id, count(*) AS n_members FROM a2 GROUP BY 1), "
+        "c2 AS (SELECT list_id, list(round(mu, 6) + 0.0 ORDER BY i) AS centroid "
+        "FROM u2 GROUP BY 1) "
+        "SELECT CAST(n2.list_id AS INT) AS list_id, n2.n_members, c2.centroid "
+        "FROM n2 JOIN c2 ON n2.list_id = c2.list_id ORDER BY 1"
+    )
+
+
+@register(
+    "kmeans_refine_centroids",
+    oracle=_kmeans_oracle(),
+    tags=("llm", "similarity", "iterative"),
+)
+def kmeans_refine_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of k-means over the embedding corpus — the
+    centroid refiner the IVF coarse quantizer calls for (see
+    similarity.ivf_topk's docstring), and the iterative-ML shape on
+    Spark: assignment is a pure broadcast-argmin expression, the
+    update a k-bounded shuffle, the whole training one declarative
+    chain with no driver collect between rounds. Decimal-exact
+    distances and sums make every round bit-identical to the
+    unrolled-SQL oracle."""
+    from ..operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, iterations=2, dim=64)
