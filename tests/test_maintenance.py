@@ -108,3 +108,38 @@ def test_ivf_recall_vs_brute(spark, sf_dir):
         for r in S.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=2).collect()
     }
     assert len(ivf_approx & brute) > 0  # partial recall when probing fewer lists
+
+
+def test_ivf_trained_centroids_exact_when_probing_all(spark, sf_dir):
+    """kmeans-refined lists must preserve IVF's core invariant:
+    probing every list is exactly brute force (the lists partition the
+    corpus regardless of where the centroids came from), and probing a
+    quarter of them keeps high recall."""
+    from usgs_earthquake_data_pipeline_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = kmeans_lloyd(emb, k=8, iterations=2, dim=64).select(
+        "list_id", "centroid"
+    )
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    trained_all = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(
+            emb, queries, k=5, n_lists=8, n_probe=8, centroids=cents
+        ).collect()
+    }
+    assert trained_all == brute
+
+    trained_2 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(
+            emb, queries, k=5, n_lists=8, n_probe=2, centroids=cents
+        ).collect()
+    }
+    assert len(trained_2 & brute) / len(brute) >= 0.5

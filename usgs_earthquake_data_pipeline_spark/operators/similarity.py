@@ -241,17 +241,20 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     include_self: bool = False,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the
     corpus into ``n_lists`` inverted lists; each query probes its
     ``n_probe`` nearest lists and exact-ranks only those candidates.
 
-    Centroids are the first ``n_lists`` corpus vectors by id —
-    deterministic, no RNG, no iterative training. (A production build
-    would run a few k-means rounds; the plan shape — broadcast
-    centroids, one assignment pass, equi-join on list id — is
-    identical, and that shape is the point: the full scan becomes a
-    join that touches ~n_probe/n_lists of the corpus per query.)
+    Default centroids are the first ``n_lists`` corpus vectors by id —
+    deterministic, no RNG, no iterative training. Pass ``centroids``
+    (``(list_id, centroid)`` rows, e.g. ``clustering.kmeans_lloyd``
+    output) to use trained lists instead — the production pairing; the
+    plan shape — broadcast centroids, one assignment pass, equi-join
+    on list id — is identical either way, and that shape is the point:
+    the full scan becomes a join that touches ~n_probe/n_lists of the
+    corpus per query.
 
     List assignment is a *pure per-row expression*: the centroid set
     collapses to a one-row array that a broadcast nested-loop join
@@ -262,15 +265,22 @@ def ivf_topk(
     (Round-2 review: the previous crossJoin+row_number assignment
     shuffled n_lists× the corpus.)
     """
-    w_c = Window.orderBy(F.asc(id_col))
-    centroid_array = F.broadcast(
-        corpus.orderBy(F.asc(id_col))
-        .limit(n_lists)
-        .select(
-            F.row_number().over(w_c).alias("list_id"),
-            _as_double(F.col(vec_col)).alias("centroid"),
+    if centroids is None:
+        w_c = Window.orderBy(F.asc(id_col))
+        centroid_src = (
+            corpus.orderBy(F.asc(id_col))
+            .limit(n_lists)
+            .select(
+                F.row_number().over(w_c).alias("list_id"),
+                _as_double(F.col(vec_col)).alias("centroid"),
+            )
         )
-        .agg(
+    else:
+        centroid_src = centroids.select(
+            "list_id", _as_double(F.col("centroid")).alias("centroid")
+        )
+    centroid_array = F.broadcast(
+        centroid_src.agg(
             F.collect_list(F.struct("list_id", "centroid")).alias("__cents")
         )
     )
