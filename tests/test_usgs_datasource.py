@@ -67,3 +67,85 @@ def test_datasource_agrees_with_jvm_flatten(spark, tmp_path):
         return out
 
     assert norm(via_source) == norm(via_jvm)
+
+
+def _feature_at(fid: str, time_ms: int) -> dict:
+    return {
+        "type": "Feature",
+        "id": fid,
+        "properties": {"mag": 1.0, "time": time_ms, "tsunami": 0},
+        "geometry": {"type": "Point", "coordinates": [-120.0, 35.0]},
+    }
+
+
+def test_stream_reader_windows_and_offsets(tmp_path):
+    """Unit-level offset contract: half-open windows, no overlap,
+    deterministic replay via readBetweenOffsets."""
+    from usgs_earthquake_data_pipeline_spark.sources.usgs_datasource import (
+        UsgsGeoJsonStreamReader,
+    )
+
+    hour = 3_600_000
+    feats = [
+        _feature_at("w0a", 0),
+        _feature_at("w0b", hour - 1),
+        _feature_at("w1a", hour),
+        _feature_at("w2a", 2 * hour + 5),
+    ]
+    fx = tmp_path / "feed.json"
+    fx.write_text(_doc(feats))
+    r = UsgsGeoJsonStreamReader(
+        {"fixture_file": str(fx), "window_ms": str(hour), "start_ms": "0"}
+    )
+    off0 = r.initialOffset()
+    rows1, off1 = r.read(off0)
+    assert sorted(t[0] for t in rows1) == ["w0a", "w0b"]
+    assert off1 == {"end_ms": hour}
+    rows2, off2 = r.read(off1)
+    assert [t[0] for t in rows2] == ["w1a"]
+    # exactly-once replay from the offset log
+    assert [t[0] for t in r.readBetweenOffsets(off0, off1)] == ["w0a", "w0b"]
+    assert [t[0] for t in r.readBetweenOffsets(off1, off2)] == ["w1a"]
+
+
+def test_stream_source_end_to_end(spark, tmp_path):
+    """The registered format runs as a real readStream source: three
+    micro-batches drain three windows into a memory sink."""
+    import time
+
+    hour = 3_600_000
+    feats = [
+        _feature_at("s0", 10),
+        _feature_at("s1", hour + 10),
+        _feature_at("s2", 2 * hour + 10),
+    ]
+    fx = tmp_path / "feed.json"
+    fx.write_text(_doc(feats))
+    spark.dataSource.register(UsgsGeoJsonDataSource)
+    stream = (
+        spark.readStream.format("usgs_geojson")
+        .option("fixture_file", str(fx))
+        .option("window_ms", str(hour))
+        .option("start_ms", "0")
+        .load()
+    )
+    assert stream.isStreaming
+    assert stream.columns == EVENT_COLUMNS
+    q = (
+        stream.select("id", "eventtime")
+        .writeStream.format("memory")
+        .queryName("usgs_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("usgs_stream_sink").count() >= 3:
+                break
+            time.sleep(1)
+        got = {r.id for r in spark.table("usgs_stream_sink").collect()}
+        assert {"s0", "s1", "s2"} <= got
+    finally:
+        q.stop()
