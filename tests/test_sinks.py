@@ -145,3 +145,58 @@ def test_driver_events_table_silver(spark, sf_dir, tmp_path):
     )
     yearly = silver.fact_tsunami_yearly(ev).collect()
     assert yearly and all(r.tsunami_yearly_count > 0 for r in yearly)
+
+
+def test_merge_rows_upserts_by_key(spark, tmp_path):
+    from usgs_earthquake_data_pipeline_spark.sinks import (
+        merge_rows,
+        read_partitioned_table,
+        save_partitioned_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 2024, 1, "a"), (2, 2024, 1, "b"), (3, 2024, 2, "c"), (4, 2023, 12, "d")],
+        "id long, year int, month int, val string",
+    )
+    save_partitioned_table(base, path, "append", ["year", "month"], skip_empty=False)
+
+    updates = spark.createDataFrame(
+        [(2, 2024, 1, "B2"), (9, 2024, 2, "new")],
+        "id long, year int, month int, val string",
+    )
+    assert merge_rows(spark, path, updates, ["id"], ["year", "month"])
+    got = {
+        r.id: (r.year, r.month, r.val)
+        for r in read_partitioned_table(spark, path).collect()
+    }
+    assert got == {
+        1: (2024, 1, "a"),
+        2: (2024, 1, "B2"),   # replaced in place
+        3: (2024, 2, "c"),
+        4: (2023, 12, "d"),   # untouched partition survives
+        9: (2024, 2, "new"),  # new key appended
+    }
+
+
+def test_merge_rows_rejects_duplicate_keys_and_skips_empty(spark, tmp_path):
+    import pytest as _pytest
+
+    from usgs_earthquake_data_pipeline_spark.sinks import (
+        merge_rows,
+        save_partitioned_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 2024, 1, "a")], "id long, year int, month int, val string"
+    )
+    save_partitioned_table(base, path, "append", ["year", "month"], skip_empty=False)
+    dup = spark.createDataFrame(
+        [(1, 2024, 1, "x"), (1, 2024, 1, "y")],
+        "id long, year int, month int, val string",
+    )
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        merge_rows(spark, path, dup, ["id"], ["year", "month"])
+    empty = dup.limit(0)
+    assert merge_rows(spark, path, empty, ["id"], ["year", "month"]) is False

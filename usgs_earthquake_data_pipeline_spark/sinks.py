@@ -369,3 +369,55 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def merge_rows(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+    table_format: str | None = None,
+) -> bool:
+    """Row-level MERGE (upsert-by-key) for a partitioned table — the
+    reference's Delta MERGE semantics (save_to_raw_delta_prod.py's
+    storage core) on the plain-parquet fallback: rows in ``updates``
+    replace existing rows with the same key, new keys append, all
+    other rows are untouched.
+
+    Partition-pruned by construction: the partition values present in
+    ``updates`` are collected (tiny — one row per touched partition),
+    only those partitions are read back (partition pruning keeps the
+    scan to the affected slice), survivors = old rows LEFT ANTI JOIN
+    updates on the key, and survivors + updates are written with
+    dynamic partition overwrite. Cost is proportional to the touched
+    partitions, never the table; the key anti-join shuffles only the
+    affected slice against the (typically broadcastable) update set.
+
+    Keys must be unique within ``updates`` (enforced — a duplicate
+    key would make the merge result order-dependent).
+    """
+    partition_cols = partition_cols if partition_cols is not None else RAW_PARTITION_COLS
+    if updates.isEmpty():
+        return False
+    dup = (
+        updates.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(f"merge_rows: duplicate keys in updates on {key_cols}")
+    touched = updates.select(*partition_cols).distinct().collect()
+    current = read_partitioned_table(spark, path, table_format)
+    pred = F.lit(False)
+    for row in touched:
+        clause = F.lit(True)
+        for c in partition_cols:
+            clause = clause & (F.col(c) == F.lit(row[c]))
+        pred = pred | clause
+    affected = current.filter(pred)
+    # no broadcast hint: AQE broadcasts a small update set and falls
+    # back to a shuffled anti-join when the updates are themselves big
+    survivors = affected.join(updates.select(*key_cols), key_cols, "left_anti")
+    merged = survivors.unionByName(updates.select(*current.columns))
+    return upsert_partitions(
+        merged, path, partition_cols=partition_cols, table_format=table_format
+    )
