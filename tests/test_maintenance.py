@@ -143,3 +143,35 @@ def test_ivf_trained_centroids_exact_when_probing_all(spark, sf_dir):
         ).collect()
     }
     assert len(trained_2 & brute) / len(brute) >= 0.5
+
+
+def test_vacuum_and_partition_file_stats(spark, tmp_path):
+    import os
+
+    from usgs_earthquake_data_pipeline_spark.sinks import (
+        partition_file_stats,
+        save_partitioned_table,
+        vacuum_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, 2024, 1 + (i % 2), float(i)) for i in range(40)],
+        "id long, year int, month int, v double",
+    )
+    save_partitioned_table(df, path, "append", ["year", "month"])
+    save_partitioned_table(df, path, "append", ["year", "month"])
+
+    stats = partition_file_stats(spark, path)
+    parts = {s["partition"]: s for s in stats}
+    assert set(parts) == {"year=2024/month=1", "year=2024/month=2"}
+    # two appends -> at least two files per partition, all bytes counted
+    assert all(s["n_files"] >= 2 for s in stats)
+    assert all(s["total_bytes"] > 0 for s in stats)
+
+    # strand a fake crashed-compaction dir, then vacuum it away
+    os.makedirs(path + ".__compact_tmp__/year=2024", exist_ok=True)
+    removed = vacuum_table(spark, path)
+    assert removed == [path + ".__compact_tmp__"]
+    assert not os.path.exists(path + ".__compact_tmp__")
+    assert vacuum_table(spark, path) == []

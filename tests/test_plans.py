@@ -120,3 +120,23 @@ def test_salted_aggregate_rejects_non_algebraic(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError, match="non-algebraic"):
         salted_aggregate(ev, ["event_type"], {"a": ("avg", "value")})
+
+
+def test_repetition_signals_are_zero_shuffle(spark, sf_dir):
+    """The Gopher repetition stats and the PII scrub must stay pure
+    projections — any Exchange here means n-gram work stopped
+    pipelining with the scan."""
+    for name in ("text_repetition_gopher", "text_redact_pii"):
+        plan = _plan(CATALOG[name].spark_fn(spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "Generate" not in plan, name  # no explode either
+
+
+def test_kmeans_exchanges_bounded_by_k(spark, sf_dir):
+    """Two Lloyd rounds must cost two k-bounded aggregation exchanges;
+    the corpus itself is never hash-partitioned (assignment is the
+    broadcast-argmin expression, not a join/window on corpus rows)."""
+    plan = _plan(CATALOG["kmeans_refine_centroids"].spark_fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "hashpartitioning(id" not in plan
+    assert "SortMergeJoin" not in plan

@@ -421,3 +421,52 @@ def merge_rows(
     return upsert_partitions(
         merged, path, partition_cols=partition_cols, table_format=table_format
     )
+
+
+def vacuum_table(spark, path: str) -> list[str]:
+    """Remove leftover compaction work directories.
+
+    ``compact_partitioned_table`` stages into ``<path>.__compact_tmp__``
+    and swaps via ``<path>.__compact_old__``; a crash between renames
+    can strand either one (the table itself is never lost — the swap
+    rolls back). This is the corresponding retention sweep, the
+    parquet-fallback analogue of Delta's VACUUM: call it before
+    (re)compacting. Returns the paths it deleted."""
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    base = path.rstrip("/")
+    removed = []
+    for suffix in (".__compact_tmp__", ".__compact_old__"):
+        p = hadoop_path(base + suffix)
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed.append(base + suffix)
+    return removed
+
+
+def partition_file_stats(spark, path: str):
+    """Per-partition small-file report for a Hive-layout table:
+    ``(partition, n_files, total_bytes)`` rows, driven by the same
+    Hadoop FS listing the writers use (works on local/HDFS/s3a
+    uniformly). The maintenance loop: stats → pick partitions whose
+    ``n_files`` exceeds the target → ``compact_partitioned_table``.
+    Listing is driver-side metadata only — proportional to file
+    count, not data size."""
+    from .sources.listing import list_objects
+
+    base = path.rstrip("/")
+    out: dict[str, tuple[int, int]] = {}
+    for obj in list_objects(spark, base, recursive=True):
+        rel = obj.path.split(base, 1)[1].lstrip("/")
+        if "/" not in rel:  # top-level _SUCCESS etc.
+            continue
+        part = rel.rsplit("/", 1)[0]
+        if rel.rsplit("/", 1)[1].startswith(("_", ".")):
+            continue
+        n, b = out.get(part, (0, 0))
+        out[part] = (n + 1, b + obj.size)
+    return [
+        {"partition": k, "n_files": v[0], "total_bytes": v[1]}
+        for k, v in sorted(out.items())
+    ]
