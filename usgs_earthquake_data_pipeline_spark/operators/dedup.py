@@ -311,30 +311,40 @@ def ngram_jaccard_pairs(
         _tokenized(df, id_col, text_col)
         .select("id", gram_hashes("toks", n_shingle).alias("sh"))
         .filter(F.size("sh") > 0)
+        .persist()
     )
-    # carry |A| through the explode: the set size rides along as a
-    # constant long per posting row, so the expensive shingling
-    # expression evaluates exactly once and no size-lookup join exists;
-    # the posting key is the 64-bit gram hash (Jaccard over hashed
-    # grams equals string-gram Jaccard up to xxhash64 collisions)
-    posting = docs.select(
-        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    )
+    # four consumers read `docs` (posting a/b, sizes a/b): persist the
+    # small (id, hashed-gram-set) projection so the tokenize+gram
+    # expressions evaluate once per document, not once per branch;
+    # MEMORY_AND_DISK spills cleanly at scale and Spark evicts LRU.
+    # posting rows carry ONLY (id, shingle) — the narrowest inverted
+    # index. Set sizes join back AFTER the pair aggregation: |pairs|
+    # is far smaller than the posting-join output, so the size lookup
+    # touches the small side of the plan instead of widening every
+    # posting row (and every joined row) through both shuffles. The
+    # posting key is the 64-bit gram hash (Jaccard over hashed grams
+    # equals string-gram Jaccard up to xxhash64 collisions). The
+    # shingling expression still evaluates once: sizes reads the same
+    # `docs` projection, and AQE broadcasts it when small.
+    posting = docs.select("id", F.explode("sh").alias("shingle"))
+    sizes = docs.select("id", F.size("sh").alias("n_sh"))
 
-    a = posting.select(
-        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
-    )
-    b = posting.select(
-        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
-    )
-    return (
+    a = posting.select(F.col("id").alias("id_a"), "shingle")
+    b = posting.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("n_inter"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
         )
         .withColumn(
             "jaccard",
