@@ -140,3 +140,55 @@ def test_kmeans_exchanges_bounded_by_k(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "hashpartitioning(id" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
+    """The benchmark n-gram set must broadcast — the training corpus
+    may never shuffle its shingles to meet it."""
+    plan = _plan(
+        CATALOG["decontaminate_ngram_overlap"].spark_fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_is_anti_join(spark, sf_dir):
+    plan = _plan(
+        CATALOG["dedup_incremental_new_batch"].spark_fn(spark, sf_dir)
+    )
+    assert "LeftAnti" in plan
+
+
+def test_corpus_shuffle_sorts_per_shard_not_globally(spark, sf_dir):
+    """The epoch shuffle must be N independent shard-local sorts (hash
+    exchange on shard), not one global range sort of the corpus. The
+    only rangepartitioning allowed is the final result ORDER BY."""
+    plan = _plan(
+        CATALOG["corpus_shuffle_deterministic"].spark_fn(spark, sf_dir)
+    )
+    assert "hashpartitioning(shard" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """Sequence packing must use the two-level cumsum: the corpus-wide
+    window hash-partitions on range_id; only the tiny per-range totals
+    may pass through a single-partition exchange; offsets come back
+    via broadcast."""
+    plan = _plan(CATALOG["pack_sequences_2048"].spark_fn(spark, sf_dir))
+    assert "hashpartitioning(range_id" in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly one single-partition exchange: the |ranges|-row offsets
+    # window (the final ORDER BY compiles to rangepartitioning)
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_mixture_rate_table_broadcasts(spark, sf_dir):
+    """Per-source acceptance rates are a |sources|-row table: they
+    broadcast back onto the scan; the corpus never shuffles to join
+    them."""
+    plan = _plan(
+        CATALOG["mixture_downsample_uniform"].spark_fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -12,3 +12,4 @@ from . import curation  # noqa: F401  (registers the curation pipeline + sketche
 from . import sampling  # noqa: F401  (registers deterministic sampling/splits)
 from . import streaming_entries  # noqa: F401  (registers the streaming entry)
 from . import parity_geojson  # noqa: F401  (registers the GeoJSON parse-path entry)
+from . import corpus_ops  # noqa: F401  (registers the corpus-curation entries)

@@ -126,15 +126,15 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "streaming_left_outer_join",
     "join_salted_skew",
     "kmeans_refine_centroids",
-    # -- round-2 green, re-confirm in the remaining window slots ---------
+    "decontaminate_ngram_overlap",
+    "dedup_incremental_new_batch",
+    "corpus_shuffle_deterministic",
+    "pack_sequences_2048",
+    "mixture_downsample_uniform",
+    "dedup_normalized_text",
+    # -- round-2 green, re-confirm in the remaining window slot ----------
     # (ann_brute_force kept: its implementation changed in round 3)
-    "s6_projection",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "dedup_exact_fingerprint",
     "ann_brute_force",
-    "text_token_stats",
 )
 
 
