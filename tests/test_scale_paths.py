@@ -13,7 +13,8 @@ from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
 
 # queries with an unhinted fact-fact join that flips to SMJ
 _QUERIES = ["q3_top_orders", "q5_region_revenue", "q12_status_priority",
-            "q13_customer_distribution", "q21_waiting_orders"]
+            "q13_customer_distribution", "q21_waiting_orders",
+            "dedup_incremental_new_batch"]
 
 
 _THRESHOLD_KEYS = (
