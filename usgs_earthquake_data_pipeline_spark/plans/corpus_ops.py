@@ -305,3 +305,64 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .orderBy("fp")
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))"
+        "    AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        "n AS (SELECT count(*) AS n FROM documents), "
+        "scored AS ("
+        "  SELECT doc_id, term, "
+        "    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf "
+        "  FROM tf JOIN dfq USING (term), n), "
+        "ranked AS ("
+        "  SELECT doc_id, term, tfidf, CAST(row_number() OVER ("
+        "    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank "
+        "  FROM scored) "
+        "SELECT doc_id, term, tfidf, rank FROM ranked "
+        "WHERE rank <= 3 ORDER BY doc_id, rank"
+    ),
+    tags=("llm", "text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (raw term
+    count × ln(N/df)) — the classic keyword/topic signal a curation
+    pipeline uses for corpus composition reports.
+
+    Scale shape: term frequencies aggregate on (doc, term) — one
+    shuffle of the posting list with map-side partial agg; document
+    frequencies reduce that to |vocab| rows; the corpus-size scalar
+    and the df table join back by broadcast (vocab fits: df carries
+    no text, and truly huge vocabs can pre-prune hapax terms). Scores
+    are rounded to 6 dp *before* ranking so both engines rank the
+    same numbers, ties broken lexicographically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )

@@ -492,3 +492,53 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "winsorize_value_stats",
+    oracle=(
+        "WITH b AS ("
+        "  SELECT event_type, quantile_cont(value, 0.05) AS lo, "
+        "    quantile_cont(value, 0.95) AS hi "
+        "  FROM events GROUP BY 1) "
+        "SELECT e.event_type, count(*) AS n, "
+        "  CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)"
+        "    AS BIGINT) AS n_clipped, "
+        "  CAST(SUM(CAST(round(greatest(lo, least(hi, value)), 6)"
+        "    AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized "
+        "FROM events e JOIN b USING (event_type) "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("agg", "percentile", "robust"),
+)
+def winsorize_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) per-group stats — the robust-mean
+    building block outlier-heavy metrics pipelines use.
+
+    Two passes over the group key: exact interpolated percentiles per
+    group (|groups| rows), broadcast back, then clip-and-aggregate in
+    one codegen pass. Clipped values round to 6 dp then sum as
+    decimals so the total is order-independent and engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.round(
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))), 6
+    )
+    outlier = F.when(
+        (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+    ).otherwise(0)
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(outlier).alias("n_clipped"),
+            F.sum(clipped.cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_winsorized"),
+        )
+        .orderBy("event_type")
+    )

@@ -138,3 +138,45 @@ def time_bucket_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     ).orderBy("bucket_start_us", "event_type")
+
+
+@register(
+    "session_window_builtin",
+    oracle=(
+        "WITH g AS (SELECT user_id, ts, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000 "
+        "THEN 1 ELSE 0 END AS new_s FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, SUM(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "FROM g) "
+        "SELECT user_id, epoch_us(min(ts)) AS session_start_us, "
+        "epoch_us(max(ts)) + 600000000 AS session_end_us, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"
+    ),
+    tags=("temporal", "session"),
+)
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's *built-in* ``session_window``
+    aggregation (the engine-native alternative to the lag+cumsum form
+    in ``sessionize_gap_10min`` and the stateful streaming operator).
+
+    Semantics differ from the lag form at the exact boundary: the
+    built-in window is half-open [first, last+gap), so an event
+    arriving exactly ``gap`` after the last one starts a NEW session
+    (the oracle encodes ``>=``), and ``session_end = last + gap``
+    rather than the last event time. One shuffle on the session key;
+    Catalyst plans it as a single session-window aggregate — no
+    window-function pass at all."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "user_id", F.session_window("ts", "10 minutes")
+    ).agg(F.count("*").alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("session_start_us"),
+        F.unix_micros("session_window.end").alias("session_end_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")
