@@ -111,3 +111,44 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "profile_documents_table",
+    oracle=(
+        "SELECT count(*) AS n_rows, "
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS n_text_null, "
+        "count(DISTINCT lang) AS n_lang, "
+        "count(DISTINCT source) AS n_source, "
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+        "CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars "
+        "FROM documents"
+    ),
+    tags=("llm", "curation", "profiling"),
+)
+def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile — row count, null counts, exact distinct
+    cardinalities of the low-cardinality columns, numeric min/max/sum:
+    the data-quality report a pipeline emits before admitting a crawl
+    snapshot.
+
+    All aggregates are algebraic or low-cardinality-exact, so the map
+    side collapses each partition to one row and the single-partition
+    final agg merges |partitions| rows. Exact ``count(DISTINCT)`` is
+    deliberate for the enum-like columns (lang, source); for
+    unbounded-cardinality columns the HLL form in
+    ``sketch_distinct_users`` is the scale path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias(
+            "n_text_null"
+        ),
+        F.countDistinct("lang").alias("n_lang"),
+        F.countDistinct("source").alias("n_source"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+    )
