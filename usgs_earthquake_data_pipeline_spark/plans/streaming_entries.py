@@ -225,3 +225,49 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "streaming_left_outer_join_sink"
     _run_available_now(joined, name, "append")
     return spark.table(name).orderBy("user_id", "click_us", "purchase_us")
+
+
+@register(
+    "streaming_static_enrich",
+    oracle=(
+        "SELECT c_mktsegment, count(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("streaming", "join"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static
+    dimension (customer) INSIDE the streaming engine, then aggregates
+    per market segment — the standard "enrich the stream with a dim
+    table" shape.
+
+    The stream-static inner join is stateless (no watermark, no join
+    state): each micro-batch hash-joins against the broadcast static
+    side, so at scale state size is zero and the static table is
+    re-broadcast only when refreshed. Aggregation runs complete-mode
+    into the bounded memory sink, same harness as the other streaming
+    entries.
+    """
+    from ..sources.tables import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey
+    )
+    agg = (
+        enriched.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    name = "streaming_static_enrich_sink"
+    _run_available_now(agg, name, "complete")
+    return spark.table(name).orderBy("c_mktsegment")
