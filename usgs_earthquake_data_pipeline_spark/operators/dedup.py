@@ -139,6 +139,29 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, hs) projection: each document's distinct word ``n``-gram
+    shingles as 64-bit hashes — the shared front end of every
+    shingle-based operator (Jaccard pairs, MinHash, decontamination).
+
+    Joining/comparing on longs instead of gram strings keeps shuffle
+    rows narrow and equality cheap; set relations over hashed grams
+    equal the string-gram ones up to xxhash64 collisions (negligible
+    at real shingle-set sizes, and the oracle gate would surface one).
+    Empty-gram docs are dropped. The projection is persisted —
+    callers invariably scan it more than once, and re-evaluating the
+    interpreted gram lambdas per branch dominates runtime otherwise.
+    """
+    return (
+        _tokenized(df, id_col, text_col)
+        .select("id", gram_hashes("toks", n).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .persist()
+    )
+
+
 def minhash_signature(hashed_shingle_col: Column, num_hashes: int = 32) -> Column:
     """MinHash signature over pre-hashed shingles (``shingle_hashes``):
     for family ``i``, the min of ``xxhash64(base_hash, i)`` over the
@@ -226,17 +249,10 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
-    # two-step projection: tokens materialize first, then the hashed
-    # gram set (array<long>). Three consumers read it (signature,
-    # verify-a, verify-b), so persist the tiny intermediate rather
-    # than re-evaluating the tokenize+gram expressions per branch;
-    # MEMORY_AND_DISK spills cleanly at scale and Spark evicts LRU.
-    docs = (
-        _tokenized(df, id_col, text_col)
-        .select("id", gram_hashes("toks", n_shingle).alias("hs"))
-        .filter(F.size("hs") > 0)
-        .persist()
-    )
+    # three consumers read the hashed-gram projection (signature,
+    # verify-a, verify-b) — hashed_shingle_sets persists it so the
+    # tokenize+gram expressions evaluate once, not per branch.
+    docs = hashed_shingle_sets(df, id_col, text_col, n_shingle)
     sigs = docs.withColumn("sig", minhash_signature_udf(num_hashes)(F.col("hs")))
 
     # band explode carries ONLY (id, band, bucket) — never the shingle
@@ -307,16 +323,13 @@ def ngram_jaccard_pairs(
     shingles — the exact analogue of a posting-list intersection.
     Use MinHash-LSH above when shingle frequency is skewed.
     """
-    docs = (
-        _tokenized(df, id_col, text_col)
-        .select("id", gram_hashes("toks", n_shingle).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()
+    # four consumers read `docs` (posting a/b, sizes a/b) —
+    # hashed_shingle_sets persists the small (id, hashed-gram-set)
+    # projection so the tokenize+gram expressions evaluate once per
+    # document, not once per branch.
+    docs = hashed_shingle_sets(df, id_col, text_col, n_shingle).withColumnRenamed(
+        "hs", "sh"
     )
-    # four consumers read `docs` (posting a/b, sizes a/b): persist the
-    # small (id, hashed-gram-set) projection so the tokenize+gram
-    # expressions evaluate once per document, not once per branch;
-    # MEMORY_AND_DISK spills cleanly at scale and Spark evicts LRU.
     # posting rows carry ONLY (id, shingle) — the narrowest inverted
     # index. Set sizes join back AFTER the pair aggregation: |pairs|
     # is far smaller than the posting-join output, so the size lookup

@@ -58,16 +58,17 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(D.shingles("text", 3)).alias("shingle")
-    )
-    bench = (
-        grams.filter(F.col("doc_id") % 20 == 0).select("shingle").distinct()
-    )
-    train = grams.filter(F.col("doc_id") % 20 != 0)
+    # hashed-gram posting list (persisted projection shared by the
+    # bench and train branches); long-key join, identical overlap
+    # counts to string grams up to xxhash64 collisions — same
+    # contract as dedup_ngram_jaccard, enforced by the oracle gate.
+    sets = D.hashed_shingle_sets(docs, "doc_id", "text", 3)
+    posting = sets.select("id", F.explode("hs").alias("g"))
+    bench = posting.filter(F.col("id") % 20 == 0).select("g").distinct()
+    train = posting.filter(F.col("id") % 20 != 0)
     return (
-        train.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
+        train.join(F.broadcast(bench), "g")
+        .groupBy(F.col("id").alias("doc_id"))
         .agg(F.count("*").alias("n_overlap"))
         .orderBy("doc_id")
     )
