@@ -105,3 +105,31 @@ def test_token_count_matches_python_on_unicode_whitespace(spark):
     got = {r.i: r.n for r in df.select("i", T.token_count("text").alias("n")).collect()}
     for i, c in enumerate(cases):
         assert got[i] == len(_py_tokens(c)), repr(c)
+
+
+_ASCII_TEXT = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20, max_codepoint=0x7E
+    ),
+    max_size=80,
+)
+
+
+def _py_normalize_ascii(s: str) -> str:
+    s = re.sub(r"[^a-z0-9 ]", "", s.lower())
+    s = re.sub(r" +", " ", s)
+    return s.strip(" ")
+
+
+@_SETTINGS
+@given(st.lists(_ASCII_TEXT, min_size=1, max_size=8))
+def test_normalize_ascii_matches_python(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"]
+    )
+    got = {
+        r.i: r.n
+        for r in df.select("i", T.normalize_ascii("text").alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_normalize_ascii(t), repr(t)

@@ -217,3 +217,17 @@ def redact_pii(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def normalize_ascii(col: Column | str) -> Column:
+    """Canonical ASCII form for fuzzy-exact dedup: lowercase, strip
+    every character outside ``[a-z0-9 ]``, collapse space runs, trim.
+    Deliberately ASCII-only RE2-safe regexes so Spark (Java regex) and
+    DuckDB (RE2 with the ``'g'`` flag) produce identical bytes; the
+    DuckDB twin lives in the ``dedup_normalized_text`` oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )

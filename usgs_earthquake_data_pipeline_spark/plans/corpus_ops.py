@@ -293,15 +293,8 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup: codegen normalization on the scan, one hash shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-            " +",
-            " ",
-        )
-    )
     return (
-        docs.select(F.md5(norm).alias("fp"), "doc_id")
+        docs.select(F.md5(T.normalize_ascii("text")).alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .orderBy("fp")
