@@ -368,6 +368,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs via prefix filtering — the
+    all-pairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al.
+    WWW'08), the standard scale path for exact set-similarity joins.
+
+    Instead of indexing EVERY shingle (``ngram_jaccard_pairs``), each
+    document indexes only its first ``|d| - ceil(t*|d|) + 1`` shingles
+    under a global canonical order (ascending 64-bit gram hash): two
+    sets with Jaccard >= t must overlap in at least
+    ``ceil(t*max(|a|,|b|))`` elements, so their prefixes provably
+    share at least one — any pair the prefix join misses cannot reach
+    the threshold. Candidates are then verified exactly with one
+    JVM-side ``array_intersect`` over the full sorted sets.
+
+    Scale shape: the posting self-join (the quadratic-risk stage)
+    shrinks by ~t (t=0.8 → 5x fewer posting rows and ~25x fewer
+    probe pairs), a length filter (``t*|a| <= |b| <= |a|/t``) prunes
+    candidates before the distinct, and verification touches only
+    |candidates| rows. Exactness vs the inverted-index twin is
+    asserted in tests at multiple thresholds; the oracle gate hashes
+    it against the same plain-SQL Jaccard.
+    """
+    docs = hashed_shingle_sets(df, id_col, text_col, n_shingle).select(
+        "id", F.array_sort("hs").alias("sh"), F.size("hs").alias("n_sh")
+    )
+    # canonical-order prefix: |d| - ceil(t*|d|) + 1 elements. slice()
+    # tolerates lengths past the end, and length >= 1 always holds.
+    p_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+    ).cast("int")
+    posting = docs.select(
+        "id", "n_sh", F.explode(F.slice("sh", F.lit(1), p_len)).alias("shingle")
+    )
+    a = posting.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = posting.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # J >= t forces t*max(|a|,|b|) <= |a∩b| <= min(|a|,|b|):
+            # sizes more than 1/t apart cannot pass — drop the pair
+            # before the distinct-shuffle.
+            & (F.col("n_a") * F.lit(threshold) <= F.col("n_b"))
+            & (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    full = docs.select("id", "sh", "n_sh")
+    return (
+        cand.join(
+            full.select(
+                F.col("id").alias("id_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            full.select(
+                F.col("id").alias("id_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def resolve_dup_clusters(
     pairs: DataFrame,
     *,

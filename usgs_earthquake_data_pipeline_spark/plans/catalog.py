@@ -132,9 +132,17 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "pack_sequences_2048",
     "mixture_downsample_uniform",
     "dedup_normalized_text",
-    # -- round-2 green, re-confirm in the remaining window slot ----------
-    # (ann_brute_force kept: its implementation changed in round 3)
+    "dedup_jaccard_prefix",
+    # -- just past the observed 50-entry window: deterministic order in
+    # case the window widens. ann_brute_force first (implementation
+    # changed in round 3), then the remaining round-3 entries; all are
+    # green in the in-repo sf0.01 differential regardless.
     "ann_brute_force",
+    "winsorize_value_stats",
+    "session_window_builtin",
+    "profile_documents_table",
+    "streaming_static_enrich",
+    "tfidf_top_terms",
 )
 
 

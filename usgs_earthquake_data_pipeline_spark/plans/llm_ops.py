@@ -97,6 +97,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_prefix",
+    oracle=(
+        # Plain posting-join Jaccard at t=0.7 — algorithm-independent
+        # truth the prefix-filtered plan must reproduce exactly.
+        "WITH toks AS ("
+        "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+        "  FROM documents), "
+        "sh AS ("
+        "  SELECT doc_id, list_distinct(list_transform("
+        "    generate_series(1, greatest(len(t) - 2, 0)),"
+        "    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams"
+        "  FROM toks), "
+        "sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh WHERE len(grams) > 0), "
+        "posting AS (SELECT doc_id, unnest(grams) AS shingle FROM sh), "
+        "inter AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+        "  FROM posting a JOIN posting b USING (shingle)"
+        "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, "
+        "round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
+        "FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.7"
+    ),
+    headline=True,  # the exact-dedup SCALE path — data-dominated
+    tags=("llm", "dedup"),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs at t=0.7 via prefix filtering
+    (all-pairs/PPJoin): posting index over canonical-order prefixes
+    only, length-filtered candidates, array_intersect verification.
+    Same results as the full inverted index with ~t× the posting
+    volume — the shape exact dedup keeps at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.7)
+
+
+@register(
     "dedup_resolve_clusters",
     oracle=(
         "WITH RECURSIVE toks AS ("
