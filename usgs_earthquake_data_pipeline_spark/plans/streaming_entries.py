@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import configure_runtime
+from ..sources.tables import normalize_timestamp_col
 from .catalog import register
 
 
@@ -25,8 +26,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded file-stream over the events table, shared by the
     streaming catalog entries. The file-stream source wants a
     directory, so the sf_dir is streamed with a glob pinned to the
-    events file; the nanos repair matches the batch loader
-    (post-nanosAsLong schema read first)."""
+    events file; the ts normalization mirrors the batch loader
+    (bigint nanos / TIMESTAMP_NTZ / TIMESTAMP → session-TZ TIMESTAMP,
+    dispatching on the batch-read schema)."""
     configure_runtime(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
@@ -35,7 +37,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_timestamp_col(raw, "ts")
 
 
 def _run_available_now(stream_df, name: str, output_mode: str, timeout: int = 300):

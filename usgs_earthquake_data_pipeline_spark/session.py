@@ -14,11 +14,13 @@ implies:
   setting survive a 1000x scale-up.
 - Arrow on for any pandas interchange (the reference is Arrow-columnar
   end-to-end via Polars; Arrow-batched Pandas UDFs are our equivalent).
-- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver's
-  ``events.parquet`` stores ``TIMESTAMP(NANOS)`` which Spark's parquet
-  reader otherwise rejects (PARQUET_TYPE_ILLEGAL). With this flag the
-  column reads as bigint nanoseconds; ``sources.tables.load_table``
-  converts it back to a proper timestamp.
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: backward compat for
+  testdata generations whose ``events.parquet`` stored
+  ``TIMESTAMP(NANOS)``, which Spark's parquet reader otherwise rejects
+  (PARQUET_TYPE_ILLEGAL). With the flag such a column reads as bigint
+  nanoseconds; ``sources.tables.normalize_timestamp_col`` converts it
+  (or the current generation's ``timestamp[us]``/TIMESTAMP_NTZ) to a
+  proper session-TZ timestamp.
 """
 
 from __future__ import annotations
@@ -48,7 +50,8 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet is TIMESTAMP(NANOS); read as long, convert in loader.
+    # Compat: older testdata stored TIMESTAMP(NANOS); read as long,
+    # normalized in the loader. Harmless for timestamp[us] data.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
