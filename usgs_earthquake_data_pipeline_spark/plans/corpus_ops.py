@@ -166,7 +166,7 @@ def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c "
         "  FROM toks) "
         "SELECT CAST(floor((c - n_bpe) / 2048.0) AS BIGINT) AS bin, "
-        "  count(*) AS n_docs, sum(n_bpe) AS n_tokens "
+        "  count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS n_tokens "
         "FROM cum GROUP BY 1 ORDER BY bin"
     ),
     tags=("llm", "curation", "packing"),

@@ -41,7 +41,8 @@ _QUALITY_CTE = (
         + "d AS (SELECT * FROM (SELECT q.*, row_number() OVER "
         "(PARTITION BY fp ORDER BY doc_id) AS rn FROM q) WHERE rn = 1) "
         "SELECT source, lang, count(*) AS n_docs, "
-        "SUM(n_tok) AS total_tokens, SUM(length(text)) AS total_chars "
+        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
+        "CAST(SUM(length(text)) AS BIGINT) AS total_chars "
         "FROM d GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     headline=True,

@@ -607,11 +607,12 @@ def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
         "u2 AS (SELECT list_id, i, "
         "CAST(sum(CAST(v[i] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mu "
         f"FROM a2, range(1, {d}) t(i) GROUP BY 1, 2), "
-        "n2 AS (SELECT list_id, count(*) AS n_members FROM a2 GROUP BY 1), "
-        "c2 AS (SELECT list_id, list(round(mu, 6) + 0.0 ORDER BY i) AS centroid "
-        "FROM u2 GROUP BY 1) "
-        "SELECT CAST(n2.list_id AS INT) AS list_id, n2.n_members, c2.centroid "
-        "FROM n2 JOIN c2 ON n2.list_id = c2.list_id ORDER BY 1"
+        "n2 AS (SELECT list_id, count(*) AS n_members FROM a2 GROUP BY 1) "
+        # one row per (cluster, dimension): scalar columns only — an
+        # array-typed centroid breaks the driver's pandas sort/hash
+        "SELECT CAST(n2.list_id AS INT) AS list_id, n2.n_members, "
+        "CAST(i - 1 AS INT) AS dim_idx, round(mu, 6) + 0.0 AS value "
+        "FROM u2 JOIN n2 ON u2.list_id = n2.list_id ORDER BY 1, 3"
     )
 
 
@@ -628,8 +629,14 @@ def kmeans_refine_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     update a k-bounded shuffle, the whole training one declarative
     chain with no driver collect between rounds. Decimal-exact
     distances and sums make every round bit-identical to the
-    unrolled-SQL oracle."""
+    unrolled-SQL oracle. The centroid array is exploded to one
+    ``(list_id, n_members, dim_idx, value)`` row per dimension —
+    oracle-gated output must be scalar columns (the driver's pandas
+    canonicalization cannot sort/hash array cells)."""
     from ..operators.clustering import kmeans_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(emb, k=8, iterations=2, dim=64)
+    cents = kmeans_lloyd(emb, k=8, iterations=2, dim=64)
+    return cents.selectExpr(
+        "list_id", "n_members", "posexplode(centroid) AS (dim_idx, value)"
+    ).orderBy("list_id", "dim_idx")

@@ -74,7 +74,7 @@ def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_bucket_sql('doc_id')} AS bucket FROM documents) "
         "SELECT CASE WHEN bucket < 80 THEN 'train' "
         "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, "
-        "count(*) AS n_docs, SUM(n_tok) AS total_tokens "
+        "count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens "
         "FROM b GROUP BY 1 ORDER BY 1"
     ),
     tags=("llm", "sampling"),
