@@ -81,68 +81,56 @@ def register(
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # -- round-2 unchecked, oracle-bearing (36) --------------------------
-    "pivot_event_counts",
-    "string_funcs_customers",
-    "date_funcs_orders",
-    "salted_aggregate_by_type",
-    "percentile_quantity",
-    "agg_grouping_sets",
+    # -- round-4 tier 1: red in CORRECTNESS_r03 (ts-format drift or
+    # oracle-dtype mismatch, both fixed this round) — a green driver row
+    # for each is the round's exit criterion ------------------------------
+    "f1_flag_filter",
+    "o1_sort_eventtime",
+    "agg_minmax_by_type",
     "agg_regression_per_type",
-    "pandas_grouped_mad",
-    "window_analytics_suite",
     "asof_join_last_error",
     "range_join_error_purchase",
     "sessionize_gap_10min",
     "time_bucket_rollup_hourly",
-    "q4_priority_late_ship",
-    "q9_profit_nation_year",
-    "q12_status_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "window_rolling_revenue",
-    "q8_market_share",
-    "q11_part_value_concentration",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_orders",
-    "curation_corpus_pipeline",
-    "sample_hash_10pct",
-    "split_train_val_test",
-    "sample_stratified_events",
     "streaming_daily_rollup",
     "streaming_conversion_join",
     "streaming_dedup_user_type",
-    # -- new in round 3 --------------------------------------------------
-    "geojson_flatten",
-    "text_repetition_gopher",
-    "text_redact_pii",
-    "dedup_repeated_chunks",
     "streaming_left_outer_join",
-    "join_salted_skew",
     "kmeans_refine_centroids",
-    "decontaminate_ngram_overlap",
-    "dedup_incremental_new_batch",
-    "corpus_shuffle_deterministic",
+    "q12_status_priority",
+    "split_train_val_test",
     "pack_sequences_2048",
-    "mixture_downsample_uniform",
-    "dedup_normalized_text",
-    "dedup_jaccard_prefix",
-    # -- just past the observed 50-entry window: deterministic order in
-    # case the window widens. ann_brute_force first (implementation
-    # changed in round 3), then the remaining round-3 entries; all are
-    # green in the in-repo sf0.01 differential regardless.
-    "ann_brute_force",
-    "winsorize_value_stats",
+    "curation_corpus_pipeline",
+    # -- tier 2: oracle-bearing entries with NO driver row in any round --
     "session_window_builtin",
-    "profile_documents_table",
     "streaming_static_enrich",
+    "profile_documents_table",
     "tfidf_top_terms",
+    "winsorize_value_stats",
+    # -- tier 3: round-2-green entries that read events.ts — exactly the
+    # population the format drift could silently regress -----------------
+    "a1_count_year_filter",
+    "a2_count_by_year",
+    "a3_fact_yearly",
+    "a4_fact_monthly",
+    "a5_row_count",
+    "f2_time_filter_daily",
+    "o2_clustering_sort",
+    "o4_limit_offset",
+    "window_topn_per_type",
+    "distinct_users_by_type",
+    "agg_rollup_by_type",
+    "agg_cube_type_day",
+    "agg_having_hot_users",
+    "dedup_latest_per_user",
+    # -- tier 4: headline re-confirms ------------------------------------
+    "s6_projection",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "dedup_ngram_jaccard",
+    "ann_brute_force",
+    # -- tier 5: new round-4 entries (append as they are built) ----------
 )
 
 
