@@ -131,6 +131,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "ann_brute_force",
     # -- tier 5: new round-4 entries (append as they are built) ----------
+    "near_dedup_keep_one",
+    "unigram_logprob_quality",
 )
 
 

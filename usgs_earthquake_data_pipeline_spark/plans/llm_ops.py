@@ -640,3 +640,115 @@ def kmeans_refine_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.selectExpr(
         "list_id", "n_members", "posexplode(centroid) AS (dim_idx, value)"
     ).orderBy("list_id", "dim_idx")
+
+
+# ---------------------------------------------------------------------------
+# Composite near-dedup and corpus-LM quality (round 4)
+# ---------------------------------------------------------------------------
+
+# the exact-Jaccard pair CTEs shared by dedup_resolve_clusters, here
+# extended to the full keep-one pipeline
+_KEEP_ONE_ORACLE = (
+    "WITH RECURSIVE toks AS ("
+    "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+    "  FROM documents), "
+    "sh AS ("
+    "  SELECT doc_id, list_distinct(list_transform("
+    "    generate_series(1, greatest(len(t) - 2, 0)),"
+    "    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams"
+    "  FROM toks), "
+    "sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh WHERE len(grams) > 0), "
+    "posting AS (SELECT doc_id, unnest(grams) AS shingle FROM sh), "
+    "inter AS ("
+    "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+    "  FROM posting a JOIN posting b USING (shingle)"
+    "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS ("
+    "  SELECT id_a, id_b FROM inter "
+    "  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "  UNION SELECT id_b, id_a FROM pairs), "
+    "reach(id, r) AS ("
+    "  SELECT src, src FROM edges "
+    "  UNION SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id), "
+    "canon AS (SELECT id, min(r) AS c FROM reach GROUP BY id) "
+    "SELECT source, lang, count(*) AS n_docs, "
+    "CAST(SUM(length(text)) AS BIGINT) AS total_chars "
+    "FROM documents "
+    "WHERE doc_id NOT IN (SELECT id FROM canon WHERE c <> id) "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+@register(
+    "near_dedup_keep_one",
+    oracle=_KEEP_ONE_ORACLE,
+    tags=("llm", "dedup", "graph", "pipeline"),
+)
+def near_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup pipeline a corpus build actually runs:
+    exact 3-gram Jaccard pairs (t=0.3) -> connected components ->
+    drop every non-canonical member -> per-(source, lang) survivor
+    budget. Pair generation is the posting-index scale path, cluster
+    resolution is k-bounded label propagation, and the final drop is
+    one LEFT ANTI join on doc_id — no stage touches more than the
+    pair/cluster volume, so the plan survives a corpus 1000x larger.
+    Oracle: recursive-CTE transitive closure over the same pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    clusters = D.resolve_dup_clusters(pairs)
+    losers = clusters.filter(F.col("canonical_id") != F.col("id")).select("id")
+    return (
+        docs.join(losers, docs["doc_id"] == losers["id"], "left_anti")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "unigram_logprob_quality",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+        "  FROM documents), "
+        "tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+        "freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1), "
+        "tot AS (SELECT count(*) AS n FROM tk) "
+        "SELECT doc_id, round(avg(-ln(c / n)), 6) AS avg_neg_logprob "
+        "FROM tk JOIN freq USING (tok) CROSS JOIN tot "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "text", "quality"),
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring: a unigram language model estimated
+    from the corpus itself scores each document by mean negative log
+    probability — the cheap statistical stand-in for perplexity
+    filtering (high scores = rare-token soup, low = common boilerplate).
+
+    Plan shape at 100 TB: tokens are exploded once; the frequency
+    table is a token-keyed aggregate (vocabulary-sized, far smaller
+    than the corpus) joined back by token equi-join, and the global
+    count is a broadcast scalar. Rounding to 6 decimals absorbs
+    summation-order jitter in the double mean, as the regression
+    entries do."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = tk.groupBy("tok").agg(F.count("*").alias("c"))
+    total = tk.agg(F.count("*").alias("n"))
+    return (
+        tk.join(freq, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias(
+            "avg_neg_logprob"
+        ))
+        .orderBy("doc_id")
+    )
