@@ -133,6 +133,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 5: new round-4 entries (append as they are built) ----------
     "near_dedup_keep_one",
     "unigram_logprob_quality",
+    "embedding_norm_stats",
+    "docs_length_histogram",
 )
 
 

@@ -752,3 +752,72 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=(
+        "WITH n AS (SELECT vec_id, label, "
+        "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> x * x))) AS l2 FROM embeddings) "
+        "SELECT label, count(*) AS n_vecs, "
+        "round(avg(l2), 6) AS avg_norm, "
+        "round(min(l2), 6) AS min_norm, round(max(l2), 6) AS max_norm "
+        "FROM n GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "similarity", "profiling"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding corpus — the sanity
+    check run before any ANN build (un-normalized vectors silently
+    break cosine indexes). Pure-expression aggregate over the vector
+    column: the norm is a sequential fold (bit-identical across
+    engines), stats are one label-keyed shuffle; min/max are
+    order-exact and the mean is rounded to absorb summation-order
+    jitter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        emb.select("label", l2.alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("l2"), 6).alias("avg_norm"),
+            F.round(F.min("l2"), 6).alias("min_norm"),
+            F.round(F.max("l2"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "docs_length_histogram",
+    oracle=(
+        "SELECT CAST(floor(n_chars / 500) AS BIGINT) AS bucket, "
+        "count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "curation", "profiling"),
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length histogram (500-char buckets) for packing/window
+    planning. Reads ONLY the pre-computed n_chars column — the scan
+    never touches text, so at 100 TB this is a metadata-cheap column-
+    pruned pass (ReadSchema shows a single bigint column)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.floor(F.col("n_chars") / 500).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("bucket")
+    )
