@@ -135,6 +135,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "unigram_logprob_quality",
     "embedding_norm_stats",
     "docs_length_histogram",
+    "ann_pq_adc",
 )
 
 

@@ -821,3 +821,22 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register("ann_pq_adc", tags=("llm", "ann", "approx"))
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): train m=8
+    per-subspace codebooks (one exploded Lloyd pass, codebook-bounded
+    shuffles), encode the corpus to 8 small codes per vector (pure
+    expression — a 32x state compression at serving time), then
+    asymmetric-distance top-5 where each query scores a vector with 8
+    table lookups instead of a 64-wide dot product. Rows-only:
+    PQ distances are approximations with no SQL twin; recall,
+    distortion, and determinism are asserted in tests/test_pq.py
+    (the exact baseline, ann_brute_force, is oracle-checked)."""
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return PQ.pq_adc_topk(emb, queries, books, k=5)
