@@ -153,3 +153,32 @@ def test_adc_agrees_with_exact_on_planted(spark):
             adc1[qid],
             exact_n,
         )
+
+
+def test_ivf_pq_full_probe_equals_adc(spark):
+    """With n_probe == n_lists the IVF candidate set is the whole
+    corpus, so IVF-PQ must reproduce pq_adc_topk exactly — list
+    pruning is the only approximation it adds."""
+    df = _planted_df(spark, n_rows=80)
+    books = PQ.train_pq_codebooks(df, m=M, k_codes=K, dim=DIM, iterations=1)
+    queries = df.filter(F.col("vec_id") < 6)
+    full = PQ.ivf_pq_topk(
+        df, queries, books, k=5, n_lists=8, n_probe=8
+    ).collect()
+    adc = PQ.pq_adc_topk(df, queries, books, k=5).collect()
+    assert sorted(map(tuple, full), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, adc), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_ivf_pq_planted_recall(spark):
+    """Probing a strict subset of lists must still land every neighbor
+    in the query's own prototype cluster on well-separated data."""
+    df = _planted_df(spark)
+    books = PQ.train_pq_codebooks(df, m=M, k_codes=K, dim=DIM, iterations=2)
+    queries = df.filter(F.col("vec_id") < 8)
+    got = PQ.ivf_pq_topk(df, queries, books, k=5, n_lists=8, n_probe=3).collect()
+    proto_of = {r.vec_id: r.proto for r in df.select("vec_id", "proto").collect()}
+    assert len(got) == 8 * 5
+    for r in got:
+        assert proto_of[r.neighbor_id] == proto_of[r.query_id], r

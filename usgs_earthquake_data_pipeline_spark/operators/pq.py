@@ -253,3 +253,115 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def _nearest_lists(
+    vec: Column, centroids: list[list[float]], n: int
+) -> Column:
+    """array<int> of the n nearest coarse-centroid list ids (0-based,
+    L2, ties to the lower id) — pure expression over literal centroids."""
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(vec, _lit_vec(c)).alias("d"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        ),
+        lambda l, r: F.when(l["d"] < r["d"], F.lit(-1))
+        .when(l["d"] > r["d"], F.lit(1))
+        .otherwise((l["list_id"] - r["list_id"]).cast("int")),
+    )
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["list_id"])
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC serving shape, non-residual variant):
+    a coarse quantizer buckets the corpus into inverted lists; each
+    query probes its ``n_probe`` nearest lists and ADC-scores only the
+    PQ codes living there.
+
+    This composes the two scale levers: the IVF equi-join touches
+    ~n_probe/n_lists of the corpus per query (instead of the ADC
+    cross-join's full pass), and each touched row costs m lookups
+    against 8 bytes of state (instead of a dim-wide dot product over
+    256 bytes). Coarse centroids are the first ``n_lists`` corpus
+    vectors by id — the same deterministic convention as
+    ``similarity.ivf_topk`` (pass ``kmeans_lloyd`` output through
+    ``train_pq_codebooks``-style refinement for trained lists).
+
+    With ``n_probe == n_lists`` the candidate set is the whole corpus
+    and the result equals :func:`pq_adc_topk` exactly — asserted in
+    tests, so the list pruning is the ONLY approximation added on top
+    of PQ itself.
+    """
+    d_sub = len(books[0][0])
+    cent_rows = (
+        corpus.select(_as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.asc(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [list(r[0]) for r in cent_rows]
+
+    vec = _as_double(F.col(vec_col))
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(_nearest_lists(vec, centroids, 1), 1).alias("list_id"),
+        _codes_col(vec, books, d_sub).alias("codes"),
+    )
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _sq_dist(F.slice(vec, j * d_sub + 1, d_sub), _lit_vec(c))
+                    for c in books[j]
+                ]
+            )
+            for j in range(len(books))
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_nearest_lists(vec, centroids, n_probe)).alias("list_id"),
+        lut.alias("lut"),
+    )
+    pairs = enc.join(F.broadcast(q), "list_id")
+    if not include_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    est = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda code, table: F.element_at(table, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("est_dist"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", est.alias("est_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("est_dist", 6).alias("est_dist"),
+            "rank",
+        )
+    )

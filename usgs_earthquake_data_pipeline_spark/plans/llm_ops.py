@@ -840,3 +840,18 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
     queries = emb.filter(F.col("vec_id") < 10)
     return PQ.pq_adc_topk(emb, queries, books, k=5)
+
+
+@register("ann_ivf_pq", tags=("llm", "ann", "approx"))
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 (the FAISS IVFADC serving shape): coarse lists
+    bound the candidate join to ~n_probe/n_lists of the corpus, PQ
+    codes bound per-candidate cost to m lookups over 8 bytes of state.
+    Rows-only; the full-probe == plain-ADC exactness property and
+    planted-cluster recall are asserted in tests/test_pq.py."""
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return PQ.ivf_pq_topk(emb, queries, books, k=5, n_lists=16, n_probe=4)
