@@ -135,7 +135,9 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "unigram_logprob_quality",
     "embedding_norm_stats",
     "docs_length_histogram",
-    # ann_pq_adc is rows-only and deliberately NOT window-listed:
+    "audit_referential_integrity",
+    "funnel_view_click_purchase",
+    # ann_pq_adc / ann_ivf_pq are rows-only and deliberately NOT window-listed:
     # oracle-bearing entries must keep every hash-check slot
     # (test_driver_window.py); its hard checks live in tests/test_pq.py
 )

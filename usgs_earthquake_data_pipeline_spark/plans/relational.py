@@ -542,3 +542,108 @@ def winsorize_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "audit_referential_integrity",
+    oracle=(
+        "SELECT 'customer_orphan_nation' AS check_name, count(*) AS n_orphans "
+        "FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE n.n_nationkey IS NULL "
+        "UNION ALL "
+        "SELECT 'lineitem_orphan_order', count(*) "
+        "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderkey IS NULL "
+        "UNION ALL "
+        "SELECT 'order_orphan_customer', count(*) "
+        "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_custkey IS NULL "
+        "ORDER BY 1"
+    ),
+    tags=("audit", "join"),
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema — the data-
+    quality gate a pipeline runs before publishing a snapshot. Each
+    check is a LEFT ANTI join that counts rows whose parent key is
+    missing; the dimension side broadcasts (or AQE flips it to shuffle
+    at scale) and each fact table crosses the wire at most once, as
+    bare keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+
+    def orphans(name, child, child_key, parent, parent_key):
+        missing = child.select(F.col(child_key).alias("k")).join(
+            parent.select(F.col(parent_key).alias("k")), "k", "left_anti"
+        )
+        return missing.agg(
+            F.lit(name).alias("check_name"), F.count("*").alias("n_orphans")
+        )
+
+    return (
+        orphans("customer_orphan_nation", cust, "c_nationkey", nat, "n_nationkey")
+        .unionByName(
+            orphans("lineitem_orphan_order", li, "l_orderkey", orders, "o_orderkey")
+        )
+        .unionByName(
+            orphans("order_orphan_customer", orders, "o_custkey", cust, "c_custkey")
+        )
+        .orderBy("check_name")
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle=(
+        "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+        "WHERE event_type = 'view' GROUP BY 1), "
+        "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+        "JOIN v ON e.user_id = v.user_id "
+        "WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1), "
+        "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+        "JOIN c ON e.user_id = c.user_id "
+        "WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1) "
+        "SELECT step, n_users FROM ("
+        "SELECT '1_view' AS step, count(*) AS n_users FROM v "
+        "UNION ALL SELECT '2_click', count(*) FROM c "
+        "UNION ALL SELECT '3_purchase', count(*) FROM p) t ORDER BY 1"
+    ),
+    tags=("analytics", "funnel", "join"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose first view precedes a
+    click that precedes a purchase — strictly sequential (each step's
+    anchor is the min event time AFTER the previous step's anchor),
+    so re-ordered events never inflate conversion. Each step is one
+    user-keyed aggregate joined to the previous frontier; exchanges
+    carry one row per surviving user, shrinking monotonically down
+    the funnel."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type, frontier, anchor_col, out_col):
+        joined = (
+            ev.filter(F.col("event_type") == event_type)
+            .join(frontier, "user_id")
+            .filter(F.col("ts") > F.col(anchor_col))
+        )
+        return joined.groupBy("user_id").agg(F.min("ts").alias(out_col))
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+
+    def step(name, df):
+        return df.agg(F.lit(name).alias("step"), F.count("*").alias("n_users"))
+
+    return (
+        step("1_view", v)
+        .unionByName(step("2_click", c))
+        .unionByName(step("3_purchase", p))
+        .orderBy("step")
+    )
