@@ -192,3 +192,53 @@ def test_mixture_rate_table_broadcasts(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_length_histogram_prunes_to_n_chars(spark, sf_dir):
+    """The histogram must never read text: ReadSchema is exactly the
+    one bigint column."""
+    plan = _plan(CATALOG["docs_length_histogram"].spark_fn(spark, sf_dir))
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "struct<n_chars:bigint>" in read
+
+
+def test_prefix_jaccard_posting_join_is_hash(spark, sf_dir):
+    """The prefix posting self-join must stay an equi-join on the
+    shingle hash; verification joins are id-keyed — nothing quadratic,
+    nothing nested-loop."""
+    plan = _plan(CATALOG["dedup_jaccard_prefix"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_freq_join_not_nested_loop(spark, sf_dir):
+    """The token->frequency join is an equi-join; the only nested-loop
+    allowed is the 1-row global-count broadcast."""
+    plan = _plan(CATALOG["unigram_logprob_quality"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_audit_orphan_checks_are_anti_joins(spark, sf_dir):
+    plan = _plan(
+        CATALOG["audit_referential_integrity"].spark_fn(spark, sf_dir)
+    )
+    assert plan.count("LeftAnti") == 3
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_steps_are_equi_joins(spark, sf_dir):
+    plan = _plan(
+        CATALOG["funnel_view_click_purchase"].spark_fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_corpus_never_hash_partitioned_on_id(spark, sf_dir):
+    """PQ encode + ADC scoring are pure projections over the broadcast
+    query side: the only hash exchange is the final top-k window on
+    query_id."""
+    plan = _plan(CATALOG["ann_pq_adc"].spark_fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(vec_id" not in plan
