@@ -360,3 +360,54 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "quality_stratified_filter",
+    oracle=(
+        "WITH t AS (SELECT source, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok "
+        "FROM documents), "
+        "m AS (SELECT source, count(*) AS n_total, "
+        "quantile_cont(n_tok, 0.5) AS med FROM t GROUP BY 1), "
+        "k AS (SELECT t.source, count(*) AS n_kept FROM t "
+        "JOIN m ON t.source = m.source WHERE t.n_tok > m.med GROUP BY 1) "
+        "SELECT m.source, m.n_total, round(m.med, 6) AS median_tokens, "
+        "COALESCE(k.n_kept, 0) AS n_kept "
+        "FROM m LEFT JOIN k ON m.source = k.source ORDER BY 1"
+    ),
+    tags=("llm", "curation", "sampling"),
+)
+def quality_stratified_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality stratification: keep documents above their
+    OWN source's median token count — the per-stratum gate that stops
+    a verbose source from drowning out a terse one under a single
+    global threshold. The median table is |sources| rows (exact
+    interpolated percentile, identical math in both engines) and
+    broadcasts back onto the scan; the corpus never shuffles to be
+    compared against it."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", T.token_count("text").alias("n_tok")
+    )
+    med = docs.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.expr("percentile(n_tok, 0.5)").alias("med"),
+    )
+    kept = (
+        docs.join(F.broadcast(med.select("source", "med")), "source")
+        .filter(F.col("n_tok") > F.col("med"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        med.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.round("med", 6).alias("median_tokens"),
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
