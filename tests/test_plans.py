@@ -196,7 +196,11 @@ def test_mixture_rate_table_broadcasts(spark, sf_dir):
 
 def test_length_histogram_prunes_to_n_chars(spark, sf_dir):
     """The histogram must never read text: ReadSchema is exactly the
-    one bigint column."""
+    one bigint column. Another test module caches the documents table
+    session-wide, which would substitute an InMemoryRelation for the
+    file scan and hide the pruning — clear it so the assertion sees
+    the real scan."""
+    spark.catalog.clearCache()
     plan = _plan(CATALOG["docs_length_histogram"].spark_fn(spark, sf_dir))
     read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "struct<n_chars:bigint>" in read
