@@ -647,3 +647,50 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(step("3_purchase", p))
         .orderBy("step")
     )
+
+
+@register(
+    "orders_retention_cohort",
+    oracle=(
+        # CAST: DuckDB's month-trunc yields DATE; Spark's yields
+        # TIMESTAMP — align the types for the hash compare
+        "WITH o AS (SELECT o_custkey, "
+        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m "
+        "FROM orders), "
+        "c AS (SELECT o_custkey, min(m) AS cohort_month FROM o GROUP BY 1), "
+        "a AS (SELECT DISTINCT o.o_custkey, c.cohort_month, "
+        "date_diff('month', c.cohort_month, o.m) AS months_since "
+        "FROM o JOIN c ON o.o_custkey = c.o_custkey) "
+        "SELECT cohort_month, months_since, count(*) AS n_customers "
+        "FROM a GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("analytics", "cohort", "window"),
+)
+def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted once per month-offset in which they ordered again — the
+    standard retention triangle. Two customer-keyed aggregates and one
+    equi-join; the distinct collapses same-month repeat orders before
+    the final (cohort, offset) count, so exchange volume is bounded by
+    |customers| x active months, never raw orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    )
+    c = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_month"))
+    a = (
+        o.join(c, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_month",
+            F.round(F.months_between(F.col("m"), F.col("cohort_month")))
+            .cast("bigint")
+            .alias("months_since"),
+        )
+        .distinct()
+    )
+    return (
+        a.groupBy("cohort_month", "months_since")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("cohort_month", "months_since")
+    )
