@@ -14,7 +14,11 @@ from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
 # queries with an unhinted fact-fact join that flips to SMJ
 _QUERIES = ["q3_top_orders", "q5_region_revenue", "q12_status_priority",
             "q13_customer_distribution", "q21_waiting_orders",
-            "dedup_incremental_new_batch"]
+            "dedup_incremental_new_batch",
+            # round 4: orphan audit (anti joins), ordered funnel
+            # (frontier joins), cohort matrix (customer-keyed join)
+            "audit_referential_integrity", "funnel_view_click_purchase",
+            "orders_retention_cohort"]
 
 
 _THRESHOLD_KEYS = (
