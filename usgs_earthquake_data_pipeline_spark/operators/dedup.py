@@ -519,23 +519,23 @@ def resolve_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).alias("__changed"),
             )
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated.localCheckpoint()
+        # ONE materialization per round: the checkpoint both truncates
+        # lineage and serves the convergence probe — a separate
+        # changed-count action would re-run the join a second time.
+        mat = updated.localCheckpoint()
+        changed = mat.filter(F.col("__changed")).limit(1).count()
+        labels = mat.drop("__changed")
         if changed == 0:
             converged = True
             break
