@@ -273,3 +273,64 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "streaming_static_enrich_sink"
     _run_available_now(agg, name, "complete")
     return spark.table(name).orderBy("c_mktsegment")
+
+
+@register(
+    "streaming_sessionize_gap",
+    oracle=(
+        # batch sessionize (strict > gap); a session emits if EITHER a
+        # later in-batch event of its user broke the gap (rn > 1) OR
+        # the final watermark (max event time - 1 h) passed its
+        # end + gap, firing the event-time state timeout in the
+        # closing availableNow batch.
+        "WITH wm AS (SELECT epoch_us(max(ts)) - 3600000000 AS w FROM events), "
+        "g AS (SELECT user_id, ts, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 "
+        "THEN 1 ELSE 0 END AS new_s FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, SUM(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "FROM g), "
+        "agg AS (SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us, "
+        "epoch_us(max(ts)) AS session_end_us, CAST(count(*) AS INT) AS n_events "
+        "FROM s GROUP BY user_id, sid), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY session_start_us DESC) AS rn FROM agg) "
+        "SELECT user_id, session_start_us, session_end_us, n_events "
+        "FROM r, wm WHERE rn > 1 OR session_end_us + 600000000 < w "
+        "ORDER BY user_id, session_start_us"
+    ),
+    tags=("streaming", "session", "stateful"),
+)
+def streaming_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator under the hash gate: gap
+    sessionization by ``applyInPandasWithState``
+    (streaming/sessionize.py) over the bounded event stream. The
+    events parquet is one file, so availableNow runs one data batch:
+    sessions close when a later in-batch event of the same user
+    exceeds the 10-minute gap, plus — in the run's closing batch —
+    when the event-time timeout fires for state the final watermark
+    (max event time − 1 h) has passed. The oracle is the batch
+    lag+cumsum sessionization filtered by exactly that emission rule,
+    so the state machine's gap logic AND its timeout/eviction rule are
+    hash-verified, not just its batch twin.
+    ``sum_value`` is deliberately not emitted: the state update sums
+    floats in event order while SQL sums in scan order — bit equality
+    is only guaranteed for the integer/timestamp columns."""
+    from ..streaming.sessionize import sessionize_stream
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    sessions = sessionize_stream(ev, gap_seconds=600, watermark="1 hour")
+    name = "streaming_sessionize_gap_sink"
+    _run_available_now(sessions, name, "append")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
