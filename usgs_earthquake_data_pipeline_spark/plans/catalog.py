@@ -140,6 +140,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "quality_stratified_filter",
     "orders_retention_cohort",
     "streaming_sessionize_gap",
+    "json_props_stats",
     # ann_pq_adc / ann_ivf_pq are rows-only and deliberately NOT window-listed:
     # oracle-bearing entries must keep every hash-check slot
     # (test_driver_window.py); its hard checks live in tests/test_pq.py

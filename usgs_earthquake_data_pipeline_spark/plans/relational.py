@@ -694,3 +694,38 @@ def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("cohort_month", "months_since")
     )
+
+
+@register(
+    "json_props_stats",
+    oracle=(
+        "WITH j AS (SELECT event_type, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
+        "SELECT event_type, count(*) AS n, "
+        "CAST(SUM(k) AS BIGINT) AS sum_k, "
+        "min(k) AS min_k, max(k) AS max_k, "
+        "count(DISTINCT k) AS n_distinct_k "
+        "FROM j GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("json", "semi-structured", "agg"),
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events ``props`` JSON
+    string is parsed with a typed ``from_json`` schema (codegen
+    JacksonParser — never a Python UDF) and aggregated per event type.
+    At 100 TB the parse pipelines with the scan; only per-type
+    partials reach the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "struct<k: bigint>")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
