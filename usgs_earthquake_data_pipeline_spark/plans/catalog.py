@@ -123,14 +123,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "agg_cube_type_day",
     "agg_having_hot_users",
     "dedup_latest_per_user",
-    # -- tier 4: headline re-confirms ------------------------------------
-    "s6_projection",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "dedup_ngram_jaccard",
-    "ann_brute_force",
-    # -- tier 5: new round-4 entries (append as they are built) ----------
+    # -- tier 4: new round-4 entries (need their FIRST driver rows;
+    # listed before the re-confirms so all land inside the ~50 window)
     "near_dedup_keep_one",
     "unigram_logprob_quality",
     "embedding_norm_stats",
@@ -143,7 +137,15 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "json_props_stats",
     # ann_pq_adc / ann_ivf_pq are rows-only and deliberately NOT window-listed:
     # oracle-bearing entries must keep every hash-check slot
-    # (test_driver_window.py); its hard checks live in tests/test_pq.py
+    # (test_driver_window.py); their hard checks live in tests/test_pq.py
+    # -- tier 5: headline re-confirms (r2-green; bench also covers them;
+    # entries 47-52 — the tail may fall past the observed window) ------
+    "s6_projection",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "dedup_ngram_jaccard",
+    "ann_brute_force",
 )
 
 
