@@ -6,7 +6,7 @@ composition, and the results must be identical."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import temporal as TP
@@ -180,3 +180,43 @@ def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_window.end").alias("session_end_us"),
         "n_events",
     ).orderBy("user_id", "session_start_us")
+
+
+@register(
+    "window_range_frame_30min",
+    oracle=(
+        "SELECT user_id, epoch_us(ts) AS ts_us, "
+        "count(*) OVER w AS n_30m, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30m "
+        "FROM events WHERE user_id < 100 "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+        "RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) "
+        "ORDER BY user_id, ts_us"
+    ),
+    tags=("temporal", "window", "range-frame"),
+)
+def window_range_frame_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, the rolling event
+    count and value sum over the trailing 30 minutes of EVENT TIME —
+    a true range frame over unix-micros ordering (peers at equal
+    timestamps share the frame), not a row-count frame. The sum is
+    decimal-exact inside the frame so summation order cannot diverge
+    between engines; one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.count("*").over(w).alias("n_30m"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_30m"),
+        )
+        .orderBy("user_id", "ts_us")
+    )
