@@ -411,3 +411,50 @@ def quality_stratified_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "docs_chunk_fixed",
+    oracle=(
+        "WITH c AS (SELECT doc_id, text, unnest(range(0, "
+        "CAST(greatest(ceil((length(text) - 512) / 448.0), 0) AS BIGINT) + 1"
+        ")) AS chunk_idx FROM documents) "
+        "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, "
+        "length(substr(text, CAST(chunk_idx * 448 + 1 AS INT), 512)) "
+        "AS chunk_len FROM c ORDER BY 1, 2"
+    ),
+    tags=("llm", "curation", "chunking"),
+)
+def docs_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (512-char windows, 448 stride /
+    64 overlap) — the RAG / context-window prep op — as PURE
+    expressions: a ``sequence`` of chunk indices exploded per doc and
+    a codegen ``substring`` per chunk. No UDTF, no Python rows (a
+    UDTF twin is parity-tested in tests/test_chunking.py as API-
+    surface coverage, but the expression form is the production path:
+    it pipelines with the scan and its explode factor is
+    ceil(len/stride), known to the optimizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = (
+        F.greatest(
+            F.ceil((F.length("text") - F.lit(512)) / F.lit(448.0)), F.lit(0)
+        )
+        + 1
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length(
+                F.expr("substring(text, chunk_idx * 448 + 1, 512)")
+            ).alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
