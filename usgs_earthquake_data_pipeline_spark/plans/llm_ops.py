@@ -694,9 +694,15 @@ def near_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution is k-bounded label propagation, and the final drop is
     one LEFT ANTI join on doc_id — no stage touches more than the
     pair/cluster volume, so the plan survives a corpus 1000x larger.
-    Oracle: recursive-CTE transitive closure over the same pairs."""
+    Oracle: recursive-CTE transitive closure over the same pairs.
+
+    Pair generation uses the PREFIX-FILTERED join: at a permissive
+    threshold like 0.3 the plain inverted index must aggregate every
+    shingle co-occurrence (OOM-prone as the corpus grows), while the
+    prefix+positional filters bound the candidate set — identical
+    output (tests/test_prefix_jaccard.py proves equality at 0.3)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    pairs = D.ngram_jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.3)
     clusters = D.resolve_dup_clusters(pairs)
     losers = clusters.filter(F.col("canonical_id") != F.col("id")).select("id")
     return (
