@@ -119,6 +119,12 @@ def train_pq_codebooks(
     init_rows = (
         vecs.orderBy("id").limit(k_codes).select("v").collect()
     )
+    if len(init_rows) < k_codes:
+        raise ValueError(
+            f"corpus has only {len(init_rows)} vectors but k_codes="
+            f"{k_codes}; an under-filled codebook would silently skew "
+            "every downstream code assignment"
+        )
     books: list[list[list[float]]] = [
         [list(r[0])[j * d_sub : (j + 1) * d_sub] for r in init_rows]
         for j in range(m)
