@@ -729,3 +729,46 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_full_outer_click_purchase",
+    oracle=(
+        "WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events "
+        "WHERE event_type = 'click' GROUP BY 1), "
+        "p AS (SELECT user_id, count(*) AS n_purchases FROM events "
+        "WHERE event_type = 'purchase' GROUP BY 1) "
+        "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
+        "COALESCE(n_clicks, 0) AS n_clicks, "
+        "COALESCE(n_purchases, 0) AS n_purchases "
+        "FROM c FULL OUTER JOIN p ON c.user_id = p.user_id "
+        "ORDER BY 1"
+    ),
+    tags=("join", "outer"),
+)
+def join_full_outer_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A true FULL OUTER join (both null-extended sides survive):
+    per-user click and purchase counts including users who only did
+    one of the two. Pre-aggregating each side before the join keeps
+    the outer join's input at one row per (user, side) — the fact
+    table never reaches the outer join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return (
+        clicks.join(buys, clicks.user_id == buys.p_user, "full_outer")
+        .select(
+            F.coalesce("user_id", "p_user").alias("user_id"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
