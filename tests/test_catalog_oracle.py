@@ -95,7 +95,9 @@ def test_catalog_query_matches_oracle(entry, spark, oracle, sf_dir):
     duck = oracle.sql(entry.oracle)
     duck_cols = list(duck.columns)
     duck_rows = [tuple(r) for r in duck.fetchall()]
-    _assert_driver_hashable(entry, entry.spark_fn(spark, sf_dir), duck)
+    # reuse spark_df: rebuilding via spark_fn would re-run streaming
+    # jobs (side effects) and double every entry's execution cost
+    _assert_driver_hashable(entry, spark_df, duck)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{entry.name}: column names differ: {spark_cols} vs {duck_cols}"
