@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -236,3 +237,111 @@ def image_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(do, schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio: deterministic fake PCM container + waveform stats
+# ---------------------------------------------------------------------------
+
+FAKE_AUDIO_MAGIC = b"FAKEAUD1"
+_AUDIO_HEADER_FMT = ">8sII"  # magic, sample_rate, n_samples
+_AUDIO_HEADER_SIZE = struct.calcsize(_AUDIO_HEADER_FMT)
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("duration_ms", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", IntegerType(), True),
+    ]
+)
+
+
+def attach_fake_audio(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic fake PCM audio column derived from an id — the
+    audio twin of :func:`attach_fake_media`. Header = magic +
+    sample-rate + sample-count (uint32 BE); payload = big-endian
+    16-bit samples with value ``(id*7 + i*13) % 256``. Built entirely
+    JVM-side (hex/unhex expressions), so the encode half never leaves
+    codegen."""
+    mid = F.col(id_col).cast("long")
+    sr = (F.lit(8000) + (mid % 3) * 4000).cast("int")
+    n = (mid % 32 + 16).cast("int")
+    header = F.concat(
+        F.lit(FAKE_AUDIO_MAGIC),
+        F.unhex(F.lpad(F.hex(sr), 8, "0")),
+        F.unhex(F.lpad(F.hex(n), 8, "0")),
+    )
+    payload = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.lpad(F.hex((mid * 7 + i * 13) % 256), 4, "0"),
+            ),
+            "",
+        )
+    )
+    return (
+        df.withColumn("media_id", mid)
+        .withColumn("content", F.concat(header, payload).cast("binary"))
+        .withColumn("media_type", F.lit("audio"))
+    )
+
+
+def decode_audio_stats(df: DataFrame) -> DataFrame:
+    """Waveform statistics via mapInPandas: sample rate and count from
+    the header, duration / RMS / peak from the vectorized numpy view
+    of the PCM payload. One Python crossing per Arrow batch; real
+    codecs (libav/soundfile) would slot in at the marked point exactly
+    like the image decoder's."""
+    import math
+
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) < _AUDIO_HEADER_SIZE:
+                    out.append((media_id, None, None, None, None, None))
+                    continue
+                magic, sr, n = struct.unpack(
+                    _AUDIO_HEADER_FMT, content[:_AUDIO_HEADER_SIZE]
+                )
+                if magic != FAKE_AUDIO_MAGIC:
+                    # REAL-CODEC INTEGRATION POINT (soundfile/libav)
+                    raise NotImplementedError(
+                        "real audio decoding requires an audio library; "
+                        "only FAKEAUD1 containers decode here"
+                    )
+                samples = np.frombuffer(
+                    content[_AUDIO_HEADER_SIZE:], dtype=">i2"
+                ).astype(np.float64)
+                rms = round(math.sqrt(float((samples**2).mean())), 6)
+                out.append(
+                    (
+                        media_id,
+                        sr,
+                        n,
+                        n * 1000.0 / sr,
+                        rms,
+                        int(samples.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_ms",
+                    "rms",
+                    "peak",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        stats, AUDIO_STATS_SCHEMA
+    )

@@ -864,3 +864,35 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
     queries = emb.filter(F.col("vec_id") < 10)
     return PQ.ivf_pq_topk(emb, queries, books, k=5, n_lists=16, n_probe=4)
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle=(
+        # recompute the deterministic PCM stream from the id alone:
+        # v_i = (doc_id*7 + i*13) % 256, n = doc_id % 32 + 16
+        "WITH a AS (SELECT doc_id AS media_id, "
+        "CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate, "
+        "CAST(doc_id % 32 + 16 AS INT) AS n_samples, "
+        "list_transform(range(0, doc_id % 32 + 16), "
+        "i -> CAST((doc_id * 7 + i * 13) % 256 AS DOUBLE)) AS v "
+        "FROM documents) "
+        "SELECT media_id, sample_rate, n_samples, "
+        "n_samples * 1000.0 / sample_rate AS duration_ms, "
+        "round(sqrt(list_avg(list_transform(v, x -> x * x))), 6) AS rms, "
+        "CAST(list_max(v) AS INT) AS peak "
+        "FROM a ORDER BY media_id"
+    ),
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio waveform statistics over an opaque binary PCM column
+    (the audio member of the multimodal family): header-decoded
+    sample rate and count, numpy-vectorized duration / RMS / peak via
+    one Arrow-batched mapInPandas pass. The oracle regenerates the
+    deterministic sample stream from the id alone, so the whole
+    encode→decode→stats path is hash-verified from first principles,
+    exactly like the image entries."""
+    docs = load_table(spark, sf_dir, "documents")
+    audio = M.attach_fake_audio(docs, "doc_id")
+    return M.decode_audio_stats(audio).orderBy("media_id")
