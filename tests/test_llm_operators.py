@@ -207,3 +207,36 @@ def test_kmeans_lloyd_separable_clusters(spark):
     assert out[0].centroid[0] == 0.0
     assert abs(out[0].centroid[3] - 0.02) < 1e-9
     assert out[1].centroid[0] == 9.0
+
+
+def test_audio_decode_roundtrip_matches_python_encoder(spark):
+    """The JVM-side hex/unhex encoder and the numpy decoder agree:
+    stats recomputed in plain Python from the generator formula match
+    the mapInPandas output exactly."""
+    import math
+
+    df = spark.createDataFrame([(i,) for i in (0, 1, 5, 31, 97)], "doc_id long")
+    out = {
+        r.media_id: r
+        for r in M.decode_audio_stats(M.attach_fake_audio(df, "doc_id")).collect()
+    }
+    for mid in (0, 1, 5, 31, 97):
+        n = mid % 32 + 16
+        sr = 8000 + (mid % 3) * 4000
+        v = [(mid * 7 + i * 13) % 256 for i in range(n)]
+        r = out[mid]
+        assert (r.sample_rate, r.n_samples) == (sr, n)
+        assert r.duration_ms == n * 1000.0 / sr
+        assert r.peak == max(v)
+        assert r.rms == round(math.sqrt(sum(x * x for x in v) / n), 6)
+
+
+def test_audio_decode_invalid_and_real_format(spark):
+    rows = [(1, bytearray(b"short")), (2, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r.sample_rate for r in M.decode_audio_stats(df).collect()}
+    assert out == {1: None, 2: None}
+    wav = bytearray(b"RIFFxxxxWAVE" + b"\x00" * 16)
+    df2 = spark.createDataFrame([(3, wav)], "media_id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|real audio decoding"):
+        M.decode_audio_stats(df2).collect()
