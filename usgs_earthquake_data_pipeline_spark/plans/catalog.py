@@ -139,6 +139,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "join_full_outer_click_purchase",
     "docs_chunk_fixed",
     "multimodal_audio_stats",
+    "pagerank_supplier_influence",
     # ann_pq_adc / ann_ivf_pq are rows-only and deliberately NOT window-listed:
     # oracle-bearing entries must keep every hash-check slot
     # (test_driver_window.py); their hard checks live in tests/test_pq.py

@@ -772,3 +772,58 @@ def join_full_outer_click_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "pagerank_supplier_influence",
+    oracle=(
+        # two unrolled damped-PageRank iterations over the
+        # customer->supplier purchase graph; same simplified rule as
+        # operators/graph.py (no dangling-mass redistribution)
+        "WITH e AS (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst, "
+        "CAST(count(*) AS DOUBLE) AS w "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2), "
+        "outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1), "
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t), "
+        "r1 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(sum(1.0 * e.w / o.ow), 0) "
+        "AS rank FROM nodes n "
+        "LEFT JOIN e ON e.dst = n.node LEFT JOIN outw o ON o.src = e.src "
+        "GROUP BY 1), "
+        "r2 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(sum(r.rank * e.w / o.ow), 0) "
+        "AS rank FROM nodes n "
+        "LEFT JOIN e ON e.dst = n.node LEFT JOIN outw o ON o.src = e.src "
+        "LEFT JOIN r1 r ON r.node = e.src GROUP BY 1) "
+        "SELECT node, round(rank, 6) AS rank FROM r2 "
+        "WHERE node LIKE 's%' ORDER BY rank DESC, node LIMIT 20"
+    ),
+    tags=("graph", "iterative", "analytics"),
+)
+def pagerank_supplier_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (2 iterations) over the customer→supplier
+    purchase graph — which suppliers accumulate the most purchase-walk
+    mass. The third iterative shape in the engine (after k-means and
+    label propagation): per round one src-keyed equi-join of the rank
+    table onto the edges plus one dst-keyed aggregate, exchanges
+    bounded by |edges| and |nodes|. Keys are namespaced ('c'/'s'
+    prefixes) because customer and supplier keys overlap numerically.
+    Oracle: the identical two iterations unrolled in SQL."""
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, weight="w", damping=0.85, iterations=2)
+    return (
+        ranks.filter(F.col("node").startswith("s"))
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
