@@ -140,6 +140,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "docs_chunk_fixed",
     "multimodal_audio_stats",
     "pagerank_supplier_influence",
+    "setop_bag_semantics",
     # ann_pq_adc / ann_ivf_pq are rows-only and deliberately NOT window-listed:
     # oracle-bearing entries must keep every hash-check slot
     # (test_driver_window.py); their hard checks live in tests/test_pq.py

@@ -827,3 +827,32 @@ def pagerank_supplier_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
+
+
+@register(
+    "setop_bag_semantics",
+    oracle=(
+        "WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'), "
+        "p AS (SELECT user_id FROM events WHERE event_type = 'purchase') "
+        "SELECT user_id, count(*) AS n FROM ("
+        "SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM p"
+        ") t GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("setop", "bag"),
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiset) semantics, the set-op variant the
+    distinct-based entries can't express: each purchase occurrence
+    cancels ONE click occurrence of the same user, surviving
+    multiplicity preserved. Spark's ``exceptAll`` plans this as an
+    aggregate of signed counts (sum of +1/−1 per side) — one shuffle
+    on the value, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        clicks.exceptAll(buys)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("user_id")
+    )
