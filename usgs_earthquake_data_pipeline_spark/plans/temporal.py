@@ -220,3 +220,52 @@ def window_range_frame_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us")
     )
+
+
+@register(
+    "session_conversion_rate",
+    oracle=(
+        "WITH g AS (SELECT user_id, ts, event_type, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+        "THEN 1 ELSE 0 END AS new_s FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, event_type, SUM(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "FROM g), "
+        "sess AS (SELECT user_id, sid, "
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p "
+        "FROM s GROUP BY 1, 2) "
+        "SELECT count(*) AS n_sessions, "
+        "CAST(SUM(has_p) AS BIGINT) AS n_converting, "
+        "round(1.0 * SUM(has_p) / count(*), 6) AS conversion_rate "
+        "FROM sess"
+    ),
+    tags=("temporal", "session", "analytics"),
+)
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped conversion: the fraction of 30-minute-gap
+    sessions containing a purchase — the metric gap sessionization
+    exists to feed. Reuses the shared session-id assignment stage
+    (streaming/sessionize.py:assign_session_ids), then one
+    session-keyed aggregate and a scalar rollup; exchanges bounded by
+    events once and sessions once."""
+    from ..streaming.sessionize import assign_session_ids
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    sess = (
+        assign_session_ids(ev, gap_seconds=1800)
+        .groupBy("user_id", "__session_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("has_p")
+        )
+    )
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("has_p").cast("bigint").alias("n_converting"),
+        F.round(F.sum("has_p") / F.count("*"), 6).alias("conversion_rate"),
+    )

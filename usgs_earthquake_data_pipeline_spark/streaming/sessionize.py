@@ -130,12 +130,15 @@ def sessionize_stream(
     )
 
 
-def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
-    """Batch twin: identical session assignment via lag + cumulative
-    session counter (pure JVM, one shuffle on user_id)."""
+def assign_session_ids(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Attach a per-user ``__session_id`` column (lag + cumulative
+    counter, one shuffle on user_id) without aggregating — the reusable
+    assignment stage shared by :func:`sessionize_batch` and any
+    session-scoped analytics (e.g. conversion rates) that still need
+    the raw events."""
     gap_us = gap_seconds * 1_000_000
     w = Window.partitionBy("user_id").orderBy("ts")
-    with_gap = events.withColumn(
+    return events.withColumn(
         "__new_session",
         (
             F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us
@@ -145,7 +148,13 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         F.sum(F.coalesce(F.col("__new_session"), F.lit(1))).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    )
+    ).drop("__new_session")
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch twin: identical session assignment via lag + cumulative
+    session counter (pure JVM, one shuffle on user_id)."""
+    with_gap = assign_session_ids(events, gap_seconds)
     return (
         with_gap.groupBy("user_id", "__session_id")
         .agg(
