@@ -113,7 +113,6 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "a2_count_by_year",
     "a3_fact_yearly",
     "a4_fact_monthly",
-    "o2_clustering_sort",
     "window_topn_per_type",
     "distinct_users_by_type",
     "agg_rollup_by_type",
@@ -139,6 +138,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "pagerank_supplier_influence",
     "setop_bag_semantics",
     "session_conversion_rate",
+    "asof_join_tolerance_10min",
     # ann_pq_adc / ann_ivf_pq are rows-only and deliberately NOT window-listed:
     # oracle-bearing entries must keep every hash-check slot
     # (test_driver_window.py); their hard checks live in tests/test_pq.py
@@ -148,6 +148,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "a5_row_count",
     "o4_limit_offset",
     "f2_time_filter_daily",
+    "o2_clustering_sort",
     "s6_projection",
     "q1_pricing_summary",
     "q3_top_orders",

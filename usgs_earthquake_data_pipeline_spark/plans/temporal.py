@@ -269,3 +269,48 @@ def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("has_p").cast("bigint").alias("n_converting"),
         F.round(F.sum("has_p") / F.count("*"), 6).alias("conversion_rate"),
     )
+
+
+@register(
+    "asof_join_tolerance_10min",
+    oracle=(
+        # ASOF match nulled out when staler than the tolerance — the
+        # pandas merge_asof(tolerance=...) contract
+        "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, "
+        "CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 600000000 "
+        "THEN e.err_value END AS err_value, "
+        "CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 600000000 "
+        "THEN epoch_us(e.ts) END AS err_ts_us "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+        "ASOF LEFT JOIN (SELECT user_id, ts, value AS err_value FROM events "
+        "WHERE event_type = 'error') e "
+        "ON c.user_id = e.user_id AND c.ts >= e.ts"
+    ),
+    tags=("temporal", "asof"),
+)
+def asof_join_tolerance_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: each click joined to the
+    user's most recent error, but only if that error is at most 10
+    minutes old (older matches null out — pandas merge_asof's
+    ``tolerance`` semantics). Exercises the tolerance branch of the
+    union-window as-of composition under the hash gate; plan shape is
+    unchanged (one shuffle on user_id, tolerance is a post-window
+    expression)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    joined = TP.asof_join(
+        clicks, errors, "user_id", "ts", "ts", ["err_value"],
+        tolerance_seconds=600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "err_value",
+        F.unix_micros("asof_ts").alias("err_ts_us"),
+    )
