@@ -856,3 +856,108 @@ def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "lateral_top_spenders_per_nation",
+    oracle=(
+        "SELECT n.n_name, t.c_name, t.spend FROM nation n "
+        "CROSS JOIN LATERAL ("
+        "SELECT c.c_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) "
+        "AS DOUBLE) AS spend "
+        "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_nationkey = n.n_nationkey "
+        "GROUP BY c.c_name ORDER BY spend DESC, c.c_name LIMIT 2"
+        ") t ORDER BY n.n_name, t.spend DESC, t.c_name"
+    ),
+    tags=("lateral", "join", "topk"),
+)
+def lateral_top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table):
+    per nation, the two customers with the highest total order spend.
+    Run through ``spark.sql`` deliberately — Catalyst's
+    DecorrelateInnerQuery rewrites the per-outer-row aggregate+LIMIT
+    into a window-ranked join, the same physical plan the DataFrame
+    window formulation produces, so the lateral *syntax* costs nothing
+    at 100 TB: one join shuffle on c_nationkey plus one window over
+    (nation, spend). Spend sums DECIMAL-exact (order-independent),
+    surfaced as DOUBLE on both sides; ties broken by unique c_name."""
+    for name in ("nation", "customer", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"lat_{name}")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.spend FROM lat_nation n
+        JOIN LATERAL (
+          SELECT c.c_name, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+          AS DOUBLE) AS spend
+          FROM lat_customer c JOIN lat_orders o ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          GROUP BY c.c_name ORDER BY spend DESC, c.c_name LIMIT 2
+        ) t ORDER BY n.n_name, t.spend DESC, t.c_name
+        """
+    )
+
+
+@register(
+    "variant_props_buckets",
+    oracle=(
+        "WITH j AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+        "FROM events) "
+        "SELECT CAST(k // 10 AS BIGINT) AS bucket, count(*) AS n, "
+        "CAST(SUM(k) AS BIGINT) AS sum_k "
+        "FROM j GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("json", "variant", "semi-structured"),
+)
+def variant_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    encodes the props JSON into the binary variant format once, then
+    ``variant_get`` extracts typed fields without re-parsing text —
+    the schema-on-read shape you'd use when props keys vary by event.
+    Unlike the fixed-schema ``from_json`` twin (json_props_stats), a
+    variant column stores and serves *any* JSON shape; at 100 TB the
+    parse + extract pipeline runs inside the scan stage and only the
+    ~10-row bucket histogram reaches the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy(F.expr("k div 10").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "unpivot_type_metrics",
+    oracle=(
+        "WITH m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1) "
+        "SELECT event_type, metric, metric_value FROM ("
+        "SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM m "
+        "UNION ALL "
+        "SELECT event_type, 'sum_value' AS metric, sum_value AS metric_value FROM m"
+        ") t ORDER BY event_type, metric"
+    ),
+    tags=("unpivot", "reshape"),
+)
+def unpivot_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long reshape), the inverse of the pivot entry:
+    per-type metrics melt into (event_type, metric, metric_value)
+    rows. ``DataFrame.unpivot`` plans as a local Expand node — each
+    input row fans out to |metrics| rows with zero shuffle beyond the
+    feeding aggregate, so the reshape itself is free at any scale.
+    The oracle states the same reshape as UNION ALL (portable ANSI);
+    sums are DECIMAL-exact before surfacing as DOUBLE."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return (
+        wide.unpivot(["event_type"], ["n_events", "sum_value"], "metric", "metric_value")
+        .orderBy("event_type", "metric")
+    )
