@@ -20,8 +20,9 @@ import logging
 from dataclasses import dataclass, field
 from datetime import date, timedelta
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
 
+from .observability import quality_metrics
 from .sources.geojson import events_from_geojson_strings
 from .sources.rest import FetchError, HttpGet, fetch_earthquake_data_limit_offset
 from .operators.silver import build_silver_layer
@@ -76,6 +77,10 @@ class IngestStats:
     pages: int = 0
     events: int = 0
     failed_windows: list[tuple[str, str]] = field(default_factory=list)
+    # one Observation-API metric dict per landed window (rows,
+    # null-rates, event-time span) — collected from the write job
+    # itself, never a second scan (observability.py)
+    window_metrics: list[dict] = field(default_factory=list)
 
 
 def ingest_window_paged(
@@ -132,10 +137,17 @@ def ingest_window_paged(
             offset += limit
         if pages:
             window_events = read_partitioned_table(spark, staging)
+            # quality counters ride the landing job — no second scan
+            obs = Observation(f"window_{start_time}")
+            kwargs = dict(observation=obs, metrics=quality_metrics())
             if idempotent:
-                upsert_partitions(window_events, bronze_path)
+                written = upsert_partitions(window_events, bronze_path, **kwargs)
             else:
-                save_partitioned_table(window_events, bronze_path, mode="append")
+                written = save_partitioned_table(
+                    window_events, bronze_path, mode="append", **kwargs
+                )
+            if written:
+                stats.window_metrics.append(obs.get)
         stats.pages += pages
         stats.events += total
         return total

@@ -87,6 +87,8 @@ def save_partitioned_table(
     table_format: str | None = None,
     merge_schema: bool = False,
     skip_empty: bool = True,
+    observation=None,
+    metrics=None,
 ) -> bool:
     """K3/K4/K5/K6: partitioned table write (Delta when delta-spark is
     importable, else plain partitioned parquet — same layout, same
@@ -102,6 +104,14 @@ def save_partitioned_table(
     must exist and be readable: it is written unpartitioned as a
     single empty file (a partitioned empty write would emit no
     parquet footer at all, making the path unreadable).
+
+    ``observation`` + ``metrics`` (observability.py): the aggregate
+    columns are attached to the WRITE job itself, so data-quality
+    counters cost no second scan. They must attach here — inside the
+    sink, after the ``isEmpty`` probe — because attaching upstream
+    would let that probe (a limit-1 partial scan) be the observed
+    DataFrame's first action and capture garbage partial metrics.
+    Read ``observation.get`` only when this returns True.
     """
     if mode not in VALID_MODES:
         raise ValueError(
@@ -116,6 +126,8 @@ def save_partitioned_table(
         return True
     partition_cols = partition_cols if partition_cols is not None else RAW_PARTITION_COLS
     out = clustering_sort(df, partition_cols, cluster_cols) if partition_cols else df
+    if observation is not None:
+        out = out.observe(observation, *metrics)
     writer = out.write.format(table_format or TABLE_FORMAT).mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -138,6 +150,8 @@ def upsert_partitions(
     partition_cols: list[str] | None = None,
     cluster_cols: list[str] | None = None,
     table_format: str | None = None,
+    observation=None,
+    metrics=None,
 ) -> bool:
     """Partition-level upsert: overwrite ONLY the partitions present
     in ``df``, leaving all others untouched (dynamic partition
@@ -154,6 +168,10 @@ def upsert_partitions(
         return False
     partition_cols = partition_cols if partition_cols is not None else RAW_PARTITION_COLS
     out = clustering_sort(df, partition_cols, cluster_cols)
+    if observation is not None:
+        # after the isEmpty probe, before the only remaining action —
+        # see save_partitioned_table's observation note
+        out = out.observe(observation, *metrics)
     spark = df.sparkSession
     previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
