@@ -60,3 +60,69 @@ def test_smj_path_matches_broadcast_path(name, spark, sf_dir, no_broadcast):
         spark.conf.set(key, "10MB")
     bc_rows = _rows(entry.spark_fn(spark, sf_dir))
     assert smj_rows == bc_rows, f"{name}: SMJ path diverges from broadcast path"
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning: at 100 TB a selective dim filter
+# should prune the fact scan's shuffle rows BEFORE the join, via the
+# bloom filter Spark injects on the fact side (InjectRuntimeFilter).
+# The production thresholds (creation side <= 10MB, application scan
+# >= 10GB) are sane for a cluster; the test lowers the application
+# threshold to force injection at toy scale and asserts (a) the filter
+# lands in the plan and (b) results are unchanged.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def force_bloom(spark, no_broadcast):
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {}
+    for key, value in keys.items():
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, value)
+    yield
+    for key, value in old.items():
+        if value is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, value)
+
+
+def test_runtime_bloom_filter_injects_and_preserves_results(spark, sf_dir, force_bloom):
+    """Selective filter on orders + shuffle join to lineitem: the
+    bloom filter built from the filtered orders keys must appear on
+    the lineitem side, and the join result must be unchanged."""
+    from pyspark.sql import functions as F
+
+    from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom" in plan.lower(), "runtime bloom filter was not injected"
+
+    expected = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    got = joined.collect()
+    assert got[0]["n"] == expected

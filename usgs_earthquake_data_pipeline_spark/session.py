@@ -50,6 +50,15 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Runtime bloom-filter join pruning (InjectRuntimeFilter): a
+    # selective dim-side filter builds a bloom filter that prunes the
+    # fact side's shuffle rows before a non-broadcast join. Default-on
+    # since Spark 3.4; pinned explicitly because the 100 TB plans
+    # depend on it (SCALING.md). Size thresholds stay at their
+    # defaults — creation side <= 10 MB, application scan >= 10 GB —
+    # which only ever trigger at real scale (tests force them down to
+    # assert the injection, tests/test_scale_paths.py).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Compat: older testdata stored TIMESTAMP(NANOS); read as long,
     # normalized in the loader. Harmless for timestamp[us] data.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
