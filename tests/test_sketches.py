@@ -45,3 +45,95 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
             lo = values[max(0, int(q * n) - eps - 1)]
             hi = values[min(n - 1, int(q * n) + eps)]
             assert lo <= got <= hi, (et, q, got, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters + CMS point frequencies (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_equal_exact_having(spark, sf_dir):
+    """The MG + exact-recheck pipeline must reproduce GROUP BY/HAVING
+    verbatim (it is oracle-gated; this is the fast local check)."""
+    from usgs_earthquake_data_pipeline_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in heavy_hitters_exact(ev, "user_id", fraction=0.0075).collect()
+    }
+    want = {
+        (r["user_id"], r["n"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 0.0075 * n)
+        .collect()
+    }
+    assert got == want and want  # non-degenerate: some HH exist
+
+
+def test_heavy_hitters_candidate_bar_never_drops_true_hh(spark):
+    """Planted skew: tiny k forces aggressive batch compression; the
+    undercount-compensated candidate bar must still keep the hot key."""
+    from usgs_earthquake_data_pipeline_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    df = spark.range(0, 20000).selectExpr(
+        "CASE WHEN id % 10 < 3 THEN 7 ELSE id END AS k"
+    )
+    # key 7 holds 30% of rows (6000 remapped + id=7 itself)
+    got = heavy_hitters_exact(df, "k", fraction=0.25, k=16).collect()
+    assert [(r["k"], r["n_events"]) for r in got] == [(7, 6001)]
+
+
+def test_heavy_hitters_k_too_small_raises(spark):
+    from usgs_earthquake_data_pipeline_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    df = spark.range(10).selectExpr("id AS k")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k=10 too small"):
+        heavy_hitters_exact(df, "k", fraction=0.05, k=10)
+
+
+def test_cms_estimates_never_undercount_and_bounded(spark, sf_dir):
+    from usgs_earthquake_data_pipeline_spark.operators.sketches import (
+        cms_cells,
+        cms_point_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    cells = cms_cells(ev, "user_id", depth=5, width=4096)
+    probes = spark.range(0, 50).selectExpr("id AS user_id")
+    est = {
+        r["user_id"]: r["est"]
+        for r in cms_point_estimates(
+            cells, probes, "user_id", depth=5, width=4096
+        ).collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    import math
+
+    bound = math.e * n / 4096  # standard CMS overcount bound (in expectation)
+    for uid in range(50):
+        e = exact.get(uid, 0)
+        assert est[uid] >= e, (uid, est[uid], e)
+        # 5x the expected bound: deterministic data, generous slack
+        assert est[uid] - e <= max(5 * bound, 3), (uid, est[uid], e)
+
+
+def test_cms_cell_table_is_sketch_sized(spark, sf_dir):
+    from usgs_earthquake_data_pipeline_spark.operators.sketches import cms_cells
+
+    ev = load_table(spark, sf_dir, "events")
+    assert cms_cells(ev, "user_id", depth=5, width=64).count() <= 5 * 64

@@ -114,7 +114,6 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "a4_fact_monthly",
     "window_topn_per_type",
     "distinct_users_by_type",
-    "agg_having_hot_users",
     "dedup_latest_per_user",
     # -- tier 4: new round-4 entries (need their FIRST driver rows;
     # listed before the re-confirms so all land inside the ~50 window)
@@ -139,19 +138,21 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "lateral_top_spenders_per_nation",
     "variant_props_buckets",
     "unpivot_type_metrics",
+    "heavy_hitters_misra_gries",
     # ann_pq_adc / ann_ivf_pq are rows-only and deliberately NOT window-listed:
     # oracle-bearing entries must keep every hash-check slot
     # (test_driver_window.py); their hard checks live in tests/test_pq.py
     # -- tier 5: re-confirms past the observed ~50 window (r2-green;
     # a5/o4 are trivial ops whose loader path tier 1 already proves;
-    # a2/rollup/cube yielded their slots to the three new round-4
-    # entries above — their drift canary is the a1/a3/a4 trio that
-    # shares the same loader + year()/month() path, and the in-repo
-    # sf0.001 differential still hash-checks them every test run;
-    # the headliners are re-measured by the bench every round) ---------
+    # a2/rollup/cube/having yielded their slots to the four new
+    # round-4 entries above — their drift canary is the a1/a3/a4 trio
+    # that shares the same loader + year()/month() path, and the
+    # in-repo sf0.001 differential still hash-checks them every test
+    # run; the headliners are re-measured by the bench every round) ----
     "a2_count_by_year",
     "agg_rollup_by_type",
     "agg_cube_type_day",
+    "agg_having_hot_users",
     "a5_row_count",
     "o4_limit_offset",
     "f2_time_filter_daily",

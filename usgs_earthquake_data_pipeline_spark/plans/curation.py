@@ -153,3 +153,55 @@ def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
     )
+
+
+@register(
+    "heavy_hitters_misra_gries",
+    oracle=(
+        "WITH tot AS (SELECT count(*) AS n FROM events), "
+        "c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1) "
+        "SELECT user_id, n_events FROM c, tot "
+        "WHERE n_events >= 0.0075 * tot.n ORDER BY 1"
+    ),
+    tags=("sketch", "heavy-hitters", "llm"),
+)
+def heavy_hitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (users with >= 0.75% of all events) via
+    mergeable Misra-Gries summaries + an exact recheck of the
+    surviving candidates (operators/sketches.py).
+
+    Identical output to the plain ``GROUP BY ... HAVING`` oracle, but
+    the first pass's exchange is bounded by the summary size (k=256
+    entries per Arrow batch) instead of the distinct-key count, and
+    the second pass aggregates only candidate-matching rows — the
+    shape that survives billions of distinct keys (URLs, hosts,
+    n-grams) at 100 TB, where the exact aggregate's key-wide shuffle
+    is the bottleneck. The candidate superset is provable (MG never
+    undercounts by more than the summed batch cuts), so exactness
+    doesn't depend on batching or partition boundaries.
+    """
+    from ..operators.sketches import heavy_hitters_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters_exact(ev, "user_id", fraction=0.0075, k=256).orderBy(
+        "user_id"
+    )
+
+
+@register("sketch_point_freq_cms", tags=("sketch", "approx", "agg"))
+def sketch_point_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates for a fixed probe
+    set (user_ids 0-19) — the third mergeable sketch next to the HLL
+    and quantile entries. The cell table (5 x 4096) is the ONLY thing
+    the exchange carries; estimates never undercount and the
+    overcount is bounded (asserted vs exact counts in
+    tests/test_sketches.py). Rows-only entry: the estimate depends on
+    xxhash64, which the SQL oracle can't reproduce."""
+    from ..operators.sketches import cms_cells, cms_point_estimates
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = cms_cells(ev, "user_id", depth=5, width=4096)
+    probes = spark.range(0, 20).select(F.col("id").alias("user_id"))
+    return cms_point_estimates(
+        cells, probes, "user_id", depth=5, width=4096
+    ).orderBy("user_id")
