@@ -76,3 +76,61 @@ def test_stream_silver_watermarked_counts(spark, tmp_path):
     assert len(out) == 1
     assert out[0].tsunami_count == 3
     assert out[0].window_start is not None
+
+
+def test_bronze_filesink_exactly_once_on_retrigger(spark, tmp_path):
+    """Native file-sink ingest: re-triggering with no new input adds
+    nothing; new input adds exactly its rows (manifest-committed)."""
+    from usgs_earthquake_data_pipeline_spark.streaming.ingest import (
+        stream_geojson_to_bronze_filesink,
+    )
+
+    src = str(tmp_path / "in")
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(_doc(["a1", "a2", "a3"]) + "\n")
+
+    q = stream_geojson_to_bronze_filesink(spark, src, bronze, ckpt)
+    q.awaitTermination(180)
+    assert spark.read.parquet(bronze).count() == 3
+
+    # retrigger with nothing new: checkpoint prevents reprocessing
+    q = stream_geojson_to_bronze_filesink(spark, src, bronze, ckpt)
+    q.awaitTermination(180)
+    assert spark.read.parquet(bronze).count() == 3
+
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write(_doc(["b1"]) + "\n")
+    q = stream_geojson_to_bronze_filesink(spark, src, bronze, ckpt)
+    q.awaitTermination(180)
+    assert spark.read.parquet(bronze).count() == 4
+
+
+def test_bronze_foreachbatch_replay_is_idempotent(spark, tmp_path):
+    """replay_idempotent mode: re-running a batch id lands on the same
+    ingest_batch directory in overwrite mode — simulate the
+    crash-after-write-before-commit replay by deleting the checkpoint
+    and re-streaming the same input; row count must not double."""
+    src = str(tmp_path / "in")
+    bronze = str(tmp_path / "bronze")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(_doc(["a1", "a2"]) + "\n")
+
+    q = stream_geojson_to_bronze(
+        spark, src, bronze, str(tmp_path / "ckpt1"), replay_idempotent=True
+    )
+    q.awaitTermination(180)
+    assert spark.read.parquet(bronze).count() == 2
+
+    # fresh checkpoint => batch 0 replays from scratch (worst case)
+    q = stream_geojson_to_bronze(
+        spark, src, bronze, str(tmp_path / "ckpt2"), replay_idempotent=True
+    )
+    q.awaitTermination(180)
+    df = spark.read.parquet(bronze)
+    assert df.count() == 2  # overwrote itself, no duplicates
+    # events columns unaffected by the extra partition level
+    assert df.select("id").distinct().count() == 2

@@ -42,19 +42,66 @@ def stream_geojson_to_bronze(
     checkpoint_path: str,
     *,
     available_now: bool = True,
+    replay_idempotent: bool = False,
 ) -> StreamingQuery:
     """Bronze ingest stream: watch ``input_path`` for GeoJSON document
     files (one FeatureCollection JSON per line), flatten to canonical
-    events, append partitioned."""
+    events, append partitioned.
+
+    ``replay_idempotent=True`` upgrades the at-least-once foreachBatch
+    append to effective exactly-once: each micro-batch lands in its own
+    ``ingest_batch=<id>`` directory in OVERWRITE mode, so a crash
+    between write and checkpoint commit replays the batch onto ITSELF
+    instead of duplicating rows — the standard "make the write a
+    deterministic function of batchId" recipe. The extra directory
+    level reads back as a partition column and costs nothing at scan
+    time (readers that project events never touch it)."""
     raw = spark.readStream.text(input_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         events = geojson_docs_to_events(batch_df, "value")
-        save_partitioned_table(events, bronze_path, mode="append")
+        if replay_idempotent:
+            save_partitioned_table(
+                events,
+                f"{bronze_path.rstrip('/')}/ingest_batch={batch_id}",
+                mode="overwrite",
+            )
+        else:
+            save_partitioned_table(events, bronze_path, mode="append")
 
     writer = (
         raw.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_geojson_to_bronze_filesink(
+    spark: SparkSession,
+    input_path: str,
+    bronze_path: str,
+    checkpoint_path: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once bronze ingest via the NATIVE file sink: same parse
+    plan, but the partitioned parquet write goes through Spark's
+    streaming file sink, whose ``_spark_metadata`` manifest commits
+    each batch's files atomically with the checkpoint — replayed
+    batches overwrite their own manifest entry, so readers never see
+    duplicates. The trade-off vs foreachBatch: no empty-skip or custom
+    landing logic, and consumers listing files directly (outside
+    Spark) must honor the manifest."""
+    raw = spark.readStream.text(input_path)
+    events = geojson_docs_to_events(raw, "value")
+    writer = (
+        events.writeStream.format("parquet")
+        .partitionBy("year", "month")
+        .option("path", bronze_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
