@@ -1,0 +1,85 @@
+"""Spatial operator tests: haversine sanity, grid radius join parity
+with brute force, and the antimeridian wrap case the grid must not
+miss."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from usgs_earthquake_data_pipeline_spark.operators.spatial import (
+    grid_radius_join,
+    haversine_km,
+)
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "id long, lat double, lon double")
+
+
+def test_haversine_known_distances(spark):
+    df = spark.createDataFrame(
+        [
+            # Paris -> London ~343.5 km
+            (48.8566, 2.3522, 51.5074, -0.1278, 343.5),
+            # 1 degree of latitude at the equator ~111.19 km
+            (0.0, 0.0, 1.0, 0.0, 111.19),
+            (10.0, 20.0, 10.0, 20.0, 0.0),  # identical points
+        ],
+        "lat1 double, lon1 double, lat2 double, lon2 double, want double",
+    )
+    got = df.select(
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d"),
+        "want",
+    ).collect()
+    for r in got:
+        assert abs(r["d"] - r["want"]) < 1.0, (r["d"], r["want"])
+
+
+def _brute_pairs(spark, left, right, radius):
+    l = left.select(F.col("id").alias("lid"), F.col("lat").alias("la"), F.col("lon").alias("lo"))
+    r = right.select(F.col("id").alias("rid"), F.col("lat").alias("ra"), F.col("lon").alias("ro"))
+    d = haversine_km(F.col("la"), F.col("lo"), F.col("ra"), F.col("ro"))
+    return {
+        (x["lid"], x["rid"])
+        for x in l.crossJoin(r).withColumn("d", d).filter(F.col("d") <= radius).collect()
+    }
+
+
+def test_grid_join_matches_brute_force(spark):
+    """Pseudo-random scatter: the grid join must find exactly the
+    brute-force pair set (no dupes: result is a set of tuples AND the
+    row count matches)."""
+    import random
+
+    rng = random.Random(7)
+    left = _pts(
+        spark, [(i, rng.uniform(-35, 35), rng.uniform(-180, 180)) for i in range(150)]
+    )
+    right = _pts(
+        spark,
+        [(1000 + i, rng.uniform(-35, 35), rng.uniform(-180, 180)) for i in range(150)],
+    )
+    got_rows = grid_radius_join(
+        left, right, radius_km=500.0, max_abs_lat=35.0
+    ).select("l_id", "r_id").collect()
+    got = {(r["l_id"], r["r_id"]) for r in got_rows}
+    assert len(got_rows) == len(got), "grid join emitted duplicate pairs"
+    want = _brute_pairs(spark, left, right, 500.0)
+    assert got == want and want
+
+
+def test_grid_join_catches_antimeridian_pairs(spark):
+    """Points straddling lon=+-180 are ~22 km apart at lat 0; a
+    non-wrapping grid would put them at opposite index extremes."""
+    left = _pts(spark, [(1, 0.0, 179.9)])
+    right = _pts(spark, [(2, 0.0, -179.9)])
+    got = grid_radius_join(left, right, radius_km=50.0, max_abs_lat=10.0).collect()
+    assert len(got) == 1
+    assert abs(got[0]["dist_km"] - 22.26) < 0.5
+
+
+def test_grid_join_excludes_beyond_radius(spark):
+    left = _pts(spark, [(1, 10.0, 10.0)])
+    right = _pts(spark, [(2, 10.0, 12.0)])  # ~219 km east
+    assert grid_radius_join(left, right, radius_km=100.0, max_abs_lat=15.0).count() == 0
+    assert grid_radius_join(left, right, radius_km=250.0, max_abs_lat=15.0).count() == 1

@@ -112,8 +112,6 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "a1_count_year_filter",
     "a3_fact_yearly",
     "a4_fact_monthly",
-    "window_topn_per_type",
-    "distinct_users_by_type",
     "dedup_latest_per_user",
     # -- tier 4: new round-4 entries (need their FIRST driver rows;
     # listed before the re-confirms so all land inside the ~50 window)
@@ -139,20 +137,24 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "variant_props_buckets",
     "unpivot_type_metrics",
     "heavy_hitters_misra_gries",
+    "pandas_udaf_weighted_mean",
+    "spatial_radius_join_100km",
     # ann_pq_adc / ann_ivf_pq are rows-only and deliberately NOT window-listed:
     # oracle-bearing entries must keep every hash-check slot
     # (test_driver_window.py); their hard checks live in tests/test_pq.py
     # -- tier 5: re-confirms past the observed ~50 window (r2-green;
     # a5/o4 are trivial ops whose loader path tier 1 already proves;
-    # a2/rollup/cube/having yielded their slots to the four new
-    # round-4 entries above — their drift canary is the a1/a3/a4 trio
-    # that shares the same loader + year()/month() path, and the
-    # in-repo sf0.001 differential still hash-checks them every test
-    # run; the headliners are re-measured by the bench every round) ----
+    # a2/rollup/cube/having/topn/distinct-users yielded their slots to
+    # the six new round-4 entries above — their drift canary is the
+    # a1/a3/a4 trio that shares the same loader + year()/month() path,
+    # and the in-repo sf0.001 differential still hash-checks them
+    # every test run; the headliners are re-measured by the bench) ----
     "a2_count_by_year",
     "agg_rollup_by_type",
     "agg_cube_type_day",
     "agg_having_hot_users",
+    "window_topn_per_type",
+    "distinct_users_by_type",
     "a5_row_count",
     "o4_limit_offset",
     "f2_time_filter_daily",

@@ -961,3 +961,62 @@ def unpivot_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot(["event_type"], ["n_events", "sum_value"], "metric", "metric_value")
         .orderBy("event_type", "metric")
     )
+
+
+@register(
+    "pandas_udaf_weighted_mean",
+    oracle=(
+        "SELECT event_type, "
+        "round(SUM(value * (user_id % 5 + 1)) / SUM(user_id % 5 + 1), 6) "
+        "AS wmean, CAST(count(*) AS BIGINT) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("agg", "pandas", "udf", "udaf"),
+)
+def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (the UDAF surface, SURVEY §2.11):
+    a Series→scalar function used directly inside ``groupBy().agg()``
+    alongside built-ins — completing the UDF matrix next to the
+    scalar (tests/test_pandas_udf_parity.py), grouped-map
+    (pandas_grouped_mad), map (multimodal), and table-function
+    (chunking UDTF) shapes.
+
+    Weighted mean per event type, weights derived deterministically
+    from user_id. Arrow-batched like every Python boundary in this
+    repo; at scale each group's values stream to exactly one executor
+    (no partial aggregation for arbitrary Python UDAFs — the
+    documented trade vs expressing the same thing in two built-in
+    SUMs, which is the production form for THIS aggregate; the UDAF
+    form exists for aggregates with no SQL decomposition). Rounded to
+    6 dp: numpy's pairwise summation and SQL's sequential sum differ
+    in the last ulp."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wmean(v, w):
+        return float((v * w).sum() / w.sum())
+
+    # the module's postponed annotations (future import) would turn
+    # inline hints into strings, which pandas_udf's Series->scalar
+    # (GROUPED_AGG) inference rejects — attach real objects instead
+    _wmean.__annotations__ = {"v": pd.Series, "w": pd.Series, "return": float}
+    wmean = pandas_udf(_wmean, "double")
+
+    # Spark disallows mixing a grouped-agg pandas UDF with JVM
+    # aggregates in one agg() — the row count is a second UDAF
+    def _n(v):
+        return len(v)
+
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    n_udaf = pandas_udf(_n, "long")
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("w", (F.col("user_id") % 5 + 1).cast("double"))
+        .groupBy("event_type")
+        .agg(
+            F.round(wmean("value", "w"), 6).alias("wmean"),
+            n_udaf("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
