@@ -66,6 +66,9 @@ def _with_coords(df: DataFrame) -> DataFrame:
         "* pow(sin((radians(p.lon) - radians(e.lon)) / 2), 2))) <= 100 "
         "ORDER BY 1, 2"
     ),
+    headline=True,  # data-dominated: the grid join's algorithmic win
+    # over the oracle's cross join grows with |events|^2 (sf0.1:
+    # Spark 2.0 s vs DuckDB 52.7 s on the same files)
     tags=("spatial", "join", "geo"),
 )
 def spatial_radius_join_100km(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,3 +95,55 @@ def spatial_radius_join_100km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_id").alias("id_buy"),
         F.round("dist_km", 3).alias("dist_km"),
     ).orderBy("id_err", "id_buy")
+
+
+@register(
+    "spatial_nearest_purchase",
+    oracle=(
+        "WITH pts AS (SELECT event_id, event_type, "
+        f"{_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM events), "
+        "e AS (SELECT * FROM pts WHERE event_type = 'error'), "
+        "p AS (SELECT * FROM pts WHERE event_type = 'purchase'), "
+        "d AS (SELECT e.event_id AS id_err, p.event_id AS id_buy, "
+        "2 * 6371.0088 * asin(sqrt("
+        "pow(sin((radians(p.lat) - radians(e.lat)) / 2), 2) "
+        "+ cos(radians(e.lat)) * cos(radians(p.lat)) "
+        "* pow(sin((radians(p.lon) - radians(e.lon)) / 2), 2))) AS dist "
+        "FROM e, p), "
+        "ranked AS (SELECT id_err, id_buy, dist, row_number() OVER ("
+        "PARTITION BY id_err ORDER BY dist, id_buy) AS rk "
+        "FROM d WHERE dist <= 100) "
+        "SELECT id_err, id_buy, round(dist, 3) AS dist_km "
+        "FROM ranked WHERE rk = 1 ORDER BY id_err"
+    ),
+    tags=("spatial", "knn", "geo"),
+)
+def spatial_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest purchase within 100 km of each error event (spatial
+    kNN, k=1): rank window over the grid join's candidates — the
+    radius-bounded form of nearest-neighbor that scales (unbounded
+    kNN needs expanding-ring search; a bounded radius is what
+    alerting/enrichment actually wants). Rank orders by the UNROUNDED
+    distance then id (cross-engine stable: the closest top-2 gap is
+    3.4e-4 km at sf0.01, eight orders above trig ulp)."""
+    from pyspark.sql import Window
+
+    ev = _with_coords(load_table(spark, sf_dir, "events"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("id"), "lat", "lon"
+    )
+    buy = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id"), "lat", "lon"
+    )
+    pairs = grid_radius_join(err, buy, radius_km=100.0, max_abs_lat=30.0)
+    w = Window.partitionBy("l_id").orderBy("dist_km", "r_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("l_id").alias("id_err"),
+            F.col("r_id").alias("id_buy"),
+            F.round("dist_km", 3).alias("dist_km"),
+        )
+        .orderBy("id_err")
+    )
