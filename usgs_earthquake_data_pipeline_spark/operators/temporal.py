@@ -119,3 +119,55 @@ def time_bucket_rollup(
     ).alias("bucket_start")
     keys = [bucket_start] + [F.col(k) for k in (extra_keys or [])]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def gapfill_locf(
+    observed: DataFrame,
+    *,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    grid_start: Column,
+    grid_end: Column,
+) -> DataFrame:
+    """Timescale-style ``time_bucket_gapfill + locf``: densify a
+    per-key bucketed series onto a regular grid and carry the last
+    observation forward into the gaps.
+
+    ``observed`` holds one row per (key, bucket) that HAS data;
+    ``grid_start``/``grid_end`` are timestamp expressions evaluated
+    against ``observed`` (usually global min/max) that bound the grid.
+
+    Plan shape: the grid is ``sequence() + explode`` over the distinct
+    keys — |keys| x |buckets| rows, generated, never shuffled raw —
+    left-joined to the observations on (key, bucket), then one
+    ``last(value, ignorenulls)`` window per key ordered by bucket.
+    Exactly one shuffle on the key (the window's); the join
+    co-partitions with it. Buckets before a key's first observation
+    stay NULL (nothing to carry); ``is_gap`` marks filled rows.
+    """
+    grid = (
+        observed.groupBy(key_col)
+        .agg(grid_start.alias("__g0"), grid_end.alias("__g1"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    "__g0", "__g1", F.expr(f"INTERVAL {bucket_seconds} SECONDS")
+                )
+            ).alias(bucket_col),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(observed, [key_col, bucket_col], "left")
+    return joined.select(
+        key_col,
+        bucket_col,
+        F.last(value_col, ignorenulls=True).over(w).alias(value_col),
+        F.col(value_col).isNull().cast("int").alias("is_gap"),
+    )

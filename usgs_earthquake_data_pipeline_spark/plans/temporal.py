@@ -314,3 +314,123 @@ def asof_join_tolerance_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err_value",
         F.unix_micros("asof_ts").alias("err_ts_us"),
     )
+
+
+@register(
+    "timeseries_gapfill_locf",
+    oracle=(
+        "WITH obs AS (SELECT user_id, "
+        "CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT) "
+        "AS bucket_us, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_sum "
+        "FROM events WHERE user_id < 10 GROUP BY 1, 2), "
+        "spans AS (SELECT user_id, min(bucket_us) AS b0, max(bucket_us) AS b1 "
+        "FROM obs GROUP BY 1), "
+        "grid AS (SELECT user_id, unnest(generate_series(b0, b1, 3600000000)) "
+        "AS bucket_us FROM spans), "
+        "dense AS (SELECT g.user_id, g.bucket_us, o.hour_sum FROM grid g "
+        "LEFT JOIN obs o ON o.user_id = g.user_id "
+        "AND o.bucket_us = g.bucket_us) "
+        "SELECT user_id, bucket_us, "
+        "last_value(hour_sum IGNORE NULLS) OVER (PARTITION BY user_id "
+        "ORDER BY bucket_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS hour_sum, "
+        "CAST(hour_sum IS NULL AS INT) AS is_gap "
+        "FROM dense ORDER BY 1, 2"
+    ),
+    tags=("temporal", "timeseries", "gapfill"),
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timescale-style ``time_bucket_gapfill + locf``: each user's
+    hourly value-sum series densified onto a regular hourly grid from
+    their first to their last active hour, gaps carrying the last
+    observation forward (``is_gap`` marks filled rows).
+
+    The grid is generated per key with ``sequence + explode`` —
+    |keys| x |buckets| rows that exist only inside the plan, never as
+    stored data — and the fill is one ``last(ignorenulls)`` window:
+    one shuffle on user_id total. The per-key span (vs a global grid)
+    also means no leading NULLs and no key emitting buckets outside
+    its lifetime — at 100 TB with sparse long-tail keys a global grid
+    would manufacture mostly-empty series. The oracle builds the same
+    grid with DuckDB's generate_series + IGNORE NULLS last_value.
+    Buckets are exchanged as unix-micros BIGINTs (catalog ts rule)."""
+    from ..operators.temporal import gapfill_locf
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    obs = (
+        ev.groupBy(
+            "user_id",
+            (
+                F.floor(F.unix_micros("ts") / 3_600_000_000) * 3_600_000_000
+            ).alias("bucket_us"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("hour_sum")
+        )
+    )
+    filled = gapfill_locf(
+        obs.withColumn("bucket", F.timestamp_micros(F.col("bucket_us"))).drop(
+            "bucket_us"
+        ),
+        key_col="user_id",
+        bucket_col="bucket",
+        value_col="hour_sum",
+        bucket_seconds=3600,
+        grid_start=F.min("bucket"),
+        grid_end=F.max("bucket"),
+    )
+    return filled.select(
+        "user_id",
+        F.unix_micros("bucket").alias("bucket_us"),
+        "hour_sum",
+        "is_gap",
+    ).orderBy("user_id", "bucket_us")
+
+
+@register(
+    "twap_value_per_type",
+    oracle=(
+        "WITH seq AS (SELECT event_type, value, epoch_us(ts) AS t_us, "
+        "lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) "
+        "AS next_us FROM events), "
+        "w AS (SELECT event_type, value, next_us - t_us AS dur_us FROM seq "
+        "WHERE next_us IS NOT NULL) "
+        "SELECT event_type, "
+        "round(SUM(value * dur_us) / SUM(dur_us), 6) AS twap, "
+        "CAST(count(*) AS BIGINT) AS n_intervals "
+        "FROM w GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("temporal", "timeseries", "twap"),
+)
+def twap_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type — the irregular-
+    sampling mean (each observation weighted by how long it was
+    current) that a plain AVG gets wrong whenever sampling density
+    correlates with the value. One lead() window per type for the
+    holding durations, then an algebraic weighted aggregate: one
+    shuffle, partial-aggregated. Ties on ts break by event_id so the
+    lead sequence (and therefore every duration) is engine-identical;
+    the quotient rounds to 6 dp (double dot-products agree to ~1e-10
+    relative between engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    return (
+        seq.withColumn("dur_us", F.col("next_us") - F.col("t_us"))
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            ).alias("twap"),
+            F.count("*").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
