@@ -68,3 +68,21 @@ def test_matches_python_reference_on_random_graph(spark):
         rank = {n: 0.15 + 0.85 * nxt[n] for n in all_nodes}
     for n in all_nodes:
         assert got[n] == pytest.approx(rank[n], rel=1e-12), n
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles; adding a pendant edge adds none. Hub
+    orientation must not change the count (node 1 is the hub)."""
+    from usgs_earthquake_data_pipeline_spark.operators.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    edges = spark.createDataFrame(k4, "src long, dst long")
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_direction_and_dup_insensitive(spark):
+    from usgs_earthquake_data_pipeline_spark.operators.graph import triangle_count
+
+    tri = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 3)]
+    edges = spark.createDataFrame(tri, "src long, dst long")
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 1

@@ -1020,3 +1020,41 @@ def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=(
+        "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem), "
+        "e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b "
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM e e1 JOIN e e2 ON e1.b = e2.a "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+    ),
+    tags=("graph", "analytics"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the co-purchase graph (parts are adjacent when
+    some order contains both) — the third graph-analytics member next
+    to PageRank and connected components; triangle density is the
+    standard community-structure signal.
+
+    The operator orients edges low-degree→high-degree before the
+    wedge join (operators/graph.py:triangle_count), bounding each
+    node's wedge contribution by ~sqrt(2m) where the oracle's plain
+    id-ordered edge-cube join lets one hub produce degree² wedges —
+    same count, hub-proof intermediates at 100 TB."""
+    from ..operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)
