@@ -107,12 +107,11 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "profile_documents_table",
     "tfidf_top_terms",
     "winsorize_value_stats",
-    # -- tier 3: round-2-green entries that read events.ts — exactly the
-    # population the format drift could silently regress -----------------
-    "a1_count_year_filter",
-    "a3_fact_yearly",
-    "a4_fact_monthly",
-    "dedup_latest_per_user",
+    # -- tier 3 (round-4 final form): the drift-canary role the
+    # a1/a3/a4 re-confirms played is covered twice over — the 17
+    # tier-1 entries all read events.ts through the same loader, and
+    # the bench re-times a1/a3/a4 every round — so their slots go to
+    # first-row coverage of the newest entries instead ----------------
     # -- tier 4: new round-4 entries (need their FIRST driver rows;
     # listed before the re-confirms so all land inside the ~50 window)
     "near_dedup_keep_one",
@@ -139,6 +138,10 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "heavy_hitters_misra_gries",
     "pandas_udaf_weighted_mean",
     "spatial_radius_join_100km",
+    "spatial_nearest_purchase",
+    "timeseries_gapfill_locf",
+    "twap_value_per_type",
+    "graph_triangle_count",
     # ann_pq_adc / ann_ivf_pq are rows-only and deliberately NOT window-listed:
     # oracle-bearing entries must keep every hash-check slot
     # (test_driver_window.py); their hard checks live in tests/test_pq.py
@@ -149,7 +152,11 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # a1/a3/a4 trio that shares the same loader + year()/month() path,
     # and the in-repo sf0.001 differential still hash-checks them
     # every test run; the headliners are re-measured by the bench) ----
+    "a1_count_year_filter",
     "a2_count_by_year",
+    "a3_fact_yearly",
+    "a4_fact_monthly",
+    "dedup_latest_per_user",
     "agg_rollup_by_type",
     "agg_cube_type_day",
     "agg_having_hot_users",
