@@ -1058,3 +1058,51 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+@register(
+    "markov_event_transitions",
+    oracle=(
+        "WITH seq AS (SELECT user_id, event_type, "
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev_type FROM events), "
+        "t AS (SELECT prev_type, event_type AS next_type, count(*) AS n "
+        "FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+        "tot AS (SELECT prev_type, SUM(n) AS row_n FROM t GROUP BY 1) "
+        "SELECT t.prev_type, t.next_type, t.n, "
+        "round(t.n / tot.row_n, 6) AS p "
+        "FROM t JOIN tot ON tot.prev_type = t.prev_type "
+        "ORDER BY 1, 2"
+    ),
+    tags=("sequence", "analytics", "window"),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event
+    stream: P(next event type | previous event type) — the clickstream
+    summary behind next-action prediction and anomaly scoring.
+
+    One lag() window per user (ties broken by event_id so the
+    sequence is engine-identical), then a 25-cell aggregate; the
+    row-normalizer joins per prev_type, a |types|-row broadcast. The
+    probability is an exact integer ratio rounded to 6 dp — no FP
+    accumulation anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
