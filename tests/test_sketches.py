@@ -137,3 +137,12 @@ def test_cms_cell_table_is_sketch_sized(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     assert cms_cells(ev, "user_id", depth=5, width=64).count() <= 5 * 64
+
+
+def test_heavy_hitters_empty_input(spark):
+    from usgs_earthquake_data_pipeline_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    df = spark.range(0).selectExpr("id AS k")
+    assert heavy_hitters_exact(df, "k", fraction=0.1).count() == 0

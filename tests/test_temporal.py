@@ -90,3 +90,27 @@ def test_compaction_target_files_multi_partition(spark, tmp_path):
         )
         assert 1 <= len(files) <= 2, files
     assert sinks.read_partitioned_table(spark, path).count() == 4000
+
+
+def test_gapfill_single_observation_key(spark):
+    """A key with one bucket yields a one-row grid, no gaps."""
+    from pyspark.sql import functions as F
+
+    from usgs_earthquake_data_pipeline_spark.operators.temporal import (
+        gapfill_locf,
+    )
+
+    obs = spark.createDataFrame(
+        [(1, "2024-01-01 05:00:00", 2.5), (2, "2024-01-01 01:00:00", 1.0),
+         (2, "2024-01-01 04:00:00", 4.0)],
+        "user_id long, bucket string, v double",
+    ).withColumn("bucket", F.col("bucket").cast("timestamp"))
+    out = gapfill_locf(
+        obs, key_col="user_id", bucket_col="bucket", value_col="v",
+        bucket_seconds=3600, grid_start=F.min("bucket"), grid_end=F.max("bucket"),
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append((r["v"], r["is_gap"]))
+    assert by_user[1] == [(2.5, 0)]
+    assert by_user[2] == [(1.0, 0), (1.0, 1), (1.0, 1), (4.0, 0)]
