@@ -246,3 +246,39 @@ def test_pq_adc_corpus_never_hash_partitioned_on_id(spark, sf_dir):
     plan = _plan(CATALOG["ann_pq_adc"].spark_fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_variant_column_parquet_round_trip(spark, tmp_path):
+    """Spark 4 VARIANT survives a parquet write/read cycle (the
+    storage story behind variant_props_buckets: encode once at
+    ingest, typed-extract forever after without re-parsing text)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(
+        F.col("id"),
+        F.parse_json(
+            F.concat(F.lit('{"k": '), F.col("id").cast("string"), F.lit("}"))
+        ).alias("v"),
+    )
+    path = str(tmp_path / "variant_rt")
+    df.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["v"] == "variant"
+    got = sorted(
+        r["k"] for r in back.select(
+            F.variant_get("v", "$.k", "bigint").alias("k")
+        ).collect()
+    )
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_topn_window_uses_group_limit_pushdown(spark, sf_dir):
+    """rank<=k filters must plan as WindowGroupLimit (per-partition
+    top-k retained BEFORE the window shuffle) — at 100 TB this is the
+    difference between shuffling every row and shuffling k rows per
+    group per partition."""
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    df = CATALOG["window_topn_per_type"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
