@@ -146,3 +146,44 @@ def test_heavy_hitters_empty_input(spark):
 
     df = spark.range(0).selectExpr("id AS k")
     assert heavy_hitters_exact(df, "k", fraction=0.1).count() == 0
+
+
+def test_hll_union_daily_accuracy_and_persistence(spark, sf_dir, tmp_path):
+    """Per-day Datasketches HLL estimates within rsd of exact, the
+    union row matches the whole-table estimate, AND sketches survive
+    a parquet round trip (the store-per-partition pattern)."""
+    rows = CATALOG["sketch_hll_union_daily"].spark_fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    exact_total = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    total_rows = [r for r in rows if r["d"] is None]
+    assert len(total_rows) == 1
+    assert abs(total_rows[0]["est_users"] - exact_total) <= max(3, 0.05 * exact_total)
+
+    # persistence: store per-day sketches, read back, union -> same estimate
+    day = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    path = str(tmp_path / "sketches")
+    day.write.parquet(path)
+    est = (
+        spark.read.parquet(path)
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .collect()[0]["est"]
+    )
+    assert est == total_rows[0]["est_users"]
+
+
+def test_approx_topk_exact_below_capacity(spark, sf_dir):
+    """With 5 distinct types under the tracked-item capacity the
+    sketch counts equal exact counts."""
+    got = {
+        (r["item"], r["cnt"])
+        for r in CATALOG["sketch_approx_topk_types"].spark_fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got <= exact and len(got) == 3

@@ -205,3 +205,56 @@ def sketch_point_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_point_estimates(
         cells, probes, "user_id", depth=5, width=4096
     ).orderBy("user_id")
+
+
+@register("sketch_hll_union_daily", tags=("sketch", "approx", "mergeable"))
+def sketch_hll_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL as a PERSISTABLE, mergeable aggregate
+    (``hll_sketch_agg`` / ``hll_union_agg`` — unlike
+    approx_count_distinct, the sketch itself is a first-class binary
+    you can store): per-day distinct-user sketches, plus their union
+    rolled up to the whole table (day NULL). This is the "sketch
+    warehouse" pattern — keep one KB-sized sketch per day/partition,
+    answer any date-range distinct query by unioning sketches, never
+    rescan raw data. Union is register-max: commutative, associative,
+    partitioning-independent. Rows-only entry (the estimate is
+    sketch-defined); accuracy + persistence round-trip in
+    tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    daily = day.select(
+        "d", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = day.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit(None).cast("int").alias("d"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return daily.unionByName(total).orderBy(F.col("d").asc_nulls_last())
+
+
+@register(
+    "sketch_approx_topk_types",
+    oracle=(
+        "SELECT event_type AS item, count(*) AS cnt FROM events "
+        "GROUP BY 1 ORDER BY cnt DESC, item LIMIT 3"
+    ),
+    tags=("sketch", "topk"),
+)
+def sketch_approx_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (frequent-items sketch) over event_type,
+    exploded to (item, cnt) rows. With cardinality far below the
+    sketch's tracked-item capacity the counts are EXACT, which is what
+    makes this oracle-checkable; past capacity it degrades to
+    bounded-error heavy hitters — the one-expression cousin of the
+    Misra-Gries operator (which this repo uses when exactness at scale
+    is required). The sketch is a partial aggregate: one row per
+    partition crosses the wire."""
+    ev = load_table(spark, sf_dir, "events")
+    topk = ev.select(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+        .orderBy(F.desc("cnt"), "item")
+    )
