@@ -282,3 +282,44 @@ def test_topn_window_uses_group_limit_pushdown(spark, sf_dir):
     df = CATALOG["window_topn_per_type"].spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_expectations_operator_counts_violations(spark):
+    from usgs_earthquake_data_pipeline_spark.operators.expectations import (
+        Rule,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -1.0, "b"), (2, 50.0, None), (3, None, "zz")],
+        "id long, v double, tag string",
+    )
+    out = {
+        r["rule"]: (r["violations"], r["ok"])
+        for r in validate(
+            df,
+            [
+                Rule("not_null", "v"),
+                Rule("in_range", "v", lo=0.0, hi=10.0),
+                Rule("in_set", "tag", values=("a", "b")),
+                Rule("matches", "tag", pattern="^[ab]$"),
+                Rule("unique", "id"),
+            ],
+        ).collect()
+    }
+    assert out["not_null:v"] == (1, 0)
+    assert out["in_range:v"] == (3, 0)  # -1 below, 50 above, NULL
+    assert out["in_set:tag"] == (2, 0)  # NULL + 'zz'
+    assert out["matches:tag"] == (2, 0)
+    assert out["unique:id"] == (1, 0)  # id=2 twice
+
+
+def test_expectations_all_green(spark):
+    from usgs_earthquake_data_pipeline_spark.operators.expectations import (
+        Rule,
+        validate,
+    )
+
+    df = spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    out = validate(df, [Rule("not_null", "v"), Rule("unique", "id")]).collect()
+    assert all(r["ok"] == 1 and r["violations"] == 0 for r in out)

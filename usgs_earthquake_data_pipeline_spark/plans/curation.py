@@ -258,3 +258,49 @@ def sketch_approx_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
         .orderBy(F.desc("cnt"), "item")
     )
+
+
+@register(
+    "dq_validate_events",
+    oracle=(
+        "WITH s AS (SELECT "
+        "CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS nn_ts, "
+        "CAST(SUM(CASE WHEN value IS NULL OR value < 0 OR value > 1000 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS rng_value, "
+        "CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN "
+        "('click','view','purchase','signup','error') THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS set_type, "
+        "CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) "
+        "AS uniq_id FROM events) "
+        "SELECT rule, violations, CAST(violations = 0 AS INT) AS ok FROM ("
+        "SELECT 'not_null:ts' AS rule, nn_ts AS violations FROM s "
+        "UNION ALL SELECT 'in_range:value', rng_value FROM s "
+        "UNION ALL SELECT 'in_set:event_type', set_type FROM s "
+        "UNION ALL SELECT 'unique:event_id', uniq_id FROM s"
+        ") t ORDER BY rule"
+    ),
+    tags=("quality", "validation", "curation"),
+)
+def dq_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative admission gate over the events table
+    (operators/expectations.py): null / range / enum / uniqueness
+    expectations compiled into one conditional-count pass (plus one
+    distinct branch for uniqueness) and reported per rule. The
+    data-as-rules front door the reference's silently-null-filling
+    ingest lacks; at 100 TB the scalar report costs one scan
+    regardless of rule count."""
+    from ..operators.expectations import Rule, validate
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        Rule("not_null", "ts"),
+        Rule("in_range", "value", lo=0.0, hi=1000.0),
+        Rule(
+            "in_set",
+            "event_type",
+            values=("click", "view", "purchase", "signup", "error"),
+        ),
+        Rule("unique", "event_id"),
+    ]
+    return validate(ev, rules).orderBy("rule")
