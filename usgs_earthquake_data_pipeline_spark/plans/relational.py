@@ -1106,3 +1106,48 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "recursive_referral_depth",
+    oracle=(
+        "WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM events), "
+        "d(id, depth) AS ("
+        "SELECT user_id, 0 FROM users WHERE user_id = 0 "
+        "UNION ALL "
+        "SELECT u.user_id, d.depth + 1 FROM users u "
+        "JOIN d ON u.user_id IN (2 * d.id, 2 * d.id + 1) "
+        "WHERE u.user_id <> 0) "
+        "SELECT depth, count(*) AS n_users, min(id) AS min_id, "
+        "max(id) AS max_id FROM d GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("recursive", "hierarchy", "sql"),
+)
+def recursive_referral_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497):
+    depth of each user in the synthetic binary referral tree
+    (parent(u) = u div 2, root 0), summarized per level. Hierarchy
+    traversal — org charts, category trees, referral chains — stated
+    declaratively; each recursion step is one join bounded by the
+    tree depth (log2 of the user count), the same per-iteration shape
+    the iterative operators (label propagation, PageRank) build by
+    hand. Spark does not yet support UNION-distinct recursion, so
+    cyclic closures (dedup_resolve_clusters) keep the iterative
+    operator; acyclic hierarchies get the declarative form. The
+    oracle runs the identical SQL in DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select("user_id").distinct().createOrReplaceTempView("__rec_users")
+    return spark.sql(
+        """
+        WITH RECURSIVE d(id, depth) AS (
+          SELECT user_id, 0 FROM __rec_users WHERE user_id = 0
+          UNION ALL
+          SELECT u.user_id, d.depth + 1 FROM __rec_users u
+          JOIN d ON u.user_id IN (2 * d.id, 2 * d.id + 1)
+          WHERE u.user_id <> 0
+        )
+        SELECT depth, count(*) AS n_users, min(id) AS min_id,
+               max(id) AS max_id
+        FROM d GROUP BY 1 ORDER BY 1
+        """
+    )
