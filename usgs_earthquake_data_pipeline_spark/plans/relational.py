@@ -1151,3 +1151,34 @@ def recursive_referral_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d GROUP BY 1 ORDER BY 1
         """
     )
+
+
+@register(
+    "pipe_syntax_error_hotspots",
+    oracle=(
+        "SELECT user_id, count(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM events WHERE event_type = 'error' "
+        "GROUP BY 1 HAVING count(*) > 10 ORDER BY 1"
+    ),
+    tags=("sql", "pipe-syntax"),
+)
+def pipe_syntax_error_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (SPARK-49555, the GoogleSQL `|>`
+    operator-chaining form): error-hotspot users stated as a linear
+    pipeline instead of inside-out SQL. Parses to exactly the plan
+    the classic form produces — syntax, not semantics — so the oracle
+    is the equivalent ANSI query and must hash-match."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__pipe_events")
+    return spark.sql(
+        """
+        FROM __pipe_events
+        |> WHERE event_type = 'error'
+        |> AGGREGATE count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           GROUP BY user_id
+        |> WHERE n > 10
+        |> ORDER BY user_id
+        """
+    )
