@@ -240,3 +240,45 @@ def test_audio_decode_invalid_and_real_format(spark):
     df2 = spark.createDataFrame([(3, wav)], "media_id long, content binary")
     with pytest.raises(Exception, match="NotImplementedError|real audio decoding"):
         M.decode_audio_stats(df2).collect()
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """Two well-separated clusters; exact duplicates (and one slightly
+    perturbed copy) must collapse to the lowest id, distinct vectors
+    survive."""
+    from usgs_earthquake_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    near_a = [0.999, 0.01, 0.0, 0.0]  # cosine vs base_a ~ 0.9999
+    rows = [
+        (1, base_a), (2, base_a), (5, near_a),   # dup family of 1
+        (3, base_b), (4, base_b),                # dup family of 3
+        (6, [0.0, 0.0, 1.0, 0.0]),               # distinct
+        (7, [0.0, 0.0, 0.0, 1.0]),               # distinct
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", k=2, dim=4, threshold=0.95
+        ).collect()
+    )
+    assert 1 in kept and 3 in kept           # family minima survive
+    assert 2 not in kept and 4 not in kept   # exact dups dropped
+    assert 5 not in kept                     # near-dup dropped
+    assert 6 in kept and 7 in kept           # distinct survive
+
+
+def test_semantic_dedup_no_dups_keeps_everything(spark, sf_dir):
+    from usgs_earthquake_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assert semantic_dedup(emb, "vec_id", "embedding", k=8, dim=64,
+                          threshold=0.9).count() == n

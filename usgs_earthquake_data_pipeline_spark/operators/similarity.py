@@ -382,3 +382,63 @@ def embedding_near_dup_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", F.round("score", 6).alias("score"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+    dim: int = 64,
+    iterations: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    by clustering embeddings first and comparing pairs ONLY within a
+    cluster — the k-means partition caps the pair space at
+    Σ|cluster|², the whole point at web scale where all-pairs cosine
+    is impossible and hashing misses paraphrases.
+
+    Keep rule: a vector is dropped iff some LOWER-id vector in its
+    cluster has cosine ≥ threshold (keep-min — deterministic, order-
+    free; transitive chains over-drop slightly, the conservative
+    direction for training-data dedup). Returns surviving
+    (id, list_id) rows.
+
+    Scale: centroids come from the decimal-exact Lloyd operator and
+    broadcast; assignment is the same no-shuffle argmin expression
+    k-means itself uses; the within-cluster self-join shuffles on
+    list_id. Grow k with the corpus to hold cluster sizes bounded.
+    """
+    from .clustering import _nearest_list_id, kmeans_lloyd
+
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cents = kmeans_lloyd(
+        df, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations, dim=dim
+    ).select("list_id", F.col("centroid").alias("c"))
+    cent_arr = F.broadcast(
+        cents.agg(F.collect_list(F.struct("list_id", "c")).alias("__cents"))
+    )
+    assigned = vecs.crossJoin(cent_arr).select(
+        "id", "v", _nearest_list_id(F.col("v")).alias("list_id")
+    )
+    a = assigned.select(
+        "list_id", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "list_id", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "id", "left_anti").select(
+        F.col("id").alias(id_col), "list_id"
+    )

@@ -896,3 +896,30 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     audio = M.attach_fake_audio(docs, "doc_id")
     return M.decode_audio_stats(audio).orderBy("media_id")
+
+
+@register("dedup_semantic_semdedup", tags=("llm", "dedup", "semantic"))
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: cluster-then-compare
+    semantic dedup (operators/similarity.py:semantic_dedup),
+    summarized per cluster as kept/dropped counts. The driver's
+    synthetic embeddings are near-orthogonal (max pairwise cosine
+    0.48, measured), so zero organic drops — the drop logic is proven
+    by planted-duplicate tests (tests/test_llm_operators.py); this
+    entry pins the end-to-end pipeline shape and its determinism.
+    Rows-only: the k-means + cosine composition has no tractable SQL
+    twin (its pieces do — kmeans_refine_centroids and the ANN
+    entries carry those gates)."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    survivors = semantic_dedup(
+        emb, "vec_id", "embedding", k=8, dim=64, threshold=0.9
+    )
+    total = emb.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        survivors.groupBy("list_id")
+        .agg(F.count("*").alias("n_kept"), F.min("vec_id").alias("min_vec_id"))
+        .crossJoin(F.broadcast(total))
+        .orderBy("list_id")
+    )
