@@ -93,3 +93,57 @@ def test_quality_metrics_are_observation_legal(spark):
     m = obs.get
     assert m["rows"] == 10
     assert m["null_tsunami"] == 10
+
+
+def test_streaming_listener_captures_progress_and_state(spark, tmp_path):
+    """availableNow run of the watermarked silver aggregation: the
+    listener must see the input rows and a bounded stateful-operator
+    state (the watermark-bug alert signal)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from usgs_earthquake_data_pipeline_spark.observability import (
+        StreamingMetricsListener,
+    )
+
+    src = str(tmp_path / "src")
+    df = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("user_id"),
+            F.timestamp_micros(
+                (F.lit(1704067200000000) + F.col("id") * 60_000_000).cast("long")
+            ).alias("ts"),
+        )
+    )
+    df.write.parquet(src)
+
+    lst = StreamingMetricsListener()
+    spark.streams.addListener(lst.listener)
+    try:
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        counts = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .count()
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("t_obs_counts")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline and lst.total_input_rows() < 100:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(lst.listener)
+    assert lst.total_input_rows() == 100
+    # 100 events over ~100 minutes -> at most 3 hourly windows of state
+    assert 1 <= lst.max_state_rows() <= 3
+    assert all("triggerExecution" in p["durationMs"] for p in lst.progress)

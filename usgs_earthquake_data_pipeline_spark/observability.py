@@ -50,3 +50,80 @@ def with_quality_observation(
     their probes, immediately before the write action."""
     obs = Observation(name)
     return df.observe(obs, *quality_metrics()), obs
+
+
+class StreamingMetricsListener:
+    """Streaming twin of the batch Observation counters: a
+    ``StreamingQueryListener`` that collects per-micro-batch progress
+    — rows read, processing duration, and stateful-operator state
+    size — into plain dicts.
+
+    State-row counts are THE production alert for watermark bugs: a
+    session/join/dedup operator whose ``numRowsTotal`` grows without
+    bound means late-data eviction is not happening and the job will
+    eventually OOM, long before wrong results surface. At 100 TB this
+    listener feeds that signal to alerting; locally the streaming
+    tests assert state stays bounded.
+
+    Use ``spark.streams.addListener(listener)`` /
+    ``removeListener``; progress arrives asynchronously after each
+    micro-batch (availableNow runs deliver every batch's event before
+    query termination completes).
+    """
+
+    def __init__(self) -> None:
+        from pyspark.sql.streaming import listener as _l
+
+        self.progress: list[dict] = []
+        self.terminated: list[str] = []
+        outer = self
+
+        class _Inner(_l.StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                state = [
+                    {
+                        "operatorName": op.operatorName,
+                        "numRowsTotal": op.numRowsTotal,
+                        "numRowsUpdated": op.numRowsUpdated,
+                    }
+                    for op in (p.stateOperators or [])
+                ]
+                outer.progress.append(
+                    {
+                        "id": str(p.id),
+                        "batchId": p.batchId,
+                        "numInputRows": p.numInputRows,
+                        "durationMs": dict(p.durationMs or {}),
+                        "stateOperators": state,
+                    }
+                )
+
+            def onQueryTerminated(self, event) -> None:
+                outer.terminated.append(str(event.id))
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+        self._inner = _Inner()
+
+    @property
+    def listener(self):
+        """The object to pass to ``spark.streams.addListener``."""
+        return self._inner
+
+    def total_input_rows(self) -> int:
+        return sum(p["numInputRows"] for p in self.progress)
+
+    def max_state_rows(self) -> int:
+        return max(
+            (
+                op["numRowsTotal"]
+                for p in self.progress
+                for op in p["stateOperators"]
+            ),
+            default=0,
+        )
