@@ -434,3 +434,104 @@ def twap_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_EWMA_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(floor({epoch} / 86400000000) AS BIGINT) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM {table} GROUP BY 1),
+idx AS (SELECT d, v, row_number() OVER (ORDER BY d) AS i FROM daily),
+ew(i, d, ewma) AS (
+  SELECT i, d, v FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.d, (idx.v + ew.ewma) / 2
+  FROM idx JOIN ew ON idx.i = ew.i + 1
+)
+SELECT d, round(ewma, 6) AS ewma FROM ew ORDER BY d
+"""
+
+
+@register(
+    "ewma_daily_value_recursive",
+    oracle=_EWMA_SQL.format(epoch="epoch_us(ts)", table="events"),
+    tags=("temporal", "timeseries", "recursive"),
+)
+def ewma_daily_value_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (α=1/2) of the daily value sum — the inherently recursive
+    timeseries smoother (each output depends on the previous output,
+    which no window frame expresses) stated with WITH RECURSIVE,
+    identical SQL in both engines. α is deliberately 1/2: each step
+    is then one IEEE addition and one exact halving, so the whole
+    chain is bit-identical across engines with NO intermediate
+    rounding. The two tempting alternatives both diverge and were
+    ruled out by measurement: rounding doubles at each step flips at
+    half boundaries (independently computed doubles one ulp apart
+    round apart and the offset persists), and decimal casts disagree
+    between engines (Spark narrows HALF_UP, DuckDB truncates —
+    0.0000025 → 0.000003 vs 0.000002). The recursion runs over the 30-row daily
+    aggregate, not raw events — depth = days, work per step = one
+    1-row join, trivially within Spark's recursion limit at any data
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ewma_events")
+    return spark.sql(
+        _EWMA_SQL.format(epoch="unix_micros(ts)", table="__ewma_events")
+    )
+
+
+@register(
+    "scd2_user_type_history",
+    oracle=(
+        "WITH seq AS (SELECT user_id, event_type, ts, "
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev_type, epoch_us(ts) AS t_us, event_id FROM events "
+        "WHERE user_id < 5), "
+        "changes AS (SELECT user_id, event_type, t_us, event_id FROM seq "
+        "WHERE prev_type IS NULL OR event_type <> prev_type), "
+        "versioned AS (SELECT user_id, event_type, t_us AS valid_from_us, "
+        "lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) "
+        "AS valid_to_us FROM changes) "
+        "SELECT user_id, event_type, valid_from_us, valid_to_us, "
+        "CAST(valid_to_us IS NULL AS INT) AS is_current "
+        "FROM versioned ORDER BY user_id, valid_from_us"
+    ),
+    tags=("temporal", "scd2", "warehouse"),
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an event log: collapse each
+    user's event-type stream into validity intervals — a row per
+    CHANGE with [valid_from, valid_to) and an is_current flag, the
+    standard warehouse shape for as-of dimension joins (the existing
+    asof_join operator is its query-side counterpart).
+
+    Two windows over the same user partitioning (lag to detect
+    changes, lead to close intervals) — one shuffle total, interval
+    count bounded by changes, not events. Ties break by event_id so
+    both engines derive identical intervals."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = seq.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            F.col("t_us").alias("valid_from_us"),
+            F.lead("t_us").over(w2).alias("valid_to_us"),
+        )
+        .withColumn(
+            "is_current", F.col("valid_to_us").isNull().cast("int")
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
