@@ -323,3 +323,22 @@ def test_expectations_all_green(spark):
     df = spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
     out = validate(df, [Rule("not_null", "v"), Rule("unique", "id")]).collect()
     assert all(r["ok"] == 1 and r["violations"] == 0 for r in out)
+
+
+def test_parameterized_sql_matches_literal(spark, sf_dir):
+    """Named parameter markers (spark.sql(..., args={...})) — the
+    injection-safe form of dynamic filtering — must plan and return
+    exactly what the literal query does."""
+    from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__param_ev")
+    got = spark.sql(
+        "SELECT event_type, count(*) AS n FROM __param_ev "
+        "WHERE event_type = :etype AND value > :floor GROUP BY 1",
+        args={"etype": "error", "floor": 50.0},
+    ).collect()
+    want = spark.sql(
+        "SELECT event_type, count(*) AS n FROM __param_ev "
+        "WHERE event_type = 'error' AND value > 50.0 GROUP BY 1"
+    ).collect()
+    assert got == want and len(got) == 1
