@@ -125,7 +125,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     # inner join (not leftsemi, which would collapse duplicate wedges)
     # of the wedge MULTISET against the distinct edge set — preserves
-    # each wedge's contribution exactly
+    # each wedge's contribution exactly. A pre-aggregation of wedge
+    # multiplicities was tried and measured SLOWER (19.2 s vs 15.5 s
+    # at sf0.1): duplicate (x, z) wedges come from different middle
+    # nodes and rarely collocate within a map task, so the "combine
+    # before shuffle" step added an exchange without shrinking one.
     closed = wedges.join(
         oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z")),
         ["x", "z"],

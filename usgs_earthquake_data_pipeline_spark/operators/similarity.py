@@ -408,8 +408,12 @@ def semantic_dedup(
 
     Scale: centroids come from the decimal-exact Lloyd operator and
     broadcast; assignment is the same no-shuffle argmin expression
-    k-means itself uses; the within-cluster self-join shuffles on
-    list_id. Grow k with the corpus to hold cluster sizes bounded.
+    k-means itself uses (linear in corpus; its interpreted decimal
+    arithmetic is the kmeans entry's documented oracle-exactness
+    trade — a production trainer would assign in float64); the
+    within-cluster comparison shuffles once on list_id. Grow k with
+    the corpus to hold cluster sizes — and each Arrow group's
+    |cluster|² similarity matrix — bounded.
     """
     from .clustering import _nearest_list_id, kmeans_lloyd
 
@@ -426,19 +430,29 @@ def semantic_dedup(
     assigned = vecs.crossJoin(cent_arr).select(
         "id", "v", _nearest_list_id(F.col("v")).alias("list_id")
     )
-    a = assigned.select(
-        "list_id", F.col("id").alias("id_a"), F.col("v").alias("va")
+    # within-cluster near-dup detection: one Arrow batch per cluster,
+    # cosine matrix via numpy matmul. The expression-form twin
+    # (self-join + the `cosine` fold) is interpreted per element and
+    # measured 8x slower at 5k vectors; the grouped-pandas kernel is
+    # the same sanctioned fast path brute_force_topk uses. Memory per
+    # group is |cluster|^2 floats — exactly the quantity k is chosen
+    # to bound (SemDeDup's premise).
+    import numpy as np
+    import pandas as pd
+
+    def drop_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        mat = np.vstack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        vn = mat / norms[:, None]
+        sim = vn @ vn.T
+        # strictly-lower-id neighbor above threshold => drop
+        mask = np.triu(sim >= threshold, k=1).any(axis=0)
+        out = pdf.loc[~mask, ["id", "list_id"]]
+        return out
+
+    survivors = assigned.groupBy("list_id").applyInPandas(
+        drop_in_cluster, "id long, list_id int"
     )
-    b = assigned.select(
-        "list_id", F.col("id").alias("id_b"), F.col("v").alias("vb")
-    )
-    dropped = (
-        a.join(b, "list_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
-        .select(F.col("id_b").alias("id"))
-        .distinct()
-    )
-    return assigned.join(dropped, "id", "left_anti").select(
-        F.col("id").alias(id_col), "list_id"
-    )
+    return survivors.select(F.col("id").alias(id_col), "list_id")
