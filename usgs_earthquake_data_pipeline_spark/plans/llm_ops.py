@@ -923,3 +923,56 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .orderBy("list_id")
     )
+
+
+@register("rag_index_ivf_hashed", tags=("llm", "retrieval", "ann", "text"))
+def rag_index_ivf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval-index build over raw TEXT — the pipeline
+    the other ANN entries assume someone already ran: documents →
+    feature-hashing vectors (functions/text.py:hashed_bow — a real
+    vocabulary-free featurizer, not an embedding stub) → IVF top-k
+    over the hashed space, self-retrieval per document.
+
+    The composite proves the pieces compose: tokenize+hash inside the
+    scan, broadcast coarse centroids, candidate generation by list
+    equi-join. Output: per-document count of retrieved neighbors and
+    the mean self-similarity sanity signal, aggregated per source.
+    Rows-only: xxhash64-derived vectors have no SQL twin (the IVF
+    candidate semantics are recall-tested in tests/test_llm_operators
+    and the exactness-bearing ANN twins carry the oracle gates)."""
+    from ..functions.text import hashed_bow
+    from ..operators.similarity import ivf_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        hashed_bow("text", dim=16).alias("embedding"),
+        "source",
+    ).filter(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v) > 0)
+    hits = ivf_topk(
+        vecs.select("vec_id", "embedding"),
+        vecs.select("vec_id", "embedding"),
+        k=3,
+        n_lists=4,
+        n_probe=2,
+        include_self=True,
+    )
+    per_doc = hits.groupBy("query_id").agg(
+        F.count("*").alias("n_hits"),
+        F.round(F.max("score"), 6).alias("best_score"),
+    )
+    return (
+        per_doc.join(
+            vecs.select(F.col("vec_id").alias("query_id"), "source"),
+            "query_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_hits").alias("n_hits"),
+            F.round(F.avg("best_score"), 6).alias("avg_best_score"),
+        )
+        .orderBy("source")
+    )
