@@ -200,3 +200,35 @@ def test_merge_rows_rejects_duplicate_keys_and_skips_empty(spark, tmp_path):
         merge_rows(spark, path, dup, ["id"], ["year", "month"])
     empty = dup.limit(0)
     assert merge_rows(spark, path, empty, ["id"], ["year", "month"]) is False
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    """Two writes -> two pinned-readable versions; latest resolves via
+    the manifest; an uncommitted directory is invisible."""
+    from usgs_earthquake_data_pipeline_spark.sinks import (
+        list_versions,
+        read_versioned_table,
+        save_versioned_table,
+    )
+
+    path = str(tmp_path / "vt")
+    v0 = save_versioned_table(spark.range(3).selectExpr("id AS a"), path)
+    v1 = save_versioned_table(spark.range(5).selectExpr("id AS a"), path)
+    assert (v0, v1) == (0, 1)
+    assert list_versions(spark, path) == [0, 1]
+    assert read_versioned_table(spark, path).count() == 5          # latest
+    assert read_versioned_table(spark, path, version=0).count() == 3  # pinned
+
+    # simulate a crashed writer: data dir exists, manifest never moved
+    spark.range(9).selectExpr("id AS a").write.parquet(f"{path}/version=2")
+    assert list_versions(spark, path) == [0, 1]      # not committed
+    assert read_versioned_table(spark, path).count() == 5  # still v1
+
+
+def test_versioned_table_empty_path_raises(spark, tmp_path):
+    from usgs_earthquake_data_pipeline_spark.sinks import read_versioned_table
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_versioned_table(spark, str(tmp_path / "missing"))

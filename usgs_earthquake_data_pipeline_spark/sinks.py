@@ -488,3 +488,100 @@ def partition_file_stats(spark, path: str):
         {"partition": k, "n_files": v[0], "total_bytes": v[1]}
         for k, v in sorted(out.items())
     ]
+
+
+# ---------------------------------------------------------------------------
+# Poor-man's time travel for the parquet fallback.
+#
+# The reference's bronze/silver are Delta tables
+# (save_to_raw_delta_prod.py:92-147) whose log gives versioned reads;
+# delta-spark is not installable in this environment, so the parquet
+# fallback gets the same CONTRACT from directory versions + an
+# atomically-renamed manifest: every write is a new immutable
+# ``version=N`` directory, readers resolve the manifest (or pin a
+# version), and a torn write can never be observed because the
+# manifest rename is the commit point.
+# ---------------------------------------------------------------------------
+
+_VERSION_MANIFEST = "_latest_version"
+
+
+def _fs_for(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+
+def list_versions(spark, path: str) -> list[int]:
+    """Committed versions, ascending. Uncommitted (manifest-less
+    newer dirs, e.g. from a crashed writer) are excluded."""
+    jvm, fs = _fs_for(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(hpath):
+        return []
+    latest = _read_latest(spark, path)
+    if latest is None:
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("version="):
+            v = int(name.split("=", 1)[1])
+            if v <= latest:
+                out.append(v)
+    return sorted(out)
+
+
+def _read_latest(spark, path: str) -> int | None:
+    jvm, fs = _fs_for(spark, path)
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_VERSION_MANIFEST}")
+    if not fs.exists(mpath):
+        return None
+    stream = fs.open(mpath)
+    try:
+        data = []
+        b = stream.read()
+        while b != -1 and len(data) < 32:
+            data.append(b)
+            b = stream.read()
+        return int(bytes(data).decode())
+    finally:
+        stream.close()
+
+
+def save_versioned_table(df: DataFrame, path: str) -> int:
+    """Write ``df`` as the next version of the table; returns the new
+    version number. The write lands in ``version=N`` (invisible to
+    readers), then the manifest is written to a temp name and RENAMED
+    over ``_latest_version`` — the rename is the atomic commit, so a
+    crash mid-write leaves the previous version intact and readable.
+    Old versions stay on disk for time travel until vacuumed."""
+    spark = df.sparkSession
+    latest = _read_latest(spark, path)
+    version = 0 if latest is None else latest + 1
+    df.write.mode("overwrite").parquet(f"{path.rstrip('/')}/version={version}")
+    jvm, fs = _fs_for(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/._manifest_tmp_{version}"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(version).encode()))
+    finally:
+        out.close()
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{_VERSION_MANIFEST}"
+    )
+    fs.delete(final, False)
+    if not fs.rename(tmp, final):  # pragma: no cover - filesystem race
+        raise IOError(f"manifest rename failed for version {version}")
+    return version
+
+
+def read_versioned_table(spark, path: str, version: int | None = None) -> DataFrame:
+    """Read the committed latest (default) or a pinned version."""
+    if version is None:
+        version = _read_latest(spark, path)
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+    return spark.read.parquet(f"{path.rstrip('/')}/version={version}")
