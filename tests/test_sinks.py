@@ -232,3 +232,26 @@ def test_versioned_table_empty_path_raises(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_versioned_table(spark, str(tmp_path / "missing"))
+
+
+def test_vacuum_versions_keeps_latest_and_drops_orphans(spark, tmp_path):
+    from usgs_earthquake_data_pipeline_spark.sinks import (
+        list_versions,
+        read_versioned_table,
+        save_versioned_table,
+        vacuum_versions,
+    )
+
+    path = str(tmp_path / "vt")
+    for n in (3, 5, 7):
+        save_versioned_table(spark.range(n).selectExpr("id AS a"), path)
+    # orphan from a crashed writer
+    spark.range(9).selectExpr("id AS a").write.parquet(f"{path}/version=9")
+
+    dropped = vacuum_versions(spark, path, keep=2)
+    assert dropped == [0]
+    assert list_versions(spark, path) == [1, 2]
+    assert read_versioned_table(spark, path).count() == 7
+    import os
+
+    assert not os.path.exists(f"{path}/version=9")  # orphan removed

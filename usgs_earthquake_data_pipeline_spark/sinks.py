@@ -585,3 +585,32 @@ def read_versioned_table(spark, path: str, version: int | None = None) -> DataFr
         if version is None:
             raise FileNotFoundError(f"no committed version at {path}")
     return spark.read.parquet(f"{path.rstrip('/')}/version={version}")
+
+
+def vacuum_versions(spark, path: str, keep: int = 2) -> list[int]:
+    """Retire old committed versions, keeping the newest ``keep``
+    (the latest is always kept). Returns the versions deleted.
+    Uncommitted directories (crashed writers) are also removed — they
+    are invisible to readers and only waste space. Mirrors Delta's
+    VACUUM retention contract on the versioned-parquet layout."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    jvm, fs = _fs_for(spark, path)
+    latest = _read_latest(spark, path)
+    if latest is None:
+        return []
+    committed = list_versions(spark, path)
+    to_drop = [v for v in committed[:-keep]] if len(committed) > keep else []
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    uncommitted = [
+        int(s.getPath().getName().split("=", 1)[1])
+        for s in fs.listStatus(hpath)
+        if s.getPath().getName().startswith("version=")
+        and int(s.getPath().getName().split("=", 1)[1]) > latest
+    ]
+    for v in to_drop + uncommitted:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/version={v}"),
+            True,
+        )
+    return sorted(to_drop)
