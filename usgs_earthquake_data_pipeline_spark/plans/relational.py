@@ -1182,3 +1182,88 @@ def pipe_syntax_error_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY user_id
         """
     )
+
+
+@register(
+    "try_arithmetic_safety",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(SUM(CASE WHEN user_id % 3 = 0 THEN NULL ELSE "
+        "CAST(round(value / (user_id % 3), 6) AS DECIMAL(18,6)) END) "
+        "AS DOUBLE) AS sum_safe_ratio, "
+        "CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_null_div, "
+        "CAST(SUM(CASE WHEN TRY_CAST(substr(props, 8, 2) AS BIGINT) IS NULL "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_badcast "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("sql", "error-safe", "try"),
+)
+def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe SQL semantics (``try_divide`` / ``try_cast``): the
+    ANSI-mode-friendly forms that turn would-be runtime errors
+    (division by zero, malformed casts) into NULLs instead of killing
+    a 1000-executor job hours in — the operational difference between
+    'one bad row poisons the batch' and 'bad rows are counted and
+    quarantined'. The oracle states the identical semantics with
+    portable CASE/TRY_CAST; per-type sums are decimal-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("user_id") % 3
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.round(F.try_divide("value", d), 6).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("sum_safe_ratio"),
+            F.sum((d == 0).cast("bigint")).alias("n_null_div"),
+            F.sum(
+                F.substring("props", 8, 2)
+                .try_cast("bigint")
+                .isNull()
+                .cast("bigint")
+            ).alias("n_badcast"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "hof_user_value_trend",
+    oracle=(
+        "WITH u AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs "
+        "FROM events WHERE user_id < 10 GROUP BY 1) "
+        "SELECT user_id, len(vs) AS n, "
+        "len(list_filter(list_zip(vs[2:], vs[1:-1]), p -> p[1] > p[2])) "
+        "AS n_increases FROM u ORDER BY 1"
+    ),
+    tags=("hof", "array", "analytics"),
+)
+def hof_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions end to end: each user's value
+    sequence (event-time order, event_id tie-break via lexicographic
+    struct sort) analyzed entirely inside array expressions —
+    zip-with-shifted-self counts strictly increasing steps without a
+    second window or explode. The sequence materializes once per user
+    (bounded by per-key history, the contract for HOF pipelines at
+    scale); the oracle mirrors it with DuckDB's list lambdas."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    grouped = ev.groupBy("user_id").agg(
+        F.transform(arr, lambda s: s["value"]).alias("vs")
+    )
+    n = F.size("vs")
+    increases = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice("vs", 2, n - 1),
+                F.slice("vs", 1, n - 1),
+                lambda cur, prev: cur > prev,
+            ),
+            lambda x: x,
+        )
+    )
+    return grouped.select(
+        "user_id", n.alias("n"), increases.alias("n_increases")
+    ).orderBy("user_id")
