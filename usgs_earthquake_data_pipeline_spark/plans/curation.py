@@ -304,3 +304,52 @@ def dq_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         Rule("unique", "event_id"),
     ]
     return validate(ev, rules).orderBy("rule")
+
+
+@register(
+    "bitmap_distinct_users_daily",
+    oracle=(
+        "SELECT CAST(day(ts) AS INT) AS d, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events "
+        "GROUP BY 1 "
+        "UNION ALL "
+        "SELECT CAST(NULL AS INT) AS d, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events "
+        "ORDER BY d NULLS LAST"
+    ),
+    tags=("bitmap", "distinct", "mergeable"),
+)
+def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable roaring-style bitmaps
+    (``bitmap_construct_agg`` over (bucket, position) decomposition):
+    per-day distinct users, plus the whole-table distinct computed by
+    OR-merging the per-day bitmaps — NOT by rescanning.
+
+    This is the segment-analytics middle ground between exact
+    COUNT(DISTINCT) (shuffles every value, not mergeable across
+    precomputed partitions) and HLL (mergeable but approximate):
+    bitmaps are both mergeable AND exact, at a cost linear in the id
+    range per bucket. The oracle re-derives both levels with plain
+    COUNT DISTINCT — equality IS the exactness proof, driver-hashed.
+    At 100 TB: a bitmap per (day, bucket) is the stored aggregate;
+    any date-range distinct query is a bitmap OR, the same pattern
+    as the HLL sketch-warehouse entry but with zero error."""
+    ev = load_table(spark, sf_dir, "events")
+    day_bm = ev.groupBy(
+        F.dayofmonth("ts").alias("d"),
+        F.bitmap_bucket_number("user_id").alias("b"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    daily = (
+        day_bm.select("d", F.bitmap_count("bm").alias("n"))
+        .groupBy("d")
+        .agg(F.sum("n").alias("n_users"))
+    )
+    total = (
+        day_bm.groupBy("b")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("n"))
+        .agg(
+            F.lit(None).cast("int").alias("d"),
+            F.sum("n").alias("n_users"),
+        )
+    )
+    return daily.unionByName(total).orderBy(F.col("d").asc_nulls_last())
