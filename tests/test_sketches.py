@@ -187,3 +187,27 @@ def test_approx_topk_exact_below_capacity(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got <= exact and len(got) == 3
+
+
+def test_histogram_numeric_invariants(spark, sf_dir):
+    rows = CATALOG["sketch_histogram_numeric"].spark_fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    stats = {
+        r["event_type"]: (r["n"], r["lo"], r["hi"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert len(rows) == len(stats)
+    for r in rows:
+        n, lo, hi = stats[r["event_type"]]
+        ys = [b["y"] for b in r["bins"]]
+        xs = [b["x"] for b in r["bins"]]
+        assert abs(sum(ys) - n) < 1e-6
+        assert all(y > 0 for y in ys)
+        assert all(lo <= x <= hi for x in xs)
+        assert xs == sorted(xs)  # centroids ascend

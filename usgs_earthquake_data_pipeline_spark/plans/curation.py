@@ -353,3 +353,23 @@ def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return daily.unionByName(total).orderBy(F.col("d").asc_nulls_last())
+
+
+@register("sketch_histogram_numeric", tags=("sketch", "approx", "histogram"))
+def sketch_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``histogram_numeric``: the streaming mergeable equi-height
+    histogram sketch (Ben-Haim & Tom-Tov's decision-tree histogram) —
+    per event type, 5 (centroid, weight) bins over value. Completes
+    the sketch family's distribution summary next to the quantile
+    sketch: fixed-size, mergeable, one pass. Rows-only (bin centroids
+    are sketch-defined); invariants — weights sum to the row count,
+    centroids inside [min, max], weights positive — are asserted in
+    tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__hist_ev")
+    return spark.sql(
+        "SELECT event_type, "
+        "transform(histogram_numeric(value, 5), "
+        "  b -> struct(round(b.x, 6) AS x, CAST(b.y AS DOUBLE) AS y)) AS bins "
+        "FROM __hist_ev GROUP BY event_type ORDER BY event_type"
+    )

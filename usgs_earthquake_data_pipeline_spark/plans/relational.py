@@ -1267,3 +1267,31 @@ def hof_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "user_id", n.alias("n"), increases.alias("n_increases")
     ).orderBy("user_id")
+
+
+@register(
+    "listagg_user_types",
+    oracle=(
+        "SELECT user_id, "
+        "string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types "
+        "FROM events WHERE user_id < 20 AND value > 90 "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("sql", "listagg", "agg"),
+)
+def listagg_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 LISTAGG (Spark 4's ``listagg ... WITHIN GROUP``):
+    each user's distinct high-value event types as one ordered
+    comma-joined string — the report-layer aggregation DuckDB spells
+    ``string_agg``. Deterministic because DISTINCT + WITHIN GROUP
+    ORDER BY pin both membership and order; the high-value filter
+    keeps per-user sets distinct enough to exercise the ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter((F.col("user_id") < 20) & (F.col("value") > 90)).select(
+        "user_id", "event_type"
+    ).createOrReplaceTempView("__listagg_ev")
+    return spark.sql(
+        "SELECT user_id, listagg(DISTINCT event_type, ',') "
+        "WITHIN GROUP (ORDER BY event_type) AS types "
+        "FROM __listagg_ev GROUP BY user_id ORDER BY user_id"
+    )
