@@ -1295,3 +1295,36 @@ def listagg_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITHIN GROUP (ORDER BY event_type) AS types "
         "FROM __listagg_ev GROUP BY user_id ORDER BY user_id"
     )
+
+
+@register(
+    "agg_mode_median_per_user",
+    oracle=(
+        "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events "
+        "WHERE user_id < 25 GROUP BY 1, 2), "
+        "r AS (SELECT user_id, event_type, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY n DESC, event_type) AS rk FROM c) "
+        "SELECT r.user_id, r.event_type AS modal_type, "
+        "median(e.value) AS median_value "
+        "FROM r JOIN events e ON e.user_id = r.user_id "
+        "WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1"
+    ),
+    tags=("agg", "mode", "median"),
+)
+def agg_mode_median_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ``mode()`` and exact ``median()`` per user — the
+    order-statistics aggregates. ``mode(x, true)`` pins ties to the
+    lowest value (a bare mode() is legal-but-arbitrary on ties, which
+    a correctness gate can't accept), matching the oracle's explicit
+    count-then-lexicographic ranking; both engines interpolate the
+    even-count median as the midpoint of the two central stored
+    doubles, so equality is exact without rounding."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr("mode(event_type, true)").alias("modal_type"),
+            F.median("value").alias("median_value"),
+        )
+        .orderBy("user_id")
+    )
