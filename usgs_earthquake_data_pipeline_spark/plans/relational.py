@@ -1328,3 +1328,49 @@ def agg_mode_median_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle=(
+        "WITH k AS (SELECT event_id, CASE WHEN value < 10 THEN NULL "
+        "ELSE CAST(floor(value / 100) AS BIGINT) END AS vband, event_type "
+        "FROM events), "
+        "e AS (SELECT vband, count(*) AS n_err FROM k "
+        "WHERE event_type = 'error' GROUP BY 1), "
+        "p AS (SELECT vband, count(*) AS n_buy FROM k "
+        "WHERE event_type = 'purchase' GROUP BY 1) "
+        "SELECT e.vband, n_err, n_buy FROM e JOIN p "
+        "ON e.vband IS NOT DISTINCT FROM p.vband "
+        "ORDER BY e.vband NULLS FIRST"
+    ),
+    tags=("join", "null-semantics"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the
+    NULL band is a real joinable group instead of silently dropping
+    (plain `=` never matches NULL = NULL — a classic silent-data-loss
+    bug when a banding expression produces NULLs). Still a hash-
+    joinable equi-condition: Catalyst plans `<=>` as an equi-join key,
+    not a nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    band = F.when(F.col("value") < 10, F.lit(None)).otherwise(
+        F.floor(F.col("value") / 100).cast("bigint")
+    )
+    k = ev.select("event_type", band.alias("vband"))
+    e = (
+        k.filter(F.col("event_type") == "error")
+        .groupBy("vband")
+        .agg(F.count("*").alias("n_err"))
+    )
+    p = (
+        k.filter(F.col("event_type") == "purchase")
+        .groupBy("vband")
+        .agg(F.count("*").alias("n_buy"))
+        .withColumnRenamed("vband", "p_vband")
+    )
+    return (
+        e.join(p, e.vband.eqNullSafe(F.col("p_vband")))
+        .select("vband", "n_err", "n_buy")
+        .orderBy(F.col("vband").asc_nulls_first())
+    )
