@@ -1374,3 +1374,75 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vband", "n_err", "n_buy")
         .orderBy(F.col("vband").asc_nulls_first())
     )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle=(
+        "WITH t AS (SELECT event_type, value, ntile(4) OVER ("
+        "PARTITION BY event_type ORDER BY value, event_id) AS q FROM events) "
+        "SELECT event_type, q, count(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("window", "ntile", "analytics"),
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile assignment per event type, summarized per
+    bucket. ntile's bucket boundaries depend on ROW order, not value
+    rank — ties split across buckets by position — so the ordering
+    carries the event_id tie-break to keep both engines' assignments
+    identical; bucket sums are decimal-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("q", F.ntile(4).over(w))
+        .groupBy("event_type", "q")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+@register(
+    "setop_union_by_name_evolution",
+    oracle=(
+        "WITH old_snap AS (SELECT doc_id, lang, CAST(NULL AS BIGINT) "
+        "AS n_chars FROM documents WHERE doc_id % 2 = 0), "
+        "new_snap AS (SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE doc_id % 2 = 1) "
+        "SELECT lang, count(*) AS n, "
+        "CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_missing_schema "
+        "FROM (SELECT * FROM old_snap UNION ALL SELECT * FROM new_snap) t "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("setop", "schema-evolution"),
+)
+def setop_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union (``unionByName(allowMissingColumns=True)``):
+    an old snapshot lacking a later-added column unions with the new
+    snapshot, NULL-filling the gap — the K6 schema-merge semantics at
+    the DataFrame level, where positional UNION would silently
+    misalign columns. The missing-schema rows stay countable, not
+    lost."""
+    docs = load_table(spark, sf_dir, "documents")
+    old_snap = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new_snap = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    )
+    merged = old_snap.unionByName(new_snap, allowMissingColumns=True)
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("n_chars").isNull().cast("bigint")).alias(
+                "n_missing_schema"
+            ),
+        )
+        .orderBy("lang")
+    )
