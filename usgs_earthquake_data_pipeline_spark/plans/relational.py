@@ -1446,3 +1446,50 @@ def setop_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ab_test_conversion_lift",
+    oracle=(
+        "WITH u AS (SELECT user_id, "
+        "CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0 "
+        "THEN 'A' ELSE 'B' END AS arm, "
+        "max(CASE WHEN event_type = 'purchase' AND value > 95 "
+        "THEN 1 ELSE 0 END) AS converted "
+        "FROM events GROUP BY 1) "
+        "SELECT arm, count(*) AS n_users, "
+        "CAST(SUM(converted) AS BIGINT) AS n_converted, "
+        "round(SUM(converted) * 1.0 / count(*), 6) AS rate "
+        "FROM u GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("analytics", "experiment", "ab-test"),
+)
+def ab_test_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: deterministic 50/50 arm assignment by
+    multiplicative-hash parity of user_id (the engine-portable form of
+    hash bucketing — xxhash64 differs between engines, exact integer
+    arithmetic doesn't), high-value purchase conversion per arm. The
+    assignment is stable across runs/partitions/engines, the property
+    an experiment platform actually needs; the conversion flag is a
+    per-user max, so event volume never biases the rate."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        ((F.col("user_id") * 2654435761) % 4294967296) % 2 == 0, "A"
+    ).otherwise("B")
+    converted = F.max(
+        (
+            (F.col("event_type") == "purchase") & (F.col("value") > 95)
+        ).cast("int")
+    )
+    users = ev.groupBy("user_id").agg(
+        F.first(arm).alias("arm"), converted.alias("converted")
+    )
+    return (
+        users.groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.round(F.sum("converted") / F.count("*"), 6).alias("rate"),
+        )
+        .orderBy("arm")
+    )
