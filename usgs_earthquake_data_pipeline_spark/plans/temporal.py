@@ -535,3 +535,44 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us")
     )
+
+
+@register(
+    "sliding_window_counts",
+    oracle=(
+        "WITH b AS (SELECT CAST(floor(epoch_us(ts) / 1800000000) "
+        "* 1800000000 AS BIGINT) AS s30, value FROM events), "
+        "w AS (SELECT s30 AS win_start_us, value FROM b "
+        "UNION ALL SELECT s30 - 1800000000, value FROM b) "
+        "SELECT win_start_us, count(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM w GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("temporal", "window", "sliding"),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h windows every 30 min,
+    ``F.window(ts, dur, slide)``): each event lands in dur/slide = 2
+    overlapping windows — the hopping-aggregate shape streaming SLAs
+    are measured in (tumbling and session windows carry their own
+    entries). Spark plans the window assignment as an Expand (local
+    row fan-out, no UDF, no join); the oracle derives the same two
+    covering window starts arithmetically and UNION ALLs them. At
+    100 TB the exchange is bounded by windows × groups, with the
+    fan-out factor (dur/slide) a known plan constant."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("win_start_us")
+    )
