@@ -438,3 +438,60 @@ def test_tws_processor_late_event_extends_not_shrinks(spark):
     assert e_us == end_before  # end unchanged
     assert s_us == int(T0.timestamp() * 1_000_000)  # start extended back
     assert n == 2 and sv == 3.0
+
+
+def test_tws_and_batch_twin_agree_across_random_batchings(spark):
+    """Property-style cross-validation: the TWS processor must emit
+    the same closed sessions as sessionize_batch regardless of how
+    events are split into micro-batches (seeded shuffles)."""
+    import random
+
+    rows = []
+    rng = random.Random(42)
+    for uid in (1, 2, 3):
+        t = T0
+        for _ in range(12):
+            t = t + timedelta(minutes=rng.choice([5, 10, 25, 45]))
+            rows.append((uid, t, float(rng.randint(1, 9))))
+
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in sessionize_batch(df, gap_seconds=1800).collect()
+    }
+
+    for seed in (0, 1, 2):
+        # the streaming contract: batches advance in time per key
+        # (watermark order); ARBITRARY disorder is allowed only
+        # WITHIN a batch. Cross-batch time travel into an already
+        # gap-closed session is out of contract for any append-mode
+        # sessionizer (the batch twin, with global hindsight, would
+        # assign it differently) — so chunks are contiguous in time
+        # and shuffled internally.
+        batches_per_user = {}
+        per_user = {}
+        for uid, ts, v in rows:
+            per_user.setdefault(uid, []).append((ts, v))
+        rng2 = random.Random(seed)
+        for uid, evs in per_user.items():
+            evs = sorted(evs)
+            c1, c2 = rng2.randint(1, len(evs) - 2), rng2.randint(2, len(evs) - 1)
+            c1, c2 = min(c1, c2), max(c1, c2)
+            chunks = [evs[:c1], evs[c1:c2], evs[c2:]]
+            for chunk in chunks:
+                rng2.shuffle(chunk)
+            batches_per_user[uid] = chunks
+        wm = int((T0 + timedelta(days=2)).timestamp() * 1000)
+        # watermark passes everything only after the final batch
+        got_df = _drive_tws(batches_per_user, 1800, [0, 0, wm])
+        got = {
+            (
+                r.user_id,
+                r.session_start.to_pydatetime(),
+                r.session_end.to_pydatetime(),
+                r.n_events,
+                r.sum_value,
+            )
+            for r in got_df.itertuples()
+        }
+        assert got == want, f"seed {seed}: TWS diverged from batch twin"
