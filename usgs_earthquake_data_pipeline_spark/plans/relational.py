@@ -1493,3 +1493,42 @@ def ab_test_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "map_type_counts",
+    oracle=(
+        "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events "
+        "WHERE user_id < 25 GROUP BY 1, 2) "
+        "SELECT user_id, "
+        "CAST(count(*) AS INT) AS n_types, "
+        "CAST(coalesce(SUM(CASE WHEN event_type = 'click' THEN n END), 0) "
+        "AS BIGINT) AS n_clicks, "
+        "CAST(SUM(CASE WHEN n > 10 THEN 1 ELSE 0 END) AS INT) AS n_hot_types "
+        "FROM c GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("map", "complex-types"),
+)
+def map_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType end to end: per-user event-type counts built into a
+    real ``map<string,bigint>`` (``map_from_entries`` over the
+    collected pairs) and then QUERIED with the map algebra —
+    ``size``, ``element_at`` (missing key → NULL, coalesced), and
+    ``map_filter`` for the hot-type count. Maps never reach the
+    output (map column order is engine-undefined — the catalog's
+    no-unhashable-outputs rule); the scalars extracted from them are
+    what the oracle reproduces relationally. The map per user is
+    bounded by |event types|, the usual contract for map-typed
+    feature bundles at scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    pairs = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = F.map_from_entries(F.collect_list(F.struct("event_type", "n")))
+    mapped = pairs.groupBy("user_id").agg(m.alias("m"))
+    return mapped.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias(
+            "n_clicks"
+        ),
+        F.size(F.map_filter("m", lambda k, v: v > 10)).alias("n_hot_types"),
+    ).orderBy("user_id")
