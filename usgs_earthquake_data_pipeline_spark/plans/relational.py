@@ -1532,3 +1532,46 @@ def map_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.map_filter("m", lambda k, v: v > 10)).alias("n_hot_types"),
     ).orderBy("user_id")
+
+
+@register(
+    "format_roundtrip_xml_csv",
+    oracle=(
+        "SELECT event_id AS xml_id, event_type AS xml_type, "
+        "event_id AS csv_id, value AS csv_value "
+        "FROM events WHERE user_id < 5 ORDER BY event_id"
+    ),
+    tags=("xml", "csv", "semi-structured"),
+)
+def format_roundtrip_xml_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-record XML and CSV parsing (``from_xml`` — Spark 4's
+    fourth semi-structured reader next to JSON/variant — and
+    ``from_csv``): each event is rendered to an XML fragment and a
+    CSV line with pure string expressions, parsed back through the
+    typed readers, and the EXTRACTED fields are the output. The
+    oracle is the plain projection of the original columns — the
+    hash match proves the render→parse round trip is lossless, which
+    is a stronger statement than any structural assertion. Both
+    parsers run inside codegen with the scan; no Python."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    xml = F.concat(
+        F.lit("<e><id>"),
+        F.col("event_id"),
+        F.lit("</id><t>"),
+        F.col("event_type"),
+        F.lit("</t></e>"),
+    )
+    csv = F.concat_ws(",", F.col("event_id"), F.col("value"))
+    return (
+        ev.select(
+            F.from_xml(xml, "id BIGINT, t STRING").alias("x"),
+            F.from_csv(csv, "id BIGINT, v DOUBLE").alias("c"),
+        )
+        .select(
+            F.col("x.id").alias("xml_id"),
+            F.col("x.t").alias("xml_type"),
+            F.col("c.id").alias("csv_id"),
+            F.col("c.v").alias("csv_value"),
+        )
+        .orderBy("xml_id")
+    )
