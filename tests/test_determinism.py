@@ -24,6 +24,9 @@ _REPRESENTATIVES = [
     "lateral_top_spenders_per_nation",
     "pandas_udaf_weighted_mean",      # grouped-agg UDF
     "dq_validate_events",
+    "map_type_counts",            # collect_list -> map (order-insensitive reads)
+    "hof_user_value_trend",       # collect_list -> array_sort pipeline
+    "sliding_window_counts",      # Expand fan-out windows
 ]
 
 
