@@ -1575,3 +1575,36 @@ def format_roundtrip_xml_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("xml_id")
     )
+
+
+@register(
+    "crypto_roundtrip_aes",
+    oracle=(
+        "SELECT doc_id, substr(text, 1, 24) AS text_head, "
+        "CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents WHERE doc_id < 100 ORDER BY doc_id"
+    ),
+    tags=("crypto", "pii", "security"),
+)
+def crypto_roundtrip_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round trip (``aes_encrypt`` /
+    ``aes_decrypt``, AES-128): document text encrypted and decrypted
+    inside the plan, with the DECRYPTED text projected — the oracle
+    is the plain projection, so the hash match proves the cipher
+    round trip lossless (the same proof pattern as the XML/CSV
+    entry). ECB mode here because the proof needs a deterministic
+    ciphertext path; production column encryption uses GCM (random
+    IV, ciphertext non-deterministic by design) where only the
+    round-trip property — not the ciphertext — is comparable. This
+    is the at-rest PII-protection primitive the redaction operator
+    (text_redact_pii) complements: redact what you never need back,
+    encrypt what you sometimes do."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    key = F.lit("0123456789abcdef")
+    enc = F.aes_encrypt(F.col("text").cast("binary"), key, F.lit("ECB"))
+    dec = F.aes_decrypt(enc, key, F.lit("ECB")).cast("string")
+    return docs.select(
+        "doc_id",
+        F.substring(dec, 1, 24).alias("text_head"),
+        F.length(dec).cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
