@@ -1608,3 +1608,44 @@ def crypto_roundtrip_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(dec, 1, 24).alias("text_head"),
         F.length(dec).cast("bigint").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle=(
+        "WITH n AS (SELECT DISTINCT p_name FROM part), "
+        "b AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM n) "
+        "SELECT a.p_name AS name_a, c.p_name AS name_b, "
+        "CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist "
+        "FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name "
+        "WHERE levenshtein(a.p_name, c.p_name) <= 3 "
+        "ORDER BY 1, 2"
+    ),
+    tags=("fuzzy", "entity-resolution", "dedup"),
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity-resolution shape): near-
+    duplicate part names within edit distance 3, candidate-generated
+    by an equi-join on the product noun (the second word) before the
+    levenshtein verify — the blocking that keeps fuzzy joins off the
+    all-pairs cliff exactly like the shingle/grid/cluster blockers in
+    the dedup, spatial, and SemDeDup operators. The distinct-names
+    projection runs first, so the pair space is bounded by distinct
+    VALUES, not rows; both engines implement classic unweighted edit
+    distance, so the verify agrees exactly."""
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    b = names.select(
+        "p_name", F.element_at(F.split("p_name", " "), 2).alias("blk")
+    )
+    a = b.select(F.col("p_name").alias("name_a"), "blk")
+    c = b.select(F.col("p_name").alias("name_b"), "blk")
+    return (
+        a.join(c, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
