@@ -1,0 +1,126 @@
+"""Unit tests for the MERGE / CDC operators (operators/merge.py) and
+their wiring onto the versioned-parquet table layer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usgs_earthquake_data_pipeline_spark.operators.merge import (
+    diff_snapshots,
+    merge_delete,
+    merge_upsert,
+)
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k BIGINT, v STRING")
+
+
+def test_merge_upsert_updates_inserts_keeps(spark):
+    target = _kv(spark, [(1, "a"), (2, "b"), (3, "c")])
+    source = _kv(spark, [(2, "B"), (4, "D")])
+    got = {
+        (r.k, r.v)
+        for r in merge_upsert(target, source, ["k"], broadcast_source=True).collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
+
+
+def test_merge_upsert_source_wins_on_every_key_collision(spark):
+    target = _kv(spark, [(i, f"old{i}") for i in range(10)])
+    source = _kv(spark, [(i, f"new{i}") for i in range(10)])
+    got = merge_upsert(target, source, ["k"]).collect()
+    assert len(got) == 10
+    assert all(r.v.startswith("new") for r in got)
+
+
+def test_merge_upsert_composite_key(spark):
+    schema = "k1 BIGINT, k2 STRING, v DOUBLE"
+    target = spark.createDataFrame([(1, "x", 1.0), (1, "y", 2.0)], schema)
+    source = spark.createDataFrame([(1, "y", 9.0), (2, "x", 3.0)], schema)
+    got = {
+        (r.k1, r.k2, r.v)
+        for r in merge_upsert(target, source, ["k1", "k2"]).collect()
+    }
+    assert got == {(1, "x", 1.0), (1, "y", 9.0), (2, "x", 3.0)}
+
+
+def test_merge_upsert_rejects_missing_columns(spark):
+    target = _kv(spark, [(1, "a")])
+    source = spark.createDataFrame([(1,)], "k BIGINT")
+    with pytest.raises(ValueError, match="missing target columns"):
+        merge_upsert(target, source, ["k"])
+
+
+def test_merge_upsert_rejects_empty_keys(spark):
+    df = _kv(spark, [(1, "a")])
+    with pytest.raises(ValueError, match="at least one key"):
+        merge_upsert(df, df, [])
+
+
+def test_merge_upsert_broadcasts_source_not_target(spark):
+    """The CDC contract: the small change batch broadcasts; the big
+    target is never exchanged for the anti join."""
+    target = _kv(spark, [(i, "t") for i in range(100)])
+    source = _kv(spark, [(1, "s")])
+    plan = merge_upsert(
+        target, source, ["k"], broadcast_source=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_merge_delete_drops_matched_keys_only(spark):
+    target = _kv(spark, [(1, "a"), (2, "b"), (3, "c")])
+    tomb = spark.createDataFrame([(2,), (9,)], "k BIGINT")
+    got = {(r.k, r.v) for r in merge_delete(target, tomb, ["k"]).collect()}
+    assert got == {(1, "a"), (3, "c")}
+
+
+def test_diff_snapshots_classifies_all_change_types(spark):
+    old = _kv(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _kv(spark, [(2, "B"), (3, "c"), (4, "d")])
+    rows = {
+        r.k: (r.change_type, r.old_v, r.new_v)
+        for r in diff_snapshots(old, new, ["k"]).collect()
+    }
+    # key 3 is unchanged -> excluded from the feed
+    assert rows == {
+        1: ("delete", "a", None),
+        2: ("update", "b", "B"),
+        4: ("insert", None, "d"),
+    }
+
+
+def test_diff_snapshots_null_safe_equality(spark):
+    """NULL == NULL must count as unchanged; NULL -> value is an
+    update (the eqNullSafe path)."""
+    old = _kv(spark, [(1, None), (2, None)])
+    new = _kv(spark, [(1, None), (2, "x")])
+    rows = {r.k: r.change_type for r in diff_snapshots(old, new, ["k"]).collect()}
+    assert rows == {2: "update"}
+
+
+def test_diff_snapshots_explicit_compare_subset(spark):
+    schema = "k BIGINT, a STRING, b STRING"
+    old = spark.createDataFrame([(1, "x", "p")], schema)
+    new = spark.createDataFrame([(1, "x", "q")], schema)
+    # compare only column a -> no change surfaces
+    assert diff_snapshots(old, new, ["k"], compare_cols=["a"]).count() == 0
+    got = diff_snapshots(old, new, ["k"], compare_cols=["b"]).collect()
+    assert [(r.k, r.change_type, r.old_b, r.new_b) for r in got] == [
+        (1, "update", "p", "q")
+    ]
+
+
+def test_merge_then_diff_roundtrip(spark):
+    """diff(target, merge(target, batch)) recovers exactly the batch's
+    effective changes — the CDC feed of the merge."""
+    target = _kv(spark, [(1, "a"), (2, "b")])
+    batch = _kv(spark, [(2, "B"), (3, "c"), (1, "a")])  # (1,'a') is a no-op
+    merged = merge_upsert(target, batch, ["k"])
+    feed = {
+        (r.k, r.change_type)
+        for r in diff_snapshots(target, merged, ["k"]).collect()
+    }
+    assert feed == {(2, "update"), (3, "insert")}

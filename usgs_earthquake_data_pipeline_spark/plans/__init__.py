@@ -14,3 +14,4 @@ from . import streaming_entries  # noqa: F401  (registers the streaming entry)
 from . import parity_geojson  # noqa: F401  (registers the GeoJSON parse-path entry)
 from . import corpus_ops  # noqa: F401  (registers the corpus-curation entries)
 from . import spatial  # noqa: F401  (registers the geospatial entries)
+from . import warehouse  # noqa: F401  (registers MERGE/CDC table-maintenance entries)

@@ -1,0 +1,110 @@
+"""Warehouse table-maintenance entries: MERGE upsert and CDC
+snapshot diff.
+
+The reference maintains its silver tables by full overwrite
+(/root/reference/usgs_tsunami_count_fact_silver.py:57-72); the
+Delta-native form of that maintenance is ``MERGE INTO`` (upsert a
+change batch) and the change-data-feed diff. Both are implemented as
+pure DataFrame algebra in ``operators/merge.py`` and exercised here
+under the DuckDB oracle gate. Same alignment rules as catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import diff_snapshots, merge_upsert
+from ..sources.tables import load_table
+from .catalog import register
+
+
+@register(
+    "merge_upsert_customer_balance",
+    oracle=(
+        "WITH src AS ("
+        "  SELECT o_custkey AS k, "
+        "         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal, "
+        "         'updated' AS status "
+        "  FROM orders GROUP BY 1 "
+        "  UNION ALL "
+        "  SELECT s_suppkey + 10000000, 0.0, 'inserted' FROM supplier"
+        ") "
+        "SELECT k, bal, status FROM src "
+        "UNION ALL "
+        "SELECT c_custkey AS k, c_acctbal AS bal, 'existing' AS status "
+        "FROM customer WHERE c_custkey NOT IN (SELECT k FROM src)"
+    ),
+    tags=("warehouse", "merge"),
+)
+def merge_upsert_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO: a CDC batch (per-customer lifetime
+    spend, plus brand-new accounts) upserted into the customer
+    snapshot. Matched customers get the new balance, unmatched
+    survive, new keys insert. The change batch is broadcast — the
+    target table never shuffles, which is what makes this merge
+    survive a 100 TB target."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    target = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("existing").alias("status"),
+    )
+    updates = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bal")
+    ).withColumn("status", F.lit("updated"))
+    inserts = supp.select(
+        (F.col("s_suppkey") + F.lit(10000000)).alias("k"),
+        F.lit(0.0).alias("bal"),
+        F.lit("inserted").alias("status"),
+    )
+    source = updates.unionByName(inserts)
+    return merge_upsert(target, source, keys=["k"], broadcast_source=True)
+
+
+@register(
+    "cdc_diff_user_value",
+    oracle=(
+        "WITH old AS ("
+        "  SELECT user_id, "
+        "         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val "
+        "  FROM events WHERE day(ts) BETWEEN 1 AND 15 GROUP BY 1"
+        "), new AS ("
+        "  SELECT user_id, "
+        "         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val "
+        "  FROM events WHERE day(ts) BETWEEN 8 AND 22 GROUP BY 1"
+        ") "
+        "SELECT COALESCE(old.user_id, new.user_id) AS user_id, "
+        "       CASE WHEN old.user_id IS NULL THEN 'insert' "
+        "            WHEN new.user_id IS NULL THEN 'delete' "
+        "            ELSE 'update' END AS change_type, "
+        "       old.val AS old_val, new.val AS new_val "
+        "FROM old FULL OUTER JOIN new ON old.user_id = new.user_id "
+        "WHERE old.user_id IS NULL OR new.user_id IS NULL "
+        "   OR old.val IS DISTINCT FROM new.val"
+    ),
+    tags=("warehouse", "cdc"),
+)
+def cdc_diff_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two snapshots of a per-user rollup
+    (overlapping time slices, so all three change types occur).
+    One co-partitioned full-outer join; classification is codegen."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(lo: int, hi: int) -> DataFrame:
+        return (
+            ev.filter(F.dayofmonth("ts").between(lo, hi))
+            .groupBy("user_id")
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("val")
+            )
+        )
+
+    return diff_snapshots(snap(1, 15), snap(8, 22), keys=["user_id"])
