@@ -124,3 +124,73 @@ def test_merge_then_diff_roundtrip(spark):
         for r in diff_snapshots(target, merged, ["k"]).collect()
     }
     assert feed == {(2, "update"), (3, "insert")}
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table wiring: MERGE INTO + file-level data skipping.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as _F
+
+from usgs_earthquake_data_pipeline_spark import sinks
+
+
+def test_merge_versioned_table_commits_new_version(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    base = spark.range(0, 100).withColumn("value", _F.col("id").cast("double"))
+    assert sinks.save_versioned_table(base, path) == 0
+    batch = spark.createDataFrame(
+        [(5, 9999.0), (200, 1.5)], "id BIGINT, value DOUBLE"
+    )
+    assert sinks.merge_versioned_table(spark, path, batch, ["id"]) == 1
+    latest = sinks.read_versioned_table(spark, path)
+    assert latest.count() == 101
+    assert latest.filter("id = 5").first().value == 9999.0
+    assert latest.filter("id = 200").count() == 1
+    # time travel: version 0 is untouched
+    v0 = sinks.read_versioned_table(spark, path, 0)
+    assert v0.count() == 100 and v0.filter("id = 5").first().value == 5.0
+
+
+def test_stats_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    df = spark.range(0, 1000).withColumn("value", _F.col("id").cast("double"))
+    # disjoint per-file ranges (what clustering_sort produces at write)
+    sinks.save_versioned_table(
+        df.repartitionByRange(8, "value"), path, stats_cols=["value"]
+    )
+    pruned = sinks.read_versioned_table_pruned(spark, path, {"value": (100.0, 150.0)})
+    total = len(sinks.read_versioned_table(spark, path).inputFiles())
+    assert total == 8
+    assert len(pruned.inputFiles()) < total  # files actually skipped
+    expected = {r.id for r in df.filter(_F.col("value").between(100.0, 150.0)).collect()}
+    assert {r.id for r in pruned.collect()} == expected
+
+
+def test_stats_pruned_read_without_sidecar_falls_back_to_full_scan(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    df = spark.range(0, 100).withColumn("value", _F.col("id").cast("double"))
+    sinks.save_versioned_table(df.repartitionByRange(4, "value"), path)  # no stats
+    pruned = sinks.read_versioned_table_pruned(spark, path, {"value": (10.0, 20.0)})
+    assert pruned.count() == 11  # semantics unchanged, just no skipping
+
+
+def test_stats_pruned_read_empty_intersection_yields_empty_with_schema(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    df = spark.range(0, 100).withColumn("value", _F.col("id").cast("double"))
+    sinks.save_versioned_table(
+        df.repartitionByRange(4, "value"), path, stats_cols=["value"]
+    )
+    pruned = sinks.read_versioned_table_pruned(spark, path, {"value": (1e6, 2e6)})
+    assert pruned.count() == 0
+    assert set(pruned.columns) == {"id", "value"}
+
+
+def test_stats_pruning_is_never_semantic(spark, tmp_path):
+    """Rows NOT range-clustered: every file overlaps, nothing is
+    skipped, results still exact."""
+    path = str(tmp_path / "vt")
+    df = spark.range(0, 1000).withColumn("value", (_F.col("id") % 10).cast("double"))
+    sinks.save_versioned_table(df.repartition(8), path, stats_cols=["value"])
+    pruned = sinks.read_versioned_table_pruned(spark, path, {"value": (3.0, 4.0)})
+    assert pruned.count() == 200

@@ -28,8 +28,9 @@ equivalent of the reference's lexicographic "z-order" sort
 
 from __future__ import annotations
 
+import json
 import os
-from collections.abc import Callable, Iterator
+from collections.abc import Callable, Iterator, Sequence
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
@@ -549,17 +550,29 @@ def _read_latest(spark, path: str) -> int | None:
         stream.close()
 
 
-def save_versioned_table(df: DataFrame, path: str) -> int:
+def save_versioned_table(
+    df: DataFrame, path: str, stats_cols: Sequence[str] | None = None
+) -> int:
     """Write ``df`` as the next version of the table; returns the new
     version number. The write lands in ``version=N`` (invisible to
     readers), then the manifest is written to a temp name and RENAMED
     over ``_latest_version`` — the rename is the atomic commit, so a
     crash mid-write leaves the previous version intact and readable.
-    Old versions stay on disk for time travel until vacuumed."""
+    Old versions stay on disk for time travel until vacuumed.
+
+    ``stats_cols``: columns to record per-file min/max for in a
+    ``_stats_v{N}.json`` sidecar (written BEFORE the commit rename, so
+    stats are part of the commit) — the Delta data-skipping contract
+    on the parquet fallback. One extra scan of the just-written
+    version; the collected table is one row per file, driver-bounded.
+    """
     spark = df.sparkSession
     latest = _read_latest(spark, path)
     version = 0 if latest is None else latest + 1
-    df.write.mode("overwrite").parquet(f"{path.rstrip('/')}/version={version}")
+    vdir = f"{path.rstrip('/')}/version={version}"
+    df.write.mode("overwrite").parquet(vdir)
+    if stats_cols:
+        _write_file_stats(spark, path, version, list(stats_cols))
     jvm, fs = _fs_for(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(
         f"{path.rstrip('/')}/._manifest_tmp_{version}"
@@ -614,3 +627,150 @@ def vacuum_versions(spark, path: str, keep: int = 2) -> list[int]:
             True,
         )
     return sorted(to_drop)
+
+
+# ---------------------------------------------------------------------------
+# File-level data skipping (Delta's per-file min/max stats on the
+# parquet fallback) + MERGE on the versioned table.
+# ---------------------------------------------------------------------------
+
+
+def _stats_path(path: str, version: int) -> str:
+    return f"{path.rstrip('/')}/_stats_v{version}.json"
+
+
+def _norm_file_uri(uri: str) -> str:
+    """Canonical file key: ``input_file_name()`` yields
+    ``file:///p`` while Hadoop ``Path.toString`` yields ``file:/p`` —
+    strip the scheme so stats written by one resolve under the
+    other."""
+    if "://" in uri:
+        return uri.split("://", 1)[1]
+    if uri.startswith("file:"):
+        return uri[len("file:"):]
+    return uri
+
+
+def _write_file_stats(spark, path: str, version: int, cols: list[str]) -> None:
+    """Collect per-file min/max for ``cols`` over the just-written
+    version and persist them as a JSON sidecar. Timestamps serialize
+    as ISO strings (ISO order == time order, so read-side comparison
+    stays correct); numerics and strings as themselves."""
+    vdir = f"{path.rstrip('/')}/version={version}"
+    df = spark.read.parquet(vdir)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    rows = (
+        df.groupBy(F.input_file_name().alias("file")).agg(*aggs).collect()
+    )
+
+    def _ser(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    stats = {
+        _norm_file_uri(r["file"]): {
+            c: [_ser(r[f"min_{c}"]), _ser(r[f"max_{c}"])] for c in cols
+        }
+        for r in rows
+    }
+    jvm, fs = _fs_for(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(_stats_path(path, version)), True)
+    try:
+        out.write(bytearray(json.dumps({"cols": cols, "files": stats}).encode()))
+    finally:
+        out.close()
+
+
+def _read_file_stats(spark, path: str, version: int) -> dict | None:
+    jvm, fs = _fs_for(spark, path)
+    spath = jvm.org.apache.hadoop.fs.Path(_stats_path(path, version))
+    if not fs.exists(spath):
+        return None
+    stream = fs.open(spath)
+    try:
+        # java.io.InputStream.readAllBytes (Java 9+) -> py4j bytes
+        return json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+
+
+def read_versioned_table_pruned(
+    spark,
+    path: str,
+    between: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned versioned read: skip every file whose recorded
+    [min, max] for a column cannot intersect the requested
+    ``{col: (lo, hi)}`` ranges, then apply the same predicate exactly
+    — pruning is a pure optimization, never a semantic change. Files
+    without stats (or a missing sidecar) are always read.
+
+    At 100 TB this is the difference between listing 10^5 files and
+    scanning the 10^2 whose ranges overlap the query window — the scan
+    cost becomes proportional to the answer, not the table, exactly as
+    with Delta data skipping (clustering_sort gives writes the
+    disjoint per-file ranges that make it bite)."""
+    if version is None:
+        version = _read_latest(spark, path)
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+    stats = _read_file_stats(spark, path, version)
+    vdir = f"{path.rstrip('/')}/version={version}"
+    reader = spark.read
+    if stats is None:
+        df = reader.parquet(vdir)
+    else:
+        known = stats["files"]
+        keep = []
+        jvm, fs = _fs_for(spark, path)
+        for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(vdir)):
+            f = status.getPath().toString()
+            if not f.endswith(".parquet"):
+                continue
+            fstats = known.get(_norm_file_uri(f))
+            if fstats is None:
+                keep.append(f)
+                continue
+            overlaps = True
+            for col, (lo, hi) in between.items():
+                if col not in fstats:
+                    continue
+                fmin, fmax = fstats[col]
+                if fmin is None or fmax is None:
+                    continue
+                if fmax < lo or fmin > hi:
+                    overlaps = False
+                    break
+            if overlaps:
+                keep.append(f)
+        if not keep:
+            # empty result with the right schema
+            df = reader.parquet(vdir).limit(0)
+        else:
+            df = reader.parquet(*keep)
+    pred = None
+    for col, (lo, hi) in between.items():
+        c = F.col(col).between(F.lit(lo), F.lit(hi))
+        pred = c if pred is None else (pred & c)
+    return df.filter(pred) if pred is not None else df
+
+
+def merge_versioned_table(
+    spark,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    stats_cols: Sequence[str] | None = None,
+) -> int:
+    """Delta-style ``MERGE INTO`` against the versioned-parquet table:
+    read the committed latest, upsert the change batch (broadcast — the
+    target never shuffles), commit as the next version. Returns the new
+    version; prior versions remain time-travelable."""
+    from .operators.merge import merge_upsert
+
+    target = read_versioned_table(spark, path)
+    merged = merge_upsert(target, source, keys, broadcast_source=True)
+    return save_versioned_table(merged, path, stats_cols=stats_cols)
