@@ -1649,3 +1649,119 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "dist")
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "spearman_quantity_price",
+    oracle=(
+        "WITH ranked AS ("
+        "  SELECT l_returnflag AS grp, "
+        "         CAST(AVG(CAST(rnx AS DECIMAL(15,1))) OVER "
+        "              (PARTITION BY l_returnflag, l_quantity) AS DECIMAL(15,1)) AS rx, "
+        "         CAST(AVG(CAST(rny AS DECIMAL(15,1))) OVER "
+        "              (PARTITION BY l_returnflag, l_extendedprice) AS DECIMAL(15,1)) AS ry "
+        "  FROM ("
+        "    SELECT l_returnflag, l_quantity, l_extendedprice, "
+        "           ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnx, "
+        "           ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rny "
+        "    FROM lineitem"
+        "  ) t"
+        "), sums AS ("
+        "  SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n, "
+        "         CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy, "
+        "         CAST(SUM(CAST(rx * ry AS DECIMAL(31,2))) AS DOUBLE) AS sxy, "
+        "         CAST(SUM(CAST(rx * rx AS DECIMAL(31,2))) AS DOUBLE) AS sxx, "
+        "         CAST(SUM(CAST(ry * ry AS DECIMAL(31,2))) AS DOUBLE) AS syy "
+        "  FROM ranked GROUP BY grp"
+        ") "
+        "SELECT grp, (n * sxy - sx * sy) / "
+        "       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS spearman_rho "
+        "FROM sums ORDER BY grp"
+    ),
+    tags=("stats", "window"),
+)
+def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group (quantity vs price), with
+    standard average-rank tie handling. Every sum is accumulated in
+    DECIMAL (ranks are exact halves, so sums are exact and
+    order-independent — the only way a double statistic can
+    hash-match across engines); the final rho arithmetic is the same
+    IEEE expression on both sides. Two window ranks + one grouped
+    pass: the ranks shuffle on (grp), the sums on grp — no joins, no
+    collect; survives any group cardinality because state is one row
+    per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wx = Window.partitionBy("grp").orderBy("l_quantity")
+    wy = Window.partitionBy("grp").orderBy("l_extendedprice")
+    ranked = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_quantity"),
+            F.col("l_extendedprice"),
+        )
+        .withColumn("rnx", F.row_number().over(wx).cast("decimal(15,1)"))
+        .withColumn("rny", F.row_number().over(wy).cast("decimal(15,1)"))
+        .withColumn(
+            "rx",
+            F.avg("rnx")
+            .over(Window.partitionBy("grp", "l_quantity"))
+            .cast("decimal(15,1)"),
+        )
+        .withColumn(
+            "ry",
+            F.avg("rny")
+            .over(Window.partitionBy("grp", "l_extendedprice"))
+            .cast("decimal(15,1)"),
+        )
+    )
+    sums = ranked.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(31,2)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(31,2)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(31,2)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select("grp", rho.alias("spearman_rho")).orderBy("grp")
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=(
+        "SELECT c_nationkey, c_mktsegment, "
+        "       CAST(COUNT(*) AS BIGINT) AS group_size, "
+        "       COUNT(*) < 5 AS violates_k "
+        "FROM customer GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("governance", "privacy", "agg"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation,
+    market segment): every equivalence class with its size and a
+    violates-k(=5) flag — the privacy check run before releasing a
+    training corpus containing user attributes (complements the PII
+    redaction entry, which handles direct identifiers). One
+    map-side-combined groupBy; output is bounded by the QI domain,
+    not the row count."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") < 5).alias("violates_k"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
