@@ -194,3 +194,66 @@ def test_stats_pruning_is_never_semantic(spark, tmp_path):
     sinks.save_versioned_table(df.repartition(8), path, stats_cols=["value"])
     pruned = sinks.read_versioned_table_pruned(spark, path, {"value": (3.0, 4.0)})
     assert pruned.count() == 200
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (operators/matview.py).
+# ---------------------------------------------------------------------------
+
+from usgs_earthquake_data_pipeline_spark.operators.matview import (
+    merge_aggregate_state,
+)
+
+
+def _agg(spark, rows):
+    return spark.createDataFrame(
+        rows, "k STRING, cnt BIGINT, s BIGINT, mn BIGINT, mx BIGINT"
+    )
+
+
+MERGES = {"cnt": "count", "s": "sum", "mn": "min", "mx": "max"}
+
+
+def test_mv_merge_folds_delta_into_view(spark):
+    view = _agg(spark, [("a", 2, 10, 1, 9), ("b", 1, 5, 5, 5)])
+    delta = _agg(spark, [("a", 3, 30, 0, 7), ("c", 1, 1, 1, 1)])
+    got = {
+        r.k: (r.cnt, r.s, r.mn, r.mx)
+        for r in merge_aggregate_state(view, delta, ["k"], MERGES).collect()
+    }
+    assert got == {
+        "a": (5, 40, 0, 9),  # counts/sums add, min/max fold
+        "b": (1, 5, 5, 5),   # untouched key persists
+        "c": (1, 1, 1, 1),   # new key inserts
+    }
+
+
+def test_mv_merge_equals_full_recompute_under_any_split(spark):
+    import itertools
+    rows = [(f"k{i % 4}", 1, i, i, i) for i in range(20)]
+    full = _agg(spark, rows)
+    expected = {
+        r.k: (r.cnt, r.s, r.mn, r.mx)
+        for r in merge_aggregate_state(
+            full, _agg(spark, []), ["k"], MERGES
+        ).collect()
+    }
+    for cut in (1, 7, 13):
+        a = merge_aggregate_state(
+            merge_aggregate_state(
+                _agg(spark, rows[:cut]), _agg(spark, []), ["k"], MERGES
+            ),
+            _agg(spark, rows[cut:]),
+            ["k"],
+            MERGES,
+        )
+        got = {r.k: (r.cnt, r.s, r.mn, r.mx) for r in a.collect()}
+        assert got == expected, f"split at {cut} diverged"
+
+
+def test_mv_merge_rejects_unknown_class_and_missing_cols(spark):
+    df = _agg(spark, [("a", 1, 1, 1, 1)])
+    with pytest.raises(ValueError, match="unsupported merge classes"):
+        merge_aggregate_state(df, df, ["k"], {"cnt": "avg"})
+    with pytest.raises(ValueError, match="missing columns"):
+        merge_aggregate_state(df.drop("s"), df, ["k"], MERGES)

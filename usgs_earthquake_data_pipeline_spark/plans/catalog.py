@@ -122,6 +122,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "cdc_diff_user_value",
     "spearman_quantity_price",
     "k_anonymity_audit",
+    "mv_incremental_daily_rollup",
     "near_dedup_keep_one",
     "unigram_logprob_quality",
     "audit_referential_integrity",

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.matview import merge_aggregate_state
 from ..operators.merge import diff_snapshots, merge_upsert
 from ..sources.tables import load_table
 from .catalog import register
@@ -108,3 +109,60 @@ def cdc_diff_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return diff_snapshots(snap(1, 15), snap(8, 22), keys=["user_id"])
+
+
+@register(
+    "mv_incremental_daily_rollup",
+    oracle=(
+        "SELECT CAST(day(ts) AS INT) AS day, event_type, "
+        "       CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, "
+        "       MIN(value) AS min_value, MAX(value) AS max_value "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("warehouse", "matview", "agg"),
+)
+def mv_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily rollup is
+    built as partial aggregates over days 1-20, then days 21+ arrive
+    as a delta batch and are folded in with the algebraic merge
+    (sum-of-sums / sum-of-counts / min-of-mins / max-of-maxes). The
+    oracle aggregates the WHOLE table directly — hash equality proves
+    incremental maintenance == full recompute, the invariant that
+    lets a 100 TB view update by scanning only the new partition.
+    Decimal-accumulated sums make the proof exact: decimal addition is
+    associative, so any batch split yields identical results."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.dayofmonth("ts").alias("day"),
+            F.col("event_type"),
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    view = partial(ev.filter(F.dayofmonth("ts") <= 20))
+    delta = partial(ev.filter(F.dayofmonth("ts") > 20))
+    merged = merge_aggregate_state(
+        view,
+        delta,
+        keys=["day", "event_type"],
+        merges={
+            "cnt": "count",
+            "sum_value": "sum",
+            "min_value": "min",
+            "max_value": "max",
+        },
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("day", "event_type")
