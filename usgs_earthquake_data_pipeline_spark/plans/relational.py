@@ -1693,26 +1693,26 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     wx = Window.partitionBy("grp").orderBy("l_quantity")
     wy = Window.partitionBy("grp").orderBy("l_extendedprice")
-    ranked = (
-        li.select(
-            F.col("l_returnflag").alias("grp"),
-            F.col("l_quantity"),
-            F.col("l_extendedprice"),
-        )
-        .withColumn("rnx", F.row_number().over(wx).cast("decimal(15,1)"))
-        .withColumn("rny", F.row_number().over(wy).cast("decimal(15,1)"))
-        .withColumn(
-            "rx",
-            F.avg("rnx")
-            .over(Window.partitionBy("grp", "l_quantity"))
-            .cast("decimal(15,1)"),
-        )
-        .withColumn(
-            "ry",
-            F.avg("rny")
-            .over(Window.partitionBy("grp", "l_extendedprice"))
-            .cast("decimal(15,1)"),
-        )
+
+    def avg_rank(w) -> F.Column:
+        # closed form of the average tie rank: ties at competition rank
+        # r spanning c peers occupy ranks [r, r+c-1], so their average
+        # is r + (c-1)/2 = (2r + c - 1)/2 — computed from rank() plus a
+        # peers count whose RANGE CURRENT ROW frame shares the same
+        # (partition, order) spec, so each axis is ONE Window node and
+        # both axes share one hash exchange on grp (re-sort only).
+        peers = F.count("*").over(w.rangeBetween(0, 0))
+        num = F.lit(2) * F.rank().over(w) + peers - F.lit(1)
+        return (num.cast("decimal(16,1)") / F.lit(2)).cast("decimal(15,1)")
+
+    ranked = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+    ).select(
+        "grp",
+        avg_rank(wx).alias("rx"),
+        avg_rank(wy).alias("ry"),
     )
     sums = ranked.groupBy("grp").agg(
         F.count("*").cast("double").alias("n"),
