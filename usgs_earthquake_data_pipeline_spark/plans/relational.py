@@ -1765,3 +1765,72 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+@register(
+    "assoc_rules_event_pairs",
+    oracle=(
+        "WITH b AS (SELECT DISTINCT user_id, event_type FROM events), "
+        "n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM b), "
+        "item AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "         FROM b GROUP BY 1), "
+        "pair AS (SELECT a.event_type AS ant, c.event_type AS cons, "
+        "                CAST(COUNT(*) AS BIGINT) AS pair_cnt "
+        "         FROM b a JOIN b c ON a.user_id = c.user_id "
+        "          AND a.event_type <> c.event_type GROUP BY 1, 2) "
+        "SELECT ant, cons, pair_cnt, "
+        "       CAST(pair_cnt AS DOUBLE) / n_users AS support, "
+        "       CAST(pair_cnt AS DOUBLE) / ia.cnt AS confidence, "
+        "       CAST(pair_cnt AS DOUBLE) * n_users / (ia.cnt * ic.cnt) AS lift "
+        "FROM pair "
+        "JOIN item ia ON ant = ia.event_type "
+        "JOIN item ic ON cons = ic.event_type "
+        "CROSS JOIN n ORDER BY 1, 2"
+    ),
+    tags=("mining", "join", "agg"),
+)
+def assoc_rules_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over per-user event baskets: support /
+    confidence / lift for every directed event-type pair (the market-
+    basket analysis shape). Counts are exact integers, so the double
+    ratios are engine-deterministic with no decimal accumulation
+    needed. Scale shape: baskets are DISTINCT (user, item) — bounded
+    by users × item domain; the pair self-join co-partitions on
+    user_id (one shuffle, per-user fan-out = basket², fine for a
+    bounded item domain — unbounded item vocabularies are FP-growth's
+    territory, out of scope); item/total counts are tiny broadcasts
+    back onto the 25-row pair table."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n_users = baskets.select(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    item = baskets.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    a = baskets.select("user_id", F.col("event_type").alias("ant"))
+    c = baskets.select("user_id", F.col("event_type").alias("cons"))
+    pair = (
+        a.join(c, "user_id")
+        .filter(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    ia = F.broadcast(item.select(F.col("event_type").alias("ant"), F.col("cnt").alias("ant_cnt")))
+    ic = F.broadcast(item.select(F.col("event_type").alias("cons"), F.col("cnt").alias("cons_cnt")))
+    return (
+        pair.join(ia, "ant")
+        .join(ic, "cons")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ant",
+            "cons",
+            "pair_cnt",
+            (F.col("pair_cnt").cast("double") / F.col("n_users")).alias("support"),
+            (F.col("pair_cnt").cast("double") / F.col("ant_cnt")).alias("confidence"),
+            (
+                F.col("pair_cnt").cast("double")
+                * F.col("n_users")
+                / (F.col("ant_cnt") * F.col("cons_cnt"))
+            ).alias("lift"),
+        )
+        .orderBy("ant", "cons")
+    )
