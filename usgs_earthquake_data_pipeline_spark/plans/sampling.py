@@ -134,3 +134,33 @@ def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "weighted_sample_by_length",
+    oracle=(
+        f"SELECT doc_id, n_chars, "
+        f"       CAST({_bucket_sql('doc_id', 10000)} AS BIGINT) AS draw "
+        f"FROM documents "
+        f"WHERE {_bucket_sql('doc_id', 10000)} < LEAST(n_chars, 2000) "
+        f"ORDER BY doc_id"
+    ),
+    tags=("llm", "sampling", "weighted"),
+)
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling with per-row inclusion probability
+    proportional to document length (capped): row kept iff its
+    deterministic 10k-bucket draw falls below min(n_chars, 2000) —
+    inclusion probability min(n_chars, 2000)/10000, importance
+    sampling for corpus mixing. Integer compares only (no float RNG,
+    no libm), so membership is bit-identical across engines, runs,
+    and partitionings, and the sample is re-runnable and auditable
+    like every sampler in this module. Pure codegen filter on the
+    scan: no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = hash_bucket("doc_id", 10000)
+    return (
+        docs.select("doc_id", "n_chars", draw.alias("draw"))
+        .filter(F.col("draw") < F.least(F.col("n_chars"), F.lit(2000)))
+        .orderBy("doc_id")
+    )
