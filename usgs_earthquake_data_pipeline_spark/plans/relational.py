@@ -1834,3 +1834,87 @@ def assoc_rules_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ant", "cons")
     )
+
+
+@register(
+    "ab_test_cuped_adjustment",
+    oracle=(
+        "WITH u AS (SELECT user_id, "
+        "CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0 "
+        "THEN 'A' ELSE 'B' END AS arm, "
+        "COALESCE(SUM(CASE WHEN day(ts) <= 10 "
+        "THEN CAST(value AS DECIMAL(18,6)) END), 0) AS x, "
+        "COALESCE(SUM(CASE WHEN day(ts) > 10 "
+        "THEN CAST(value AS DECIMAL(18,6)) END), 0) AS y "
+        "FROM events GROUP BY 1, 2), "
+        "g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        "CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, "
+        "CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy, "
+        "CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx FROM u), "
+        "a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "CAST(SUM(x) AS DOUBLE) AS sxa, CAST(SUM(y) AS DOUBLE) AS sya "
+        "FROM u GROUP BY 1) "
+        "SELECT arm, n_users, sya / n_users AS mean_y, "
+        "sya / n_users - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) "
+        "* (sxa / n_users - sx / n) AS cuped_mean_y "
+        "FROM a CROSS JOIN g ORDER BY arm"
+    ),
+    tags=("analytics", "experiment", "ab-test", "stats"),
+)
+def ab_test_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM'13): the experiment
+    metric (days 11+) adjusted by the pre-period covariate (days
+    1-10) — cuped_mean = mean(y) - theta*(mean_arm(x) - mean(x)),
+    theta = Cov(x,y)/Var(x). Every moment accumulates as DECIMAL
+    (per-user sums exact, cross-moments widened to DECIMAL(38,12)),
+    so theta and the adjusted means are single deterministic double
+    expressions over exact sums — hash-identical across engines with
+    no per-row double summation anywhere. Shape: one user-keyed
+    conditional aggregation, then a 2-row per-arm rollup × a 1-row
+    global-moment broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        ((F.col("user_id") * 2654435761) % 4294967296) % 2 == 0, "A"
+    ).otherwise("B")
+    dec = F.col("value").cast("decimal(18,6)")
+    users = ev.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.coalesce(
+            F.sum(F.when(F.dayofmonth("ts") <= 10, dec)), F.lit(0).cast("decimal(18,6)")
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.dayofmonth("ts") > 10, dec)), F.lit(0).cast("decimal(18,6)")
+        ).alias("y"),
+    )
+    g = users.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    a = users.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").cast("double").alias("sxa"),
+        F.sum("y").cast("double").alias("sya"),
+    )
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        a.crossJoin(F.broadcast(g))
+        .select(
+            "arm",
+            "n_users",
+            (F.col("sya") / F.col("n_users")).alias("mean_y"),
+            (
+                F.col("sya") / F.col("n_users")
+                - theta * (F.col("sxa") / F.col("n_users") - F.col("sx") / F.col("n"))
+            ).alias("cuped_mean_y"),
+        )
+        .orderBy("arm")
+    )
