@@ -1918,3 +1918,48 @@ def ab_test_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "benford_totalprice_audit",
+    oracle=(
+        "WITH d AS (SELECT substr(CAST(CAST(o_totalprice AS BIGINT) "
+        "AS VARCHAR), 1, 1) AS digit FROM orders WHERE o_totalprice >= 1), "
+        "c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1), "
+        "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM d) "
+        "SELECT digit, cnt, cnt / total AS observed_share, "
+        "log10(1 + 1.0 / CAST(digit AS BIGINT)) AS expected_share, "
+        "cnt / total - log10(1 + 1.0 / CAST(digit AS BIGINT)) AS deviation "
+        "FROM c CROSS JOIN t ORDER BY digit"
+    ),
+    tags=("governance", "audit", "stats"),
+)
+def benford_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals (the forensic
+    anomaly screen for fabricated or systematically-biased numeric
+    data). The leading digit comes from the INTEGER part's string form
+    — integer-to-string is identical across engines, where double
+    formatting and floor(log10(x)) at power-of-ten boundaries are
+    not. Expected shares are per-digit constants (log10(1+1/d)), so
+    the only data-dependent doubles are exact-integer ratios. One
+    9-group aggregate + a 1-row total broadcast."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = orders.select(
+        F.substring(F.col("o_totalprice").cast("bigint").cast("string"), 1, 1).alias(
+            "digit"
+        )
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("cnt"))
+    t = d.agg(F.count("*").cast("double").alias("total"))
+    expected = F.log10(F.lit(1) + F.lit(1.0) / F.col("digit").cast("bigint"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "cnt",
+            (F.col("cnt") / F.col("total")).alias("observed_share"),
+            expected.alias("expected_share"),
+            (F.col("cnt") / F.col("total") - expected).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
