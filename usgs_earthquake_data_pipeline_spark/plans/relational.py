@@ -1674,8 +1674,8 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         CAST(SUM(CAST(ry * ry AS DECIMAL(31,2))) AS DOUBLE) AS syy "
         "  FROM ranked GROUP BY grp"
         ") "
-        "SELECT grp, (n * sxy - sx * sy) / "
-        "       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS spearman_rho "
+        "SELECT grp, round((n * sxy - sx * sy) / "
+        "       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS spearman_rho "
         "FROM sums ORDER BY grp"
     ),
     tags=("stats", "window"),
@@ -1685,7 +1685,9 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard average-rank tie handling. Every sum is accumulated in
     DECIMAL (ranks are exact halves, so sums are exact and
     order-independent — the only way a double statistic can
-    hash-match across engines); the final rho arithmetic is the same
+    hash-match across engines; the final rho rounds to 6 dp
+    because past ~2^53 the engines' decimal→double conversions differ
+    in the last ulp (DuckDB double-rounds via hugeint)); the final rho arithmetic is the same
     IEEE expression on both sides. Two window ranks + one grouped
     pass: the ranks shuffle on (grp), the sums on grp — no joins, no
     collect; survives any group cardinality because state is one row
@@ -1732,7 +1734,7 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
-    return sums.select("grp", rho.alias("spearman_rho")).orderBy("grp")
+    return sums.select("grp", F.round(rho, 6).alias("spearman_rho")).orderBy("grp")
 
 
 @register(
@@ -1923,7 +1925,7 @@ def ab_test_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "benford_totalprice_audit",
     oracle=(
-        "WITH d AS (SELECT substr(CAST(CAST(o_totalprice AS BIGINT) "
+        "WITH d AS (SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) "
         "AS VARCHAR), 1, 1) AS digit FROM orders WHERE o_totalprice >= 1), "
         "c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1), "
         "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM d) "
@@ -1938,14 +1940,15 @@ def benford_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit of order totals (the forensic
     anomaly screen for fabricated or systematically-biased numeric
     data). The leading digit comes from the INTEGER part's string form
-    — integer-to-string is identical across engines, where double
-    formatting and floor(log10(x)) at power-of-ten boundaries are
-    not. Expected shares are per-digit constants (log10(1+1/d)), so
+    — floor() then integer-to-string is identical across engines,
+    where double formatting, floor(log10(x)) at power-of-ten
+    boundaries, and double→int CASTs (DuckDB rounds, Spark
+    truncates) are not. Expected shares are per-digit constants (log10(1+1/d)), so
     the only data-dependent doubles are exact-integer ratios. One
     9-group aggregate + a 1-row total broadcast."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
     d = orders.select(
-        F.substring(F.col("o_totalprice").cast("bigint").cast("string"), 1, 1).alias(
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1).alias(
             "digit"
         )
     )
