@@ -257,3 +257,29 @@ def test_mv_merge_rejects_unknown_class_and_missing_cols(spark):
         merge_aggregate_state(df, df, ["k"], {"cnt": "avg"})
     with pytest.raises(ValueError, match="missing columns"):
         merge_aggregate_state(df.drop("s"), df, ["k"], MERGES)
+
+
+def test_merge_upsert_shuffle_scale_path_matches_broadcast(spark):
+    """When the change batch is too big to broadcast (or the hint is
+    withheld), the merge degrades to a co-partitioned shuffle anti
+    join — results must be identical to the broadcast path."""
+    target = _kv(spark, [(i, f"t{i}") for i in range(500)])
+    source = _kv(spark, [(i, f"s{i}") for i in range(0, 1000, 2)])
+    broadcast_rows = sorted(
+        (r.k, r.v)
+        for r in merge_upsert(target, source, ["k"], broadcast_source=True).collect()
+    )
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        df = merge_upsert(target, source, ["k"], broadcast_source=False)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, f"expected the SMJ scale path\n{plan}"
+        shuffle_rows = sorted((r.k, r.v) for r in df.collect())
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert shuffle_rows == broadcast_rows

@@ -18,7 +18,9 @@ _QUERIES = ["q3_top_orders", "q5_region_revenue", "q12_status_priority",
             # round 4: orphan audit (anti joins), ordered funnel
             # (frontier joins), cohort matrix (customer-keyed join)
             "audit_referential_integrity", "funnel_view_click_purchase",
-            "orders_retention_cohort"]
+            "orders_retention_cohort",
+            # round 4 session 2: CDC full-outer diff, basket self-join
+            "cdc_diff_user_value", "assoc_rules_event_pairs"]
 
 
 _THRESHOLD_KEYS = (
