@@ -283,3 +283,73 @@ def test_merge_upsert_shuffle_scale_path_matches_broadcast(spark):
         for k, v in old.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert shuffle_rows == broadcast_rows
+
+
+# ---------------------------------------------------------------------------
+# Multi-table consistent snapshots (dataset releases).
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_commit_and_pinned_read(spark, tmp_path):
+    root = str(tmp_path / "release")
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id BIGINT, text STRING")
+    embs = spark.createDataFrame([(1, 0.5), (2, 0.7)], "doc_id BIGINT, norm DOUBLE")
+    v = sinks.commit_snapshot(
+        spark, root, {"documents": docs, "embeddings": embs}, name="v1"
+    )
+    assert v == {"documents": 0, "embeddings": 0}
+    got = sinks.read_snapshot(spark, root, "v1")
+    assert {r.doc_id for r in got["documents"].collect()} == {1, 2}
+    assert {r.doc_id for r in got["embeddings"].collect()} == {1, 2}
+    assert sinks.list_snapshots(spark, root) == ["v1"]
+
+
+def test_snapshot_isolates_releases_from_later_commits(spark, tmp_path):
+    """The reproducibility contract: a later single-table commit (or a
+    later release) never changes what snapshot v1 resolves to."""
+    root = str(tmp_path / "release")
+    docs1 = spark.createDataFrame([(1, "a")], "doc_id BIGINT, text STRING")
+    embs1 = spark.createDataFrame([(1, 0.5)], "doc_id BIGINT, norm DOUBLE")
+    sinks.commit_snapshot(spark, root, {"documents": docs1, "embeddings": embs1}, "v1")
+    # single-table drift after the release
+    docs2 = spark.createDataFrame([(9, "z")], "doc_id BIGINT, text STRING")
+    sinks.save_versioned_table(docs2, f"{root}/documents")
+    # and a whole newer release
+    embs2 = spark.createDataFrame([(9, 0.9)], "doc_id BIGINT, norm DOUBLE")
+    sinks.commit_snapshot(spark, root, {"documents": docs2, "embeddings": embs2}, "v2")
+
+    v1 = sinks.read_snapshot(spark, root, "v1")
+    assert [r.doc_id for r in v1["documents"].collect()] == [1]
+    assert [r.doc_id for r in v1["embeddings"].collect()] == [1]
+    v2 = sinks.read_snapshot(spark, root, "v2")
+    assert [r.doc_id for r in v2["documents"].collect()] == [9]
+    # latest single-table pointer also moved forward
+    assert [
+        r.doc_id for r in sinks.read_versioned_table(spark, f"{root}/documents").collect()
+    ] == [9]
+    assert sorted(sinks.list_snapshots(spark, root)) == ["v1", "v2"]
+
+
+def test_snapshot_missing_name_raises(spark, tmp_path):
+    root = str(tmp_path / "release")
+    docs = spark.createDataFrame([(1, "a")], "doc_id BIGINT, text STRING")
+    sinks.commit_snapshot(spark, root, {"documents": docs}, "v1")
+    with pytest.raises(FileNotFoundError, match="no snapshot 'v9'"):
+        sinks.read_snapshot(spark, root, "v9")
+
+
+def test_snapshot_with_stats_cols_enables_pruned_member_reads(spark, tmp_path):
+    root = str(tmp_path / "release")
+    docs = spark.range(0, 1000).withColumn("value", _F.col("id").cast("double"))
+    sinks.commit_snapshot(
+        spark,
+        root,
+        {"documents": docs.repartitionByRange(8, "value")},
+        "v1",
+        stats_cols={"documents": ["value"]},
+    )
+    pruned = sinks.read_versioned_table_pruned(
+        spark, f"{root}/documents", {"value": (100.0, 150.0)}
+    )
+    assert len(pruned.inputFiles()) < 8
+    assert pruned.count() == 51

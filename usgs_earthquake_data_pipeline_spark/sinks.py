@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import json
 import os
-from collections.abc import Callable, Iterator, Sequence
+from collections.abc import Callable, Iterator, Mapping, Sequence
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
@@ -774,3 +774,94 @@ def merge_versioned_table(
     target = read_versioned_table(spark, path)
     merged = merge_upsert(target, source, keys, broadcast_source=True)
     return save_versioned_table(merged, path, stats_cols=stats_cols)
+
+
+# ---------------------------------------------------------------------------
+# Multi-table consistent snapshots (dataset releases).
+#
+# A training-data release is never one table: documents + embeddings +
+# metadata must be read AT THE SAME VERSIONS or joins silently mix
+# generations. Single-table versioning (above) cannot give that
+# guarantee across tables; a SNAPSHOT does — a named manifest pinning
+# {table: version}, committed with the same atomic-rename protocol, so
+# a reader either sees the whole release or none of it.
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_path(root: str, name: str) -> str:
+    return f"{root.rstrip('/')}/_snapshot_{name}.json"
+
+
+def commit_snapshot(
+    spark,
+    root: str,
+    tables: Mapping[str, DataFrame],
+    name: str,
+    stats_cols: Mapping[str, Sequence[str]] | None = None,
+) -> dict[str, int]:
+    """Write every table as its next version under ``root/<table>``,
+    then commit ONE manifest pinning all the versions. The per-table
+    writes are invisible until the final snapshot rename (each table's
+    own latest-pointer also advances, so single-table readers see the
+    new data; the SNAPSHOT is what guarantees cross-table
+    consistency). Returns ``{table: version}``.
+
+    A crash mid-way leaves some tables with committed newer versions
+    but NO snapshot — snapshot readers keep the previous release
+    intact, which is the contract that matters for reproducibility.
+    """
+    versions: dict[str, int] = {}
+    for tname, df in tables.items():
+        cols = (stats_cols or {}).get(tname)
+        versions[tname] = save_versioned_table(
+            df, f"{root.rstrip('/')}/{tname}", stats_cols=cols
+        )
+    payload = json.dumps({"name": name, "tables": versions}).encode()
+    jvm, fs = _fs_for(spark, root)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{root.rstrip('/')}/._snapshot_tmp_{name}"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    final = jvm.org.apache.hadoop.fs.Path(_snapshot_path(root, name))
+    fs.delete(final, False)
+    if not fs.rename(tmp, final):  # pragma: no cover - filesystem race
+        raise IOError(f"snapshot rename failed for {name}")
+    return versions
+
+
+def read_snapshot(spark, root: str, name: str) -> dict[str, DataFrame]:
+    """Resolve a named release: every table pinned at its snapshot
+    version, regardless of any later single-table commits."""
+    jvm, fs = _fs_for(spark, root)
+    spath = jvm.org.apache.hadoop.fs.Path(_snapshot_path(root, name))
+    if not fs.exists(spath):
+        raise FileNotFoundError(f"no snapshot '{name}' at {root}")
+    stream = fs.open(spath)
+    try:
+        manifest = json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+    return {
+        tname: read_versioned_table(
+            spark, f"{root.rstrip('/')}/{tname}", version
+        )
+        for tname, version in manifest["tables"].items()
+    }
+
+
+def list_snapshots(spark, root: str) -> list[str]:
+    """Committed release names at ``root``, sorted."""
+    jvm, fs = _fs_for(spark, root)
+    hpath = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(hpath):
+        return []
+    names = []
+    for status in fs.listStatus(hpath):
+        fname = status.getPath().getName()
+        if fname.startswith("_snapshot_") and fname.endswith(".json"):
+            names.append(fname[len("_snapshot_"):-len(".json")])
+    return sorted(names)
