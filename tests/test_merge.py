@@ -353,3 +353,26 @@ def test_snapshot_with_stats_cols_enables_pruned_member_reads(spark, tmp_path):
     )
     assert len(pruned.inputFiles()) < 8
     assert pruned.count() == 51
+
+
+def test_vacuum_never_deletes_snapshot_pinned_versions(spark, tmp_path):
+    """Retention must not break a committed release: versions pinned
+    by any snapshot survive vacuum; unpinned old versions retire."""
+    root = str(tmp_path / "release")
+    t = f"{root}/documents"
+
+    def docs(tag):
+        return spark.createDataFrame([(1, tag)], "doc_id BIGINT, text STRING")
+
+    sinks.commit_snapshot(spark, root, {"documents": docs("v0")}, "r0")   # version 0, pinned
+    for i in range(1, 5):  # versions 1-4, unpinned
+        sinks.save_versioned_table(docs(f"v{i}"), t)
+    assert sinks.snapshot_pinned_versions(spark, root, "documents") == {0}
+
+    dropped = sinks.vacuum_snapshot_member(spark, root, "documents", keep=1)
+    assert 0 not in dropped and dropped == [1, 2, 3]  # keep latest(4) + pinned(0)
+    # the release still resolves, to the original bytes
+    got = sinks.read_snapshot(spark, root, "r0")["documents"].collect()
+    assert [(r.doc_id, r.text) for r in got] == [(1, "v0")]
+    # plain vacuum (no protect) on a non-member table keeps old contract
+    assert sinks.list_versions(spark, t) == [0, 4]

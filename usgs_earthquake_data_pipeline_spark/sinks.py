@@ -600,12 +600,16 @@ def read_versioned_table(spark, path: str, version: int | None = None) -> DataFr
     return spark.read.parquet(f"{path.rstrip('/')}/version={version}")
 
 
-def vacuum_versions(spark, path: str, keep: int = 2) -> list[int]:
+def vacuum_versions(
+    spark, path: str, keep: int = 2, protect: set[int] | None = None
+) -> list[int]:
     """Retire old committed versions, keeping the newest ``keep``
-    (the latest is always kept). Returns the versions deleted.
-    Uncommitted directories (crashed writers) are also removed — they
-    are invisible to readers and only waste space. Mirrors Delta's
-    VACUUM retention contract on the versioned-parquet layout."""
+    (the latest is always kept) and every version in ``protect``
+    (snapshot-pinned versions — see ``vacuum_snapshot_member``).
+    Returns the versions deleted. Uncommitted directories (crashed
+    writers) are also removed — they are invisible to readers and only
+    waste space. Mirrors Delta's VACUUM retention contract on the
+    versioned-parquet layout."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     jvm, fs = _fs_for(spark, path)
@@ -614,6 +618,8 @@ def vacuum_versions(spark, path: str, keep: int = 2) -> list[int]:
         return []
     committed = list_versions(spark, path)
     to_drop = [v for v in committed[:-keep]] if len(committed) > keep else []
+    if protect:
+        to_drop = [v for v in to_drop if v not in protect]
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     uncommitted = [
         int(s.getPath().getName().split("=", 1)[1])
@@ -865,3 +871,33 @@ def list_snapshots(spark, root: str) -> list[str]:
         if fname.startswith("_snapshot_") and fname.endswith(".json"):
             names.append(fname[len("_snapshot_"):-len(".json")])
     return sorted(names)
+
+
+def snapshot_pinned_versions(spark, root: str, table: str) -> set[int]:
+    """Every version of ``root/<table>`` pinned by ANY committed
+    snapshot — deleting one of these would break a release."""
+    pinned: set[int] = set()
+    jvm, fs = _fs_for(spark, root)
+    for name in list_snapshots(spark, root):
+        spath = jvm.org.apache.hadoop.fs.Path(_snapshot_path(root, name))
+        stream = fs.open(spath)
+        try:
+            manifest = json.loads(bytes(stream.readAllBytes()).decode())
+        finally:
+            stream.close()
+        if table in manifest["tables"]:
+            pinned.add(manifest["tables"][table])
+    return pinned
+
+
+def vacuum_snapshot_member(spark, root: str, table: str, keep: int = 2) -> list[int]:
+    """Snapshot-aware vacuum of a release-member table: old versions
+    retire EXCEPT those pinned by any committed snapshot — a release
+    stays resolvable until its manifest is deleted, never silently
+    broken by retention."""
+    return vacuum_versions(
+        spark,
+        f"{root.rstrip('/')}/{table}",
+        keep=keep,
+        protect=snapshot_pinned_versions(spark, root, table),
+    )
