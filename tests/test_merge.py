@@ -376,3 +376,21 @@ def test_vacuum_never_deletes_snapshot_pinned_versions(spark, tmp_path):
     assert [(r.doc_id, r.text) for r in got] == [(1, "v0")]
     # plain vacuum (no protect) on a non-member table keeps old contract
     assert sinks.list_versions(spark, t) == [0, 4]
+
+
+def test_stats_pruned_read_on_timestamp_column(spark, tmp_path):
+    """Timestamps serialize to ISO strings in the stats sidecar; ISO
+    order == time order, so string-range pruning is exact."""
+    from datetime import datetime
+
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1 + (i // 100), 12, 0, 0)) for i in range(1000)],
+        "id BIGINT, ts TIMESTAMP",
+    )
+    sinks.save_versioned_table(df.repartitionByRange(8, "ts"), path, stats_cols=["ts"])
+    pruned = sinks.read_versioned_table_pruned(
+        spark, path, {"ts": ("2024-01-03T00:00:00", "2024-01-04T23:59:59")}
+    )
+    assert pruned.count() == 200  # days 3 and 4
+    assert len(pruned.inputFiles()) < 8
