@@ -10,7 +10,7 @@ tests in tests/ instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import multimodal as M
@@ -975,4 +975,74 @@ def rag_index_ivf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("best_score"), 6).alias("avg_best_score"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=(
+        "SELECT query_id, neighbor_id, score, rnk AS rank FROM ("
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        "  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "                               CAST(c.embedding AS DOUBLE[])), 6) AS score,"
+        "  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+        "    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "                           CAST(c.embedding AS DOUBLE[])) DESC,"
+        "    c.vec_id) AS INT) AS rnk"
+        "  FROM embeddings q CROSS JOIN embeddings c"
+        "  WHERE q.vec_id < 10 AND c.label <> q.label) t "
+        "WHERE rnk <= 5"
+    ),
+    tags=("llm", "ann", "contrastive"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the 5 most-similar vectors with a DIFFERENT label — the
+    negatives that actually teach a bi-encoder. The label-mismatch
+    filter rides the broadcast join (queries are the tiny side), and
+    the cosine is pure JVM codegen (`zip_with` product +
+    sequential-fold `aggregate`, same left-to-right order as the
+    oracle's list_cosine_similarity) — the expression-based twin of
+    the numpy `brute_force_topk` scorer. Candidate volume is
+    |queries|×|corpus| rows streamed through codegen, top-5 kept per
+    query; the IVF/LSH candidate generators are the drop-in scale
+    path when the query side is large too."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_label") != F.col("q_label"))
+        .withColumn("raw_score", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("raw_score", 6).alias("score"),
+            "rank",
+        )
     )
