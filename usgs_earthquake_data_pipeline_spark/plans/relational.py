@@ -1966,3 +1966,68 @@ def benford_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "drift_psi_value_bins",
+    oracle=(
+        "WITH binned AS (SELECT CAST(LEAST(FLOOR(value / 100), 9) AS INT) AS bin, "
+        "CASE WHEN day(ts) <= 15 THEN 'ref' ELSE 'cur' END AS period "
+        "FROM events WHERE value >= 0), "
+        "c AS (SELECT bin, "
+        "CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, "
+        "CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur "
+        "FROM binned GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS tot_ref, "
+        "CAST(SUM(n_cur) AS DOUBLE) AS tot_cur FROM c) "
+        "SELECT bin, n_ref, n_cur, "
+        "n_ref / tot_ref AS p_ref, n_cur / tot_cur AS p_cur, "
+        "CASE WHEN n_ref > 0 AND n_cur > 0 THEN (n_cur / tot_cur - n_ref / tot_ref) "
+        "* ln((n_cur / tot_cur) / (n_ref / tot_ref)) END AS psi_term "
+        "FROM c CROSS JOIN t ORDER BY bin"
+    ),
+    tags=("governance", "drift", "stats"),
+)
+def drift_psi_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between a reference
+    period (days 1-15) and the current period (16+): per-bin observed
+    shares and PSI contributions over fixed-width value bins — the
+    production screen for feature/metric drift before a model or
+    mixture goes stale. Emitted PER BIN rather than as the summed
+    scalar: every number is a single deterministic double expression
+    over exact integer counts (a cross-engine sum of 10 doubles is
+    not order-stable; a 10-row report is, and is what an operator
+    dashboards anyway; an empty bin on either side yields a NULL
+    term — the dashboard's "new/vanished category" signal — instead
+    of the log-of-zero PSI is undefined on). One conditional
+    aggregation + a 1-row totals broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    binned = ev.select(
+        F.least(F.floor(F.col("value") / 100), F.lit(9)).cast("int").alias("bin"),
+        F.when(F.dayofmonth("ts") <= 15, "ref").otherwise("cur").alias("period"),
+    )
+    c = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    t = c.agg(
+        F.sum("n_ref").cast("double").alias("tot_ref"),
+        F.sum("n_cur").cast("double").alias("tot_cur"),
+    )
+    p_ref = F.col("n_ref") / F.col("tot_ref")
+    p_cur = F.col("n_cur") / F.col("tot_cur")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            p_ref.alias("p_ref"),
+            p_cur.alias("p_cur"),
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                (p_cur - p_ref) * F.log(p_cur / p_ref),
+            ).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
