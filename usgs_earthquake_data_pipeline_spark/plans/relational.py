@@ -2031,3 +2031,63 @@ def drift_psi_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "ab_test_jackknife_buckets",
+    oracle=(
+        "WITH u AS (SELECT user_id, "
+        "CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0 "
+        "THEN 'A' ELSE 'B' END AS arm, "
+        "CAST(((user_id * 2654435761) % 4294967296) % 20 AS BIGINT) AS bucket, "
+        "SUM(CAST(value AS DECIMAL(18,6))) AS y "
+        "FROM events GROUP BY 1, 2, 3), "
+        "b AS (SELECT arm, bucket, CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "SUM(y) AS sy FROM u GROUP BY 1, 2), "
+        "a AS (SELECT arm, CAST(SUM(n_users) AS BIGINT) AS n_arm, "
+        "SUM(sy) AS sy_arm FROM b GROUP BY 1) "
+        "SELECT b.arm, bucket, n_users, "
+        "CAST(sy AS DOUBLE) / n_users AS bucket_mean, "
+        "CAST(sy_arm - sy AS DOUBLE) / (n_arm - n_users) AS loo_mean "
+        "FROM b JOIN a ON b.arm = a.arm ORDER BY 1, 2"
+    ),
+    tags=("analytics", "experiment", "ab-test", "stats"),
+)
+def ab_test_jackknife_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-group jackknife buckets for the A/B metric: users hash
+    deterministically into 20 buckets per arm; each row carries the
+    bucket's mean and the leave-one-bucket-out arm mean — the
+    pseudo-values whose spread IS the experiment's uncertainty
+    (SE² = (g-1)/g · Σ(θ̂_(i) − θ̄)², summed dashboard-side: a 40-row
+    client sum, kept out of the engines because cross-engine double
+    summation is not order-stable). Every emitted number is one
+    double expression over exact decimal/integer sums. Completes the
+    experimentation family: rates (ab_test_conversion_lift),
+    variance reduction (CUPED), uncertainty (this)."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = (F.col("user_id") * 2654435761) % 4294967296
+    u = ev.groupBy("user_id").agg(
+        F.first(F.when(mixed % 2 == 0, "A").otherwise("B")).alias("arm"),
+        F.first(mixed % 20).alias("bucket"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("y"),
+    )
+    b = u.groupBy("arm", "bucket").agg(
+        F.count("*").alias("n_users"), F.sum("y").alias("sy")
+    )
+    a = b.groupBy("arm").agg(
+        F.sum("n_users").alias("n_arm"), F.sum("sy").alias("sy_arm")
+    )
+    return (
+        b.join(F.broadcast(a), "arm")
+        .select(
+            "arm",
+            "bucket",
+            "n_users",
+            (F.col("sy").cast("double") / F.col("n_users")).alias("bucket_mean"),
+            (
+                (F.col("sy_arm") - F.col("sy")).cast("double")
+                / (F.col("n_arm") - F.col("n_users"))
+            ).alias("loo_mean"),
+        )
+        .orderBy("arm", "bucket")
+    )
