@@ -255,3 +255,21 @@ def test_vacuum_versions_keeps_latest_and_drops_orphans(spark, tmp_path):
     import os
 
     assert not os.path.exists(f"{path}/version=9")  # orphan removed
+
+
+def test_orc_format_roundtrip_and_pruning(spark, events, tmp_path):
+    """The sink's table_format is not parquet-only: ORC (Spark
+    built-in) round-trips with the same hive layout and partition
+    pruning — the format a Hive-era warehouse would hand us."""
+    path = str(tmp_path / "orc_table")
+    assert sinks.save_partitioned_table(
+        events, path, mode="overwrite", partition_cols=["year", "month"],
+        table_format="orc",
+    )
+    assert glob.glob(os.path.join(path, "year=2020", "month=1", "*.orc"))
+    back = sinks.read_partitioned_table(spark, path, table_format="orc")
+    assert back.count() == events.count()
+    pruned = back.filter(F.col("year") == 2020)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "year" in plan
+    assert pruned.count() == events.filter(F.col("year") == 2020).count()
