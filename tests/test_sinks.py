@@ -273,3 +273,28 @@ def test_orc_format_roundtrip_and_pruning(spark, events, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "year" in plan
     assert pruned.count() == events.filter(F.col("year") == 2020).count()
+
+
+def test_permissive_json_read_quarantines_corrupt_records(spark, tmp_path):
+    """Bronze re-reads must not die on a torn/corrupt line (the REST
+    feed truncates mid-object under network failure): PERMISSIVE mode
+    parses the good rows and quarantines the bad line into
+    _corrupt_record for a dead-letter audit, instead of failing the
+    whole batch (FAILFAST) or silently dropping it (DROPMALFORMED)."""
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "mag": 5.1}\n'
+        '{"id": 2, "mag": '  # truncated mid-record
+        '\n{"id": 3, "mag": 6.2}\n'
+    )
+    df = (
+        spark.read.schema("id BIGINT, mag DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = {r.id: r.mag for r in rows if r._corrupt_record is None}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert good == {1: 5.1, 3: 6.2}
+    assert len(bad) == 1 and '"mag": ' in bad[0]._corrupt_record
