@@ -48,3 +48,24 @@ def test_query_and_oracle_maps_cover_catalog():
     assert set(oracle_map()) == {
         n for n, e in CATALOG.items() if e.oracle is not None
     }
+
+
+def test_round4_recovery_and_new_families_inside_window():
+    """Round-4 exit criteria: every entry red in CORRECTNESS_r03 and
+    every new warehouse/stats-family entry must get a hard driver row
+    — i.e. sit inside the ~50-entry window."""
+    first = set(list(query_map())[:WINDOW])
+    must_have = {
+        # r3-red recovery proofs
+        "f1_flag_filter", "o1_sort_eventtime", "agg_minmax_by_type",
+        "asof_join_last_error", "sessionize_gap_10min",
+        "streaming_daily_rollup", "kmeans_refine_centroids",
+        "q12_status_priority", "pack_sequences_2048",
+        "curation_corpus_pipeline", "split_train_val_test",
+        # round-4 session-2 families (first driver rows)
+        "merge_upsert_customer_balance", "cdc_diff_user_value",
+        "mv_incremental_daily_rollup", "spearman_quantity_price",
+        "k_anonymity_audit",
+    }
+    missing = must_have - first
+    assert not missing, f"entries fell out of the driver window: {missing}"
