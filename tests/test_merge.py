@@ -394,3 +394,37 @@ def test_stats_pruned_read_on_timestamp_column(spark, tmp_path):
     )
     assert pruned.count() == 200  # days 3 and 4
     assert len(pruned.inputFiles()) < 8
+
+
+def test_torn_snapshot_commit_preserves_previous_release(spark, tmp_path, monkeypatch):
+    """Crash midway through a multi-table release (first member
+    written, second fails): no new snapshot manifest appears, and the
+    previous release keeps resolving to its original versions — the
+    all-or-nothing contract snapshot readers rely on."""
+    root = str(tmp_path / "release")
+    docs1 = spark.createDataFrame([(1, "a")], "doc_id BIGINT, text STRING")
+    embs1 = spark.createDataFrame([(1, 0.5)], "doc_id BIGINT, norm DOUBLE")
+    sinks.commit_snapshot(spark, root, {"documents": docs1, "embeddings": embs1}, "v1")
+
+    calls = {"n": 0}
+    real_save = sinks.save_versioned_table
+
+    def failing_save(df, path, stats_cols=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise IOError("disk full")  # injected crash on table 2 of 2
+        return real_save(df, path, stats_cols=stats_cols)
+
+    monkeypatch.setattr(sinks, "save_versioned_table", failing_save)
+    docs2 = spark.createDataFrame([(9, "z")], "doc_id BIGINT, text STRING")
+    embs2 = spark.createDataFrame([(9, 0.9)], "doc_id BIGINT, norm DOUBLE")
+    with pytest.raises(IOError, match="disk full"):
+        sinks.commit_snapshot(
+            spark, root, {"documents": docs2, "embeddings": embs2}, "v2"
+        )
+    monkeypatch.undo()
+
+    assert sinks.list_snapshots(spark, root) == ["v1"]  # v2 never committed
+    v1 = sinks.read_snapshot(spark, root, "v1")
+    assert [(r.doc_id, r.text) for r in v1["documents"].collect()] == [(1, "a")]
+    assert [(r.doc_id, r.norm) for r in v1["embeddings"].collect()] == [(1, 0.5)]

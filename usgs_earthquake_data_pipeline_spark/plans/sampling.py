@@ -164,3 +164,37 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("draw") < F.least(F.col("n_chars"), F.lit(2000)))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "cap_docs_per_source",
+    oracle=(
+        f"SELECT doc_id, source, CAST(rnk AS INT) AS rnk FROM ("
+        f"  SELECT doc_id, source, row_number() OVER ("
+        f"    PARTITION BY source ORDER BY {_bucket_sql('doc_id', 1000000)}, doc_id"
+        f"  ) AS rnk FROM documents) t "
+        f"WHERE rnk <= 50 ORDER BY source, rnk"
+    ),
+    tags=("llm", "sampling", "mixture"),
+)
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-source document cap (keep at most 50 per source) with
+    a deterministic, order-independent survivor set: rank by the
+    portable md5 bucket (tie-broken by doc_id) inside each source —
+    the same rows survive on every engine, run, and partitioning.
+    This is the hard-cap complement to rate-based
+    ``mixture_downsample_uniform``: rates reshape a distribution,
+    caps bound worst-case dominance of any one source. One window
+    shuffle on ``source``; survivors bounded by sources × cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket("doc_id", 1000000).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .orderBy("source", "rnk")
+    )
