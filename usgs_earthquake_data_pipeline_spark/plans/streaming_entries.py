@@ -334,3 +334,61 @@ def streaming_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+@register(
+    "streaming_full_outer_join",
+    oracle=(
+        "WITH wm AS (SELECT least("
+        "(SELECT max(ts) FROM events WHERE event_type = 'click'), "
+        "(SELECT max(ts) FROM events WHERE event_type = 'purchase')) "
+        "- INTERVAL 1 HOUR AS w), "
+        "c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), "
+        "p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "j AS (SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
+        "c.ts AS cts, p.ts AS pts FROM c FULL JOIN p "
+        "ON c.user_id = p.user_id AND p.ts >= c.ts "
+        "AND p.ts <= c.ts + INTERVAL 10 MINUTE) "
+        "SELECT user_id, epoch_us(cts) AS click_us, epoch_us(pts) AS purchase_us "
+        "FROM j, wm WHERE (cts IS NOT NULL AND pts IS NOT NULL) "
+        "OR (pts IS NULL AND cts + INTERVAL 10 MINUTE < w) "
+        "OR (cts IS NULL AND pts < w) "
+        "ORDER BY 1, 2, 3"
+    ),
+    tags=("streaming", "join"),
+)
+def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — completes the streaming join
+    matrix (inner / left-outer / full-outer / stream-static). Both
+    unmatched sides null-emit by watermark eviction: a click once the
+    watermark passes the end of its match window (click_ts + 10 min),
+    a purchase once the watermark passes its own event time (no
+    earlier-or-equal click can still arrive). The oracle's WHERE
+    encodes BOTH eviction rules, so the hash gate pins the engine's
+    documented two-sided state-removal semantics; trailing rows
+    inside the watermark correctly never emit in the bounded run."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "p_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+    name = "streaming_full_outer_join_sink"
+    _run_available_now(joined, name, "append")
+    return spark.table(name).orderBy("user_id", "click_us", "purchase_us")
