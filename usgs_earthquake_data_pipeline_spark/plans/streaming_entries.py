@@ -392,3 +392,45 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "streaming_full_outer_join_sink"
     _run_available_now(joined, name, "append")
     return spark.table(name).orderBy("user_id", "click_us", "purchase_us")
+
+
+@register(
+    "streaming_left_semi_join",
+    oracle=(
+        "SELECT DISTINCT c.user_id, epoch_us(c.ts) AS click_us "
+        "FROM events c WHERE c.event_type = 'click' AND EXISTS ("
+        "SELECT 1 FROM events p WHERE p.event_type = 'purchase' "
+        "AND p.user_id = c.user_id AND p.ts >= c.ts "
+        "AND p.ts <= c.ts + INTERVAL 10 MINUTE) "
+        "ORDER BY 1, 2"
+    ),
+    tags=("streaming", "join"),
+)
+def streaming_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join: converted clicks, emitted once
+    regardless of how many purchases matched (the existence form of
+    attribution — no fan-out). A semi row emits when its first match
+    arrives, so the bounded run needs no eviction clause in the
+    oracle: EXISTS over the same interval condition is the exact
+    batch twin. State stays watermark-bounded like the inner join's."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_semi",
+    ).select("user_id", F.unix_micros("click_ts").alias("click_us"))
+    name = "streaming_left_semi_join_sink"
+    _run_available_now(joined, name, "append")
+    return spark.table(name).distinct().orderBy("user_id", "click_us")
