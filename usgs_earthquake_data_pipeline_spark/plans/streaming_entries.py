@@ -434,3 +434,44 @@ def streaming_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "streaming_left_semi_join_sink"
     _run_available_now(joined, name, "append")
     return spark.table(name).distinct().orderBy("user_id", "click_us")
+
+
+@register(
+    "streaming_sliding_rollup",
+    oracle=(
+        "WITH b AS (SELECT CAST(floor(epoch_us(ts) / 1800000000) "
+        "* 1800000000 AS BIGINT) AS s30, value FROM events), "
+        "w AS (SELECT s30 AS win_start_us, value FROM b "
+        "UNION ALL SELECT s30 - 1800000000, value FROM b) "
+        "SELECT win_start_us, count(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM w GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("streaming", "window", "sliding"),
+)
+def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows BY THE STREAMING ENGINE — the SLA
+    rollup (1 h windows every 30 min) as a stream, sharing its oracle
+    with the batch twin ``sliding_window_counts``: complete-mode
+    output makes the bounded availableNow run the exact batch answer.
+    The Expand fan-out (dur/slide = 2) happens pre-shuffle in the
+    stream exactly as in batch; state is windows × groups, watermark-
+    expirable under append mode in production."""
+    ev = _events_stream(spark, sf_dir)
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "n",
+            "sum_value",
+        )
+    )
+    name = "streaming_sliding_rollup_sink"
+    _run_available_now(counts, name, "complete")
+    return spark.table(name).orderBy("win_start_us")
