@@ -428,3 +428,20 @@ def test_torn_snapshot_commit_preserves_previous_release(spark, tmp_path, monkey
     v1 = sinks.read_snapshot(spark, root, "v1")
     assert [(r.doc_id, r.text) for r in v1["documents"].collect()] == [(1, "a")]
     assert [(r.doc_id, r.norm) for r in v1["embeddings"].collect()] == [(1, 0.5)]
+
+
+def test_vacuum_removes_stats_sidecars_of_dropped_versions(spark, tmp_path):
+    import os as _os
+
+    path = str(tmp_path / "vt")
+    for i in range(3):
+        df = spark.range(i * 10, i * 10 + 10).withColumn(
+            "value", _F.col("id").cast("double")
+        )
+        sinks.save_versioned_table(df, path, stats_cols=["value"])
+    assert _os.path.exists(f"{path}/_stats_v0.json")
+    dropped = sinks.vacuum_versions(spark, path, keep=1)
+    assert dropped == [0, 1]
+    assert not _os.path.exists(f"{path}/_stats_v0.json")
+    assert not _os.path.exists(f"{path}/_stats_v1.json")
+    assert _os.path.exists(f"{path}/_stats_v2.json")  # survivor keeps its stats

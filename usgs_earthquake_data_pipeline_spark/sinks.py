@@ -632,6 +632,10 @@ def vacuum_versions(
             jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/version={v}"),
             True,
         )
+        # retire the version's data-skipping sidecar with it
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(_stats_path(path, v)), False
+        )
     return sorted(to_drop)
 
 
