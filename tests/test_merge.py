@@ -445,3 +445,25 @@ def test_vacuum_removes_stats_sidecars_of_dropped_versions(spark, tmp_path):
     assert not _os.path.exists(f"{path}/_stats_v0.json")
     assert not _os.path.exists(f"{path}/_stats_v1.json")
     assert _os.path.exists(f"{path}/_stats_v2.json")  # survivor keeps its stats
+
+
+def test_table_changes_between_versions(spark, tmp_path):
+    """The CDF read API: changes between two committed versions equal
+    the effective edits — and compose with merge_versioned_table so
+    feed(v0 -> v1) is exactly the merged batch's effect."""
+    path = str(tmp_path / "vt")
+    base = _kv(spark, [(1, "a"), (2, "b"), (3, "c")])
+    sinks.save_versioned_table(base, path)  # v0
+    batch = _kv(spark, [(2, "B"), (4, "d"), (1, "a")])  # update, insert, no-op
+    sinks.merge_versioned_table(spark, path, batch, ["k"])  # v1
+    feed = {
+        (r.k, r.change_type, r.old_v, r.new_v)
+        for r in sinks.table_changes(spark, path, ["k"], 0, 1).collect()
+    }
+    assert feed == {(2, "update", "b", "B"), (4, "insert", None, "d")}
+    # to_version defaults to latest
+    feed_latest = {
+        (r.k, r.change_type)
+        for r in sinks.table_changes(spark, path, ["k"], 0).collect()
+    }
+    assert feed_latest == {(2, "update"), (4, "insert")}

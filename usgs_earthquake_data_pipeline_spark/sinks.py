@@ -905,3 +905,24 @@ def vacuum_snapshot_member(spark, root: str, table: str, keep: int = 2) -> list[
         keep=keep,
         protect=snapshot_pinned_versions(spark, root, table),
     )
+
+
+def table_changes(
+    spark,
+    path: str,
+    keys: Sequence[str],
+    from_version: int,
+    to_version: int | None = None,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Delta's ``table_changes`` on the versioned-parquet layout: the
+    change feed (insert / delete / update with pre/post images)
+    between two committed versions, computed as one co-partitioned
+    full-outer diff of the version snapshots
+    (``operators/merge.diff_snapshots``). ``to_version`` defaults to
+    the committed latest."""
+    from .operators.merge import diff_snapshots
+
+    old = read_versioned_table(spark, path, from_version)
+    new = read_versioned_table(spark, path, to_version)
+    return diff_snapshots(old, new, keys, compare_cols=compare_cols)
