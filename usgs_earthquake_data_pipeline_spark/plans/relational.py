@@ -2091,3 +2091,50 @@ def ab_test_jackknife_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm", "bucket")
     )
+
+
+@register(
+    "new_vs_returning_daily",
+    oracle=(
+        "WITH f AS (SELECT user_id, CAST(min(day(ts)) AS INT) AS first_day "
+        "FROM events GROUP BY 1), "
+        "d AS (SELECT CAST(day(ts) AS INT) AS day, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users "
+        "FROM events GROUP BY 1), "
+        "n AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users "
+        "FROM f GROUP BY 1) "
+        "SELECT d.day, active_users, COALESCE(new_users, 0) AS new_users, "
+        "CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY d.day "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users "
+        "FROM d LEFT JOIN n ON d.day = n.day ORDER BY 1"
+    ),
+    tags=("analytics", "window", "agg"),
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs returning users with a running total of distinct
+    users ever seen — the growth-dashboard staple. Cumulative
+    DISTINCT (not supported as a window function in either engine)
+    decomposes into the first-seen-day trick: a user is 'new' on
+    min(day), and the running distinct total is the cumsum of new
+    arrivals. Two user-keyed aggregates + a \|days\|-row window: the
+    single-partition cumsum sees 30 rows, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts").alias("day")
+    first = ev.groupBy("user_id").agg(F.min(F.dayofmonth("ts")).alias("first_day"))
+    daily = ev.groupBy(day).agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    new = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
