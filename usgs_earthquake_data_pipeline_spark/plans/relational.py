@@ -2138,3 +2138,49 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cumulative_users", F.sum("new_users").over(w))
         .orderBy("day")
     )
+
+
+@register(
+    "events_since_last_purchase",
+    oracle=(
+        "WITH g AS (SELECT event_id, user_id, ts, "
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg "
+        "FROM events WHERE user_id < 30) "
+        "SELECT event_id, user_id, seg, "
+        "CAST(row_number() OVER (PARTITION BY user_id, seg "
+        "ORDER BY ts, event_id) - 1 AS BIGINT) AS n_since "
+        "FROM g ORDER BY user_id, seg, n_since, event_id"
+    ),
+    tags=("window", "analytics"),
+)
+def events_since_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count with a conditional RESET — events since the
+    user's most recent purchase (0 on the purchase row itself). The
+    reset decomposes into the segment-id trick: a running sum of the
+    reset flag partitions each user's timeline into purchase epochs,
+    then position-within-epoch is an ordinary row_number. The shape
+    no plain frame spec can express (frames can't reference a
+    data-dependent boundary), and the same two-window one-shuffle
+    plan the sessionizer uses: both windows share the user_id
+    partitioning. Ties pinned by event_id on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w_seg = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(w_seg)
+    w_pos = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", "user_id", "ts", seg.alias("seg"))
+        .withColumn("n_since", F.row_number().over(w_pos) - F.lit(1))
+        .select(
+            "event_id",
+            "user_id",
+            "seg",
+            F.col("n_since").cast("bigint").alias("n_since"),
+        )
+        .orderBy("user_id", "seg", "n_since", "event_id")
+    )
