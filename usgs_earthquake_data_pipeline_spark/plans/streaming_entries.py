@@ -475,3 +475,34 @@ def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "streaming_sliding_rollup_sink"
     _run_available_now(counts, name, "complete")
     return spark.table(name).orderBy("win_start_us")
+
+
+@register(
+    "streaming_anti_blocklist",
+    oracle=(
+        "SELECT epoch_us(ts) AS ts_us, user_id, event_type "
+        "FROM events WHERE user_id NOT IN ("
+        "SELECT c_custkey FROM customer WHERE c_acctbal < 0) "
+        "ORDER BY 1, 2, 3"
+    ),
+    tags=("streaming", "join", "governance"),
+)
+def streaming_anti_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join: events from blocklisted users
+    (negative-balance accounts) dropped IN-STREAM — the streaming
+    form of opt-out/compliance filtering, and the anti cell of the
+    stream-static join matrix (enrich=inner/left, exists=semi, this).
+    The static side broadcasts; stateless per-batch filtering, no
+    watermark state at all."""
+    from ..sources.tables import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    blocked = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") < 0
+    ).select(F.col("c_custkey").alias("user_id"))
+    clean = ev.join(F.broadcast(blocked), "user_id", "left_anti").select(
+        F.unix_micros("ts").alias("ts_us"), "user_id", "event_type"
+    )
+    name = "streaming_anti_blocklist_sink"
+    _run_available_now(clean, name, "append")
+    return spark.table(name).orderBy("ts_us", "user_id", "event_type")
