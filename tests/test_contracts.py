@@ -86,3 +86,31 @@ def test_real_table_evolution_scenario(spark, sf_dir):
     )
     d = schema_diff(old, new)
     assert d.added == ["enrichment_score"] and d.is_backward_compatible
+
+
+def test_enforce_compatible_gates_breaking_append(spark, tmp_path):
+    """The operational form: a breaking schema change is refused at
+    the sink; additive nullable evolution appends fine."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from usgs_earthquake_data_pipeline_spark import sinks
+
+    path = str(tmp_path / "t")
+    base = spark.range(5).select(
+        F.col("id"), F.lit("x").alias("name"), F.lit(2020).alias("year"),
+        F.lit(1).alias("month"),
+    )
+    sinks.save_partitioned_table(base, path, mode="append")
+
+    added = base.withColumn("extra", F.lit(1.5))
+    assert sinks.save_partitioned_table(
+        added, path, mode="append", merge_schema=True, enforce_compatible=True
+    )
+
+    dropped = base.drop("name")
+    with pytest.raises(ValueError, match="incompatible schema evolution"):
+        sinks.save_partitioned_table(
+            dropped, path, mode="append", merge_schema=True,
+            enforce_compatible=True,
+        )

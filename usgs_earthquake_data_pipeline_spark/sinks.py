@@ -90,6 +90,7 @@ def save_partitioned_table(
     skip_empty: bool = True,
     observation=None,
     metrics=None,
+    enforce_compatible: bool = False,
 ) -> bool:
     """K3/K4/K5/K6: partitioned table write (Delta when delta-spark is
     importable, else plain partitioned parquet — same layout, same
@@ -113,11 +114,46 @@ def save_partitioned_table(
     would let that probe (a limit-1 partial scan) be the observed
     DataFrame's first action and capture garbage partial metrics.
     Read ``observation.get`` only when this returns True.
+
+    ``enforce_compatible=True`` turns schema evolution into a GATED
+    deploy: before an append/merge onto an existing table, the new
+    schema is diffed against the stored one
+    (``operators/contracts.schema_diff``) and a BREAKING change
+    (removed column, non-widening type change, tightened nullability,
+    added required column) raises instead of silently writing a table
+    some readers can no longer consume. One footer read, no data
+    scan; additive nullable evolution passes through.
     """
     if mode not in VALID_MODES:
         raise ValueError(
             f"Invalid mode: {mode}. Choose 'append' or 'overwrite'."
         )
+    if enforce_compatible and mode == "append":
+        from pyspark.sql.types import StructField, StructType
+
+        from .operators.contracts import schema_diff
+
+        spark = df.sparkSession
+        jvm, fs = _fs_for(spark, path)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+            existing = read_partitioned_table(spark, path, table_format).schema
+
+            # parquet stores every column optional, and in-memory
+            # literal DataFrames claim non-nullable fields — so on the
+            # WRITE path the nullability axis carries no information;
+            # normalize it and gate on structure/types only. The
+            # strict nullability check remains in schema_diff for
+            # declared-contract review.
+            def _nullable(s):
+                return StructType(
+                    [StructField(f.name, f.dataType, True) for f in s.fields]
+                )
+
+            diff = schema_diff(_nullable(existing), _nullable(df.schema))
+            if not diff.is_backward_compatible:
+                raise ValueError(
+                    "incompatible schema evolution: " + "; ".join(diff.breaking)
+                )
     if df.isEmpty():
         if skip_empty:
             return False
