@@ -2184,3 +2184,58 @@ def events_since_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "seg", "n_since", "event_id")
     )
+
+
+@register(
+    "attribution_first_last_touch",
+    oracle=(
+        "SELECT p.user_id, epoch_us(p.ts) AS purchase_us, "
+        "epoch_us(min(c.ts)) AS first_click_us, "
+        "epoch_us(max(c.ts)) AS last_click_us, "
+        "CAST(count(*) AS BIGINT) AS n_clicks "
+        "FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p "
+        "JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c "
+        "ON c.user_id = p.user_id AND c.ts <= p.ts "
+        "AND c.ts >= p.ts - INTERVAL 30 MINUTE "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("analytics", "attribution", "join", "agg"),
+)
+def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-model click attribution: for every purchase, the FIRST
+    and LAST click in its 30-minute lookback plus the touch count —
+    first-touch and last-touch models from one pass (the as-of join
+    entry is the streaming-friendly last-touch twin; this is the
+    batch form marketers reconcile against). The range condition
+    rides the user_id equi-join (never a cartesian); min/max/count
+    aggregate the matches per purchase, so output is one row per
+    attributed purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    return (
+        joined.groupBy("user_id", "p_ts")
+        .agg(
+            F.min("c_ts").alias("first_c"),
+            F.max("c_ts").alias("last_c"),
+            F.count("*").alias("n_clicks"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("p_ts").alias("purchase_us"),
+            F.unix_micros("first_c").alias("first_click_us"),
+            F.unix_micros("last_c").alias("last_click_us"),
+            "n_clicks",
+        )
+        .orderBy("user_id", "purchase_us")
+    )
