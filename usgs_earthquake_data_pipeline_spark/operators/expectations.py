@@ -96,3 +96,34 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
         F.coalesce("violations", F.lit(0)).alias("violations"),
         (F.coalesce("violations", F.lit(0)) == 0).cast("int").alias("ok"),
     )
+
+
+def quarantine(
+    df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level admission: split the table into (passed, quarantined)
+    on the same rule set ``validate`` reports on. Quarantined rows
+    carry ``violated_rules`` — a comma-joined rule-name string (not an
+    array: quarantine output may feed oracle-gated sinks, and the
+    catalog bans container columns) — the dead-letter audit trail.
+
+    ``unique`` rules are report-only (a duplicate is a property of the
+    TABLE, not a row; latest-wins dedup is its row-level remedy) and
+    are ignored here.
+
+    Scale: one codegen pass — the rule predicates evaluate per-row on
+    the scan, no shuffle for either output side.
+    """
+    row_rules = [r for r in rules if r.kind != "unique"]
+    flags = [
+        F.when(_violation(r), F.lit(r.name)) for r in row_rules
+    ]
+    tagged = df.withColumn(
+        "violated_rules",
+        F.concat_ws(",", F.array_compact(F.array(*flags)))
+        if flags
+        else F.lit(""),
+    )
+    passed = tagged.filter(F.col("violated_rules") == "").drop("violated_rules")
+    quarantined = tagged.filter(F.col("violated_rules") != "")
+    return passed, quarantined
