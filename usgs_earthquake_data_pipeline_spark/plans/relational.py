@@ -2239,3 +2239,40 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_us")
     )
+
+
+@register(
+    "dq_quarantine_events",
+    oracle=(
+        "WITH t AS (SELECT event_id, event_type, value, "
+        "concat_ws(',', "
+        "CASE WHEN event_type IS NULL OR event_type NOT IN "
+        "('click', 'purchase', 'error', 'view') THEN 'in_set:event_type' END, "
+        "CASE WHEN value IS NULL OR value < 0 OR value > 250 "
+        "THEN 'in_range:value' END) AS violated_rules "
+        "FROM events) "
+        "SELECT event_id, event_type, value, violated_rules "
+        "FROM t WHERE violated_rules <> '' ORDER BY event_id"
+    ),
+    tags=("governance", "dq", "quarantine"),
+)
+def dq_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine operator under the hash gate: events failing the
+    admission rules (unexpected type, out-of-range value), each row
+    carrying its comma-joined violation reasons — so the split logic,
+    the multi-violation concatenation order, and the reason strings
+    themselves are all oracle-verified, not just counts. One codegen
+    pass, no shuffle (the sort is the driver-compare convention)."""
+    from ..operators.expectations import Rule, quarantine
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    rules = [
+        Rule("in_set", "event_type", values=("click", "purchase", "error", "view")),
+        Rule("in_range", "value", lo=0.0, hi=250.0),
+    ]
+    _, bad = quarantine(ev, rules)
+    return bad.select(
+        "event_id", "event_type", "value", "violated_rules"
+    ).orderBy("event_id")
