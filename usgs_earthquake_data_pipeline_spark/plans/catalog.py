@@ -80,6 +80,15 @@ def register(
 # must never displace a hash-checked one from the window.
 # ---------------------------------------------------------------------------
 
+# Round-5 rotation queue (entries with no driver row yet, newest
+# families first — promote these into the window once the r4 tier-1
+# recovery proofs land green in CORRECTNESS_r04): assoc_rules_event_pairs,
+# ab_test_cuped_adjustment, ab_test_jackknife_buckets,
+# benford_totalprice_audit, drift_psi_value_bins, hard_negative_mining,
+# weighted_sample_by_length, cap_docs_per_source, new_vs_returning_daily,
+# events_since_last_purchase, attribution_first_last_touch,
+# dq_quarantine_events, streaming_full_outer_join, streaming_left_semi_join,
+# streaming_sliding_rollup, streaming_anti_blocklist, spearman re-check.
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- round-4 tier 1: red in CORRECTNESS_r03 (ts-format drift or
     # oracle-dtype mismatch, both fixed this round) — a green driver row
