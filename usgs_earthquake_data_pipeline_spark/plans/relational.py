@@ -2276,3 +2276,37 @@ def dq_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select(
         "event_id", "event_type", "value", "violated_rules"
     ).orderBy("event_id")
+
+
+@register(
+    "churn_inactive_users",
+    oracle=(
+        "SELECT user_id, epoch_us(max(ts)) AS last_seen_us, "
+        "CAST(count(*) AS BIGINT) AS lifetime_events, "
+        "max(ts) < TIMESTAMP '2024-01-16' AS churned "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("analytics", "churn", "agg"),
+)
+def churn_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity churn flag: a user whose last event precedes the
+    cutoff is churned as of the analysis date — the retention
+    dashboard's denominator-defining query (cohort matrix and
+    new-vs-returning are its companions). One user-keyed aggregate;
+    the flag is pure codegen on the max."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("lifetime_events"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("last_ts").alias("last_seen_us"),
+            "lifetime_events",
+            (F.col("last_ts") < cutoff).alias("churned"),
+        )
+        .orderBy("user_id")
+    )

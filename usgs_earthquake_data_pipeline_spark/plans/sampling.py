@@ -198,3 +198,26 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 50)
         .orderBy("source", "rnk")
     )
+
+
+@register(
+    "kfold_assignment",
+    oracle=(
+        f"SELECT doc_id, CAST({_bucket_sql('doc_id', 100)} % 5 AS BIGINT) AS fold "
+        f"FROM documents ORDER BY doc_id"
+    ),
+    tags=("llm", "sampling", "cv"),
+)
+def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k=5): fold
+    membership is a property of the row id, so every engine, run, and
+    partitioning produces the same folds, and a grown corpus never
+    moves existing rows between folds — the splits' stability
+    guarantee extended to CV. Pure codegen on the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", (hash_bucket("doc_id", 100) % 5).alias("fold")
+        )
+        .orderBy("doc_id")
+    )
