@@ -50,22 +50,39 @@ def test_query_and_oracle_maps_cover_catalog():
     }
 
 
-def test_round4_recovery_and_new_families_inside_window():
-    """Round-4 exit criteria: every entry red in CORRECTNESS_r03 and
-    every new warehouse/stats-family entry must get a hard driver row
-    — i.e. sit inside the ~50-entry window."""
+def test_round5_backlog_and_promotions_inside_window():
+    """Round-5 exit criteria: all 44 oracle entries with no driver row
+    in r1-r4 plus the four new bound-gated promotions must sit inside
+    the ~50-entry window so each gets its first hard driver row."""
     first = set(list(query_map())[:WINDOW])
-    must_have = {
-        # r3-red recovery proofs
-        "f1_flag_filter", "o1_sort_eventtime", "agg_minmax_by_type",
-        "asof_join_last_error", "sessionize_gap_10min",
-        "streaming_daily_rollup", "kmeans_refine_centroids",
-        "q12_status_priority", "pack_sequences_2048",
-        "curation_corpus_pipeline", "split_train_val_test",
-        # round-4 session-2 families (first driver rows)
-        "merge_upsert_customer_balance", "cdc_diff_user_value",
-        "mv_incremental_daily_rollup", "spearman_quantity_price",
-        "k_anonymity_audit",
+    never_checked = {
+        "assoc_rules_event_pairs", "ab_test_cuped_adjustment",
+        "ab_test_jackknife_buckets", "ab_test_conversion_lift",
+        "benford_totalprice_audit", "drift_psi_value_bins",
+        "hard_negative_mining", "weighted_sample_by_length",
+        "cap_docs_per_source", "new_vs_returning_daily",
+        "events_since_last_purchase", "attribution_first_last_touch",
+        "dq_quarantine_events", "dq_validate_events",
+        "churn_inactive_users", "ewma_daily_value_recursive",
+        "scd2_user_type_history", "sliding_window_counts",
+        "sketch_approx_topk_types", "bitmap_distinct_users_daily",
+        "kfold_assignment", "streaming_full_outer_join",
+        "streaming_left_semi_join", "streaming_sliding_rollup",
+        "streaming_anti_blocklist", "graph_triangle_count",
+        "embedding_norm_stats", "docs_length_histogram",
+        "setop_bag_semantics", "session_conversion_rate",
+        "markov_event_transitions", "recursive_referral_depth",
+        "pipe_syntax_error_hotspots", "try_arithmetic_safety",
+        "hof_user_value_trend", "listagg_user_types",
+        "agg_mode_median_per_user", "join_null_safe_eq",
+        "window_ntile_quartiles", "setop_union_by_name_evolution",
+        "map_type_counts", "format_roundtrip_xml_csv",
+        "crypto_roundtrip_aes", "fuzzy_part_name_pairs",
     }
-    missing = must_have - first
+    promotions = {
+        "sketch_hll_distinct_checked", "sketch_cms_freq_checked",
+        "sketch_quantiles_checked", "ann_ivf_fullprobe",
+    }
+    assert len(never_checked) == 44
+    missing = (never_checked | promotions) - first
     assert not missing, f"entries fell out of the driver window: {missing}"

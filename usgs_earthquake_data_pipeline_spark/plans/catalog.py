@@ -80,116 +80,95 @@ def register(
 # must never displace a hash-checked one from the window.
 # ---------------------------------------------------------------------------
 
-# Round-5 rotation queue (entries with no driver row yet, newest
-# families first — promote these into the window once the r4 tier-1
-# recovery proofs land green in CORRECTNESS_r04): assoc_rules_event_pairs,
-# ab_test_cuped_adjustment, ab_test_jackknife_buckets,
-# benford_totalprice_audit, drift_psi_value_bins, hard_negative_mining,
-# weighted_sample_by_length, cap_docs_per_source, new_vs_returning_daily,
-# events_since_last_purchase, attribution_first_last_touch,
-# dq_quarantine_events, streaming_full_outer_join, streaming_left_semi_join,
-# streaming_sliding_rollup, streaming_anti_blocklist, spearman re-check.
+# Round-5 window: CORRECTNESS_r04 went 50/50 green, so every r4
+# window occupant has its hard driver row. This round drains the
+# backlog: the 44 oracle-bearing entries that have NEVER had a driver
+# row in any round (VERDICT r4 "What's wrong" #1) take the front,
+# followed by the four new bound-gated entries that promote the
+# sketch/ANN families out of rows-only (VERDICT ask #3). The last
+# ~2 slots and the spillover start the SURVEY parity-core re-confirm
+# (a1-a5/f2/o2/o4/s6/q1/q3/q5 — no driver row since r2, pre-drift);
+# whatever misses the window this round is round 6's front.
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # -- round-4 tier 1: red in CORRECTNESS_r03 (ts-format drift or
-    # oracle-dtype mismatch, both fixed this round) — a green driver row
-    # for each is the round's exit criterion ------------------------------
-    "f1_flag_filter",
-    "o1_sort_eventtime",
-    "agg_minmax_by_type",
-    "agg_regression_per_type",
-    "asof_join_last_error",
-    "range_join_error_purchase",
-    "sessionize_gap_10min",
-    "time_bucket_rollup_hourly",
-    "streaming_daily_rollup",
-    "streaming_conversion_join",
-    "streaming_dedup_user_type",
-    "streaming_left_outer_join",
-    "kmeans_refine_centroids",
-    "q12_status_priority",
-    "split_train_val_test",
-    "pack_sequences_2048",
-    "curation_corpus_pipeline",
-    # -- tier 2: oracle-bearing entries with NO driver row in any round --
-    "session_window_builtin",
-    "streaming_static_enrich",
-    "profile_documents_table",
-    "tfidf_top_terms",
-    "winsorize_value_stats",
-    # -- tier 3 (round-4 final form): the drift-canary role the
-    # a1/a3/a4 re-confirms played is covered twice over — the 17
-    # tier-1 entries all read events.ts through the same loader, and
-    # the bench re-times a1/a3/a4 every round — so their slots go to
-    # first-row coverage of the newest entries instead ----------------
-    # -- tier 4: new round-4 entries (need their FIRST driver rows;
-    # listed before the re-confirms so all land inside the ~50 window)
-    # round-4 session-2 additions: table-maintenance + stats/governance
-    # (novel operator families -> they take the window slots of four
-    # trivial-scan entries, demoted to tier 5: their single-pass shapes
-    # are fully proven by the in-repo differential)
-    "merge_upsert_customer_balance",
-    "cdc_diff_user_value",
-    "spearman_quantity_price",
-    "k_anonymity_audit",
-    "mv_incremental_daily_rollup",
-    "near_dedup_keep_one",
-    "unigram_logprob_quality",
-    "audit_referential_integrity",
-    "funnel_view_click_purchase",
-    "quality_stratified_filter",
-    "orders_retention_cohort",
-    "streaming_sessionize_gap",
-    "json_props_stats",
-    "window_range_frame_30min",
-    "join_full_outer_click_purchase",
-    "docs_chunk_fixed",
-    "multimodal_audio_stats",
-    "pagerank_supplier_influence",
-    "asof_join_tolerance_10min",
-    "lateral_top_spenders_per_nation",
-    "variant_props_buckets",
-    "unpivot_type_metrics",
-    "heavy_hitters_misra_gries",
-    "pandas_udaf_weighted_mean",
-    "spatial_radius_join_100km",
-    "spatial_nearest_purchase",
-    "timeseries_gapfill_locf",
-    "twap_value_per_type",
+    # -- tier 1: oracle-bearing entries with NO driver row in any
+    # round (r1-r4) — a green CORRECTNESS_r05 row for each of these
+    # 44 is the round's exit criterion ---------------------------------
+    "assoc_rules_event_pairs",
+    "ab_test_cuped_adjustment",
+    "ab_test_jackknife_buckets",
+    "ab_test_conversion_lift",
+    "benford_totalprice_audit",
+    "drift_psi_value_bins",
+    "hard_negative_mining",
+    "weighted_sample_by_length",
+    "cap_docs_per_source",
+    "new_vs_returning_daily",
+    "events_since_last_purchase",
+    "attribution_first_last_touch",
+    "dq_quarantine_events",
+    "dq_validate_events",
+    "churn_inactive_users",
+    "ewma_daily_value_recursive",
+    "scd2_user_type_history",
+    "sliding_window_counts",
+    "sketch_approx_topk_types",
+    "bitmap_distinct_users_daily",
+    "kfold_assignment",
+    "streaming_full_outer_join",
+    "streaming_left_semi_join",
+    "streaming_sliding_rollup",
+    "streaming_anti_blocklist",
     "graph_triangle_count",
-    # ann_pq_adc / ann_ivf_pq are rows-only and deliberately NOT window-listed:
-    # oracle-bearing entries must keep every hash-check slot
-    # (test_driver_window.py); their hard checks live in tests/test_pq.py
-    # -- tier 5: re-confirms past the observed ~50 window (r2-green;
-    # a5/o4 are trivial ops whose loader path tier 1 already proves;
-    # a2/rollup/cube/having/topn/distinct-users yielded their slots to
-    # the six new round-4 entries above — their drift canary is the
-    # a1/a3/a4 trio that shares the same loader + year()/month() path,
-    # and the in-repo sf0.001 differential still hash-checks them
-    # every test run; the headliners are re-measured by the bench) ----
     "embedding_norm_stats",
     "docs_length_histogram",
     "setop_bag_semantics",
     "session_conversion_rate",
+    "markov_event_transitions",
+    "recursive_referral_depth",
+    "pipe_syntax_error_hotspots",
+    "try_arithmetic_safety",
+    "hof_user_value_trend",
+    "listagg_user_types",
+    "agg_mode_median_per_user",
+    "join_null_safe_eq",
+    "window_ntile_quartiles",
+    "setop_union_by_name_evolution",
+    "map_type_counts",
+    "format_roundtrip_xml_csv",
+    "crypto_roundtrip_aes",
+    "fuzzy_part_name_pairs",
+    # -- tier 2: round-5 bound-gated promotions (first driver rows;
+    # these move the sketch + IVF families from rows-only to
+    # hash-gated — exact statistic + in-bound boolean vs oracle) -------
+    "sketch_hll_distinct_checked",
+    "sketch_cms_freq_checked",
+    "sketch_quantiles_checked",
+    "ann_ivf_fullprobe",
+    # -- tier 3: SURVEY parity-core re-confirm (last driver row r2,
+    # pre-drift; judge re-verified by hand in r4 — the driver hash
+    # is still owed. Window cutoff ~50 lands inside this tier; the
+    # remainder leads round 6) -----------------------------------------
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "s6_projection",
+    "o2_clustering_sort",
+    "f2_time_filter_daily",
     "a1_count_year_filter",
     "a2_count_by_year",
     "a3_fact_yearly",
     "a4_fact_monthly",
-    "dedup_latest_per_user",
-    "agg_rollup_by_type",
-    "agg_cube_type_day",
-    "agg_having_hot_users",
-    "window_topn_per_type",
-    "distinct_users_by_type",
     "a5_row_count",
     "o4_limit_offset",
-    "f2_time_filter_daily",
-    "o2_clustering_sort",
-    "s6_projection",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
+    # -- tier 4: high-value re-confirms past the window (bench-timed
+    # every round regardless) ------------------------------------------
     "dedup_ngram_jaccard",
     "ann_brute_force",
+    "curation_corpus_pipeline",
+    "kmeans_refine_centroids",
+    "merge_upsert_customer_balance",
+    "cdc_diff_user_value",
+    "spearman_quantity_price",
 )
 
 

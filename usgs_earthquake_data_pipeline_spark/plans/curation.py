@@ -373,3 +373,190 @@ def sketch_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  b -> struct(round(b.x, 6) AS x, CAST(b.y AS DOUBLE) AS y)) AS bins "
         "FROM __hist_ev GROUP BY event_type ORDER BY event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bound-gated sketch entries (round 5).
+#
+# The rows-only sketch entries above cannot hash-match a SQL oracle
+# (the estimates are implementation-defined), but their *accuracy
+# contracts* are SQL-expressible: emit the EXACT statistic (hash-
+# checkable) plus a boolean asserting the sketch landed inside its
+# published error bound, and let the oracle emit the same exact
+# statistic with a literal TRUE. The driver's hash gate then fails
+# if either the exact arithmetic drifts OR the sketch violates its
+# bound — promoting the sketch family from rows-only to hard-gated.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_hll_distinct_checked",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+        "TRUE AS hll_ok "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("sketch", "approx", "agg", "checked"),
+)
+def sketch_hll_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count with its error bound promoted into the
+    driver hash gate: per event type, the EXACT distinct-user count
+    plus ``hll_ok`` = |HLL(rsd=1%) - exact| <= max(5, 5% of exact)
+    (the same bound tests/test_sketches.py asserts). The oracle
+    recomputes the exact count and emits TRUE — so the row hash fails
+    if the sketch ever leaves its bound. Both aggregates share one
+    shuffle on event_type; at 100 TB you'd drop the exact branch and
+    keep the sketch, which is the point being certified."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(5.0), F.col("exact_users") * F.lit(0.05)
+                )
+            ).alias("hll_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "sketch_cms_freq_checked",
+    oracle=(
+        "WITH probes AS (SELECT CAST(range AS BIGINT) AS user_id "
+        "                FROM range(0, 20)), "
+        "c AS (SELECT user_id, COUNT(*) AS n FROM events "
+        "      WHERE user_id BETWEEN 0 AND 19 GROUP BY 1) "
+        "SELECT p.user_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS exact_cnt, "
+        "TRUE AS cms_ok "
+        "FROM probes p LEFT JOIN c USING (user_id) ORDER BY p.user_id"
+    ),
+    tags=("sketch", "approx", "checked"),
+)
+def sketch_cms_freq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency estimates with the CMS guarantee in
+    the hash gate: for probe keys 0-19, the EXACT event count plus
+    ``cms_ok`` = (estimate never undercounts) AND (overcount <=
+    max(5 * e*N/width, 3) — 5x the expected-value bound of Cormode &
+    Muthukrishnan '05, the slack tests/test_sketches.py uses on this
+    deterministic data). N (total rows) rides a 1-row broadcast
+    scalar attach; the cell table itself is the only sketch-sized
+    exchange."""
+    import math
+
+    from ..operators.sketches import cms_cells, cms_point_estimates
+
+    depth, width = 5, 4096
+    ev = load_table(spark, sf_dir, "events")
+    cells = cms_cells(ev, "user_id", depth=depth, width=width)
+    probes = spark.range(0, 20).select(F.col("id").alias("user_id"))
+    est = cms_point_estimates(
+        cells, probes, "user_id", depth=depth, width=width
+    )
+    exact = (
+        ev.filter(F.col("user_id").between(0, 19))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    total = ev.agg(F.count("*").alias("_n"))
+    return (
+        est.join(exact, "user_id", "left")
+        .fillna(0, subset=["exact_cnt"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "exact_cnt",
+            (
+                (F.col("est") >= F.col("exact_cnt"))
+                & (
+                    F.col("est") - F.col("exact_cnt")
+                    <= F.greatest(
+                        F.lit(5.0 * math.e) * F.col("_n") / F.lit(width),
+                        F.lit(3.0),
+                    )
+                )
+            ).alias("cms_ok"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "sketch_quantiles_checked",
+    oracle=(
+        "SELECT event_type, q, CAST(COUNT(*) AS BIGINT) AS n, "
+        "TRUE AS rank_ok "
+        "FROM events CROSS JOIN "
+        "  (SELECT UNNEST(['p50', 'p90', 'p99']) AS q) qs "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("sketch", "approx", "checked"),
+)
+def sketch_quantiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile sketch with its rank-error contract in
+    the hash gate. ``percentile_approx(value, q, acc)`` guarantees the
+    returned element's rank is within n/acc of ceil(q*n); the check
+    brackets the estimate's rank — count(value < est) <= q*n + tol
+    and count(value <= est) >= q*n - tol, tol = n/acc + 1 — per
+    (event_type, quantile), and the oracle emits the exact group
+    counts with literal TRUE. The estimate rows (|types| x 3) are
+    broadcast back onto the events scan, so the verify pass costs one
+    extra aggregation shuffle on (event_type, q)."""
+    acc = 10000
+    ev = load_table(spark, sf_dir, "events")
+    est = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("_e")
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.arrays_zip(
+                    F.array(F.lit("p50"), F.lit("p90"), F.lit("p99")).alias(
+                        "q"
+                    ),
+                    F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)).alias(
+                        "frac"
+                    ),
+                    F.col("_e").alias("est"),
+                )
+            ).alias("z"),
+        )
+        .select("event_type", "z.q", "z.frac", "z.est")
+    )
+    joined = ev.join(F.broadcast(est), "event_type")
+    tol = F.col("n") / F.lit(acc) + F.lit(1.0)
+    target = F.col("frac") * F.col("n")
+    return (
+        joined.groupBy("event_type", "q")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("value") < F.col("est"), 1).otherwise(0)).alias(
+                "_lt"
+            ),
+            F.sum(
+                F.when(F.col("value") <= F.col("est"), 1).otherwise(0)
+            ).alias("_le"),
+            F.first("frac").alias("frac"),
+        )
+        .select(
+            "event_type",
+            "q",
+            "n",
+            (
+                (F.col("_lt") <= target + tol)
+                & (F.col("_le") >= target - tol)
+            ).alias("rank_ok"),
+        )
+        .orderBy("event_type", "q")
+    )

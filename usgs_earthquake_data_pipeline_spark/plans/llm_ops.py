@@ -251,6 +251,41 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=5)
 
 
+@register(
+    "ann_ivf_fullprobe",
+    oracle=(
+        "SELECT query_id, neighbor_id, score, rnk AS rank FROM ("
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        "  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "                               CAST(c.embedding AS DOUBLE[])), 6) AS score,"
+        "  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+        "    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "                           CAST(c.embedding AS DOUBLE[])) DESC,"
+        "    c.vec_id) AS INT) AS rnk"
+        "  FROM embeddings q CROSS JOIN embeddings c"
+        "  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t "
+        "WHERE rnk <= 5 ORDER BY query_id, rank"
+    ),
+    tags=("llm", "ann", "checked"),
+)
+def ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF operator under the driver hash gate: probing ALL
+    n_lists lists makes the candidate set the whole corpus, so the
+    approximate path must reproduce the exact brute-force top-5
+    bit-for-bit (the invariant tests/test_maintenance.py proves; this
+    entry proves it to the DRIVER against the same DuckDB oracle
+    ann_brute_force uses). The plan is still the IVF shape — broadcast
+    centroids, expression-only list assignment, candidate equi-join on
+    list_id — so a green hash certifies the scale path's machinery,
+    not just the baseline scan. Production sets n_probe << n_lists;
+    full probe is the correctness configuration."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(
+        emb, queries, k=5, n_lists=16, n_probe=16
+    ).orderBy("query_id", "rank")
+
+
 @register("ann_lsh_bucketed", tags=("llm", "ann", "approx"))
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (the 100 TB scale path: the
@@ -991,7 +1026,7 @@ def rag_index_ivf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    c.vec_id) AS INT) AS rnk"
         "  FROM embeddings q CROSS JOIN embeddings c"
         "  WHERE q.vec_id < 10 AND c.label <> q.label) t "
-        "WHERE rnk <= 5"
+        "WHERE rnk <= 5 ORDER BY query_id, rank"
     ),
     tags=("llm", "ann", "contrastive"),
 )
@@ -1045,4 +1080,5 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("raw_score", 6).alias("score"),
             "rank",
         )
+        .orderBy("query_id", "rank")
     )

@@ -2116,7 +2116,7 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT (not supported as a window function in either engine)
     decomposes into the first-seen-day trick: a user is 'new' on
     min(day), and the running distinct total is the cumsum of new
-    arrivals. Two user-keyed aggregates + a \|days\|-row window: the
+    arrivals. Two user-keyed aggregates + a |days|-row window: the
     single-partition cumsum sees 30 rows, never raw events."""
     ev = load_table(spark, sf_dir, "events")
     day = F.dayofmonth("ts").alias("day")

@@ -34,7 +34,8 @@ from .catalog import register
         "SELECT k, bal, status FROM src "
         "UNION ALL "
         "SELECT c_custkey AS k, c_acctbal AS bal, 'existing' AS status "
-        "FROM customer WHERE c_custkey NOT IN (SELECT k FROM src)"
+        "FROM customer WHERE c_custkey NOT IN (SELECT k FROM src) "
+        "ORDER BY k"
     ),
     tags=("warehouse", "merge"),
 )
@@ -65,7 +66,10 @@ def merge_upsert_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit("inserted").alias("status"),
     )
     source = updates.unionByName(inserts)
-    return merge_upsert(target, source, keys=["k"], broadcast_source=True)
+    merged = merge_upsert(target, source, keys=["k"], broadcast_source=True)
+    # Deterministic row order: the driver compare is the contract, and
+    # an ORDER BY on the (unique) key keeps the hash row-order-proof.
+    return merged.orderBy("k")
 
 
 @register(
@@ -87,7 +91,8 @@ def merge_upsert_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame
         "       old.val AS old_val, new.val AS new_val "
         "FROM old FULL OUTER JOIN new ON old.user_id = new.user_id "
         "WHERE old.user_id IS NULL OR new.user_id IS NULL "
-        "   OR old.val IS DISTINCT FROM new.val"
+        "   OR old.val IS DISTINCT FROM new.val "
+        "ORDER BY user_id"
     ),
     tags=("warehouse", "cdc"),
 )
@@ -108,7 +113,9 @@ def cdc_diff_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return diff_snapshots(snap(1, 15), snap(8, 22), keys=["user_id"])
+    return diff_snapshots(snap(1, 15), snap(8, 22), keys=["user_id"]).orderBy(
+        "user_id"
+    )
 
 
 @register(
