@@ -114,3 +114,34 @@ def test_enforce_compatible_gates_breaking_append(spark, tmp_path):
             dropped, path, mode="append", merge_schema=True,
             enforce_compatible=True,
         )
+
+
+def test_enforce_compatible_ignores_partition_type_inference(spark, tmp_path):
+    """A STRING partition column whose values parse as ints reads back
+    int (partitionColumnTypeInference) — the compat gate must not
+    mistake that round-trip for a breaking type change and reject a
+    valid same-schema append."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from usgs_earthquake_data_pipeline_spark import sinks
+
+    path = str(tmp_path / "t")
+    base = spark.range(5).select(
+        F.col("id"),
+        F.lit("2020").alias("year"),  # string, int-parsable
+        F.lit("01").alias("month"),
+    )
+    sinks.save_partitioned_table(base, path, mode="append")
+    # read-back infers year as int — the append must still pass
+    assert sinks.save_partitioned_table(
+        base, path, mode="append", enforce_compatible=True
+    )
+    # and a REAL breaking change in a data column is still caught
+    with pytest.raises(ValueError, match="incompatible schema evolution"):
+        sinks.save_partitioned_table(
+            base.withColumn("id", F.col("id").cast("string")),
+            path,
+            mode="append",
+            enforce_compatible=True,
+        )

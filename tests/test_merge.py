@@ -35,6 +35,41 @@ def test_merge_upsert_source_wins_on_every_key_collision(spark):
     assert all(r.v.startswith("new") for r in got)
 
 
+def test_merge_upsert_duplicate_source_keys_raise_like_delta(spark):
+    """Delta's MERGE errors when multiple source rows match one target
+    row; the default policy mirrors that instead of silently emitting
+    duplicate rows."""
+    target = _kv(spark, [(1, "a"), (2, "b")])
+    source = _kv(spark, [(2, "B1"), (2, "B2"), (3, "C")])
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_upsert(target, source, ["k"])
+
+
+def test_merge_upsert_last_wins_dedups_deterministically(spark):
+    target = _kv(spark, [(1, "a"), (2, "b")])
+    source = _kv(spark, [(2, "B1"), (2, "B2"), (3, "C")])
+    got = {
+        (r.k, r.v)
+        for r in merge_upsert(
+            target,
+            source,
+            ["k"],
+            duplicate_policy="last_wins",
+            last_wins_order=["v"],
+        ).collect()
+    }
+    assert got == {(1, "a"), (2, "B2"), (3, "C")}
+
+
+def test_merge_upsert_last_wins_requires_order(spark):
+    target = _kv(spark, [(1, "a")])
+    source = _kv(spark, [(1, "A")])
+    with pytest.raises(ValueError, match="last_wins_order"):
+        merge_upsert(target, source, ["k"], duplicate_policy="last_wins")
+    with pytest.raises(ValueError, match="duplicate_policy"):
+        merge_upsert(target, source, ["k"], duplicate_policy="nope")
+
+
 def test_merge_upsert_composite_key(spark):
     schema = "k1 BIGINT, k2 STRING, v DOUBLE"
     target = spark.createDataFrame([(1, "x", 1.0), (1, "y", 2.0)], schema)
@@ -394,6 +429,42 @@ def test_stats_pruned_read_on_timestamp_column(spark, tmp_path):
     )
     assert pruned.count() == 200  # days 3 and 4
     assert len(pruned.inputFiles()) < 8
+
+
+def test_stats_pruned_read_canonicalizes_bound_forms(spark, tmp_path):
+    """The caller may pass timestamp bounds as datetime objects or as
+    the space-separated string form; both must canonicalize against
+    the ISO-serialized stats — the raw compare either raised TypeError
+    (datetime vs str) or lexicographically mis-ordered ' ' vs 'T' and
+    silently pruned overlapping files."""
+    from datetime import datetime
+
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1 + (i // 100), 12, 0, 0)) for i in range(1000)],
+        "id BIGINT, ts TIMESTAMP",
+    )
+    sinks.save_versioned_table(
+        df.repartitionByRange(8, "ts"), path, stats_cols=["ts"]
+    )
+    # datetime-object bounds: previously raised TypeError
+    pruned = sinks.read_versioned_table_pruned(
+        spark,
+        path,
+        {"ts": (datetime(2024, 1, 3), datetime(2024, 1, 4, 23, 59, 59))},
+    )
+    assert pruned.count() == 200
+    assert len(pruned.inputFiles()) < 8
+    # space-separated string bounds: 'T' > ' ' made an overlapping
+    # file compare as disjoint (fmax '2024-01-03T12:00:00' <
+    # lo '2024-01-03 00:00:00' is False lexicographically, but the
+    # symmetric fmin > hi check with hi '2024-01-04 23:59:59' pruned
+    # day-4 files whose fmin uses the 'T' form)
+    pruned2 = sinks.read_versioned_table_pruned(
+        spark, path, {"ts": ("2024-01-03 00:00:00", "2024-01-04 23:59:59")}
+    )
+    assert pruned2.count() == 200
+    assert len(pruned2.inputFiles()) < 8
 
 
 def test_torn_snapshot_commit_preserves_previous_release(spark, tmp_path, monkeypatch):

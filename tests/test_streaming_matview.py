@@ -100,9 +100,12 @@ def test_stream_matview_resume_processes_only_new_data(spark, sf_dir, tmp_path):
 
 def test_stream_matview_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
     """The at-least-once crash window: a batch whose fold committed
-    but whose checkpoint didn't advance is replayed by the engine —
-    the applied-batch marker must make the replay a no-op instead of
-    a double count."""
+    (marker written) but whose CHECKPOINT didn't advance is replayed
+    by the engine under the SAME query identity — the scoped marker
+    must make that replay a no-op. Simulated by pre-writing the marker
+    for the checkpoint's txn id on the already-folded view, then
+    starting the query with a fresh (never-advanced) checkpoint dir:
+    the engine delivers batch 0, which the marker marks applied."""
     view = str(tmp_path / "view")
     ckpt = str(tmp_path / "ckpt")
     q = stream_update_matview(
@@ -118,14 +121,17 @@ def test_stream_matview_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
         r.etype: (r.cnt, r.sum_value)
         for r in read_versioned_table(spark, view).collect()
     }
-    last = _read_applied(spark, view)
+    last = _read_applied(spark, view, ckpt.rstrip("/"))
     assert last >= 0
-    # simulate the replay: re-run with a FRESH checkpoint (engine
-    # re-delivers batch 0..n) against the already-folded view
+    # crash-window replay: the fold committed (marker present for this
+    # txn id) but the checkpoint is gone — the engine re-delivers
+    # batch 0 under the same identity, and the fold must skip it
+    ckpt_replay = str(tmp_path / "ckpt_replay")
+    _write_applied(spark, view, ckpt_replay.rstrip("/"), last)
     q2 = stream_update_matview(
         _events_stream(spark, sf_dir),
         view,
-        str(tmp_path / "ckpt2"),
+        ckpt_replay,
         _partial,
         keys=["etype"],
         merges=MERGES,
@@ -138,11 +144,57 @@ def test_stream_matview_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
     assert replayed == committed  # no double counting
 
 
+def test_stream_matview_new_query_is_not_skipped(spark, sf_dir, tmp_path):
+    """A legitimately NEW query (fresh checkpoint, no marker for its
+    identity) over an existing view must NOT inherit another query's
+    batch watermark — the pre-fix conflation silently dropped its
+    data (batch ids restart at 0 per checkpoint). The new query folds
+    its batches, doubling the counts of the same input."""
+    view = str(tmp_path / "view")
+    for ckpt in ("ckpt_a", "ckpt_b"):
+        q = stream_update_matview(
+            _events_stream(spark, sf_dir),
+            view,
+            str(tmp_path / ckpt),
+            _partial,
+            keys=["etype"],
+            merges=MERGES,
+        )
+        assert q.awaitTermination(180)
+        if ckpt == "ckpt_a":
+            first = {
+                r.etype: (r.cnt, r.sum_value)
+                for r in read_versioned_table(spark, view).collect()
+            }
+    second = {
+        r.etype: (r.cnt, r.sum_value)
+        for r in read_versioned_table(spark, view).collect()
+    }
+    assert second == {
+        k: (2 * c, 2 * s) for k, (c, s) in first.items()
+    }  # new identity folded — not silently skipped
+
+
 def test_applied_marker_roundtrip(spark, tmp_path):
     path = str(tmp_path / "view")
     os.makedirs(path)
-    assert _read_applied(spark, path) == -1
-    _write_applied(spark, path, 7)
-    assert _read_applied(spark, path) == 7
-    _write_applied(spark, path, 8)
-    assert _read_applied(spark, path) == 8
+    assert _read_applied(spark, path, "qA") == -1
+    _write_applied(spark, path, "qA", 7)
+    assert _read_applied(spark, path, "qA") == 7
+    _write_applied(spark, path, "qA", 8)
+    assert _read_applied(spark, path, "qA") == 8
+    # independent per-identity watermarks
+    assert _read_applied(spark, path, "qB") == -1
+    _write_applied(spark, path, "qB", 2)
+    assert _read_applied(spark, path, "qB") == 2
+    assert _read_applied(spark, path, "qA") == 8
+
+
+def test_applied_marker_legacy_int_ignored(spark, tmp_path):
+    """Pre-scoping markers (bare int) can't be attributed to a query
+    identity and must not suppress any fold."""
+    path = str(tmp_path / "view")
+    os.makedirs(path)
+    with open(os.path.join(path, "_applied_batch"), "w") as fh:
+        fh.write("5")
+    assert _read_applied(spark, path, "qA") == -1

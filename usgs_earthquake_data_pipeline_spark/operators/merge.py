@@ -37,6 +37,8 @@ def merge_upsert(
     keys: Sequence[str],
     *,
     broadcast_source: bool = False,
+    duplicate_policy: str = "error",
+    last_wins_order: Sequence[str] | None = None,
 ) -> DataFrame:
     """Delta-style ``MERGE INTO``: WHEN MATCHED THEN UPDATE SET * /
     WHEN NOT MATCHED THEN INSERT *.
@@ -45,6 +47,18 @@ def merge_upsert(
     same-key target row; target rows with no source match survive
     unchanged. Both inputs must share the target schema (``INSERT *``
     semantics — the source carries full rows, as a CDC feed does).
+
+    A source batch with MULTIPLE rows per key is ambiguous — Delta's
+    MERGE errors on it ("multiple source rows matched") rather than
+    emit duplicates. ``duplicate_policy`` mirrors that contract:
+
+    - ``"error"`` (default): validate key-uniqueness with one bounded
+      aggregation over the source (the small side by contract) and
+      raise ``ValueError`` on violation.
+    - ``"last_wins"``: deterministically keep one row per key — the
+      maximum of ``last_wins_order`` columns (required; a DataFrame
+      has no inherent row order to make "last" well-defined). Pure
+      window algebra, no extra action.
     """
     keys = list(keys)
     if not keys:
@@ -53,6 +67,40 @@ def merge_upsert(
     if missing:
         raise ValueError(f"source is missing target columns: {missing}")
     src = source.select(*target.columns)
+    if duplicate_policy == "error":
+        dup = (
+            src.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_vals = tuple(dup[0][k] for k in keys)
+            raise ValueError(
+                "merge_upsert: multiple source rows share key "
+                f"{dict(zip(keys, key_vals))} — ambiguous MERGE "
+                "(Delta would raise); dedup the batch or pass "
+                "duplicate_policy='last_wins' with last_wins_order"
+            )
+    elif duplicate_policy == "last_wins":
+        if not last_wins_order:
+            raise ValueError(
+                "duplicate_policy='last_wins' requires last_wins_order "
+                "columns — DataFrames have no inherent row order"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in last_wins_order]
+        )
+        src = (
+            src.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        raise ValueError(f"unknown duplicate_policy: {duplicate_policy!r}")
     src_keys = src.select(*keys)
     if broadcast_source:
         src_keys = F.broadcast(src_keys)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from collections.abc import Callable, Iterator, Mapping, Sequence
 from datetime import datetime, timezone
 
@@ -128,6 +129,9 @@ def save_partitioned_table(
         raise ValueError(
             f"Invalid mode: {mode}. Choose 'append' or 'overwrite'."
         )
+    partition_cols = (
+        partition_cols if partition_cols is not None else RAW_PARTITION_COLS
+    )
     if enforce_compatible and mode == "append":
         from pyspark.sql.types import StructField, StructType
 
@@ -143,10 +147,22 @@ def save_partitioned_table(
             # WRITE path the nullability axis carries no information;
             # normalize it and gate on structure/types only. The
             # strict nullability check remains in schema_diff for
-            # declared-contract review.
+            # declared-contract review. Partition columns are excluded
+            # entirely: their read-back types are RE-INFERRED from
+            # directory names (partitionColumnTypeInference), so a
+            # string partition value that parses as an int/date
+            # round-trips as a different type and would falsely reject
+            # a valid append — the directory layout, not the footer,
+            # is their contract.
+            skip = set(partition_cols or ())
+
             def _nullable(s):
                 return StructType(
-                    [StructField(f.name, f.dataType, True) for f in s.fields]
+                    [
+                        StructField(f.name, f.dataType, True)
+                        for f in s.fields
+                        if f.name not in skip
+                    ]
                 )
 
             diff = schema_diff(_nullable(existing), _nullable(df.schema))
@@ -161,7 +177,6 @@ def save_partitioned_table(
             mode
         ).save(path)
         return True
-    partition_cols = partition_cols if partition_cols is not None else RAW_PARTITION_COLS
     out = clustering_sort(df, partition_cols, cluster_cols) if partition_cols else df
     if observation is not None:
         out = out.observe(observation, *metrics)
@@ -742,6 +757,64 @@ def _read_file_stats(spark, path: str, version: int) -> dict | None:
         stream.close()
 
 
+_TS_LIKE_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$"
+)
+
+
+def _canon_stat_pair(stat_val, bound):
+    """Canonicalize a JSON-decoded file-stat value and a caller bound
+    to one comparable type. Timestamp/date stats serialize via
+    ``isoformat()`` ('2024-01-06T23:59:59'); callers legitimately pass
+    datetime/date objects or the space-separated string form — raw
+    Python ``<`` between those either raises TypeError or, for
+    ' ' vs 'T', compares lexicographically WRONG ('T' > ' '), which
+    could prune an overlapping file and silently drop rows. Returns a
+    (stat, bound) pair safe to compare, or None when the two sides
+    cannot be canonicalized (caller must then treat the file as
+    overlapping — pruning is a pure optimization, never allowed to
+    change semantics)."""
+    import datetime as _dt
+
+    if isinstance(bound, _dt.datetime):
+        if isinstance(stat_val, str):
+            try:
+                return _dt.datetime.fromisoformat(stat_val), bound
+            except ValueError:
+                return None
+        return None
+    if isinstance(bound, _dt.date):
+        if isinstance(stat_val, str):
+            try:
+                return _dt.date.fromisoformat(stat_val[:10]), bound
+            except ValueError:
+                return None
+        return None
+    if isinstance(bound, str) and isinstance(stat_val, str):
+        if _TS_LIKE_RE.match(bound) and _TS_LIKE_RE.match(stat_val):
+            # normalize the separator so ISO order == time order
+            return stat_val.replace(" ", "T"), bound.replace(" ", "T")
+        return stat_val, bound
+    if isinstance(bound, bool) or isinstance(stat_val, bool):
+        return None
+    if isinstance(bound, (int, float)) and isinstance(stat_val, (int, float)):
+        return stat_val, bound
+    return None
+
+
+def _stat_disjoint(fmin, fmax, lo, hi) -> bool:
+    """True iff the file's [fmin, fmax] provably cannot intersect
+    [lo, hi] after canonicalization; un-canonicalizable pairs are
+    never disjoint (the file gets read)."""
+    hi_pair = _canon_stat_pair(fmin, hi)
+    lo_pair = _canon_stat_pair(fmax, lo)
+    if hi_pair is not None and hi_pair[0] > hi_pair[1]:
+        return True
+    if lo_pair is not None and lo_pair[0] < lo_pair[1]:
+        return True
+    return False
+
+
 def read_versioned_table_pruned(
     spark,
     path: str,
@@ -787,7 +860,7 @@ def read_versioned_table_pruned(
                 fmin, fmax = fstats[col]
                 if fmin is None or fmax is None:
                     continue
-                if fmax < lo or fmin > hi:
+                if _stat_disjoint(fmin, fmax, lo, hi):
                     overlaps = False
                     break
             if overlaps:

@@ -15,9 +15,12 @@ micro-batch at delta cost.
 Exactly-once: foreachBatch is at-least-once — after a crash between
 the view commit and the checkpoint advance, Structured Streaming
 replays the batch. A replayed fold would double-count sums, so the
-last applied ``batch_id`` is recorded in a ``_applied_batch`` marker
-written AFTER the version commit: a replayed batch with
-``batch_id <= marker`` is skipped. (Crash between commit and marker
+last applied ``batch_id`` is recorded PER QUERY IDENTITY (Delta's
+txnAppId/txnVersion contract, keyed by checkpoint path — batch ids
+restart at 0 for every new checkpoint, so a global marker would make
+a legitimately new query silently skip its batches) in a
+``_applied_batch`` marker written AFTER the version commit: a batch
+replayed BY THE SAME QUERY with ``batch_id <= marker`` is skipped. (Crash between commit and marker
 write re-folds once — the marker write is therefore ordered first in
 `_fold` relative to the checkpoint advance, and the window is a
 single local rename; the residual risk equals the reference's own
@@ -31,6 +34,7 @@ pruned/versioned like any versioned table.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable, Mapping, Sequence
 
 from pyspark.sql import DataFrame
@@ -45,26 +49,47 @@ from ..sinks import (
 _APPLIED_MARKER = "_applied_batch"
 
 
-def _read_applied(spark, path: str) -> int:
+def _read_marker_map(spark, path: str) -> dict[str, int]:
+    """The applied-batch marker as {txn_app_id: last_batch}. Batch ids
+    are only meaningful within one query/checkpoint lineage (Structured
+    Streaming restarts numbering at 0 for every new checkpoint), so the
+    marker is scoped like Delta's idempotent-write contract (txnAppId +
+    txnVersion) instead of a single global integer — a fresh query over
+    an existing view must NOT inherit another query's watermark. A
+    legacy bare-int marker (pre-scoping format) cannot be attributed to
+    any query and is ignored."""
     jvm, fs = _fs_for(spark, path)
     mpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_APPLIED_MARKER}")
     if not fs.exists(mpath):
-        return -1
+        return {}
     stream = fs.open(mpath)
     try:
-        return int(bytes(stream.readAllBytes()).decode())
+        raw = bytes(stream.readAllBytes()).decode()
     finally:
         stream.close()
+    try:
+        data = json.loads(raw)
+    except ValueError:
+        return {}
+    if not isinstance(data, dict):  # legacy bare int
+        return {}
+    return {str(k): int(v) for k, v in data.items()}
 
 
-def _write_applied(spark, path: str, batch_id: int) -> None:
+def _read_applied(spark, path: str, txn_app_id: str) -> int:
+    return _read_marker_map(spark, path).get(txn_app_id, -1)
+
+
+def _write_applied(spark, path: str, txn_app_id: str, batch_id: int) -> None:
+    state = _read_marker_map(spark, path)
+    state[txn_app_id] = batch_id
     jvm, fs = _fs_for(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(
         f"{path.rstrip('/')}/._applied_tmp_{batch_id}"
     )
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(str(batch_id).encode()))
+        out.write(bytearray(json.dumps(state).encode()))
     finally:
         out.close()
     final = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_APPLIED_MARKER}")
@@ -89,9 +114,14 @@ def stream_update_matview(
     tests and cron-shaped ingest).
     """
     spark = stream_df.sparkSession
+    # Query identity for the idempotence marker: batch ids are scoped
+    # to a checkpoint lineage, so the (normalized) checkpoint path IS
+    # the txnAppId — same checkpoint replaying a batch is skipped, a
+    # new checkpoint (new query) folds from scratch.
+    txn_app_id = checkpoint_dir.rstrip("/")
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _read_applied(spark, view_path):
+        if batch_id <= _read_applied(spark, view_path, txn_app_id):
             return  # replayed batch already folded - exactly-once skip
         delta = partial_fn(batch_df)
         try:
@@ -100,7 +130,7 @@ def stream_update_matview(
             view = delta.limit(0)
         merged = merge_aggregate_state(view, delta, keys, merges)
         save_versioned_table(merged, view_path)
-        _write_applied(spark, view_path, batch_id)
+        _write_applied(spark, view_path, txn_app_id, batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(_fold)
