@@ -145,6 +145,37 @@ def test_ivf_trained_centroids_exact_when_probing_all(spark, sf_dir):
     assert len(trained_2 & brute) / len(brute) >= 0.5
 
 
+def test_kmeans_float64_fast_path_matches_exact(spark, sf_dir):
+    """The production assignment path (exact=False: float64 codegen
+    distances) must produce the SAME clusters and centroids as the
+    decimal oracle path on the bench tables — argmin ties within a
+    double ulp don't occur on real embeddings, so the fast path is a
+    pure speedup, not an approximation."""
+    from usgs_earthquake_data_pipeline_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dec = kmeans_lloyd(emb, k=8, iterations=2, dim=64, exact=True).collect()
+    fp = kmeans_lloyd(emb, k=8, iterations=2, dim=64, exact=False).collect()
+    assert [
+        (r.list_id, r.n_members, tuple(r.centroid)) for r in dec
+    ] == [(r.list_id, r.n_members, tuple(r.centroid)) for r in fp]
+
+
+def test_semdedup_float64_fast_path_matches_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dec = {
+        (r.vec_id, r.list_id)
+        for r in S.semantic_dedup(emb, threshold=0.3, exact=True).collect()
+    }
+    fp = {
+        (r.vec_id, r.list_id)
+        for r in S.semantic_dedup(emb, threshold=0.3, exact=False).collect()
+    }
+    assert dec == fp
+
+
 def test_vacuum_and_partition_file_stats(spark, tmp_path):
     import os
 

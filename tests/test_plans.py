@@ -342,3 +342,25 @@ def test_parameterized_sql_matches_literal(spark, sf_dir):
         "WHERE event_type = 'error' AND value > 50.0 GROUP BY 1"
     ).collect()
     assert got == want and len(got) == 1
+
+
+def test_spearman_rank_windows_are_bucket_partitioned(spark, sf_dir):
+    """The rank windows over raw lineitem must partition by
+    (grp, range-bucket), never by grp alone — a grp-only sort puts a
+    whole group in one task (the r4 verdict's scale killer). The only
+    grp-partitioned window allowed is the per-bucket offset cumsum
+    over the tiny |grp| x B counts table (its frame is rowsBetween,
+    distinguishable by the preceding-row frame in the spec)."""
+    import re
+
+    plan = _plan(CATALOG["spearman_quantity_price"].spark_fn(spark, sf_dir))
+    win_specs = re.findall(r"Window \[([^\]]*)\], \[([^\]]*)\]", plan)
+    # partition specs that rank raw rows (rank/count over value order)
+    rank_parts = [
+        parts for expr, parts in win_specs if "rank(" in expr
+    ]
+    assert rank_parts, "expected rank() windows in the spearman plan"
+    for parts in rank_parts:
+        assert "__b" in parts, (
+            f"rank window partitioned by {parts!r} — whole group in one task"
+        )

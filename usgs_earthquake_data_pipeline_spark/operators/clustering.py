@@ -51,15 +51,34 @@ def _sq_dist_decimal(a: Column, b: Column) -> Column:
     )
 
 
-def _nearest_list_id(vec: Column) -> Column:
+def _sq_dist_double(a: Column, b: Column) -> Column:
+    """float64 squared Euclidean distance — the production fast path:
+    plain double fold, ~the cheapest arithmetic codegen emits, at the
+    cost of summation-order sensitivity in the last ulp. Assignment
+    ties between two centroids within that ulp are broken by list_id
+    either way; on real (non-adversarial) embeddings the argmin is
+    identical to the decimal path (asserted on the bench tables in
+    tests/test_maintenance.py)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _nearest_list_id(vec: Column, *, exact: bool = True) -> Column:
     """Pure-expression argmin over the broadcast ``__cents`` array:
     sort (distance asc, list_id asc), take the head. No explode, no
-    window, no shuffle."""
+    window, no shuffle. ``exact=True`` ranks by the decimal distance
+    (order-independent — the cross-engine oracle contract);
+    ``exact=False`` ranks in float64 (the production fast path: the
+    decimal fold is interpreted, the double fold is codegen)."""
+    dist = _sq_dist_decimal if exact else _sq_dist_double
     ranked = F.array_sort(
         F.transform(
             "__cents",
             lambda c: F.struct(
-                _sq_dist_decimal(vec, c["c"]).alias("d"),
+                dist(vec, c["c"]).alias("d"),
                 c["list_id"].alias("list_id"),
             ),
         ),
@@ -78,6 +97,7 @@ def kmeans_lloyd(
     k: int = 8,
     iterations: int = 2,
     dim: int = 64,
+    exact: bool = True,
 ) -> DataFrame:
     """Run ``iterations`` Lloyd rounds; return one row per surviving
     cluster: ``(list_id, n_members, centroid)`` with the centroid mean
@@ -85,6 +105,13 @@ def kmeans_lloyd(
 
     A cluster that loses all members simply disappears (its centroid
     cannot be recomputed) — the same semantics the SQL twin has.
+
+    ``exact=True`` (default — the oracle entries' configuration)
+    assigns with order-independent decimal distances; ``exact=False``
+    assigns in float64, the production fast path (identical
+    assignments on the bench tables, proven in
+    tests/test_maintenance.py; the update step's decimal sums stay —
+    they are the map-side partial aggregate, not the hot loop).
     """
     vecs = df.select(
         F.col(id_col).alias("id"),
@@ -102,7 +129,9 @@ def kmeans_lloyd(
             cents.agg(F.collect_list(F.struct("list_id", "c")).alias("__cents"))
         )
         assigned = vecs.crossJoin(cent_arr).select(
-            "id", "v", _nearest_list_id(F.col("v")).alias("list_id")
+            "id",
+            "v",
+            _nearest_list_id(F.col("v"), exact=exact).alias("list_id"),
         )
         # exact per-dimension decimal sums -> double means
         sums = assigned.groupBy("list_id").agg(

@@ -140,7 +140,7 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def hashed_shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, *, persist: bool = True
 ) -> DataFrame:
     """(id, hs) projection: each document's distinct word ``n``-gram
     shingles as 64-bit hashes — the shared front end of every
@@ -150,16 +150,28 @@ def hashed_shingle_sets(
     rows narrow and equality cheap; set relations over hashed grams
     equal the string-gram ones up to xxhash64 collisions (negligible
     at real shingle-set sizes, and the oracle gate would surface one).
-    Empty-gram docs are dropped. The projection is persisted —
-    callers invariably scan it more than once, and re-evaluating the
-    interpreted gram lambdas per branch dominates runtime otherwise.
-    """
-    return (
+    Empty-gram docs are dropped. With ``persist=True`` the projection
+    is cached — callers invariably scan it more than once, and
+    re-evaluating the interpreted gram lambdas per branch dominates
+    runtime otherwise — but ONLY if the cache manager doesn't already
+    hold this plan (repeated catalog runs over the same table used to
+    re-persist per call, leaking one pinned projection per run and
+    spamming `CacheManager: already cached` warnings). The cache is
+    plan-keyed and shared; release it with ``unpersist()`` on the
+    returned frame once the derived results are materialized, or pass
+    ``persist=False`` to keep the pipeline fully streaming (the right
+    call when the caller scans it exactly once)."""
+    out = (
         _tokenized(df, id_col, text_col)
         .select("id", gram_hashes("toks", n).alias("hs"))
         .filter(F.size("hs") > 0)
-        .persist()
     )
+    if not persist:
+        return out
+    lvl = out.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return out  # same plan already cached — reuse, don't re-pin
+    return out.persist()
 
 
 def minhash_signature(hashed_shingle_col: Column, num_hashes: int = 32) -> Column:

@@ -393,6 +393,7 @@ def semantic_dedup(
     dim: int = 64,
     iterations: int = 2,
     threshold: float = 0.9,
+    exact: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
     by clustering embeddings first and comparing pairs ONLY within a
@@ -406,14 +407,15 @@ def semantic_dedup(
     direction for training-data dedup). Returns surviving
     (id, list_id) rows.
 
-    Scale: centroids come from the decimal-exact Lloyd operator and
-    broadcast; assignment is the same no-shuffle argmin expression
-    k-means itself uses (linear in corpus; its interpreted decimal
-    arithmetic is the kmeans entry's documented oracle-exactness
-    trade — a production trainer would assign in float64); the
-    within-cluster comparison shuffles once on list_id. Grow k with
-    the corpus to hold cluster sizes — and each Arrow group's
-    |cluster|² similarity matrix — bounded.
+    Scale: centroids come from the Lloyd operator and broadcast;
+    assignment is the same no-shuffle argmin expression k-means
+    itself uses (linear in corpus; ``exact=False`` switches both
+    from the oracle-stable interpreted decimal arithmetic to the
+    float64 codegen fast path — identical assignments on the bench
+    tables, tests/test_maintenance.py); the within-cluster
+    comparison shuffles once on list_id. Grow k with the corpus to
+    hold cluster sizes — and each Arrow group's |cluster|²
+    similarity matrix — bounded.
     """
     from .clustering import _nearest_list_id, kmeans_lloyd
 
@@ -422,13 +424,19 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     cents = kmeans_lloyd(
-        df, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations, dim=dim
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        iterations=iterations,
+        dim=dim,
+        exact=exact,
     ).select("list_id", F.col("centroid").alias("c"))
     cent_arr = F.broadcast(
         cents.agg(F.collect_list(F.struct("list_id", "c")).alias("__cents"))
     )
     assigned = vecs.crossJoin(cent_arr).select(
-        "id", "v", _nearest_list_id(F.col("v")).alias("list_id")
+        "id", "v", _nearest_list_id(F.col("v"), exact=exact).alias("list_id")
     )
     # within-cluster near-dup detection: one Arrow batch per cluster,
     # cosine matrix via numpy matmul. The expression-form twin
