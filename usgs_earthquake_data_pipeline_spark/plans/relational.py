@@ -1717,55 +1717,67 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle hash is identical to the single-window form.
     _B = 32
 
-    ranked = base
-    for col, bcol, out in (
-        ("l_quantity", "__bx", "rx"),
-        ("l_extendedprice", "__by", "ry"),
-    ):
-        span = ranked.groupBy("grp").agg(
-            F.min(col).alias("__lo"), F.max(col).alias("__hi")
-        )
-        with_b = (
-            ranked.join(F.broadcast(span), "grp")
-            .withColumn(
-                bcol,
-                F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
-                    F.least(
-                        F.lit(_B - 1),
-                        F.floor(
-                            (F.col(col) - F.col("__lo"))
-                            / (F.col("__hi") - F.col("__lo"))
-                            * _B
-                        ).cast("int"),
-                    )
-                ),
+    def _bucket(col: str, lo: str, hi: str) -> F.Column:
+        return F.when(F.col(hi) == F.col(lo), F.lit(0)).otherwise(
+            F.least(
+                F.lit(_B - 1),
+                F.floor(
+                    (F.col(col) - F.col(lo)) / (F.col(hi) - F.col(lo)) * _B
+                ).cast("int"),
             )
-            .drop("__lo", "__hi")
         )
-        counts = with_b.groupBy("grp", bcol).agg(F.count("*").alias("__n"))
+
+    spans = base.groupBy("grp").agg(
+        F.min("l_quantity").alias("__lox"),
+        F.max("l_quantity").alias("__hix"),
+        F.min("l_extendedprice").alias("__loy"),
+        F.max("l_extendedprice").alias("__hiy"),
+    )
+    with_b = (
+        base.join(F.broadcast(spans), "grp")
+        .withColumn("__bx", _bucket("l_quantity", "__lox", "__hix"))
+        .withColumn("__by", _bucket("l_extendedprice", "__loy", "__hiy"))
+        .drop("__lox", "__hix", "__loy", "__hiy")
+    )
+    # Both axes' offsets derive from ONE tiny (grp, bx, by) cell count
+    # (<= |grp| * B^2 rows). Branch discipline: every side input
+    # (spans, cell, offsets) hangs off the cheap column-pruned scan or
+    # the cell table — never off a windowed result, which branch
+    # re-evaluation would recompute per reference (the first cut of
+    # this rewrite chained axis 2 on axis 1's windows and the physical
+    # plan exploded to 15 broadcast joins / 20 exchanges).
+    cell = with_b.groupBy("grp", "__bx", "__by").agg(F.count("*").alias("__n"))
+
+    def _offsets(bcol: str, out: str) -> DataFrame:
+        counts = cell.groupBy("grp", bcol).agg(F.sum("__n").alias("__n"))
         w_off = (
             Window.partitionBy("grp")
             .orderBy(bcol)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        offsets = counts.select(
+        return counts.select(
             "grp",
             bcol,
-            F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+            F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(out),
         )
+
+    def _avg_rank(col: str, bcol: str, off: str) -> F.Column:
         w_local = Window.partitionBy("grp", bcol).orderBy(col)
         peers = F.count("*").over(w_local.rangeBetween(0, 0))
-        grank = F.col("__off") + F.rank().over(w_local)
-        num = F.lit(2) * grank + peers - F.lit(1)
-        ranked = (
-            with_b.join(F.broadcast(offsets), ["grp", bcol])
-            .withColumn(
-                out,
-                (num.cast("decimal(16,1)") / F.lit(2)).cast("decimal(15,1)"),
-            )
-            .drop(bcol, "__off")
+        num = (
+            F.lit(2) * (F.col(off) + F.rank().over(w_local)) + peers - F.lit(1)
         )
-    ranked = ranked.select("grp", "rx", "ry")
+        return (num.cast("decimal(16,1)") / F.lit(2)).cast("decimal(15,1)")
+
+    ranked = (
+        with_b.join(F.broadcast(_offsets("__bx", "__offx")), ["grp", "__bx"])
+        .join(F.broadcast(_offsets("__by", "__offy")), ["grp", "__by"])
+        .select(
+            "grp",
+            _avg_rank("l_quantity", "__bx", "__offx").alias("rx"),
+            _avg_rank("l_extendedprice", "__by", "__offy").alias("ry"),
+        )
+    )
     sums = ranked.groupBy("grp").agg(
         F.count("*").cast("double").alias("n"),
         F.sum("rx").cast("double").alias("sx"),
