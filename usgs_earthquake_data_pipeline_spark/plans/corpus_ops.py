@@ -458,3 +458,71 @@ def docs_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "decontaminate_substring",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+        "  FROM documents), "
+        "bench AS ("
+        "  SELECT doc_id AS bench_id, "
+        "         ' ' || array_to_string(t[4:9], ' ') || ' ' AS needle "
+        "  FROM toks WHERE doc_id % 25 = 0 AND len(t) >= 9), "
+        "tr AS ("
+        "  SELECT doc_id, ' ' || array_to_string(t, ' ') || ' ' AS s "
+        "  FROM toks WHERE doc_id % 25 <> 0) "
+        "SELECT tr.doc_id, "
+        "       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_hits "
+        "FROM tr JOIN bench b ON contains(tr.s, b.needle) "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "decontamination", "text"),
+)
+def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring benchmark decontamination: flag training docs
+    containing a benchmark document's verbatim excerpt (token-aligned
+    — tokens 4-9 of each ``doc_id % 25 == 0`` doc stand in for an
+    eval question), the stricter sibling of the any-3-gram overlap
+    entry (PaLM/Llama-style verbatim-sequence contamination).
+
+    The scale identity that makes this a hash join instead of a
+    LIKE scan: a 6-token needle appears as a consecutive token run in
+    a doc IFF the needle's 6-gram hash is in the doc's 6-gram set.
+    So the corpus side is the same chained-xxhash posting list every
+    shingle operator uses (``persist=False`` — single scan), the
+    needle side hashes ONE gram per benchmark doc and broadcasts, and
+    the oracle proves the identity against a naive substring
+    ``contains`` over space-joined tokens (boundary spaces keep the
+    match token-aligned). At 100 TB: corpus text never shuffles; only
+    (doc, matched-needle) pairs reach the count exchange — and the
+    needle set stays broadcast-sized by construction (eval suites are
+    KBs, corpora are TBs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("t"))
+    bench = (
+        toks.filter((F.col("doc_id") % 25 == 0) & (F.size("t") >= 9))
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.element_at(
+                D.gram_hashes(F.slice("t", 4, 6), 6), 1
+            ).alias("g"),
+        )
+    )
+    train_posting = (
+        D.hashed_shingle_sets(
+            docs.filter(F.col("doc_id") % 25 != 0),
+            "doc_id",
+            "text",
+            6,
+            persist=False,
+        )
+        .select(F.col("id").alias("doc_id"), F.explode("hs").alias("g"))
+    )
+    return (
+        train_posting.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("bench_id").alias("n_bench_hits"))
+        .orderBy("doc_id")
+    )

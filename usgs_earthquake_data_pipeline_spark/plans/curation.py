@@ -560,3 +560,60 @@ def sketch_quantiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+@register(
+    "sketch_hll_union_checked",
+    oracle=(
+        "SELECT CAST(day(ts) AS INT) AS d, "
+        "       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+        "       TRUE AS hll_ok "
+        "FROM events GROUP BY 1 "
+        "UNION ALL "
+        "SELECT CAST(NULL AS INT), "
+        "       CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE "
+        "FROM events "
+        "ORDER BY d NULLS LAST"
+    ),
+    tags=("sketch", "approx", "mergeable", "checked"),
+)
+def sketch_hll_union_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistable-HLL 'sketch warehouse' pattern under the hash
+    gate: per-day exact distinct users + the whole-table rollup (day
+    NULL), each with ``hll_ok`` asserting the datasketches estimate —
+    per-day from ``hll_sketch_agg``, total from ``hll_union_agg`` over
+    the daily sketches — lands within max(5, 5% of exact). The union
+    bound is the one that certifies the pattern: answering the total
+    from MERGED daily sketches (never rescanning raw data) must stay
+    in-bound, which is exactly what lets a 100 TB warehouse keep one
+    KB sketch per partition and answer any date-range distinct query
+    by register-max union."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def ok(est: F.Column, exact: F.Column) -> F.Column:
+        return F.abs(est - exact) <= F.greatest(
+            F.lit(5.0), exact * F.lit(0.05)
+        )
+
+    day = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    daily = day.select(
+        "d",
+        "exact_users",
+        ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias("hll_ok"),
+    )
+    total_exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    total = (
+        day.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(total_exact))
+        .select(
+            F.lit(None).cast("int").alias("d"),
+            "exact_users",
+            ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+                "hll_ok"
+            ),
+        )
+    )
+    return daily.unionByName(total).orderBy(F.col("d").asc_nulls_last())
