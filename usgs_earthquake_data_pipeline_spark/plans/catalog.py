@@ -89,6 +89,12 @@ def register(
 # ~2 slots and the spillover start the SURVEY parity-core re-confirm
 # (a1-a5/f2/o2/o4/s6/q1/q3/q5 — no driver row since r2, pre-drift);
 # whatever misses the window this round is round 6's front.
+#
+# Round-6 rotation queue (no driver row after r5 lands): the
+# parity-core tail past slot 50 (q5_region_revenue, s6_projection,
+# o2_clustering_sort, f2_time_filter_daily, a1-a5, o4_limit_offset)
+# plus the round-5 additions registered after the window froze:
+# decontaminate_substring, sketch_hll_union_checked.
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: oracle-bearing entries with NO driver row in any
     # round (r1-r4) — a green CORRECTNESS_r05 row for each of these
