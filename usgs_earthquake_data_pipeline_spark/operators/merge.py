@@ -57,8 +57,9 @@ def merge_upsert(
       raise ``ValueError`` on violation.
     - ``"last_wins"``: deterministically keep one row per key — the
       maximum of ``last_wins_order`` columns (required; a DataFrame
-      has no inherent row order to make "last" well-defined). Pure
-      window algebra, no extra action.
+      has no inherent row order to make "last" well-defined; they may
+      be any SOURCE columns, e.g. a CDC sequence number the target
+      doesn't carry). Pure window algebra, no extra action.
     """
     keys = list(keys)
     if not keys:
@@ -66,6 +67,26 @@ def merge_upsert(
     missing = [c for c in target.columns if c not in source.columns]
     if missing:
         raise ValueError(f"source is missing target columns: {missing}")
+    if duplicate_policy == "last_wins":
+        if not last_wins_order:
+            raise ValueError(
+                "duplicate_policy='last_wins' requires last_wins_order "
+                "columns — DataFrames have no inherent row order"
+            )
+        from pyspark.sql import Window
+
+        # dedup BEFORE the target-column projection so the ordering
+        # may use source-only columns (CDC sequence, change timestamp)
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in last_wins_order]
+        )
+        source = (
+            source.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    elif duplicate_policy != "error":
+        raise ValueError(f"unknown duplicate_policy: {duplicate_policy!r}")
     src = source.select(*target.columns)
     if duplicate_policy == "error":
         dup = (
@@ -83,24 +104,6 @@ def merge_upsert(
                 "(Delta would raise); dedup the batch or pass "
                 "duplicate_policy='last_wins' with last_wins_order"
             )
-    elif duplicate_policy == "last_wins":
-        if not last_wins_order:
-            raise ValueError(
-                "duplicate_policy='last_wins' requires last_wins_order "
-                "columns — DataFrames have no inherent row order"
-            )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*keys).orderBy(
-            *[F.col(c).desc() for c in last_wins_order]
-        )
-        src = (
-            src.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-    else:
-        raise ValueError(f"unknown duplicate_policy: {duplicate_policy!r}")
     src_keys = src.select(*keys)
     if broadcast_source:
         src_keys = F.broadcast(src_keys)

@@ -94,7 +94,8 @@ def register(
 # parity-core tail past slot 50 (q5_region_revenue, s6_projection,
 # o2_clustering_sort, f2_time_filter_daily, a1-a5, o4_limit_offset)
 # plus the round-5 additions registered after the window froze:
-# decontaminate_substring, sketch_hll_union_checked.
+# decontaminate_substring, sketch_hll_union_checked,
+# merge_upsert_last_wins.
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: oracle-bearing entries with NO driver row in any
     # round (r1-r4) — a green CORRECTNESS_r05 row for each of these

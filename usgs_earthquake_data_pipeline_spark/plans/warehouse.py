@@ -119,6 +119,61 @@ def cdc_diff_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_upsert_last_wins",
+    oracle=(
+        "WITH src AS ("
+        "  SELECT o_custkey AS k, "
+        "         CAST(o_totalprice AS DOUBLE) AS bal, "
+        "         'order' AS status, "
+        "         row_number() OVER (PARTITION BY o_custkey "
+        "           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn "
+        "  FROM orders), "
+        "s1 AS (SELECT k, bal, status FROM src WHERE rn = 1) "
+        "SELECT k, bal, status FROM s1 "
+        "UNION ALL "
+        "SELECT c_custkey AS k, c_acctbal AS bal, 'existing' AS status "
+        "FROM customer WHERE c_custkey NOT IN (SELECT k FROM s1) "
+        "ORDER BY k"
+    ),
+    tags=("warehouse", "merge"),
+)
+def merge_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with an AMBIGUOUS source batch under the deterministic
+    last-wins contract: the raw orders feed carries many rows per
+    customer (a CDC stream that was never compacted); the winner is
+    the latest order by (o_orderdate, o_orderkey) — ordering columns
+    the TARGET schema doesn't even carry, which is why the dedup runs
+    before the target-column projection. The plain policy would raise
+    here like Delta MERGE does; the oracle re-derives the same winner
+    with a row_number window. Same broadcast-anti scale shape as the
+    unique-source merge entry: the target never shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    target = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("existing").alias("status"),
+    )
+    source = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("bal"),
+        F.lit("order").alias("status"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    merged = merge_upsert(
+        target,
+        source,
+        keys=["k"],
+        broadcast_source=True,
+        duplicate_policy="last_wins",
+        last_wins_order=["o_orderdate", "o_orderkey"],
+    )
+    return merged.orderBy("k")
+
+
+@register(
     "mv_incremental_daily_rollup",
     oracle=(
         "SELECT CAST(day(ts) AS INT) AS day, event_type, "
