@@ -506,3 +506,72 @@ def streaming_anti_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "streaming_anti_blocklist_sink"
     _run_available_now(clean, name, "append")
     return spark.table(name).orderBy("ts_us", "user_id", "event_type")
+
+
+@register(
+    "streaming_mv_incremental_fold",
+    oracle=(
+        "SELECT CAST(day(ts) AS INT) AS day, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("streaming", "warehouse", "matview"),
+)
+def streaming_mv_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized-view maintenance under the
+    driver hash gate: a foreachBatch stream folds per-micro-batch
+    partial aggregates (day × event_type: count + decimal sum) onto a
+    versioned view table via the algebraic merge, and the finished
+    view must hash-equal the oracle's from-scratch whole-table
+    aggregate — incremental == full recompute, certified by the
+    driver, with the query-scoped applied-batch marker making the
+    fold exactly-once. The streaming twin of
+    ``mv_incremental_daily_rollup`` (which proves the same identity
+    for a batch delta): per fold, work is batch + view-cardinality,
+    never history. The finished view (|days| × |types| rows) is
+    collected and re-localized so the returned frame outlives the
+    temp table dirs."""
+    import shutil
+
+    from ..sinks import read_versioned_table
+    from ..streaming.matview import stream_update_matview
+
+    ev = _events_stream(spark, sf_dir)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.dayofmonth("ts").alias("day"), F.col("event_type")
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+
+    view = tempfile.mkdtemp(prefix="usgs_mv_fold_view_")
+    ckpt = tempfile.mkdtemp(prefix="usgs_mv_fold_ckpt_")
+    try:
+        q = stream_update_matview(
+            ev,
+            view,
+            ckpt,
+            partial,
+            keys=["day", "event_type"],
+            merges={"cnt": "count", "sum_value": "sum"},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_mv_incremental_fold: stream did not drain in 300s"
+            )
+        out = read_versioned_table(spark, view).select(
+            "day",
+            "event_type",
+            "cnt",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        rows = out.collect()  # bounded: |days| x |event types|
+        schema = out.schema
+    finally:
+        shutil.rmtree(view, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("day", "event_type")
