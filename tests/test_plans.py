@@ -84,6 +84,31 @@ def test_ivf_corpus_assignment_does_not_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_ivf_fullprobe_keeps_ivf_plan_shape(spark, sf_dir):
+    """The oracle-gated full-probe entry must certify the IVF
+    MACHINERY, not silently degenerate: corpus never hash-partitioned
+    on its own id, assignment stays a projection, and the only hash
+    exchange is the final top-k window on query_id."""
+    plan = _plan(CATALOG["ann_ivf_fullprobe"].spark_fn(spark, sf_dir))
+    assert "hashpartitioning(vec_id" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_substring_decontamination_broadcasts_needles(spark, sf_dir):
+    """Exact-substring decontamination must be a broadcast hash join
+    on the gram hash — the corpus posting list never shuffles to meet
+    the needle set, and nothing nested-loops over text."""
+    plan = _plan(CATALOG["decontaminate_substring"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the posting side must not be exchanged to reach the join: the
+    # only hash exchanges are the two-phase countDistinct on doc_id
+    # (never on the gram hash g)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "hashpartitioning(g#" not in plan
+
+
 def test_salted_aggregate_matches_plain(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plain = {
