@@ -576,3 +576,77 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start_us")
     )
+
+
+@register(
+    "acf_daily_value_lags",
+    oracle=(
+        "WITH daily AS ("
+        "  SELECT day(ts) AS d, "
+        "         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x "
+        "  FROM events GROUP BY 1), "
+        "lags AS (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS lag_k), "
+        "pairs AS ("
+        "  SELECT l.lag_k, a.x AS xa, b.x AS xb "
+        "  FROM daily a CROSS JOIN lags l "
+        "  JOIN daily b ON b.d = a.d + l.lag_k), "
+        "s AS ("
+        "  SELECT lag_k, CAST(COUNT(*) AS DOUBLE) AS n, "
+        "         CAST(SUM(xa) AS DOUBLE) AS sx, "
+        "         CAST(SUM(xb) AS DOUBLE) AS sy, "
+        "         CAST(SUM(CAST(CAST(xa AS DECIMAL(19,6)) * CAST(xb AS DECIMAL(19,6)) AS DECIMAL(30,12))) AS DOUBLE) AS sxy, "
+        "         CAST(SUM(CAST(CAST(xa AS DECIMAL(19,6)) * CAST(xa AS DECIMAL(19,6)) AS DECIMAL(30,12))) AS DOUBLE) AS sxx, "
+        "         CAST(SUM(CAST(CAST(xb AS DECIMAL(19,6)) * CAST(xb AS DECIMAL(19,6)) AS DECIMAL(30,12))) AS DOUBLE) AS syy "
+        "  FROM pairs GROUP BY 1) "
+        "SELECT lag_k, round((n * sxy - sx * sy) / "
+        "       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS acf "
+        "FROM s ORDER BY 1"
+    ),
+    tags=("temporal", "stats"),
+)
+def acf_daily_value_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily value series at lags 1-7
+    (Pearson correlation of the lag-k pairs) — the seasonality/
+    persistence diagnostic a forecasting pipeline runs before model
+    choice. Same determinism discipline as spearman: every sum is
+    decimal-exact (daily totals normalized to DECIMAL(18,6) on both
+    engines so products agree digit-for-digit), the statistic is one
+    IEEE expression over exact sums, rounded to 6 dp. Scale shape:
+    the raw table collapses to |days| rows in the first map-side
+    aggregate — the lag self-join and all seven correlations run on
+    that tiny series (the 'daily pre-agg shrinks input to O(days)'
+    pattern), so the entry is scan-bound at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("x")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_k"))
+    left = daily.crossJoin(F.broadcast(lags)).select(
+        "lag_k",
+        F.col("x").alias("xa"),
+        (F.col("d") + F.col("lag_k")).alias("d2"),
+    )
+    pairs = left.join(
+        daily.select(F.col("d").alias("d2"), F.col("x").alias("xb")), "d2"
+    )
+    s = pairs.groupBy("lag_k").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("xa").cast("double").alias("sx"),
+        F.sum("xb").cast("double").alias("sy"),
+        F.sum((F.col("xa") * F.col("xb")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("xa") * F.col("xa")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("xb") * F.col("xb")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    acf = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("lag_k", F.round(acf, 6).alias("acf")).orderBy("lag_k")
