@@ -1082,3 +1082,34 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "dedup_embedding_cosine_exact",
+    oracle=(
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        "                             CAST(b.embedding AS DOUBLE[])), 6)"
+        "  AS score "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        "                             CAST(b.embedding AS DOUBLE[])) >= 0.3 "
+        "ORDER BY id_a, id_b"
+    ),
+    tags=("llm", "dedup", "checked"),
+)
+def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-cosine near-dup operator at its EXACTNESS
+    configuration (n_planes=0 → one bucket → every pair compared),
+    which must reproduce the all-pairs cosine-threshold join the
+    DuckDB oracle computes — the same full-probe trick that gates
+    `ann_ivf_fullprobe`: a green hash certifies the bucketed
+    operator's join/score/threshold machinery, while the production
+    entry (`dedup_embedding_cosine`, n_planes=8) keeps the candidate
+    space sub-quadratic. Cosine is the JVM sequential fold, the same
+    left-to-right order as `list_cosine_similarity`, so raw scores
+    agree bit-for-bit before the 6-dp rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(
+        emb, threshold=0.3, n_planes=0
+    ).orderBy("id_a", "id_b")
