@@ -1113,3 +1113,37 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(
         emb, threshold=0.3, n_planes=0
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "ann_lsh_fullprobe",
+    oracle=(
+        "SELECT query_id, neighbor_id, score, rnk AS rank FROM ("
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        "  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "                               CAST(c.embedding AS DOUBLE[])), 6) AS score,"
+        "  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+        "    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "                           CAST(c.embedding AS DOUBLE[])) DESC,"
+        "    c.vec_id) AS INT) AS rnk"
+        "  FROM embeddings q CROSS JOIN embeddings c"
+        "  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t "
+        "WHERE rnk <= 5 ORDER BY query_id, rank"
+    ),
+    tags=("llm", "ann", "checked"),
+)
+def ann_lsh_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k at its exactness configuration under the
+    driver hash gate: with n_planes=1 the single-bit multi-probe set
+    {sig, sig^1} covers BOTH buckets, so every corpus row is a
+    candidate and the result must equal exact brute force — the third
+    full-probe certification next to ann_ivf_fullprobe and
+    dedup_embedding_cosine_exact, proving the LSH machinery (bucket
+    signatures, probe expansion, dedup, candidate join, exact
+    re-rank) rather than just the baseline scan. Production dials
+    n_planes up to 8+ and probes a sliver of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, k=5, n_planes=1).orderBy(
+        "query_id", "rank"
+    )
