@@ -1147,3 +1147,62 @@ def ann_lsh_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5, n_planes=1).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "decontaminate_embedding_cosine",
+    oracle=(
+        "WITH bench AS ("
+        "  SELECT vec_id AS bench_id, embedding FROM embeddings "
+        "  WHERE vec_id % 25 = 0), "
+        "hits AS ("
+        "  SELECT t.vec_id, b.bench_id, "
+        "         list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),"
+        "                                CAST(b.embedding AS DOUBLE[])) AS s "
+        "  FROM embeddings t CROSS JOIN bench b "
+        "  WHERE t.vec_id % 25 <> 0) "
+        "SELECT vec_id, "
+        "       CAST(COUNT(CASE WHEN s >= 0.25 THEN 1 END) AS BIGINT)"
+        "         AS n_bench_hits, "
+        "       round(MAX(s), 6) AS max_sim "
+        "FROM hits GROUP BY 1 HAVING COUNT(CASE WHEN s >= 0.25 THEN 1 END) > 0 "
+        "ORDER BY 1"
+    ),
+    tags=("llm", "decontamination", "ann"),
+)
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the third modality next to
+    any-3-gram overlap and verbatim substring: flag training vectors
+    whose embedding is cosine-similar (>= 0.25 on the synthetic
+    corpus; production uses ~0.9+) to any held-out benchmark vector,
+    catching paraphrased contamination that lexical checks miss
+    (Phi/GPT-4-style embedding decontamination). Scale shape: the
+    benchmark side is broadcast-sized by construction (eval suites vs
+    corpora); each corpus row streams past the broadcast through the
+    codegen cosine fold, and only (vector, matched-benchmark) rows
+    reach the count exchange — one scan, no corpus shuffle. At larger
+    benchmark sets the IVF/LSH candidate generators certified by the
+    fullprobe entries are the drop-in replacements for the broadcast
+    expansion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").cast("array<double>").alias("b_vec"),
+    )
+    train = emb.filter(F.col("vec_id") % 25 != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("t_vec")
+    )
+    scored = train.crossJoin(F.broadcast(bench)).withColumn(
+        "s", S.cosine(F.col("t_vec"), F.col("b_vec"))
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.sum(F.when(F.col("s") >= 0.25, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bench_hits"),
+            F.round(F.max("s"), 6).alias("max_sim"),
+        )
+        .filter(F.col("n_bench_hits") > 0)
+        .orderBy("vec_id")
+    )
