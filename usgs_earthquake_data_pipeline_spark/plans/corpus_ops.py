@@ -526,3 +526,50 @@ def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("bench_id").alias("n_bench_hits"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mixture_temperature_sample",
+    oracle=(
+        "WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1), "
+        "m AS (SELECT min(sqrt(n)) AS msq FROM c), "
+        "r AS (SELECT source, greatest(1, floor(100.0 * msq / sqrt(n))) AS pct "
+        "      FROM c, m) "
+        "SELECT d.source, count(*) AS n_kept "
+        "FROM documents d JOIN r USING (source) "
+        f"WHERE {_bucket_sql('d.doc_id')} < r.pct "
+        "GROUP BY 1 ORDER BY source"
+    ),
+    tags=("llm", "curation", "mixture"),
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (T5/mT5 §3.1, α = 0.5):
+    post-sample source sizes ∝ n^α — flatter than proportional,
+    without the full leveling of the uniform entry. Downsample-only
+    realization: keep n' = C·√n with C = min √n (the smallest source
+    keeps everything, nothing needs upsampling), as the deterministic
+    id-hash acceptance pct ``max(1, floor(100·min√n/√n))``. Both
+    engines compute the same IEEE sqrt/div/floor from the same exact
+    counts, so the pct — and therefore row membership — is
+    bit-identical. Same scale shape as the uniform entry: |sources|-row
+    rate table broadcast back, codegen bucket filter on the scan, no
+    corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    msq = counts.agg(F.min(F.sqrt("n")).alias("msq"))
+    rates = counts.crossJoin(F.broadcast(msq)).select(
+        "source",
+        F.greatest(
+            F.lit(1).cast("double"),
+            F.floor(F.lit(100.0) * F.col("msq") / F.sqrt("n")).cast(
+                "double"
+            ),
+        ).alias("pct"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(hash_bucket("doc_id") < F.col("pct"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("source")
+    )
