@@ -98,7 +98,7 @@ def register(
 # merge_upsert_last_wins, streaming_mv_incremental_fold,
 # acf_daily_value_lags, dedup_embedding_cosine_exact,
 # ann_lsh_fullprobe, decontaminate_embedding_cosine,
-# mixture_temperature_sample.
+# mixture_temperature_sample, anomaly_zscore_daily.
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: oracle-bearing entries with NO driver row in any
     # round (r1-r4) — a green CORRECTNESS_r05 row for each of these

@@ -650,3 +650,75 @@ def acf_daily_value_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select("lag_k", F.round(acf, 6).alias("acf")).orderBy("lag_k")
+
+
+@register(
+    "anomaly_zscore_daily",
+    oracle=(
+        "WITH daily AS ("
+        "  SELECT day(ts) AS d, "
+        "         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x "
+        "  FROM events GROUP BY 1), "
+        "w AS ("
+        "  SELECT d, x, "
+        "         COUNT(*) OVER win AS n7, "
+        "         CAST(SUM(x) OVER win AS DOUBLE) AS s7, "
+        "         CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * "
+        "                        CAST(x AS DECIMAL(19,6)) AS DECIMAL(30,12)))"
+        "              OVER win AS DOUBLE) AS q7 "
+        "  FROM daily "
+        "  WINDOW win AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)), "
+        "z AS ("
+        "  SELECT d, CAST(x AS DOUBLE) AS x, "
+        "         (CAST(x AS DOUBLE) - s7 / 7) / "
+        "         sqrt((q7 - s7 * s7 / 7) / 6) AS zraw "
+        "  FROM w WHERE n7 = 7) "
+        "SELECT CAST(d AS INT) AS d, x, round(zraw, 6) AS z, "
+        "       abs(zraw) > 2 AS is_anomaly "
+        "FROM z ORDER BY d"
+    ),
+    tags=("temporal", "stats", "anomaly"),
+)
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection: each day's value
+    total scored against the mean/stddev of the 7 PRIOR days (the
+    frame excludes the current row, so an anomalous day can't mask
+    itself), flagged at |z| > 2 — the on-call dashboard query. Same
+    determinism discipline as acf/spearman: the frame sums are
+    decimal-exact (operands widened to DECIMAL(19,6) before squaring
+    — DuckDB multiplies 18-digit decimals in int64 and overflows),
+    the z statistic is one shared IEEE expression over exact sums on
+    both engines, rounded to 6 dp only for display; the anomaly flag
+    compares the raw z. Scale shape: raw events collapse to |days|
+    rows map-side before the single ordered window — the frame never
+    sees raw data."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("x")
+    )
+    win = Window.orderBy("d").rowsBetween(-7, -1)
+    xx = (
+        F.col("x").cast("decimal(19,6)") * F.col("x").cast("decimal(19,6)")
+    ).cast("decimal(30,12)")
+    w = daily.select(
+        "d",
+        "x",
+        F.count("*").over(win).alias("n7"),
+        F.sum("x").over(win).cast("double").alias("s7"),
+        F.sum(xx).over(win).cast("double").alias("q7"),
+    )
+    zraw = (F.col("x").cast("double") - F.col("s7") / 7) / F.sqrt(
+        (F.col("q7") - F.col("s7") * F.col("s7") / 7) / 6
+    )
+    return (
+        w.filter(F.col("n7") == 7)
+        .select(
+            "d",
+            F.col("x").cast("double").alias("x"),
+            F.round(zraw, 6).alias("z"),
+            (F.abs(zraw) > 2).alias("is_anomaly"),
+        )
+        .orderBy("d")
+    )
