@@ -50,39 +50,24 @@ def test_query_and_oracle_maps_cover_catalog():
     }
 
 
-def test_round5_backlog_and_promotions_inside_window():
-    """Round-5 exit criteria: all 44 oracle entries with no driver row
-    in r1-r4 plus the four new bound-gated promotions must sit inside
-    the ~50-entry window so each gets its first hard driver row."""
+def test_round6_backlog_and_parity_tail_inside_window():
+    """Round-6 exit criteria: the 10 oracle entries registered after
+    the r5 window froze (never driver-checked) plus the parity-core
+    tail owed since round 2 must sit inside the ~50-entry window so
+    each gets its hard driver row."""
     first = set(list(query_map())[:WINDOW])
     never_checked = {
-        "assoc_rules_event_pairs", "ab_test_cuped_adjustment",
-        "ab_test_jackknife_buckets", "ab_test_conversion_lift",
-        "benford_totalprice_audit", "drift_psi_value_bins",
-        "hard_negative_mining", "weighted_sample_by_length",
-        "cap_docs_per_source", "new_vs_returning_daily",
-        "events_since_last_purchase", "attribution_first_last_touch",
-        "dq_quarantine_events", "dq_validate_events",
-        "churn_inactive_users", "ewma_daily_value_recursive",
-        "scd2_user_type_history", "sliding_window_counts",
-        "sketch_approx_topk_types", "bitmap_distinct_users_daily",
-        "kfold_assignment", "streaming_full_outer_join",
-        "streaming_left_semi_join", "streaming_sliding_rollup",
-        "streaming_anti_blocklist", "graph_triangle_count",
-        "embedding_norm_stats", "docs_length_histogram",
-        "setop_bag_semantics", "session_conversion_rate",
-        "markov_event_transitions", "recursive_referral_depth",
-        "pipe_syntax_error_hotspots", "try_arithmetic_safety",
-        "hof_user_value_trend", "listagg_user_types",
-        "agg_mode_median_per_user", "join_null_safe_eq",
-        "window_ntile_quartiles", "setop_union_by_name_evolution",
-        "map_type_counts", "format_roundtrip_xml_csv",
-        "crypto_roundtrip_aes", "fuzzy_part_name_pairs",
+        "decontaminate_substring", "sketch_hll_union_checked",
+        "merge_upsert_last_wins", "streaming_mv_incremental_fold",
+        "acf_daily_value_lags", "dedup_embedding_cosine_exact",
+        "ann_lsh_fullprobe", "decontaminate_embedding_cosine",
+        "mixture_temperature_sample", "anomaly_zscore_daily",
     }
-    promotions = {
-        "sketch_hll_distinct_checked", "sketch_cms_freq_checked",
-        "sketch_quantiles_checked", "ann_ivf_fullprobe",
+    parity_tail = {
+        "q5_region_revenue", "s6_projection", "o2_clustering_sort",
+        "f2_time_filter_daily", "a1_count_year_filter",
+        "a2_count_by_year", "a3_fact_yearly", "a4_fact_monthly",
+        "a5_row_count", "o4_limit_offset",
     }
-    assert len(never_checked) == 44
-    missing = (never_checked | promotions) - first
+    missing = (never_checked | parity_tail) - first
     assert not missing, f"entries fell out of the driver window: {missing}"

@@ -80,86 +80,35 @@ def register(
 # must never displace a hash-checked one from the window.
 # ---------------------------------------------------------------------------
 
-# Round-5 window: CORRECTNESS_r04 went 50/50 green, so every r4
-# window occupant has its hard driver row. This round drains the
-# backlog: the 44 oracle-bearing entries that have NEVER had a driver
-# row in any round (VERDICT r4 "What's wrong" #1) take the front,
-# followed by the four new bound-gated entries that promote the
-# sketch/ANN families out of rows-only (VERDICT ask #3). The last
-# ~2 slots and the spillover start the SURVEY parity-core re-confirm
-# (a1-a5/f2/o2/o4/s6/q1/q3/q5 — no driver row since r2, pre-drift);
-# whatever misses the window this round is round 6's front.
-#
-# Round-6 rotation queue (no driver row after r5 lands): the
-# parity-core tail past slot 50 (q5_region_revenue, s6_projection,
-# o2_clustering_sort, f2_time_filter_daily, a1-a5, o4_limit_offset)
-# plus the round-5 additions registered after the window froze:
-# decontaminate_substring, sketch_hll_union_checked,
-# merge_upsert_last_wins, streaming_mv_incremental_fold,
-# acf_daily_value_lags, dedup_embedding_cosine_exact,
-# ann_lsh_fullprobe, decontaminate_embedding_cosine,
-# mixture_temperature_sample, anomaly_zscore_daily.
+# Round-6 window: CORRECTNESS_r05 went 50/50 green, so every r5
+# window occupant has its hard driver row. This round's window:
+#   tier 1 — the 10 oracle-gated entries registered after the r5
+#     window froze (never driver-checked; VERDICT r5 ask #1);
+#   tier 2 — the SURVEY parity-core tail whose last driver row was
+#     round 2, pre-testdata-drift (q5/s6/o2/f2/a1-a5/o4);
+#   tier 3 — new round-6 bound-gated promotions (VERDICT ask #2:
+#     PQ/IVF-PQ/SemDeDup/RAG-IVF/histogram exactness-config entries,
+#     inserted here as they are implemented this round) plus the
+#     skew-stress headliner (ask #5);
+#   tier 4 — re-confirms, oldest-first: every remaining oracle entry
+#     whose latest driver row is round 2.
+# Whatever tier-4 names the tier-3 insertions push past slot 50
+# simply stay in the round-7 queue (they already have green rows).
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # -- tier 1: oracle-bearing entries with NO driver row in any
-    # round (r1-r4) — a green CORRECTNESS_r05 row for each of these
-    # 44 is the round's exit criterion ---------------------------------
-    "assoc_rules_event_pairs",
-    "ab_test_cuped_adjustment",
-    "ab_test_jackknife_buckets",
-    "ab_test_conversion_lift",
-    "benford_totalprice_audit",
-    "drift_psi_value_bins",
-    "hard_negative_mining",
-    "weighted_sample_by_length",
-    "cap_docs_per_source",
-    "new_vs_returning_daily",
-    "events_since_last_purchase",
-    "attribution_first_last_touch",
-    "dq_quarantine_events",
-    "dq_validate_events",
-    "churn_inactive_users",
-    "ewma_daily_value_recursive",
-    "scd2_user_type_history",
-    "sliding_window_counts",
-    "sketch_approx_topk_types",
-    "bitmap_distinct_users_daily",
-    "kfold_assignment",
-    "streaming_full_outer_join",
-    "streaming_left_semi_join",
-    "streaming_sliding_rollup",
-    "streaming_anti_blocklist",
-    "graph_triangle_count",
-    "embedding_norm_stats",
-    "docs_length_histogram",
-    "setop_bag_semantics",
-    "session_conversion_rate",
-    "markov_event_transitions",
-    "recursive_referral_depth",
-    "pipe_syntax_error_hotspots",
-    "try_arithmetic_safety",
-    "hof_user_value_trend",
-    "listagg_user_types",
-    "agg_mode_median_per_user",
-    "join_null_safe_eq",
-    "window_ntile_quartiles",
-    "setop_union_by_name_evolution",
-    "map_type_counts",
-    "format_roundtrip_xml_csv",
-    "crypto_roundtrip_aes",
-    "fuzzy_part_name_pairs",
-    # -- tier 2: round-5 bound-gated promotions (first driver rows;
-    # these move the sketch + IVF families from rows-only to
-    # hash-gated — exact statistic + in-bound boolean vs oracle) -------
-    "sketch_hll_distinct_checked",
-    "sketch_cms_freq_checked",
-    "sketch_quantiles_checked",
-    "ann_ivf_fullprobe",
-    # -- tier 3: SURVEY parity-core re-confirm (last driver row r2,
-    # pre-drift; judge re-verified by hand in r4 — the driver hash
-    # is still owed. Window cutoff ~50 lands inside this tier; the
-    # remainder leads round 6) -----------------------------------------
-    "q1_pricing_summary",
-    "q3_top_orders",
+    # -- tier 1: oracle-gated, registered late in r5, never
+    # driver-checked — green CORRECTNESS_r06 rows for these 10 are
+    # the round's first exit criterion --------------------------------
+    "decontaminate_substring",
+    "sketch_hll_union_checked",
+    "merge_upsert_last_wins",
+    "streaming_mv_incremental_fold",
+    "acf_daily_value_lags",
+    "dedup_embedding_cosine_exact",
+    "ann_lsh_fullprobe",
+    "decontaminate_embedding_cosine",
+    "mixture_temperature_sample",
+    "anomaly_zscore_daily",
+    # -- tier 2: SURVEY parity-core tail, last driver row r2 ----------
     "q5_region_revenue",
     "s6_projection",
     "o2_clustering_sort",
@@ -170,15 +119,39 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "a4_fact_monthly",
     "a5_row_count",
     "o4_limit_offset",
-    # -- tier 4: high-value re-confirms past the window (bench-timed
-    # every round regardless) ------------------------------------------
+    # -- tier 3: round-6 additions (bound-gated promotions + skew
+    # headliner) are inserted here as they land -----------------------
+    # -- tier 4: re-confirms, oldest (r2) first -----------------------
+    "q2_cheapest_per_brand",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
+    "join_semi_nations",
+    "join_anti_customers",
+    "join_full_outer_nation_profile",
+    "window_topn_per_type",
+    "distinct_users_by_type",
+    "agg_rollup_by_type",
+    "agg_cube_type_day",
+    "agg_having_hot_users",
+    "subquery_scalar_acctbal",
+    "subquery_exists_orders",
+    "setop_except_users",
+    "setop_union_counts",
+    "setop_intersect_users",
+    "dedup_exact_fingerprint",
+    "dedup_latest_per_user",
     "dedup_ngram_jaccard",
+    "dedup_resolve_clusters",
     "ann_brute_force",
-    "curation_corpus_pipeline",
-    "kmeans_refine_centroids",
-    "merge_upsert_customer_balance",
-    "cdc_diff_user_value",
-    "spearman_quantity_price",
+    "text_token_stats",
+    "text_fingerprint",
+    "text_lang_guess",
+    "text_quality_filter",
+    "multimodal_image_meta",
+    "multimodal_frame_counts",
+    "multimodal_resize_meta",
+    "multimodal_image_features",
 )
 
 
