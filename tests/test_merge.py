@@ -70,6 +70,38 @@ def test_merge_upsert_last_wins_requires_order(spark):
         merge_upsert(target, source, ["k"], duplicate_policy="nope")
 
 
+def test_merge_upsert_trusted_skips_validation(spark):
+    """duplicate_policy='trusted' is fully lazy: no eager dup check,
+    so a duplicate-key source flows through as-is (caller's assert)."""
+    target = _kv(spark, [(1, "a"), (2, "b")])
+    source = _kv(spark, [(2, "B1"), (2, "B2")])
+    got = sorted(
+        (r.k, r.v)
+        for r in merge_upsert(
+            target, source, ["k"], duplicate_policy="trusted"
+        ).collect()
+    )
+    assert got == [(1, "a"), (2, "B1"), (2, "B2")]
+
+
+def test_merge_upsert_error_policy_respects_caller_cache(spark):
+    """A caller-cached source must not be re-pinned (or unpinned) by
+    the validation path."""
+    target = _kv(spark, [(1, "a")])
+    source = _kv(spark, [(1, "A"), (2, "B")]).persist()
+    try:
+        got = {
+            (r.k, r.v)
+            for r in merge_upsert(target, source, ["k"]).collect()
+        }
+        assert got == {(1, "A"), (2, "B")}
+        from pyspark import StorageLevel
+
+        assert source.storageLevel != StorageLevel.NONE
+    finally:
+        source.unpersist()
+
+
 def test_merge_upsert_composite_key(spark):
     schema = "k1 BIGINT, k2 STRING, v DOUBLE"
     target = spark.createDataFrame([(1, "x", 1.0), (1, "y", 2.0)], schema)
@@ -465,6 +497,40 @@ def test_stats_pruned_read_canonicalizes_bound_forms(spark, tmp_path):
     )
     assert pruned2.count() == 200
     assert len(pruned2.inputFiles()) < 8
+
+
+def test_stat_canon_one_sided_timestamp_never_prunes():
+    """If exactly one side is timestamp-shaped (the other e.g. a
+    tz-offset ISO string the regex rejects), raw string compare would
+    repeat the 'T' vs ' ' mis-ordering — the pair must be
+    un-canonicalizable (None → file read)."""
+    assert (
+        sinks._canon_stat_pair("2024-01-03T12:00:00", "2024-01-03 00:00:00+00:00")
+        is None
+    )
+    assert (
+        sinks._canon_stat_pair("2024-01-03 00:00:00+00:00", "2024-01-03T12:00:00")
+        is None
+    )
+    # and disjointness degrades to "overlapping", not a wrong prune
+    assert not sinks._stat_disjoint(
+        "2024-01-05T00:00:00", "2024-01-06T00:00:00",
+        "2024-01-01 00:00:00+00:00", "2024-01-02 00:00:00+00:00",
+    )
+
+
+def test_stat_disjoint_incomparable_types_treated_as_overlap():
+    """A naive-stat vs tz-aware-bound datetime comparison raises
+    TypeError in Python — pruning must swallow it and read the file,
+    never propagate."""
+    from datetime import datetime, timezone
+
+    aware_lo = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    aware_hi = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    # ISO stat strings parse to naive datetimes against aware bounds
+    assert not sinks._stat_disjoint(
+        "2024-01-05T00:00:00", "2024-01-06T00:00:00", aware_lo, aware_hi
+    )
 
 
 def test_torn_snapshot_commit_preserves_previous_release(spark, tmp_path, monkeypatch):

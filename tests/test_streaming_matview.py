@@ -190,11 +190,26 @@ def test_applied_marker_roundtrip(spark, tmp_path):
     assert _read_applied(spark, path, "qA") == 8
 
 
-def test_applied_marker_legacy_int_ignored(spark, tmp_path):
-    """Pre-scoping markers (bare int) can't be attributed to a query
-    identity and must not suppress any fold."""
+def test_applied_marker_legacy_int_migrates(spark, tmp_path):
+    """Pre-scoping markers (bare int) had exactly one possible writer,
+    so a resuming query inherits the watermark (replay protection
+    survives the format upgrade) and the first scoped write retires
+    the legacy value — a later different identity starts fresh."""
     path = str(tmp_path / "view")
     os.makedirs(path)
     with open(os.path.join(path, "_applied_batch"), "w") as fh:
         fh.write("5")
+    # unclaimed legacy marker is honored by the resuming query
+    assert _read_applied(spark, path, "qA") == 5
+    # first scoped write claims and retires it
+    _write_applied(spark, path, "qA", 6)
+    assert _read_applied(spark, path, "qA") == 6
+    assert _read_applied(spark, path, "qB") == -1  # no inheritance
+
+
+def test_applied_marker_legacy_garbage_ignored(spark, tmp_path):
+    path = str(tmp_path / "view")
+    os.makedirs(path)
+    with open(os.path.join(path, "_applied_batch"), "w") as fh:
+        fh.write('"not-a-batch-id"')
     assert _read_applied(spark, path, "qA") == -1

@@ -114,3 +114,44 @@ def test_gapfill_single_observation_key(spark):
         by_user.setdefault(r["user_id"], []).append((r["v"], r["is_gap"]))
     assert by_user[1] == [(2.5, 0)]
     assert by_user[2] == [(1.0, 0), (1.0, 1), (1.0, 1), (4.0, 0)]
+
+
+def test_anomaly_zscore_degenerate_window_yields_null_not_nan(
+    spark, tmp_path
+):
+    """Seven equal prior daily totals make the trailing variance 0 and
+    the raw z NaN/Inf; Spark and DuckDB disagree on NaN compare and
+    round(NaN), so the guard must emit NULL z and a false flag — on
+    BOTH engines (r5 ADVICE)."""
+    import duckdb
+    import pandas as pd
+
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    # one event per day, days 1..9: days 1-7 identical (value 5.0) so
+    # day 8's trailing window is degenerate; day 9's window has spread
+    rows = []
+    for d in range(1, 10):
+        v = 5.0 if d <= 7 else (100.0 if d == 8 else 7.0)
+        rows.append((d, pd.Timestamp(2024, 1, d, 12), d, "t", v, "{}"))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/events.parquet", index=False)
+
+    entry = CATALOG["anomaly_zscore_daily"]
+    got = {r["d"]: r for r in entry.spark_fn(spark, sf).collect()}
+    assert set(got) == {8, 9}
+    assert got[8]["z"] is None
+    assert got[8]["is_anomaly"] is False
+    assert got[9]["z"] is not None  # non-degenerate window still scores
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    ora = {r[0]: r for r in con.execute(entry.oracle).fetchall()}
+    assert ora[8][2] is None and ora[8][3] is False
+    assert ora[9][2] == got[9]["z"] and ora[9][3] == got[9]["is_anomaly"]

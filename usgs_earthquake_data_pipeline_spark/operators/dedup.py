@@ -157,10 +157,15 @@ def hashed_shingle_sets(
     hold this plan (repeated catalog runs over the same table used to
     re-persist per call, leaking one pinned projection per run and
     spamming `CacheManager: already cached` warnings). The cache is
-    plan-keyed and shared; release it with ``unpersist()`` on the
-    returned frame once the derived results are materialized, or pass
-    ``persist=False`` to keep the pipeline fully streaming (the right
-    call when the caller scans it exactly once)."""
+    plan-keyed and SHARED: concurrent callers over the same input get
+    the same pin, so ``unpersist()`` is only safe for a caller that
+    knows it is the sole user (it would drop the cache out from under
+    anyone else mid-scan — Spark keeps no reference count). In a
+    single-owner pipeline, ``unpersist()`` the returned frame once the
+    derived results are materialized; in shared/service contexts leave
+    the pin to the session's cache manager (or ``persist=False`` to
+    keep the pipeline fully streaming — the right call when the caller
+    scans it exactly once)."""
     out = (
         _tokenized(df, id_col, text_col)
         .select("id", gram_hashes("toks", n).alias("hs"))

@@ -54,7 +54,17 @@ def merge_upsert(
 
     - ``"error"`` (default): validate key-uniqueness with one bounded
       aggregation over the source (the small side by contract) and
-      raise ``ValueError`` on violation.
+      raise ``ValueError`` on violation. NOTE this is an EAGER action:
+      the source plan executes once for the check and again when the
+      merged result is materialized, so the source is pinned
+      (``persist()``) around the check unless the caller already
+      cached it. A nondeterministic source could still pass the check
+      yet deliver duplicates at final execution — cache such a source
+      yourself, or use ``"trusted"``.
+    - ``"trusted"``: skip validation entirely (no eager action, fully
+      lazy). The caller asserts key-uniqueness; duplicate keys will
+      silently produce duplicate rows, exactly like a blind
+      anti-join + union.
     - ``"last_wins"``: deterministically keep one row per key — the
       maximum of ``last_wins_order`` columns (required; a DataFrame
       has no inherent row order to make "last" well-defined; they may
@@ -85,10 +95,20 @@ def merge_upsert(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-    elif duplicate_policy != "error":
+    elif duplicate_policy not in ("error", "trusted"):
         raise ValueError(f"unknown duplicate_policy: {duplicate_policy!r}")
     src = source.select(*target.columns)
     if duplicate_policy == "error":
+        # Pin the source across the eager check and the final
+        # execution so (a) the plan isn't computed twice and (b) a
+        # nondeterministic source can't pass validation yet deliver
+        # different (duplicate) rows later. Respect a caller-owned
+        # cache: only pin (and only then leave pinned — the merged
+        # plan still references it) when nothing is cached yet.
+        from pyspark import StorageLevel
+
+        if source.storageLevel == StorageLevel.NONE:
+            src = src.persist()
         dup = (
             src.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -97,6 +117,7 @@ def merge_upsert(
             .collect()
         )
         if dup:
+            src.unpersist()
             key_vals = tuple(dup[0][k] for k in keys)
             raise ValueError(
                 "merge_upsert: multiple source rows share key "

@@ -670,11 +670,14 @@ def acf_daily_value_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  WINDOW win AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)), "
         "z AS ("
         "  SELECT d, CAST(x AS DOUBLE) AS x, "
+        "         q7 - s7 * s7 / 7 AS ss7, "
         "         (CAST(x AS DOUBLE) - s7 / 7) / "
         "         sqrt((q7 - s7 * s7 / 7) / 6) AS zraw "
         "  FROM w WHERE n7 = 7) "
-        "SELECT CAST(d AS INT) AS d, x, round(zraw, 6) AS z, "
-        "       abs(zraw) > 2 AS is_anomaly "
+        "SELECT CAST(d AS INT) AS d, x, "
+        "       CASE WHEN ss7 <= 0 THEN NULL ELSE round(zraw, 6) END AS z, "
+        "       CASE WHEN ss7 <= 0 THEN FALSE ELSE abs(zraw) > 2 END "
+        "         AS is_anomaly "
         "FROM z ORDER BY d"
     ),
     tags=("temporal", "stats", "anomaly"),
@@ -709,16 +712,23 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(win).cast("double").alias("s7"),
         F.sum(xx).over(win).cast("double").alias("q7"),
     )
-    zraw = (F.col("x").cast("double") - F.col("s7") / 7) / F.sqrt(
-        (F.col("q7") - F.col("s7") * F.col("s7") / 7) / 6
-    )
+    # degenerate-window guard (r5 ADVICE): seven equal prior days make
+    # the trailing variance 0 (or ~0 negative after IEEE cancellation)
+    # and zraw NaN/Inf — Spark and DuckDB disagree on NaN compare and
+    # round(NaN), so emit NULL z / false flag instead, on both engines
+    ss7 = F.col("q7") - F.col("s7") * F.col("s7") / 7
+    zraw = (F.col("x").cast("double") - F.col("s7") / 7) / F.sqrt(ss7 / 6)
     return (
         w.filter(F.col("n7") == 7)
         .select(
             "d",
             F.col("x").cast("double").alias("x"),
-            F.round(zraw, 6).alias("z"),
-            (F.abs(zraw) > 2).alias("is_anomaly"),
+            F.when(ss7 <= 0, F.lit(None).cast("double"))
+            .otherwise(F.round(zraw, 6))
+            .alias("z"),
+            F.when(ss7 <= 0, F.lit(False))
+            .otherwise(F.abs(zraw) > 2)
+            .alias("is_anomaly"),
         )
         .orderBy("d")
     )

@@ -791,9 +791,17 @@ def _canon_stat_pair(stat_val, bound):
                 return None
         return None
     if isinstance(bound, str) and isinstance(stat_val, str):
-        if _TS_LIKE_RE.match(bound) and _TS_LIKE_RE.match(stat_val):
+        b_ts = bool(_TS_LIKE_RE.match(bound))
+        s_ts = bool(_TS_LIKE_RE.match(stat_val))
+        if b_ts and s_ts:
             # normalize the separator so ISO order == time order
             return stat_val.replace(" ", "T"), bound.replace(" ", "T")
+        if b_ts or s_ts:
+            # exactly one side is timestamp-shaped (the other may be a
+            # tz-offset-bearing ISO form the regex rejects): a raw
+            # string compare would repeat the 'T' vs ' ' mis-ordering
+            # — never prune on it
+            return None
         return stat_val, bound
     if isinstance(bound, bool) or isinstance(stat_val, bool):
         return None
@@ -808,10 +816,15 @@ def _stat_disjoint(fmin, fmax, lo, hi) -> bool:
     never disjoint (the file gets read)."""
     hi_pair = _canon_stat_pair(fmin, hi)
     lo_pair = _canon_stat_pair(fmax, lo)
-    if hi_pair is not None and hi_pair[0] > hi_pair[1]:
-        return True
-    if lo_pair is not None and lo_pair[0] < lo_pair[1]:
-        return True
+    try:
+        if hi_pair is not None and hi_pair[0] > hi_pair[1]:
+            return True
+        if lo_pair is not None and lo_pair[0] < lo_pair[1]:
+            return True
+    except TypeError:
+        # e.g. naive vs tz-aware datetimes — not comparable; treat as
+        # overlapping rather than raise (pruning must never fail a read)
+        return False
     return False
 
 

@@ -47,6 +47,8 @@ from ..sinks import (
 )
 
 _APPLIED_MARKER = "_applied_batch"
+# sentinel key for a pre-scoping bare-int marker awaiting claim
+_LEGACY_KEY = "__legacy_unscoped__"
 
 
 def _read_marker_map(spark, path: str) -> dict[str, int]:
@@ -56,8 +58,14 @@ def _read_marker_map(spark, path: str) -> dict[str, int]:
     marker is scoped like Delta's idempotent-write contract (txnAppId +
     txnVersion) instead of a single global integer — a fresh query over
     an existing view must NOT inherit another query's watermark. A
-    legacy bare-int marker (pre-scoping format) cannot be attributed to
-    any query and is ignored."""
+    legacy bare-int marker (pre-scoping format) is surfaced under the
+    ``_LEGACY_KEY`` sentinel: the pre-scoping format supported exactly
+    one writer, so the first query to resume against the view claims
+    it (``_read_applied`` falls back to it when the scoped key is
+    absent — preserving replay protection across the format upgrade
+    for a still-live checkpoint), and the first scoped write retires
+    it. Until that first write, a genuinely fresh query inherits the
+    legacy watermark — exactly the pre-upgrade global-int behavior."""
     jvm, fs = _fs_for(spark, path)
     mpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_APPLIED_MARKER}")
     if not fs.exists(mpath):
@@ -71,17 +79,27 @@ def _read_marker_map(spark, path: str) -> dict[str, int]:
         data = json.loads(raw)
     except ValueError:
         return {}
-    if not isinstance(data, dict):  # legacy bare int
-        return {}
+    if not isinstance(data, dict):  # legacy bare int → sentinel
+        try:
+            return {_LEGACY_KEY: int(data)}
+        except (TypeError, ValueError):
+            return {}
     return {str(k): int(v) for k, v in data.items()}
 
 
 def _read_applied(spark, path: str, txn_app_id: str) -> int:
-    return _read_marker_map(spark, path).get(txn_app_id, -1)
+    state = _read_marker_map(spark, path)
+    if txn_app_id in state:
+        return state[txn_app_id]
+    # one-time upgrade path: an unclaimed pre-scoping marker belongs
+    # to whichever single writer produced it — honor it
+    return state.get(_LEGACY_KEY, -1)
 
 
 def _write_applied(spark, path: str, txn_app_id: str, batch_id: int) -> None:
     state = _read_marker_map(spark, path)
+    # first scoped write migrates/retires the legacy marker
+    state.pop(_LEGACY_KEY, None)
     state[txn_app_id] = batch_id
     jvm, fs = _fs_for(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(
