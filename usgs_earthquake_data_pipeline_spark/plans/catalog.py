@@ -121,6 +121,11 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "o4_limit_offset",
     # -- tier 3: round-6 additions (bound-gated promotions + skew
     # headliner) are inserted here as they land -----------------------
+    "ann_pq_adc_checked",
+    "ann_ivf_pq_fullprobe",
+    "dedup_semdedup_exact",
+    "rag_index_ivf_fullprobe",
+    "sketch_histogram_checked",
     # -- tier 4: re-confirms, oldest (r2) first -----------------------
     "q2_cheapest_per_brand",
     "q6_forecast_revenue",

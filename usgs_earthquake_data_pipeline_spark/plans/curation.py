@@ -617,3 +617,45 @@ def sketch_hll_union_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return daily.unionByName(total).orderBy(F.col("d").asc_nulls_last())
+
+
+@register(
+    "sketch_histogram_checked",
+    oracle=(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "MIN(value) AS min_v, MAX(value) AS max_v, TRUE AS hist_ok "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("sketch", "approx", "histogram", "checked"),
+)
+def sketch_histogram_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equi-height histogram sketch (`histogram_numeric`, Ben-Haim
+    & Tom-Tov) with its invariants promoted into the driver hash gate.
+    Bin centroids are sketch-defined (merge-order dependent), so the
+    hashed payload is the EXACT per-type row count and value min/max
+    (raw column doubles — no arithmetic, bit-identical across
+    engines), plus ``hist_ok`` asserting the sketch's hard contract:
+    ≤ 5 bins, every weight positive, weights summing exactly to the
+    row count (bins partition the input), and every centroid inside
+    [min, max] (centroids are weighted means of member values). The
+    oracle recomputes the exact statistics and emits TRUE, so the
+    hash fails if the exact arithmetic drifts OR the sketch violates
+    its contract. One shuffle: the sketch aggregates in the same
+    groupBy as the exact stats."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__histchk_ev")
+    return spark.sql(
+        "SELECT event_type, n_rows, min_v, max_v, "
+        "  size(bins) <= 5 "
+        "  AND aggregate(bins, CAST(0.0 AS DOUBLE), (a, b) -> a + b.y)"
+        "      = CAST(n_rows AS DOUBLE) "
+        "  AND forall(bins, b -> b.y > 0) "
+        "  AND forall(bins, b -> b.x >= min_v AND b.x <= max_v) "
+        "  AS hist_ok "
+        "FROM ("
+        "  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "         MIN(value) AS min_v, MAX(value) AS max_v, "
+        "         histogram_numeric(value, 5) AS bins "
+        "  FROM __histchk_ev GROUP BY event_type) "
+        "ORDER BY event_type"
+    )

@@ -901,6 +901,163 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.ivf_pq_topk(emb, queries, books, k=5, n_lists=16, n_probe=4)
 
 
+def _l2_sq(a, b):
+    """Squared L2 distance as the sequential JVM fold — the same
+    left-to-right association DuckDB's list_distance uses, so the
+    doubles agree bit-for-bit across engines (probed, 0 mismatches)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _exact_l2_topk(emb: DataFrame, lo: int, hi: int, k: int) -> DataFrame:
+    """Exact L2 top-k for queries lo <= vec_id < hi: broadcast
+    queries, fold distances JVM-side, per-query window rank."""
+    q = emb.filter(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.sqrt(_l2_sq(F.col("qv"), F.col("cv"))).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("dist", 6).alias("dist"), "rank"
+        )
+    )
+
+
+def _l2_oracle(lo: int, hi: int, k: int) -> str:
+    return (
+        "SELECT query_id, neighbor_id, dist, rnk AS rank, {extra} FROM ("
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        "  round(list_distance(CAST(q.embedding AS DOUBLE[]),"
+        "                      CAST(c.embedding AS DOUBLE[])), 6) AS dist,"
+        "  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+        "    list_distance(CAST(q.embedding AS DOUBLE[]),"
+        "                  CAST(c.embedding AS DOUBLE[])) ASC,"
+        "    c.vec_id) AS INT) AS rnk"
+        f"  FROM embeddings q CROSS JOIN embeddings c"
+        f"  WHERE q.vec_id >= {lo} AND q.vec_id < {hi}"
+        f"    AND c.vec_id <> q.vec_id) t "
+        f"WHERE rnk <= {k} ORDER BY query_id, rank"
+    )
+
+
+@register(
+    "ann_pq_adc_checked",
+    oracle=_l2_oracle(0, 10, 5).format(extra="TRUE AS adc_identity_ok"),
+    tags=("llm", "ann", "checked"),
+)
+def ann_pq_adc_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ/ADC machinery under the driver hash gate, via the ADC
+    identity: the asymmetric distance Σ_j ||q_j - c_j(code_j(v))||²
+    that `pq_adc_topk` computes with m table lookups IS the squared L2
+    distance between the query and the PQ *reconstruction* of v
+    (Jégou et al. 2011, eq. 12) — so scoring every corpus row and
+    comparing against ||q - pq_reconstruct(pq_encode(v))||² checks the
+    train→encode→LUT→score path end-to-end with zero tolerance for
+    broken codebooks, mis-indexed lookups, or subspace slicing bugs.
+    The hashed payload is the EXACT L2 top-5 per query (SQL twin:
+    DuckDB list_distance) plus `adc_identity_ok` = the max deviation
+    of the identity over ALL (query, corpus) pairs stayed < 1e-5 at
+    6-dp precision; the oracle emits the same exact rows + TRUE. All
+    distributed: the identity check is one broadcast cross join and
+    one agg — no driver-side row iteration."""
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
+    n_corpus = emb.count()
+
+    # every pair's ADC estimate through the public operator ...
+    est = PQ.pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), books, k=n_corpus
+    ).select("query_id", "neighbor_id", "est_dist")
+    # ... against the reconstruction distance computed independently
+    enc = PQ.pq_encode(emb, books)
+    recon = enc.select(
+        F.col("id").alias("neighbor_id"),
+        PQ.pq_reconstruct(F.col("codes"), books).alias("rv"),
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    ref = recon.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_l2_sq(F.col("qv"), F.col("rv")), 6).alias("ref_dist"),
+    )
+    ok = (
+        est.join(ref, ["query_id", "neighbor_id"])
+        .agg(
+            (
+                F.max(F.abs(F.col("est_dist") - F.col("ref_dist"))) < 1e-5
+            ).alias("adc_identity_ok")
+        )
+    )
+    return _exact_l2_topk(emb, 0, 10, 5).crossJoin(F.broadcast(ok)).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "ann_ivf_pq_fullprobe",
+    oracle=_l2_oracle(10, 20, 5).format(extra="TRUE AS fullprobe_matches_adc"),
+    tags=("llm", "ann", "checked"),
+)
+def ann_ivf_pq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at its exactness configuration under the driver hash
+    gate: with n_probe == n_lists the coarse quantizer prunes nothing,
+    so `ivf_pq_topk` must reproduce `pq_adc_topk` row-for-row — list
+    pruning is provably the ONLY approximation IVF adds on top of PQ
+    (tests/test_pq.py asserts it; this entry proves it to the DRIVER).
+    Payload: the exact L2 top-5 for queries 10..19 (a disjoint query
+    set from ann_pq_adc_checked, so the two entries hash different
+    rows) plus `fullprobe_matches_adc` = symmetric-difference of the
+    two result sets is empty, computed as two distributed anti-join
+    counts. The plan still has the IVF shape — list assignment,
+    candidate equi-join on list_id — so a green hash certifies the
+    scale path's machinery."""
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
+    queries = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    )
+    full = PQ.ivf_pq_topk(
+        emb, queries, books, k=5, n_lists=16, n_probe=16
+    )
+    adc = PQ.pq_adc_topk(emb, queries, books, k=5)
+    ok = (
+        full.exceptAll(adc)
+        .unionAll(adc.exceptAll(full))
+        .agg((F.count(F.lit(1)) == 0).alias("fullprobe_matches_adc"))
+    )
+    return _exact_l2_topk(emb, 10, 20, 5).crossJoin(F.broadcast(ok)).orderBy(
+        "query_id", "rank"
+    )
+
+
 @register(
     "multimodal_audio_stats",
     oracle=(
@@ -960,6 +1117,41 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semdedup_exact",
+    oracle=(
+        "SELECT e.vec_id, CAST(1 AS INT) AS list_id "
+        "FROM embeddings e WHERE NOT EXISTS ("
+        "  SELECT 1 FROM embeddings p "
+        "  WHERE p.vec_id < e.vec_id "
+        "    AND list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),"
+        "                               CAST(e.embedding AS DOUBLE[])) >= 0.3) "
+        "ORDER BY e.vec_id"
+    ),
+    tags=("llm", "dedup", "semantic", "checked"),
+)
+def dedup_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at its exactness configuration under the driver hash
+    gate: with k=1 the k-means partition is a single cluster, so the
+    cluster-then-compare pipeline degenerates to the pure keep-min
+    rule — drop a vector iff some LOWER-id vector has cosine >=
+    threshold — which IS SQL (a NOT EXISTS anti-join the oracle
+    runs verbatim). A green hash certifies the whole production
+    machinery on a real decision boundary (threshold 0.3 sits below
+    the corpus's measured max pairwise cosine, so organic drops DO
+    occur): Lloyd assignment, the grouped-Arrow cosine matrix, the
+    strictly-lower-id drop mask, and the survivor projection.
+    Production (`dedup_semantic_semdedup`) dials k up so the pair
+    space stays Σ|cluster|² — the approximation this entry isolates
+    away."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", k=1, dim=64, threshold=0.3
+    ).orderBy("vec_id")
+
+
 @register("rag_index_ivf_hashed", tags=("llm", "retrieval", "ann", "text"))
 def rag_index_ivf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end retrieval-index build over raw TEXT — the pipeline
@@ -1011,6 +1203,65 @@ def rag_index_ivf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "rag_index_ivf_fullprobe",
+    oracle=(
+        # re-derive the SQL-expressible featurizer (token-length
+        # buckets) and brute-force cosine top-3 — with full probe the
+        # Spark IVF candidate set is the whole corpus, so they must
+        # agree exactly
+        "WITH vecs AS ("
+        "  SELECT doc_id, list_transform(range(0, 16), b -> CAST("
+        "    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        "                    t -> length(t) % 16 = b)) AS DOUBLE)) AS v "
+        "  FROM documents WHERE doc_id < 120 AND trim(text) <> '') "
+        "SELECT query_id, neighbor_id, score, rnk AS rank FROM ("
+        "  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,"
+        "  round(list_cosine_similarity(q.v, c.v), 6) AS score,"
+        "  CAST(row_number() OVER (PARTITION BY q.doc_id ORDER BY"
+        "    list_cosine_similarity(q.v, c.v) DESC, c.doc_id) AS INT)"
+        "    AS rnk"
+        "  FROM vecs q CROSS JOIN vecs c"
+        "  WHERE c.doc_id <> q.doc_id) t "
+        "WHERE rnk <= 3 ORDER BY query_id, rank"
+    ),
+    tags=("llm", "retrieval", "ann", "text", "checked"),
+)
+def rag_index_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text→featurize→IVF retrieval pipeline under the driver
+    hash gate. Two substitutions make the end-to-end build exactly
+    SQL-checkable while keeping the Spark machinery identical to the
+    production entry (`rag_index_ivf_hashed`): (1) the featurizer is
+    token-length bucket counts (length(token) % 16 → 16-dim count
+    vector) — same tokenize-inside-the-scan shape as hashed_bow but
+    with a DuckDB twin (xxhash64 has none); cosine is scale-invariant
+    so the unnormalized counts rank identically; (2) n_probe ==
+    n_lists, so the IVF candidate equi-join provably covers the whole
+    corpus and the result must equal brute-force cosine top-3 over
+    the same vectors — the oracle computes exactly that. A green hash
+    certifies tokenization parity, the vector build, list assignment,
+    candidate generation, exact re-rank, and tie-breaking, end to
+    end over raw TEXT."""
+    from ..functions.text import tokens
+    from ..operators.similarity import ivf_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 120) & (F.trim("text") != "")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.size(
+            F.filter(tokens("text"), lambda t: F.length(t) % 16 == b)
+        ).cast("double"),
+    )
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"), vec.alias("embedding")
+    )
+    return ivf_topk(
+        vecs, vecs, k=3, n_lists=4, n_probe=4, include_self=False
+    ).orderBy("query_id", "rank")
 
 
 @register(
