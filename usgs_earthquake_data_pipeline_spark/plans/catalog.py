@@ -126,6 +126,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_semdedup_exact",
     "rag_index_ivf_fullprobe",
     "sketch_histogram_checked",
+    "skew_hot_key_rollup",
     # -- tier 4: re-confirms, oldest (r2) first -----------------------
     "q2_cheapest_per_brand",
     "q6_forecast_revenue",

@@ -495,6 +495,82 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_hot_key_rollup",
+    oracle=(
+        "WITH f AS ("
+        "  SELECT l_orderkey, "
+        "    CASE WHEN l_partkey % 10 < 5 THEN 0 "
+        "         ELSE l_partkey % 1000 END AS hk, "
+        "    CAST(l_extendedprice AS DECIMAL(18,2)) AS price "
+        "  FROM lineitem), "
+        "d AS (SELECT DISTINCT hk, hk % 7 AS tier FROM f) "
+        "SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "  CAST(SUM(price) AS DOUBLE) AS sum_price, "
+        "  CAST(MIN(hk) AS BIGINT) AS min_hk, "
+        "  CAST(MAX(hk) AS BIGINT) AS max_hk "
+        "FROM f JOIN d USING (hk) GROUP BY 1 ORDER BY 1"
+    ),
+    headline=True,
+    tags=("join", "agg", "skew"),
+)
+def skew_hot_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew stress headliner: a join + rollup where HALF the fact
+    table shares ONE key — the distribution that turns a naive
+    hash-shuffle plan into a single-straggler stage at 100 TB. The
+    hot key is synthesized from lineitem (l_partkey % 10 < 5 → key 0,
+    ~50% of rows; the rest spread over ~500 keys), the dim side is
+    the distinct-key tier table, and the rollup groups by tier —
+    which inherits the skew (tier 0 holds the hot key).
+
+    Both explicit mitigation operators run against it end-to-end:
+    `salted_join` fans key 0's rows over 16 salted partitions
+    (dim replicated per salt — the skew join for when the dim can't
+    broadcast), and `salted_aggregate` two-phases the rollup so the
+    hot tier combines 16 partial rows instead of streaming half the
+    table through one reducer. Result must equal the plain-join
+    oracle exactly — salting is pure plumbing, decimal sums keep the
+    arithmetic engine-exact. Bench-timed every round; the EXPLAIN
+    audit pins the salted exchange shape."""
+    from ..operators.skew import salted_aggregate, salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        "l_orderkey",
+        F.when(F.col("l_partkey") % 10 < 5, F.lit(0).cast("bigint"))
+        .otherwise(F.col("l_partkey") % 1000)
+        .alias("hk"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    dim = (
+        fact.select("hk")
+        .distinct()
+        .withColumn("tier", F.col("hk") % 7)
+    )
+    joined = salted_join(fact, dim, "hk", n_salts=16)
+    return (
+        salted_aggregate(
+            joined,
+            ["tier"],
+            {
+                "n_rows": ("count", "hk"),
+                "sum_price": ("sum", "price"),
+                "min_hk": ("min", "hk"),
+                "max_hk": ("max", "hk"),
+            },
+            salt_col="l_orderkey",
+        )
+        .select(
+            "tier",
+            "n_rows",
+            F.col("sum_price").cast("double").alias("sum_price"),
+            "min_hk",
+            "max_hk",
+        )
+        .orderBy("tier")
+    )
+
+
+@register(
     "winsorize_value_stats",
     oracle=(
         "WITH b AS ("
