@@ -143,8 +143,10 @@ def hashed_shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, *, persist: bool = True
 ) -> DataFrame:
     """(id, hs) projection: each document's distinct word ``n``-gram
-    shingles as 64-bit hashes — the shared front end of every
-    shingle-based operator (Jaccard pairs, MinHash, decontamination).
+    shingles as 64-bit hashes, ascending-sorted (the global canonical
+    order prefix filtering needs; set-semantic consumers don't care) —
+    the shared front end of every shingle-based operator (Jaccard
+    pairs, MinHash, prefix/PPJoin, decontamination).
 
     Joining/comparing on longs instead of gram strings keeps shuffle
     rows narrow and equality cheap; set relations over hashed grams
@@ -168,7 +170,13 @@ def hashed_shingle_sets(
     scans it exactly once)."""
     out = (
         _tokenized(df, id_col, text_col)
-        .select("id", gram_hashes("toks", n).alias("hs"))
+        # ascending canonical order: every consumer is set-semantic
+        # (posting explode, MinHash minima, membership joins), so the
+        # sort is free to them — and prefix filtering REQUIRES a
+        # global canonical order, so sorting once here lets the
+        # PPJoin path share this cache instead of re-sorting per
+        # branch (4 branches at one point cost ~0.8 s/call at sf0.1)
+        .select("id", F.array_sort(gram_hashes("toks", n)).alias("hs"))
         .filter(F.size("hs") > 0)
     )
     if not persist:
@@ -392,6 +400,7 @@ def ngram_jaccard_prefix_pairs(
     *,
     n_shingle: int = 3,
     threshold: float = 0.5,
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs via prefix filtering — the
     all-pairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al.
@@ -410,12 +419,21 @@ def ngram_jaccard_prefix_pairs(
     shrinks by ~t (t=0.8 → 5x fewer posting rows and ~25x fewer
     probe pairs), a length filter (``t*|a| <= |b| <= |a|/t``) and
     PPJoin's positional filter prune candidates before the distinct,
-    and verification touches only |candidates| rows. Exactness vs the
-    inverted-index twin is asserted in tests at multiple thresholds;
-    the oracle gate hashes it against the same plain-SQL Jaccard.
+    and verification touches only |candidates| rows. The shingle sets
+    come pre-sorted from ``hashed_shingle_sets`` (one shared cached
+    projection — no per-branch re-sort, no second pin).
+    ``broadcast_verify=True`` broadcasts the (id, sorted-set)
+    projection into the two verification joins — two exchanges and
+    their AQE stage boundaries disappear; correct whenever the
+    deduped CORPUS projection fits an executor (bench scale), while
+    the default leaves the build side to AQE (the 100 TB setting —
+    candidates, not the corpus, are the small side there). Exactness
+    vs the inverted-index twin is asserted in tests at multiple
+    thresholds; the oracle gate hashes it against the same plain-SQL
+    Jaccard.
     """
     docs = hashed_shingle_sets(df, id_col, text_col, n_shingle).select(
-        "id", F.array_sort("hs").alias("sh"), F.size("hs").alias("n_sh")
+        "id", F.col("hs").alias("sh"), F.size("hs").alias("n_sh")
     )
     # canonical-order prefix: |d| - ceil(t*|d|) + 1 elements. slice()
     # tolerates lengths past the end, and length >= 1 always holds.
@@ -464,27 +482,33 @@ def ngram_jaccard_prefix_pairs(
                 >= alpha
             )
         )
+        # NO distinct here: a pair sharing k prefix elements appears k
+        # times, but the positional filter keeps the duplication factor
+        # ~1 (71.7k raw vs 68.6k distinct on the bench corpus), so
+        # verifying duplicates is far cheaper than a dedicated
+        # (id_a, id_b) exchange + AQE stage just to dedup them —
+        # duplicates collapse in the final distinct over the
+        # threshold-surviving rows (a few hundred), where the shuffle
+        # is free. Same-pair re-verification is deterministic, so the
+        # late dedup is exact.
         .select("id_a", "id_b")
-        .distinct()
     )
     full = docs.select("id", "sh", "n_sh")
+    fa = full.select(
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    fb = full.select(
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    if broadcast_verify:
+        fa, fb = F.broadcast(fa), F.broadcast(fb)
     return (
-        cand.join(
-            full.select(
-                F.col("id").alias("id_a"),
-                F.col("sh").alias("sh_a"),
-                F.col("n_sh").alias("n_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            full.select(
-                F.col("id").alias("id_b"),
-                F.col("sh").alias("sh_b"),
-                F.col("n_sh").alias("n_b"),
-            ),
-            "id_b",
-        )
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -492,6 +516,7 @@ def ngram_jaccard_prefix_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .distinct()
     )
 
 

@@ -131,7 +131,13 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same results as the full inverted index with ~t× the posting
     volume — the shape exact dedup keeps at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.7)
+    # broadcast_verify: the deduped (id, sorted-set) projection is
+    # ~15 MB at bench scale — broadcasting it into the two
+    # verification joins removes two exchanges; at 100 TB flip it
+    # off and AQE builds on the candidate side instead.
+    return D.ngram_jaccard_prefix_pairs(
+        docs, "doc_id", "text", threshold=0.7, broadcast_verify=True
+    )
 
 
 @register(
