@@ -206,3 +206,90 @@ def test_vacuum_and_partition_file_stats(spark, tmp_path):
     assert removed == [path + ".__compact_tmp__"]
     assert not os.path.exists(path + ".__compact_tmp__")
     assert vacuum_table(spark, path) == []
+
+
+def test_stat_pruning_matches_bruteforce_at_file_count_scale(spark, tmp_path):
+    """The 10^5-file claim, property-tested at 10^3: for a versioned
+    table with ~1000 stat-bearing files, the planned file list of
+    every pruned read must equal the brute-force overlap set computed
+    directly from the sidecar — across numeric windows, datetime
+    bounds, space-separated string forms, and the r5 ADVICE corners
+    (one-sided timestamp-ish bound, naive-vs-aware TypeError), where
+    pruning must degrade to reading, never to dropping."""
+    from datetime import datetime, timezone
+
+    from usgs_earthquake_data_pipeline_spark import sinks
+    from usgs_earthquake_data_pipeline_spark.sinks import (
+        _canon_stat_pair,
+        _norm_file_uri,
+        _read_file_stats,
+        _stat_disjoint,
+        read_versioned_table_pruned,
+        save_versioned_table,
+    )
+
+    n_files = 1000
+    path = str(tmp_path / "bigvt")
+    df = (
+        spark.range(0, 20_000)
+        .withColumn("v", (F.col("id") % 5000).cast("double"))
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("id") * 60  # 2024-01-01 + id min
+            ),
+        )
+    )
+    save_versioned_table(
+        df.repartitionByRange(n_files, "id"), path, stats_cols=["v", "ts"]
+    )
+    stats = _read_file_stats(spark, path, 0)
+    assert stats is not None and len(stats["files"]) >= n_files * 0.9
+
+    def brute_force_keep(between):
+        keep = set()
+        for f, fstats in stats["files"].items():
+            overlaps = True
+            for col, (lo, hi) in between.items():
+                fmin, fmax = fstats[col]
+                if _stat_disjoint(fmin, fmax, lo, hi):
+                    overlaps = False
+                    break
+            if overlaps:
+                keep.add(f)
+        return keep
+
+    windows = [
+        {"v": (100.0, 250.0)},
+        {"v": (4999.0, 10_000.0)},
+        {"ts": ("2024-01-03T00:00:00", "2024-01-04T00:00:00")},
+        {"ts": ("2024-01-03 00:00:00", "2024-01-04 00:00:00")},  # space form
+        {"ts": (datetime(2024, 1, 5), datetime(2024, 1, 6))},  # datetime
+        {"v": (0.0, 10.0), "ts": ("2024-01-02T00:00:00", "2024-01-09T00:00:00")},
+        # ADVICE corners: must never prune (canonicalization refuses)
+        {"ts": ("2024-01-03 00:00:00+00:00", "2024-01-04 00:00:00+00:00")},
+        {"ts": (datetime(2024, 1, 3, tzinfo=timezone.utc),
+                datetime(2024, 1, 4, tzinfo=timezone.utc))},
+    ]
+    for between in windows:
+        pruned = read_versioned_table_pruned(spark, path, between)
+        planned = {_norm_file_uri(f) for f in pruned.inputFiles()}
+        expect = brute_force_keep(between)
+        assert planned == expect, (between, len(planned), len(expect))
+    # pruning is a pure optimization: result rows == full-scan-filter rows
+    win = ("2024-01-03T00:00:00", "2024-01-04T00:00:00")
+    full = spark.read.parquet(f"{path}/version=0").filter(
+        (F.col("ts") >= win[0]) & (F.col("ts") <= win[1])
+    )
+    assert (
+        read_versioned_table_pruned(spark, path, {"ts": win}).count()
+        == full.count()
+        > 0
+    )
+    # sanity: the selective numeric window really pruned (clustering on
+    # id makes v wrap — but the ts windows are range-clustered)
+    ts_keep = brute_force_keep({"ts": ("2024-01-03T00:00:00", "2024-01-04T00:00:00")})
+    assert len(ts_keep) < len(stats["files"]) * 0.2
+    # the un-canonicalizable corners read EVERYTHING
+    for corner in windows[-2:]:
+        assert brute_force_keep(corner) == set(stats["files"])

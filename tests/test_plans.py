@@ -389,3 +389,27 @@ def test_spearman_rank_windows_are_bucket_partitioned(spark, sf_dir):
         assert "__b" in parts, (
             f"rank window partitioned by {parts!r} — whole group in one task"
         )
+
+
+def test_skew_hot_key_rollup_exchanges_are_salted(spark, sf_dir):
+    """The skew headliner's wide exchanges must carry the salt: the
+    fact-side join shuffle keys on (hk, __salt) and the rollup's
+    partial phase aggregates on (tier, __salt) — never a bare hk/tier
+    hash partitioning of raw fact rows, which would put the 50%-hot
+    key back on one reducer. The final combine may key on tier alone:
+    by then each group is <= n_salts rows."""
+    plan = _plan(CATALOG["skew_hot_key_rollup"].spark_fn(spark, sf_dir))
+    assert "__salt" in plan
+    # every raw-row hash exchange that mentions hk or tier must be salted
+    import re
+
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        if "hk#" in keys and "__salt" not in keys:
+            # dim-side exchanges (distinct over ~1000 keys) are bounded
+            # by key cardinality, not row count — allowed unsalted only
+            # when they aggregate the already-distinct dim
+            assert "tier" not in keys or "__salt" in keys
+    # the partial rollup itself must group with the salt
+    assert re.search(r"HashAggregate\(keys=\[tier[^\]]*__salt", plan), (
+        "partial aggregate not salted"
+    )

@@ -127,6 +127,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "rag_index_ivf_fullprobe",
     "sketch_histogram_checked",
     "skew_hot_key_rollup",
+    "dedup_minhash_checked",
+    "dedup_simhash_checked",
     # -- tier 4: re-confirms, oldest (r2) first -----------------------
     "q2_cheapest_per_brand",
     "q6_forecast_revenue",

@@ -213,6 +213,128 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+@register(
+    "dedup_minhash_checked",
+    oracle=(
+        # exact 3-gram Jaccard pairs at t=0.3 (same truth as
+        # dedup_ngram_jaccard's oracle, lower threshold) + literal
+        # TRUEs for the LSH contract booleans
+        "WITH toks AS ("
+        "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+        "  FROM documents), "
+        "sh AS ("
+        "  SELECT doc_id, list_distinct(list_transform("
+        "    generate_series(1, greatest(len(t) - 2, 0)),"
+        "    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams"
+        "  FROM toks), "
+        "sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh WHERE len(grams) > 0), "
+        "posting AS (SELECT doc_id, unnest(grams) AS shingle FROM sh), "
+        "inter AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+        "  FROM posting a JOIN posting b USING (shingle)"
+        "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, "
+        "round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard, "
+        "TRUE AS lsh_precision_ok, TRUE AS lsh_recall_ok "
+        "FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3 "
+        "ORDER BY id_a, id_b"
+    ),
+    tags=("llm", "dedup", "approx", "checked"),
+)
+def dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production MinHash-LSH pipeline with its accuracy contract
+    under the driver hash gate. Payload: the EXACT n-gram Jaccard
+    pairs at t=0.3 (the SQL truth). Booleans, both distributed
+    anti-join/agg computations over the PRODUCTION `minhash_lsh_pairs`
+    output (32 hashes, banded; same config as `dedup_minhash_lsh`):
+
+    - ``lsh_precision_ok``: every LSH-emitted pair is a true pair —
+      must ALWAYS hold because candidates are verified with exact
+      Jaccard before emission; a hash break here means the verify
+      step regressed.
+    - ``lsh_recall_ok``: recall over STRONG pairs (exact Jaccard >=
+      0.9) is >= 0.95. The banding S-curve puts per-pair miss
+      probability at J=0.9 below 2e-4 (32 hashes, 8 bands of 4), so
+      this is the sketch's published bound, not an empirical fit;
+      measured recall on the driver corpora is 1.0 at every SF (all
+      true pairs are near-identical documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    lsh = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.3
+    ).select("id_a", "id_b")
+    exact_ids = exact.select("id_a", "id_b")
+    prec = lsh.join(exact_ids, ["id_a", "id_b"], "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("lsh_precision_ok")
+    )
+    strong = exact.filter(F.col("jaccard") >= 0.9).select("id_a", "id_b")
+    rec = (
+        strong.join(
+            lsh.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left_outer"
+        )
+        .agg(
+            (
+                F.count("_hit") >= F.lit(0.95) * F.count(F.lit(1))
+            ).alias("lsh_recall_ok")
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(prec))
+        .crossJoin(F.broadcast(rec))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_simhash_checked",
+    oracle=(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "TRUE AS banding_complete FROM documents"
+    ),
+    tags=("llm", "dedup", "approx", "checked"),
+)
+def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash's blocking guarantee under the driver hash gate. The
+    band split is not probabilistic: with 4 disjoint 16-bit bands and
+    max_hamming=3, any pair within 3 bit flips shares at least one
+    exact band (pigeonhole), so the banded join must find EXACTLY the
+    pairs a brute-force all-pairs Hamming scan finds — completeness
+    is a theorem, and this entry makes the driver hash depend on it
+    holding in the implementation: ``banding_complete`` = symmetric
+    difference between `simhash_near_pairs` (production banded path)
+    and the broadcast all-pairs scan is empty. The fingerprint has no
+    SQL twin, so the hashed payload is the corpus row count + the
+    boolean; the all-pairs side is a broadcast nested-loop over the
+    (id, fingerprint) projection — 12.5M codegen popcounts at bench
+    scale, bounded and deliberate (the CHECK is quadratic; the
+    production path stays banded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    banded = D.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3
+    ).select("id_a", "id_b", "hamming")
+    fp = D.simhash_col(
+        docs.select(F.col("doc_id").alias("id"), "text"), "text"
+    ).select("id", "simhash")
+    a = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("fb"))
+    brute = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", D.hamming64(F.col("fa"), F.col("fb")))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+    ok = (
+        banded.exceptAll(brute)
+        .unionAll(brute.exceptAll(banded))
+        .agg((F.count(F.lit(1)) == 0).alias("banding_complete"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n.crossJoin(F.broadcast(ok))
+
+
 @register("dedup_embedding_cosine", tags=("llm", "dedup", "approx"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over LSH buckets (rows-only;
