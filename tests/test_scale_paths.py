@@ -20,7 +20,11 @@ _QUERIES = ["q3_top_orders", "q5_region_revenue", "q12_status_priority",
             "audit_referential_integrity", "funnel_view_click_purchase",
             "orders_retention_cohort",
             # round 4 session 2: CDC full-outer diff, basket self-join
-            "cdc_diff_user_value", "assoc_rules_event_pairs"]
+            "cdc_diff_user_value", "assoc_rules_event_pairs",
+            # round 6: the 50%-hot-key salted join+rollup — with
+            # broadcasts off the salted (hk, __salt) join runs as SMJ
+            # and must still equal the plain-join oracle path
+            "skew_hot_key_rollup"]
 
 
 _THRESHOLD_KEYS = (
