@@ -17,7 +17,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="tests", shuffle_partitions=8)
+    # SPARK_GRAFT_TEST_SHUFFLE lets the differential run at an
+    # adversarial partition count (7, 1, 64, ...) — results must be
+    # invariant to it (the driver's session uses its own defaults, so
+    # any hidden dependence on partitioning/order is a latent hash
+    # break). Convention: before a round snapshot, run the catalog
+    # differential at least once with a non-default odd value.
+    spark = get_spark(
+        app_name="tests",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8")),
+    )
     yield spark
     spark.stop()
 

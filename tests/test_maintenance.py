@@ -293,3 +293,68 @@ def test_stat_pruning_matches_bruteforce_at_file_count_scale(spark, tmp_path):
     # the un-canonicalizable corners read EVERYTHING
     for corner in windows[-2:]:
         assert brute_force_keep(corner) == set(stats["files"])
+
+
+def test_concurrent_version_writers_never_clobber(spark, tmp_path, monkeypatch):
+    """Two writers racing from the same observed latest must land in
+    DIFFERENT version slots (the claim is the atomic arbiter) — before
+    round 6 both computed latest+1 and the second silently overwrote
+    the first's data directory."""
+    from usgs_earthquake_data_pipeline_spark import sinks
+
+    path = str(tmp_path / "vt")
+    a = spark.createDataFrame([(1, "a")], "id BIGINT, v STRING")
+    b = spark.createDataFrame([(2, "b")], "id BIGINT, v STRING")
+    base = spark.createDataFrame([(0, "base")], "id BIGINT, v STRING")
+    assert sinks.save_versioned_table(base, path) == 0
+
+    # simulate writer B reading a STALE latest (both observe 0): pin
+    # _read_latest to 0 for B's save, after A has already committed 1
+    va = sinks.save_versioned_table(a, path)
+    assert va == 1
+    real_read = sinks._read_latest
+    calls = {"n": 0}
+
+    def stale_once(sp, p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 0  # B's stale observation → candidate 1, claim taken? 
+        return real_read(sp, p)
+
+    monkeypatch.setattr(sinks, "_read_latest", stale_once)
+    vb = sinks.save_versioned_table(b, path)
+    monkeypatch.setattr(sinks, "_read_latest", real_read)
+    assert vb == 2  # stale candidate 1 was refused... (claim deleted post-commit)
+    got = {
+        r.v for r in sinks.read_versioned_table(spark, path, 1).collect()
+    }
+    assert got == {"a"}  # A's data intact
+    assert {
+        r.v for r in sinks.read_versioned_table(spark, path, 2).collect()
+    } == {"b"}
+    assert sinks.list_versions(spark, path) == [0, 1, 2]
+
+
+def test_crashed_claimant_stalls_then_vacuum_recovers(spark, tmp_path):
+    """A writer that crashed between claim and commit blocks its
+    successor's commit (by design — commits are claim-ordered); the
+    successor times out with an actionable error, vacuum clears the
+    stale claim + uncommitted dir, and a retry succeeds."""
+    import os
+
+    import pytest as _pytest
+
+    from usgs_earthquake_data_pipeline_spark import sinks
+
+    path = str(tmp_path / "vt")
+    base = spark.createDataFrame([(0, "base")], "id BIGINT, v STRING")
+    assert sinks.save_versioned_table(base, path) == 0
+    # fake a crashed claimant for version 1 (claim exists, no commit)
+    open(os.path.join(path, "._claim_v1"), "w").close()
+    nxt = spark.createDataFrame([(1, "n")], "id BIGINT, v STRING")
+    with _pytest.raises(IOError, match="vacuum_versions"):
+        sinks.save_versioned_table(nxt, path, commit_timeout_s=0.3)
+    sinks.vacuum_versions(spark, path, keep=10)
+    assert not os.path.exists(os.path.join(path, "._claim_v1"))
+    assert sinks.save_versioned_table(nxt, path) == 1
+    assert sinks.list_versions(spark, path) == [0, 1]

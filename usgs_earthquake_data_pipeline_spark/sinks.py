@@ -601,8 +601,31 @@ def _read_latest(spark, path: str) -> int | None:
         stream.close()
 
 
+def _claim_path(path: str, version: int) -> str:
+    return f"{path.rstrip('/')}/._claim_v{version}"
+
+
+def _try_claim(jvm, fs, path: str, version: int) -> bool:
+    """Atomically claim a version slot via create-no-overwrite (the
+    same put-if-absent primitive Delta's commit protocol relies on;
+    atomic on local FS and HDFS). Returns False when another writer
+    holds the slot."""
+    p = jvm.org.apache.hadoop.fs.Path(_claim_path(path, version))
+    try:
+        out = fs.create(p, False)
+    except Exception as e:  # py4j-wrapped java exception
+        if "Exists" in str(e) or "exists" in str(e):
+            return False
+        raise
+    out.close()
+    return True
+
+
 def save_versioned_table(
-    df: DataFrame, path: str, stats_cols: Sequence[str] | None = None
+    df: DataFrame,
+    path: str,
+    stats_cols: Sequence[str] | None = None,
+    commit_timeout_s: float = 60.0,
 ) -> int:
     """Write ``df`` as the next version of the table; returns the new
     version number. The write lands in ``version=N`` (invisible to
@@ -611,20 +634,60 @@ def save_versioned_table(
     crash mid-write leaves the previous version intact and readable.
     Old versions stay on disk for time travel until vacuumed.
 
+    CONCURRENT writers are safe (optimistic concurrency, Delta-style):
+    each writer first CLAIMS its version slot with an atomic
+    create-no-overwrite marker, so two racing writers can never write
+    the same ``version=N`` directory (the silent-clobber hazard of a
+    bare read-latest/increment); the loser claims N+1. Commits then
+    happen in CLAIM order — a writer waits for its predecessor's
+    manifest before renaming its own — which preserves the reader
+    invariant "version <= manifest ⇒ fully committed" and makes the
+    manifest monotone. A writer that crashes between claim and commit
+    stalls its successors until ``commit_timeout_s``; the raised error
+    says to run ``vacuum_versions`` (which clears uncommitted
+    directories and stale claims) and retry. Single-writer cost: two
+    extra tiny FS ops.
+
     ``stats_cols``: columns to record per-file min/max for in a
     ``_stats_v{N}.json`` sidecar (written BEFORE the commit rename, so
     stats are part of the commit) — the Delta data-skipping contract
     on the parquet fallback. One extra scan of the just-written
     version; the collected table is one row per file, driver-bounded.
     """
+    import time as _time
+
     spark = df.sparkSession
+    jvm, fs = _fs_for(spark, path)
+    # ensure the table root exists so claim creation has a parent
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path.rstrip("/")))
     latest = _read_latest(spark, path)
     version = 0 if latest is None else latest + 1
+    for _ in range(10_000):
+        if _try_claim(jvm, fs, path, version):
+            break
+        version += 1
+    else:  # pragma: no cover - pathological claim storm
+        raise IOError(f"could not claim a version slot under {path}")
     vdir = f"{path.rstrip('/')}/version={version}"
     df.write.mode("overwrite").parquet(vdir)
     if stats_cols:
         _write_file_stats(spark, path, version, list(stats_cols))
-    jvm, fs = _fs_for(spark, path)
+    # serialize commits in claim order: our rename may only follow the
+    # predecessor's, so the manifest never regresses and every version
+    # at-or-below it is fully committed
+    deadline = _time.monotonic() + commit_timeout_s
+    while version > 0:
+        cur = _read_latest(spark, path)
+        if cur is not None and cur >= version - 1:
+            break
+        if _time.monotonic() > deadline:
+            raise IOError(
+                f"timed out waiting for version {version - 1} to commit "
+                f"under {path} — a predecessor writer likely crashed "
+                "between claim and commit; run vacuum_versions() to "
+                "clear stale claims/uncommitted dirs, then retry"
+            )
+        _time.sleep(0.05)
     tmp = jvm.org.apache.hadoop.fs.Path(
         f"{path.rstrip('/')}/._manifest_tmp_{version}"
     )
@@ -639,6 +702,10 @@ def save_versioned_table(
     fs.delete(final, False)
     if not fs.rename(tmp, final):  # pragma: no cover - filesystem race
         raise IOError(f"manifest rename failed for version {version}")
+    # the claim file intentionally SURVIVES the commit: it is the
+    # slot's tombstone, so a writer acting on a stale latest can never
+    # re-claim (and clobber) an already-committed version. Vacuum
+    # retires claims together with their versions.
     return version
 
 
@@ -687,6 +754,16 @@ def vacuum_versions(
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(_stats_path(path, v)), False
         )
+    # clear claim markers for retired/uncommitted versions AND stale
+    # claims from writers that crashed before writing any data — only
+    # safe because vacuum's contract is "no active writers" (same as
+    # Delta's VACUUM retention caveat)
+    for s in fs.listStatus(hpath):
+        name = s.getPath().getName()
+        if name.startswith("._claim_v"):
+            v = int(name[len("._claim_v"):])
+            if v > latest or v in to_drop:
+                fs.delete(s.getPath(), False)
     return sorted(to_drop)
 
 
