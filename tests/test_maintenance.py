@@ -358,3 +358,30 @@ def test_crashed_claimant_stalls_then_vacuum_recovers(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "._claim_v1"))
     assert sinks.save_versioned_table(nxt, path) == 1
     assert sinks.list_versions(spark, path) == [0, 1]
+
+
+def test_four_threaded_writers_all_commit_distinct_versions(spark, tmp_path):
+    """A real thread race (not a simulated stale read): four writers
+    committing the same table concurrently must land four DISTINCT
+    versions with all data intact and a manifest equal to the max —
+    the optimistic-concurrency contract end-to-end."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from usgs_earthquake_data_pipeline_spark import sinks
+
+    path = str(tmp_path / "vt")
+
+    def write(tag):
+        df = spark.createDataFrame([(tag, f"w{tag}")], "id BIGINT, v STRING")
+        return sinks.save_versioned_table(df, path)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = sorted(ex.map(write, range(4)))
+    assert versions == [0, 1, 2, 3]
+    assert sinks.list_versions(spark, path) == [0, 1, 2, 3]
+    seen = set()
+    for v in versions:
+        rows = sinks.read_versioned_table(spark, path, v).collect()
+        assert len(rows) == 1
+        seen.add(rows[0].v)
+    assert seen == {"w0", "w1", "w2", "w3"}

@@ -606,11 +606,31 @@ def _claim_path(path: str, version: int) -> str:
 
 
 def _try_claim(jvm, fs, path: str, version: int) -> bool:
-    """Atomically claim a version slot via create-no-overwrite (the
-    same put-if-absent primitive Delta's commit protocol relies on;
-    atomic on local FS and HDFS). Returns False when another writer
-    holds the slot."""
-    p = jvm.org.apache.hadoop.fs.Path(_claim_path(path, version))
+    """Atomically claim a version slot via put-if-absent (the same
+    primitive Delta's commit protocol relies on). Returns False when
+    another writer holds the slot.
+
+    On HDFS/object stores, ``FileSystem.create(overwrite=false)`` is
+    the atomic primitive. On LOCAL paths Hadoop's RawLocalFileSystem
+    implements it as a non-atomic exists-then-create (a TOCTOU two
+    threads demonstrably both win — caught by the threaded race
+    test), so local claims go through ``O_CREAT|O_EXCL``, which the
+    kernel makes atomic."""
+    claim = _claim_path(path, version)
+    local = "://" not in claim and not claim.startswith("file:")
+    if claim.startswith("file:"):
+        local, claim = True, _norm_file_uri(claim)
+    if local:
+        import errno
+
+        try:
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except OSError as e:
+            if e.errno == errno.EEXIST:
+                return False
+            raise
+        return True
+    p = jvm.org.apache.hadoop.fs.Path(claim)
     try:
         out = fs.create(p, False)
     except Exception as e:  # py4j-wrapped java exception
