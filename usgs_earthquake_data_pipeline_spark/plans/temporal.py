@@ -538,6 +538,99 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pit_join_state_at_purchase",
+    oracle=(
+        # naive point-in-time join: SCD2 intervals from the
+        # non-purchase stream, labels matched by interval membership
+        # (the quadratic non-equi form the union-window plan must
+        # reproduce exactly)
+        "WITH seq AS (SELECT user_id, event_type, ts, "
+        "  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "    AS prev_type, epoch_us(ts) AS t_us, event_id FROM events "
+        "  WHERE user_id < 20 AND event_type <> 'purchase'), "
+        "changes AS (SELECT user_id, event_type, t_us, event_id FROM seq "
+        "  WHERE prev_type IS NULL OR event_type <> prev_type), "
+        "versioned AS (SELECT user_id, event_type, t_us AS vf, "
+        "  lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
+        "    AS vt FROM changes), "
+        "labels AS (SELECT user_id, event_id, epoch_us(ts) AS t_us "
+        "  FROM events WHERE user_id < 20 AND event_type = 'purchase') "
+        "SELECT l.user_id AS user_id, l.event_id, "
+        "  v.event_type AS state_at_label "
+        "FROM labels l LEFT JOIN versioned v "
+        "  ON v.user_id = l.user_id AND v.vf <= l.t_us "
+        "  AND (v.vt IS NULL OR l.t_us < v.vt) "
+        "ORDER BY l.user_id, l.event_id"
+    ),
+    tags=("temporal", "scd2", "warehouse", "feature-store"),
+)
+def pit_join_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join: each label event (a
+    purchase) is enriched with the dimension version VALID AT ITS
+    TIMESTAMP — here the user's SCD2 behavioral state built from the
+    non-purchase stream. The defining guarantee is leakage-freedom: a
+    label can never see a feature whose validity starts after the
+    label's timestamp, which is exactly what makes offline training
+    features reproducible online.
+
+    The naive formulation (the oracle) is a non-equi interval join —
+    per-user quadratic, a scale killer. The plan here is the
+    union-window as-of shape instead: feature-change rows and label
+    rows union into ONE stream, one shuffle on user_id, and a
+    last-non-null window picks each label's governing version.
+    Same-timestamp ties order feature-before-label (kind 0 < 1), so
+    an interval starting AT the label timestamp applies (inclusive
+    valid_from, matching the oracle's vf <= ts < vt), and stacked
+    same-timestamp changes shadow to the LAST one — the only one
+    whose zero-width-free interval can contain anything. Labels
+    before any change yield NULL state (the left join's no-match)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feat = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("t_us"),
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            F.col("t_us"),
+            F.lit(0).alias("kind"),
+            "event_id",
+            F.col("event_type").alias("state"),
+        )
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+    )
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        feat.unionByName(labels)
+        .withColumn(
+            "state_at_label", F.last("state", ignorenulls=True).over(wu)
+        )
+        .filter(F.col("kind") == 1)
+        .select("user_id", "event_id", "state_at_label")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
     "sliding_window_counts",
     oracle=(
         "WITH b AS (SELECT CAST(floor(epoch_us(ts) / 1800000000) "
