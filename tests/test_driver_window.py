@@ -74,7 +74,7 @@ def test_round6_backlog_and_parity_tail_inside_window():
         "dedup_semdedup_exact", "rag_index_ivf_fullprobe",
         "sketch_histogram_checked", "skew_hot_key_rollup",
         "dedup_minhash_checked", "dedup_simhash_checked",
-        "pit_join_state_at_purchase",
+        "pit_join_state_at_purchase", "mv_join_incremental",
     }
     missing = (never_checked | parity_tail | promotions) - first
     assert not missing, f"entries fell out of the driver window: {missing}"

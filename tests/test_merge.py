@@ -604,3 +604,53 @@ def test_table_changes_between_versions(spark, tmp_path):
         for r in sinks.table_changes(spark, path, ["k"], 0).collect()
     }
     assert feed_latest == {(2, "update"), (4, "insert")}
+
+
+def test_merge_join_state_equals_full_join(spark):
+    """The bilinearity identity on a small synthetic case where every
+    delta category is populated — (ΔA,B_old), (A_old,ΔB), (ΔA,ΔB) —
+    plus keys only in one side (must not appear) and multi-row keys
+    (fan-out preserved exactly, no dedup)."""
+    from usgs_earthquake_data_pipeline_spark.operators.matview import (
+        merge_join_state,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (9, "a9")], "k BIGINT, av STRING"
+    )
+    delta_a = spark.createDataFrame([(2, "a2new"), (3, "a3")], "k BIGINT, av STRING")
+    b_old = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (3, 30.0)], "k BIGINT, bv DOUBLE"
+    )
+    delta_b = spark.createDataFrame([(2, 20.0), (7, 70.0)], "k BIGINT, bv DOUBLE")
+
+    view_old = a_old.join(b_old, "k").select("k", "av", "bv")
+    maintained = sorted(
+        tuple(r)
+        for r in merge_join_state(
+            view_old, a_old, delta_a, b_old, delta_b, "k"
+        ).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in a_old.unionByName(delta_a)
+        .join(b_old.unionByName(delta_b), "k")
+        .select("k", "av", "bv")
+        .collect()
+    )
+    assert maintained == full
+    assert len(maintained) == len(full) > 4  # fan-out rows present
+
+
+def test_merge_join_state_empty_deltas_is_identity(spark):
+    from usgs_earthquake_data_pipeline_spark.operators.matview import (
+        merge_join_state,
+    )
+
+    a = spark.createDataFrame([(1, "a")], "k BIGINT, av STRING")
+    b = spark.createDataFrame([(1, 1.0)], "k BIGINT, bv DOUBLE")
+    view = a.join(b, "k").select("k", "av", "bv")
+    out = merge_join_state(
+        view, a, a.filter("k < 0"), b, b.filter("k < 0"), "k"
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, "a", 1.0)]

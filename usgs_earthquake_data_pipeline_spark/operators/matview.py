@@ -60,3 +60,43 @@ def merge_aggregate_state(
     unioned = view.select(*cols).unionByName(delta.select(*cols))
     aggs = [_MERGE_FNS[m](c).alias(c) for c, m in merges.items()]
     return unioned.groupBy(*keys).agg(*aggs)
+
+
+def merge_join_state(
+    view: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str] | str,
+    *,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incrementally maintain an equi-JOIN view under append-only
+    deltas (the join counterpart of :func:`merge_aggregate_state`;
+    the differential-dataflow bilinearity identity):
+
+        Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+        (B_new = B_old ∪ ΔB; the ΔA⋈ΔB cross term rides the first
+        part, and the three produced categories — (ΔA,B_old),
+        (ΔA,ΔB), (A_old,ΔB) — are disjoint from the view's
+        (A_old,B_old), so plain UNION ALL is exact)
+
+    Work is delta-proportional on the delta side of each term; the
+    old-side scans are key-restricted by the (broadcast) delta —
+    at 100 TB the stored A/B would be bucketed or stats-pruned on the
+    join key so ``A_old ⋈ ΔB`` touches only the buckets/files holding
+    ΔB's keys, never the full table; the VIEW itself is never
+    re-joined, only unioned. Append-only by contract: updates and
+    deletes flow through the CDC merge operators instead.
+
+    All three inputs' join outputs are projected to ``view.columns``,
+    so the view schema defines the maintained shape.
+    """
+    cols = view.columns
+    da = F.broadcast(delta_a) if broadcast_deltas else delta_a
+    db = F.broadcast(delta_b) if broadcast_deltas else delta_b
+    b_new = b_old.unionByName(delta_b)
+    d1 = da.join(b_new, on=on).select(*cols)
+    d2 = a_old.join(db, on=on).select(*cols)
+    return view.unionByName(d1).unionByName(d2)

@@ -138,6 +138,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_minhash_checked",
     "dedup_simhash_checked",
     "pit_join_state_at_purchase",
+    "mv_join_incremental",
     # -- tier 4: re-confirms, oldest (r2) first -----------------------
     "q2_cheapest_per_brand",
     "q6_forecast_revenue",

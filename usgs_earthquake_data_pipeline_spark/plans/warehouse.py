@@ -228,3 +228,67 @@ def mv_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     ).orderBy("day", "event_type")
+
+
+@register(
+    "mv_join_incremental",
+    oracle=(
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "  AS sum_price "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("warehouse", "matview", "join"),
+)
+def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the join counterpart
+    of mv_incremental_daily_rollup, via the differential-dataflow
+    bilinearity identity Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB): the
+    orders⋈lineitem view is built from the old slices, then
+    INDEPENDENT delta batches arrive on both sides — new orders
+    (o_orderkey % 11 == 5) and late lineitems (l_linenumber >= 4,
+    cutting across order boundaries so every delta term is
+    non-trivial, including the ΔA⋈ΔB cross term — and crucially the
+    splits don't align, so rows survive only through the CORRECT
+    term). The maintained view aggregates to per-status counts and
+    decimal-exact revenue; the oracle joins and aggregates the whole
+    tables directly — hash equality proves incremental == full
+    recompute. At 100 TB the stored sides are bucketed on the join
+    key, so each old-side term touches only the delta's buckets; the
+    view itself is never re-joined, only unioned."""
+    from ..operators.matview import merge_join_state
+
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice", "l_linenumber"
+    )
+    a_new = F.col("k") % 11 == 5
+    b_new = F.col("l_linenumber") >= 4
+    a_old, delta_a = a.filter(~a_new), a.filter(a_new)
+    b_old, delta_b = b.filter(~b_new), b.filter(b_new)
+
+    view_old = a_old.join(b_old, "k").select(
+        "k", "o_orderstatus", "l_extendedprice"
+    )
+    maintained = merge_join_state(
+        view_old,
+        a_old,
+        delta_a,
+        b_old,
+        delta_b,
+        on="k",
+        broadcast_deltas=False,
+    )
+    return (
+        maintained.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
