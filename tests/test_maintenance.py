@@ -385,3 +385,63 @@ def test_four_threaded_writers_all_commit_distinct_versions(spark, tmp_path):
         assert len(rows) == 1
         seen.add(rows[0].v)
     assert seen == {"w0", "w1", "w2", "w3"}
+
+
+def test_semdedup_expr_comparator_matches_arrow(spark, sf_dir):
+    """The DuckDB-bit-compatible expression comparator must agree
+    with the production numpy path at both k=1 (the hash-gated
+    exactness config) and clustered k — a threshold-boundary pair
+    would surface here rather than as a driver-hash break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    for k in (1, 8):
+        arrow = {
+            (r.vec_id, r.list_id)
+            for r in S.semantic_dedup(
+                emb, k=k, threshold=0.3, comparator="arrow"
+            ).collect()
+        }
+        expr = {
+            (r.vec_id, r.list_id)
+            for r in S.semantic_dedup(
+                emb, k=k, threshold=0.3, comparator="expr"
+            ).collect()
+        }
+        assert arrow == expr, f"comparators diverge at k={k}"
+
+
+def test_manifest_crash_window_recovers_from_tmp(spark, tmp_path):
+    """The commit is delete(manifest) → rename(tmp); dying between the
+    two must not brick the table: _read_latest falls back to the
+    fully-written tmp, reads keep working, and the next write commits
+    normally (previously this state made every successor wait forever
+    on a manifest that could never appear, with a vacuum hint that
+    was a no-op)."""
+    import os
+
+    from usgs_earthquake_data_pipeline_spark import sinks
+
+    path = str(tmp_path / "vt")
+    for tag in ("v0", "v1"):
+        sinks.save_versioned_table(
+            spark.createDataFrame([(1, tag)], "id BIGINT, v STRING"), path
+        )
+    # simulate the crash window for version 1's commit
+    os.rename(
+        os.path.join(path, "_latest_version"),
+        os.path.join(path, "._manifest_tmp_1"),
+    )
+    assert sinks._read_latest(spark, path) == 1  # tmp fallback
+    got = sinks.read_versioned_table(spark, path).collect()
+    assert [r.v for r in got] == ["v1"]
+    # next write recovers the manifest and advances
+    assert (
+        sinks.save_versioned_table(
+            spark.createDataFrame([(1, "v2")], "id BIGINT, v STRING"), path
+        )
+        == 2
+    )
+    assert os.path.exists(os.path.join(path, "_latest_version"))
+    assert sinks.list_versions(spark, path) == [0, 1, 2]
+    # vacuum clears the stale tmp once superseded
+    sinks.vacuum_versions(spark, path, keep=10)
+    assert not os.path.exists(os.path.join(path, "._manifest_tmp_1"))

@@ -392,24 +392,49 @@ def test_spearman_rank_windows_are_bucket_partitioned(spark, sf_dir):
 
 
 def test_skew_hot_key_rollup_exchanges_are_salted(spark, sf_dir):
-    """The skew headliner's wide exchanges must carry the salt: the
-    fact-side join shuffle keys on (hk, __salt) and the rollup's
-    partial phase aggregates on (tier, __salt) — never a bare hk/tier
-    hash partitioning of raw fact rows, which would put the 50%-hot
-    key back on one reducer. The final combine may key on tier alone:
-    by then each group is <= n_salts rows."""
-    plan = _plan(CATALOG["skew_hot_key_rollup"].spark_fn(spark, sf_dir))
-    assert "__salt" in plan
-    # every raw-row hash exchange that mentions hk or tier must be salted
+    """The skew headliner's RAW-ROW exchanges must carry the salt —
+    never a bare-hk/tier hash partitioning of fact rows, which would
+    put the 50%-hot key back on one reducer. Asserted with broadcasts
+    OFF so the join must exchange both sides (the broadcast plan hides
+    the fact-side shuffle entirely and made the old assertion vacuous
+    — a regression to an unsalted join passed it). Allowed unsalted:
+    exactly one bare-hk exchange (the dim distinct, bounded by key
+    cardinality) and the final tier combine (<= n_salts rows/group)."""
     import re
 
-    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        if "hk#" in keys and "__salt" not in keys:
-            # dim-side exchanges (distinct over ~1000 keys) are bounded
-            # by key cardinality, not row count — allowed unsalted only
-            # when they aggregate the already-distinct dim
-            assert "tier" not in keys or "__salt" in keys
-    # the partial rollup itself must group with the salt
+    keys_ = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {}
+    for key in keys_:
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, "-1")
+    try:
+        plan = _plan(CATALOG["skew_hot_key_rollup"].spark_fn(spark, sf_dir))
+    finally:
+        for key, value in old.items():
+            if value is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, value)
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    salted_hk = [e for e in exchanges if "hk#" in e and "__salt" in e]
+    bare_hk = [e for e in exchanges if "hk#" in e and "__salt" not in e]
+    # both join sides shuffle on (hk, __salt); an unsalted join would
+    # add bare-hk fact/dim exchanges beyond the single distinct
+    assert len(salted_hk) >= 2, f"join sides not salted: {exchanges}"
+    assert len(bare_hk) <= 1, (
+        f"raw-row exchange on bare hk — hot key on one reducer: {bare_hk}"
+    )
+    # the partial rollup groups with the salt; the final combine may
+    # key on tier alone
     assert re.search(r"HashAggregate\(keys=\[tier[^\]]*__salt", plan), (
         "partial aggregate not salted"
     )
+    assert any(
+        "tier" in e and "__salt" in e for e in exchanges
+    ), f"rollup partial exchange not salted: {exchanges}"

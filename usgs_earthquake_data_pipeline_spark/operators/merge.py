@@ -56,11 +56,12 @@ def merge_upsert(
       aggregation over the source (the small side by contract) and
       raise ``ValueError`` on violation. NOTE this is an EAGER action:
       the source plan executes once for the check and again when the
-      merged result is materialized, so the source is pinned
-      (``persist()``) around the check unless the caller already
-      cached it. A nondeterministic source could still pass the check
-      yet deliver duplicates at final execution — cache such a source
-      yourself, or use ``"trusted"``.
+      merged result is materialized (the check-time pin is released
+      before returning — a plan-builder must not leak a cache entry
+      per call). Cache ``source`` yourself to share one
+      materialization across both, which is also REQUIRED for a
+      nondeterministic source (it could otherwise pass the check yet
+      deliver duplicates at final execution) — or use ``"trusted"``.
     - ``"trusted"``: skip validation entirely (no eager action, fully
       lazy). The caller asserts key-uniqueness; duplicate keys will
       silently produce duplicate rows, exactly like a blind
@@ -99,25 +100,34 @@ def merge_upsert(
         raise ValueError(f"unknown duplicate_policy: {duplicate_policy!r}")
     src = source.select(*target.columns)
     if duplicate_policy == "error":
-        # Pin the source across the eager check and the final
-        # execution so (a) the plan isn't computed twice and (b) a
-        # nondeterministic source can't pass validation yet deliver
-        # different (duplicate) rows later. Respect a caller-owned
-        # cache: only pin (and only then leave pinned — the merged
-        # plan still references it) when nothing is cached yet.
+        # Pin the source for the duration of the eager check so the
+        # validation scan is consistent, then RELEASE the pin — a
+        # plan-builder must not leave a cache entry behind per call
+        # (a CDC loop would leak one pinned projection per batch,
+        # with no handle for the caller to release). The merged
+        # result therefore re-evaluates the source once at final
+        # execution (documented above); a caller who wants the check
+        # and the execution to share one materialization caches
+        # ``source`` themselves (their pin is respected and left
+        # alone), and a nondeterministic source must be cached by
+        # the caller regardless.
         from pyspark import StorageLevel
 
-        if source.storageLevel == StorageLevel.NONE:
+        pinned = source.storageLevel == StorageLevel.NONE
+        if pinned:
             src = src.persist()
-        dup = (
-            src.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .limit(1)
-            .collect()
-        )
+        try:
+            dup = (
+                src.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
+        finally:
+            if pinned:
+                src.unpersist()
         if dup:
-            src.unpersist()
             key_vals = tuple(dup[0][k] for k in keys)
             raise ValueError(
                 "merge_upsert: multiple source rows share key "

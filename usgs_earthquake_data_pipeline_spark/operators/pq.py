@@ -196,26 +196,26 @@ def pq_reconstruct(codes: Column, books: list[list[list[float]]]) -> Column:
     )
 
 
-def pq_adc_topk(
+def pq_adc_scores(
     corpus: DataFrame,
     queries: DataFrame,
     books: list[list[list[float]]],
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     include_self: bool = False,
 ) -> DataFrame:
-    """Approximate L2 top-k via asymmetric distance computation:
-    (query_id, neighbor_id, est_dist, rank), est_dist ascending.
+    """Every (query, corpus) pair's ADC distance estimate —
+    (query_id, neighbor_id, est_dist), unrounded, unranked.
 
-    Each query precomputes its m*k_codes lookup table (exact squared
-    distances from its subvectors to every centroid); every encoded
-    corpus row is then scored with m array lookups — the PQ bargain:
-    per-pair cost independent of ``dim``. Queries (with LUTs) are
-    broadcast; the only wide exchange is the per-query top-k window
-    over candidate rows.
-    """
+    The shared scoring front end: each query precomputes its
+    m*k_codes lookup table (exact squared distances from its
+    subvectors to every centroid); every encoded corpus row is then
+    scored with m array lookups — the PQ bargain: per-pair cost
+    independent of ``dim``. Queries (with LUTs) are broadcast.
+    :func:`pq_adc_topk` ranks this; the ADC-identity check consumes
+    it directly (ranking all pairs just to keep them all would be a
+    dead per-query sort)."""
     d_sub = len(books[0][0])
     enc = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
         F.col("id").alias("neighbor_id"), "codes"
@@ -245,11 +245,37 @@ def pq_adc_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    return pairs.select("query_id", "neighbor_id", est.alias("est_dist"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate L2 top-k via asymmetric distance computation:
+    (query_id, neighbor_id, est_dist, rank), est_dist ascending.
+
+    :func:`pq_adc_scores` does the scoring; the only wide exchange is
+    the per-query top-k window over candidate rows.
+    """
     w = Window.partitionBy("query_id").orderBy(
         F.asc("est_dist"), F.asc("neighbor_id")
     )
     return (
-        pairs.select("query_id", "neighbor_id", est.alias("est_dist"))
+        pq_adc_scores(
+            corpus,
+            queries,
+            books,
+            id_col=id_col,
+            vec_col=vec_col,
+            include_self=include_self,
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(

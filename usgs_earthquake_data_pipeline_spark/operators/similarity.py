@@ -394,6 +394,7 @@ def semantic_dedup(
     iterations: int = 2,
     threshold: float = 0.9,
     exact: bool = True,
+    comparator: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
     by clustering embeddings first and comparing pairs ONLY within a
@@ -416,6 +417,16 @@ def semantic_dedup(
     comparison shuffles once on list_id. Grow k with the corpus to
     hold cluster sizes — and each Arrow group's |cluster|²
     similarity matrix — bounded.
+
+    ``comparator`` picks the within-cluster cosine engine: ``"arrow"``
+    (default, the production fast path — one numpy matmul per
+    cluster) or ``"expr"`` — the JVM sequential-fold pair join, whose
+    doubles are bit-identical to DuckDB's ``list_cosine_similarity``
+    (numpy's pairwise/SIMD summation is not, so a pair within ~1 ulp
+    of the threshold could flip between engines). The hash-gated
+    exactness entry uses ``"expr"``; ``tests`` assert arrow == expr
+    on the bench corpus, so a boundary pair would surface as a test
+    failure, never as a nondeterministic driver-hash break.
     """
     from .clustering import _nearest_list_id, kmeans_lloyd
 
@@ -438,6 +449,28 @@ def semantic_dedup(
     assigned = vecs.crossJoin(cent_arr).select(
         "id", "v", _nearest_list_id(F.col("v"), exact=exact).alias("list_id")
     )
+    if comparator == "expr":
+        # expression-form keep-min: a vector drops iff some LOWER-id
+        # same-cluster vector has fold-cosine >= threshold — the
+        # DuckDB-bit-compatible comparator (see docstring)
+        lo = assigned.select(
+            F.col("list_id").alias("list_id"),
+            F.col("id").alias("id_lo"),
+            F.col("v").alias("v_lo"),
+        )
+        dropped = (
+            assigned.join(lo, "list_id")
+            .filter(F.col("id_lo") < F.col("id"))
+            .filter(cosine(F.col("v_lo"), F.col("v")) >= threshold)
+            .select("id")
+            .distinct()
+        )
+        return (
+            assigned.join(dropped, "id", "left_anti")
+            .select(F.col("id").alias(id_col), "list_id")
+        )
+    if comparator != "arrow":
+        raise ValueError(f"unknown comparator: {comparator!r}")
     # within-cluster near-dup detection: one Arrow batch per cluster,
     # cosine matrix via numpy matmul. The expression-form twin
     # (self-join + the `cosine` fold) is interpreted per element and

@@ -1113,12 +1113,15 @@ def ann_pq_adc_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
-    n_corpus = emb.count()
 
-    # every pair's ADC estimate through the public operator ...
-    est = PQ.pq_adc_topk(
-        emb, emb.filter(F.col("vec_id") < 10), books, k=n_corpus
-    ).select("query_id", "neighbor_id", "est_dist")
+    # every pair's ADC estimate through the public scoring operator
+    # (no top-k window: ranking all pairs only to keep them all would
+    # be a dead per-query sort + an eager corpus count)
+    est = PQ.pq_adc_scores(
+        emb, emb.filter(F.col("vec_id") < 10), books
+    ).select(
+        "query_id", "neighbor_id", F.round("est_dist", 6).alias("est_dist")
+    )
     # ... against the reconstruction distance computed independently
     enc = PQ.pq_encode(emb, books)
     recon = enc.select(
@@ -1271,12 +1274,18 @@ def dedup_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly-lower-id drop mask, and the survivor projection.
     Production (`dedup_semantic_semdedup`) dials k up so the pair
     space stays Σ|cluster|² — the approximation this entry isolates
-    away."""
+    away. The drop decision runs on the ``"expr"`` comparator (JVM
+    sequential-fold cosine, bit-identical to DuckDB's
+    list_cosine_similarity) so a pair within a ulp of the 0.3
+    boundary cannot flip between engines; arrow-vs-expr equality on
+    this corpus is asserted in tests, keeping the production numpy
+    path covered."""
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        emb, "vec_id", "embedding", k=1, dim=64, threshold=0.3
+        emb, "vec_id", "embedding", k=1, dim=64, threshold=0.3,
+        comparator="expr",
     ).orderBy("vec_id")
 
 

@@ -588,7 +588,21 @@ def _read_latest(spark, path: str) -> int | None:
     jvm, fs = _fs_for(spark, path)
     mpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_VERSION_MANIFEST}")
     if not fs.exists(mpath):
-        return None
+        # crash-window recovery: the commit is delete(manifest) then
+        # rename(tmp → manifest); dying between the two leaves no
+        # manifest but DOES leave the fully-written tmp (data + stats
+        # were complete before it was created). Honor the highest tmp
+        # so the table neither bricks (successors wait on a manifest
+        # that can never appear) nor loses the in-flight commit.
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.exists(hpath):
+            return None
+        tmps = [
+            int(s.getPath().getName().rsplit("_", 1)[1])
+            for s in fs.listStatus(hpath)
+            if s.getPath().getName().startswith("._manifest_tmp_")
+        ]
+        return max(tmps) if tmps else None
     stream = fs.open(mpath)
     try:
         data = []
@@ -610,16 +624,21 @@ def _try_claim(jvm, fs, path: str, version: int) -> bool:
     primitive Delta's commit protocol relies on). Returns False when
     another writer holds the slot.
 
-    On HDFS/object stores, ``FileSystem.create(overwrite=false)`` is
-    the atomic primitive. On LOCAL paths Hadoop's RawLocalFileSystem
+    On HDFS, ``FileSystem.create(overwrite=false)`` is the atomic
+    primitive (on bare S3A it is NOT — object stores need a
+    conditional-put/LogStore layer, the same reason Delta does; see
+    SCALING.md). On LOCAL paths Hadoop's RawLocalFileSystem
     implements it as a non-atomic exists-then-create (a TOCTOU two
     threads demonstrably both win — caught by the threaded race
     test), so local claims go through ``O_CREAT|O_EXCL``, which the
-    kernel makes atomic."""
+    kernel makes atomic. Locality comes from the RESOLVED filesystem
+    (``fs.getUri()``), never from string-matching the path — a
+    schemeless path on a cluster whose defaultFS is HDFS must claim
+    on HDFS, not on the driver's local disk."""
     claim = _claim_path(path, version)
-    local = "://" not in claim and not claim.startswith("file:")
-    if claim.startswith("file:"):
-        local, claim = True, _norm_file_uri(claim)
+    local = str(fs.getUri().getScheme() or "file") == "file"
+    if local and claim.startswith("file:"):
+        claim = _norm_file_uri(claim)
     if local:
         import errno
 
@@ -783,6 +802,12 @@ def vacuum_versions(
         if name.startswith("._claim_v"):
             v = int(name[len("._claim_v"):])
             if v > latest or v in to_drop:
+                fs.delete(s.getPath(), False)
+        elif name.startswith("._manifest_tmp_"):
+            # superseded commit leftovers; STRICTLY below latest —
+            # a tmp AT latest may be the crash-recovery manifest
+            # (_read_latest's fallback) and must survive
+            if int(name.rsplit("_", 1)[1]) < latest:
                 fs.delete(s.getPath(), False)
     return sorted(to_drop)
 

@@ -58,14 +58,13 @@ def _read_marker_map(spark, path: str) -> dict[str, int]:
     marker is scoped like Delta's idempotent-write contract (txnAppId +
     txnVersion) instead of a single global integer — a fresh query over
     an existing view must NOT inherit another query's watermark. A
-    legacy bare-int marker (pre-scoping format) is surfaced under the
-    ``_LEGACY_KEY`` sentinel: the pre-scoping format supported exactly
-    one writer, so the first query to resume against the view claims
-    it (``_read_applied`` falls back to it when the scoped key is
-    absent — preserving replay protection across the format upgrade
-    for a still-live checkpoint), and the first scoped write retires
-    it. Until that first write, a genuinely fresh query inherits the
-    legacy watermark — exactly the pre-upgrade global-int behavior."""
+    legacy bare-int marker (pre-scoping format) is preserved under
+    the ``_LEGACY_KEY`` sentinel but NEVER honored implicitly (an
+    unattributable watermark handed to whichever query reads first
+    would make a genuinely new query silently skip its own batches);
+    the legacy writer's continuation restores its replay protection
+    with one explicit :func:`claim_legacy_marker` call, which also
+    retires the sentinel."""
     jvm, fs = _fs_for(spark, path)
     mpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_APPLIED_MARKER}")
     if not fs.exists(mpath):
@@ -88,18 +87,46 @@ def _read_marker_map(spark, path: str) -> dict[str, int]:
 
 
 def _read_applied(spark, path: str, txn_app_id: str) -> int:
-    state = _read_marker_map(spark, path)
-    if txn_app_id in state:
-        return state[txn_app_id]
-    # one-time upgrade path: an unclaimed pre-scoping marker belongs
-    # to whichever single writer produced it — honor it
-    return state.get(_LEGACY_KEY, -1)
+    # the legacy sentinel is NOT honored implicitly: a bare-int
+    # marker can't be attributed to a query identity, and handing it
+    # to whichever query reads first would make a genuinely NEW query
+    # over a pre-upgrade view silently skip its batches 0..N
+    # (permanent data loss). The marker is preserved under the
+    # sentinel; the operator that KNOWS it is the legacy writer's
+    # continuation calls :func:`claim_legacy_marker` once explicitly.
+    return _read_marker_map(spark, path).get(txn_app_id, -1)
 
 
-def _write_applied(spark, path: str, txn_app_id: str, batch_id: int) -> None:
+def claim_legacy_marker(spark, view_path: str, txn_app_id: str) -> int | None:
+    """One-time upgrade hook: assign a pre-scoping bare-int applied
+    marker to ``txn_app_id`` — call this ONLY for the query that is
+    the legacy writer's continuation (same checkpoint lineage), where
+    it restores replay protection across the format upgrade. Returns
+    the claimed batch id, or None when there is no unclaimed legacy
+    marker. The claim is recorded in the scoped format, so it happens
+    exactly once."""
+    state = _read_marker_map(spark, view_path)
+    if _LEGACY_KEY not in state:
+        return None
+    batch = state[_LEGACY_KEY]
+    if txn_app_id not in state or state[txn_app_id] < batch:
+        _write_applied(spark, view_path, txn_app_id, batch, drop_legacy=True)
+    else:
+        _write_applied(
+            spark, view_path, txn_app_id, state[txn_app_id], drop_legacy=True
+        )
+    return batch
+
+
+def _write_applied(
+    spark, path: str, txn_app_id: str, batch_id: int, *, drop_legacy: bool = False
+) -> None:
     state = _read_marker_map(spark, path)
-    # first scoped write migrates/retires the legacy marker
-    state.pop(_LEGACY_KEY, None)
+    if drop_legacy:
+        # only the explicit claim retires the legacy sentinel — an
+        # unrelated new query writing first must not destroy the
+        # rightful owner's chance to claim it
+        state.pop(_LEGACY_KEY, None)
     state[txn_app_id] = batch_id
     jvm, fs = _fs_for(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(
