@@ -75,6 +75,7 @@ def test_round6_backlog_and_parity_tail_inside_window():
         "sketch_histogram_checked", "skew_hot_key_rollup",
         "dedup_minhash_checked", "dedup_simhash_checked",
         "pit_join_state_at_purchase", "mv_join_incremental",
+        "target_encode_kfold",
     }
     missing = (never_checked | parity_tail | promotions) - first
     assert not missing, f"entries fell out of the driver window: {missing}"

@@ -95,16 +95,17 @@ def register(
 # Whatever tier-4 names the tier-3 insertions push past slot 50
 # simply stay in the round-7 queue (they already have green rows).
 #
-# Round-7 queue (final r6 occupancy: tiers 1-3 fill slots 1-30, the
-# first 20 tier-4 re-confirms fill 31-50): the 10 tier-4 names pushed
-# past slot 50 — dedup_resolve_clusters, ann_brute_force,
-# text_token_stats, text_fingerprint, text_lang_guess,
-# text_quality_filter, multimodal_image_meta, multimodal_frame_counts,
-# multimodal_resize_meta, multimodal_image_features (all r2-era
-# re-confirms, already green) — lead round 7's re-confirm tier, plus
-# any r7 additions in their tier 3. (Keep this list computed, not
-# assumed: `list(query_map())[50:60]` — an earlier revision of this
-# comment was off by two after late tier-3 insertions.)
+# Round-7 queue (final r6 occupancy: tiers 1-3 fill slots 1-31, the
+# first 19 tier-4 re-confirms fill 32-50): the 11 tier-4 names pushed
+# past slot 50 — dedup_ngram_jaccard, dedup_resolve_clusters,
+# ann_brute_force, text_token_stats, text_fingerprint,
+# text_lang_guess, text_quality_filter, multimodal_image_meta,
+# multimodal_frame_counts, multimodal_resize_meta,
+# multimodal_image_features (all r2-era re-confirms, already green;
+# the first three are also bench-timed every round) — lead round 7's
+# re-confirm tier, plus any r7 additions in their tier 3. (Keep this
+# list computed, not assumed: `list(query_map())[50:61]` — an earlier
+# revision of this comment went stale after late tier-3 insertions.)
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: oracle-gated, registered late in r5, never
     # driver-checked — green CORRECTNESS_r06 rows for these 10 are
@@ -142,6 +143,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_simhash_checked",
     "pit_join_state_at_purchase",
     "mv_join_incremental",
+    "target_encode_kfold",
     # -- tier 4: re-confirms, oldest (r2) first -----------------------
     "q2_cheapest_per_brand",
     "q6_forecast_revenue",

@@ -221,3 +221,70 @@ def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "target_encode_kfold",
+    oracle=(
+        "WITH cell AS ("
+        "  SELECT event_type, "
+        f"  CAST({_bucket_sql('event_id', 100)} % 5 AS BIGINT) AS fold, "
+        "  COUNT(*) AS c, SUM(CAST(value AS DECIMAL(18,6))) AS s "
+        "  FROM events GROUP BY 1, 2), "
+        "tot AS (SELECT event_type, SUM(c) AS n_tot, SUM(s) AS s_tot "
+        "  FROM cell GROUP BY 1) "
+        "SELECT cell.event_type, cell.fold, "
+        "  CAST(tot.n_tot - cell.c AS BIGINT) AS n_out, "
+        "  CASE WHEN tot.n_tot - cell.c > 0 THEN "
+        "    round(CAST(tot.s_tot - cell.s AS DOUBLE) "
+        "          / CAST(tot.n_tot - cell.c AS DOUBLE), 6) END AS enc_value "
+        "FROM cell JOIN tot USING (event_type) "
+        "ORDER BY event_type, fold"
+    ),
+    tags=("llm", "sampling", "cv", "feature-store"),
+)
+def target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free k-fold target encoding (the categorical-feature
+    staple): a row's category encoding is the mean target over the
+    OTHER folds — its own fold's rows are excluded, so the feature a
+    model trains on never contains its own label (the companion to
+    the point-in-time join's temporal leakage guarantee, on the CV
+    axis). Folds reuse kfold_assignment's stable hash-bucket rule, so
+    encodings are reproducible across runs and engines.
+
+    Output is the |categories| x k encoding TABLE (bounded by the
+    category domain, never rows): per (event_type, fold) the
+    out-of-fold count and mean. The arithmetic is the exact-decimal
+    discipline: per-cell decimal sums, totals as sums of cells,
+    out-of-fold = total - own cell (exact subtraction), ONE IEEE
+    division at the end. Plan: one (category, fold) shuffle for the
+    cells, the |cat| totals broadcast back onto them."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        (hash_bucket("event_id", 100) % 5).alias("fold"),
+    ).agg(
+        F.count("*").alias("c"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("c").alias("n_tot"), F.sum("s").alias("s_tot")
+    )
+    n_out = F.col("n_tot") - F.col("c")
+    return (
+        cell.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "fold",
+            n_out.cast("bigint").alias("n_out"),
+            F.when(
+                n_out > 0,
+                F.round(
+                    (F.col("s_tot") - F.col("s")).cast("double")
+                    / n_out.cast("double"),
+                    6,
+                ),
+            ).alias("enc_value"),
+        )
+        .orderBy("event_type", "fold")
+    )
