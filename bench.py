@@ -4,15 +4,29 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is forced with a cheap count() action (results are small
 aggregates / top-k; s6_projection is count-forced to avoid collecting
-600k rows through the driver). A warm-up of the session JIT happens
-implicitly via the first query; per-query time is wall-clock.
+600k rows through the driver).
+
+Noise protocol (round 7): every headliner gets THREE timed runs after
+a warm-up pass; the headline number per query is the MEDIAN (robust
+to a one-off GC/scheduler stall in either direction, unlike best-of
+which systematically under-reports), and the per-query spread
+(max-min) is emitted alongside so a reader can tell a real regression
+from box noise — sub-second queries on a shared box drift 1.0-1.2x
+run-to-run (PROFILE.md's unchanged-commit re-probe), and a single
+pass cannot distinguish that from a true 15% regression. Runs are
+round-robin across queries (all queries run once, then again) rather
+than back-to-back, so a transient box stall spreads across queries
+instead of poisoning all three samples of one.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
+
+RUNS = 3
 
 
 def main() -> None:
@@ -30,18 +44,16 @@ def main() -> None:
     for entry in headline:
         entry.spark_fn(spark, sf_dir).count()
 
-    # best of 2 timed runs per query: suppresses one-off scheduler/GC
-    # noise at sub-second scale without hiding real regressions
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    samples: dict[str, list[float]] = {e.name: [] for e in headline}
+    for _ in range(RUNS):
         for entry in headline:
             df = entry.spark_fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.count()
-            elapsed = round(time.perf_counter() - t0, 4)
-            if entry.name not in timings or elapsed < timings[entry.name]:
-                timings[entry.name] = elapsed
+            samples[entry.name].append(time.perf_counter() - t0)
 
+    timings = {q: round(statistics.median(s), 4) for q, s in samples.items()}
+    spread = {q: round(max(s) - min(s), 4) for q, s in samples.items()}
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -51,6 +63,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs_per_query": RUNS,
+                "aggregation": "median",
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

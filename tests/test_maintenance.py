@@ -445,3 +445,117 @@ def test_manifest_crash_window_recovers_from_tmp(spark, tmp_path):
     # vacuum clears the stale tmp once superseded
     sinks.vacuum_versions(spark, path, keep=10)
     assert not os.path.exists(os.path.join(path, "._manifest_tmp_1"))
+
+
+def test_vacuum_and_listing_skip_stray_files(spark, tmp_path):
+    """Stray non-conforming files in the table root (editor backups,
+    foreign tmp files) must be SKIPPED by every name parser — vacuum
+    is the recovery tool the commit-timeout error points users at, so
+    it crashing on ``._claim_vfoo~`` would be a dead end."""
+    path = str(tmp_path / "vt")
+    for tag in ("v0", "v1", "v2"):
+        sinks.save_versioned_table(
+            spark.createDataFrame([(1, tag)], "id BIGINT, v STRING"), path
+        )
+    for stray in (
+        "._claim_vbackup~",
+        "._claim_v",
+        "._manifest_tmp_old.bak",
+        "version=tmpcopy",
+    ):
+        open(os.path.join(path, stray), "w").close()
+    assert sinks.list_versions(spark, path) == [0, 1, 2]
+    dropped = sinks.vacuum_versions(spark, path, keep=1)
+    assert dropped == [0, 1]
+    # real artifacts retired, strays untouched (skipped, not deleted)
+    assert sinks.list_versions(spark, path) == [2]
+    for stray in ("._claim_vbackup~", "._manifest_tmp_old.bak"):
+        assert os.path.exists(os.path.join(path, stray))
+    assert sinks.read_versioned_table(spark, path).collect()[0].v == "v2"
+
+
+def test_failed_write_releases_claim_without_vacuum(spark, tmp_path):
+    """A writer whose Spark job FAILS mid-write (ordinary job error,
+    not a crash) must release its claim slot on the way out — before
+    round 7 the orphaned claim forced every later writer through the
+    commit-timeout + manual-vacuum path."""
+    import pytest as _pytest
+    from pyspark.sql.types import IntegerType
+
+    path = str(tmp_path / "vt")
+    base = spark.createDataFrame([(0, "base")], "id BIGINT, v STRING")
+    assert sinks.save_versioned_table(base, path) == 0
+
+    boom = F.udf(lambda x: 1 // 0, IntegerType())
+    bad = base.withColumn("v", boom(F.col("id")).cast("string"))
+    with _pytest.raises(Exception):
+        sinks.save_versioned_table(bad, path)
+    # claim released, no uncommitted dir left behind
+    assert not os.path.exists(os.path.join(path, "._claim_v1"))
+    assert not glob.glob(os.path.join(path, "version=1", "*.parquet"))
+    # a healthy writer proceeds immediately — a short timeout proves
+    # there is no stall on a stale claim
+    nxt = spark.createDataFrame([(1, "n")], "id BIGINT, v STRING")
+    assert sinks.save_versioned_table(nxt, path, commit_timeout_s=2.0) == 1
+    assert sinks.list_versions(spark, path) == [0, 1]
+
+
+def test_sixteen_writers_mixed_ops_serializable_history(spark, tmp_path):
+    """Torture: 16 concurrent writers — plain appends, read-merge-write
+    upserts, and interleaved vacuums (keep large enough to retire
+    nothing) — must produce a serializable commit history: every save
+    lands a DISTINCT version, the manifest equals the max, no write is
+    lost, and every committed version reads back intact."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from usgs_earthquake_data_pipeline_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [(i, "base") for i in range(4)], "id BIGINT, v STRING"
+    )
+    assert sinks.save_versioned_table(base, path) == 0
+
+    def append(tag):
+        df = spark.createDataFrame(
+            [(100 + tag, f"a{tag}")], "id BIGINT, v STRING"
+        )
+        return ("append", sinks.save_versioned_table(df, path, commit_timeout_s=300))
+
+    def merge_write(tag):
+        cur = sinks.read_versioned_table(spark, path)
+        src = spark.createDataFrame(
+            [(tag % 4, f"m{tag}")], "id BIGINT, v STRING"
+        )
+        merged = merge_upsert(cur, src, ["id"], duplicate_policy="trusted")
+        return ("merge", sinks.save_versioned_table(merged, path, commit_timeout_s=300))
+
+    def vac(tag):
+        # clear_uncommitted=False is the concurrent-safe mode: only
+        # committed versions past retention may be dropped (keep=100
+        # retires nothing here) — the crash-debris sweep would see a
+        # LIVE writer's in-flight dir/claim as a crashed one's and
+        # clobber the write
+        sinks.vacuum_versions(spark, path, keep=100, clear_uncommitted=False)
+        return ("vacuum", None)
+
+    jobs = (
+        [append] * 7 + [merge_write] * 6 + [vac] * 3
+    )
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        results = list(ex.map(lambda p: p[0](p[1]), zip(jobs, range(16))))
+    versions = sorted(v for _, v in results if v is not None)
+    assert versions == list(range(1, 14)), versions  # 13 saves, 13 slots
+    assert sinks.list_versions(spark, path) == list(range(14))
+    assert sinks._read_latest(spark, path) == 13
+    # every version reads back intact and non-empty (no lost/clobbered
+    # write), and each append's tag appears in exactly one version
+    tags = []
+    for v in versions:
+        rows = sinks.read_versioned_table(spark, path, v).collect()
+        assert rows, f"version {v} lost its data"
+        tags.extend(r.v for r in rows)
+    for t in range(7):
+        assert tags.count(f"a{t}") == 1

@@ -40,10 +40,23 @@ def _widen(df: DataFrame) -> DataFrame:
     repartition up — the shuffle moves only the raw rows (cheap)
     while the expensive per-row expressions then run on every core.
     At real scale the input has plenty of partitions and this is a
-    no-op, so it never adds a shuffle to the 100 TB plan."""
+    no-op, so it never adds a shuffle to the 100 TB plan.
+
+    The width probe is ``df.inputFiles()`` (catalog metadata, no job)
+    rather than ``df.rdd.getNumPartitions()`` — touching ``.rdd``
+    forces a full analysis + RDD conversion of the plan just to count
+    partitions, a planner hiccup at 100 TB plan sizes. File count
+    lower-bounds scan partitions (large files SPLIT into more via
+    ``maxPartitionBytes``, never fewer), so the only false positive is
+    repartitioning a few-big-files scan that was already wide — a
+    cheap raw-row shuffle. Non-scan plans (in-memory relations,
+    post-shuffle stages) report no files and are left alone: they
+    already carry ``defaultParallelism`` / ``shuffle.partitions``
+    width."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    nfiles = len(df.inputFiles())
+    if 0 < nfiles < target:
         return df.repartition(target)
     return df
 

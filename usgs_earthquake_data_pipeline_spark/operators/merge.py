@@ -100,33 +100,22 @@ def merge_upsert(
         raise ValueError(f"unknown duplicate_policy: {duplicate_policy!r}")
     src = source.select(*target.columns)
     if duplicate_policy == "error":
-        # Pin the source for the duration of the eager check so the
-        # validation scan is consistent, then RELEASE the pin — a
-        # plan-builder must not leave a cache entry behind per call
-        # (a CDC loop would leak one pinned projection per batch,
-        # with no handle for the caller to release). The merged
-        # result therefore re-evaluates the source once at final
+        # The check is a SINGLE action — a persist around exactly one
+        # job buys no cross-action consistency and only adds
+        # cache-write + memory cost per call, so none is taken. The
+        # merged result re-evaluates the source once at final
         # execution (documented above); a caller who wants the check
         # and the execution to share one materialization caches
-        # ``source`` themselves (their pin is respected and left
-        # alone), and a nondeterministic source must be cached by
-        # the caller regardless.
-        from pyspark import StorageLevel
-
-        pinned = source.storageLevel == StorageLevel.NONE
-        if pinned:
-            src = src.persist()
-        try:
-            dup = (
-                src.groupBy(*keys)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > 1)
-                .limit(1)
-                .collect()
-            )
-        finally:
-            if pinned:
-                src.unpersist()
+        # ``source`` themselves, and a nondeterministic source must
+        # be cached by the caller regardless (it could otherwise
+        # pass the check yet deliver duplicates at execution).
+        dup = (
+            src.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
         if dup:
             key_vals = tuple(dup[0][k] for k in keys)
             raise ValueError(

@@ -578,31 +578,35 @@ def list_versions(spark, path: str) -> list[int]:
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()
         if name.startswith("version="):
-            v = int(name.split("=", 1)[1])
-            if v <= latest:
+            v = _parse_suffix_int(name, "=")
+            if v is not None and v <= latest:
                 out.append(v)
     return sorted(out)
 
 
-def _read_latest(spark, path: str) -> int | None:
+def _parse_suffix_int(name: str, sep: str) -> int | None:
+    """Parse the integer after the last ``sep`` in ``name``; ``None``
+    for non-conforming names (editor backups, foreign tmp files) so
+    directory-listing parsers skip them instead of crashing — vacuum
+    is the recovery tool and must not die on a stray file."""
+    try:
+        return int(name.rsplit(sep, 1)[1])
+    except (IndexError, ValueError):
+        return None
+
+
+def _read_manifest(spark, path: str) -> int | None:
+    """Read the COMMITTED manifest only — no crash-recovery fallback.
+    This is what the commit-order wait loop must use: the
+    ``._manifest_tmp_`` fallback in ``_read_latest`` would let a
+    successor observe its predecessor's version during the
+    delete(manifest)→rename window and start its own commit early,
+    racing the two renames (manifest could regress on POSIX rename,
+    or the predecessor gets a spurious rename failure on HDFS)."""
     jvm, fs = _fs_for(spark, path)
     mpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_VERSION_MANIFEST}")
     if not fs.exists(mpath):
-        # crash-window recovery: the commit is delete(manifest) then
-        # rename(tmp → manifest); dying between the two leaves no
-        # manifest but DOES leave the fully-written tmp (data + stats
-        # were complete before it was created). Honor the highest tmp
-        # so the table neither bricks (successors wait on a manifest
-        # that can never appear) nor loses the in-flight commit.
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        if not fs.exists(hpath):
-            return None
-        tmps = [
-            int(s.getPath().getName().rsplit("_", 1)[1])
-            for s in fs.listStatus(hpath)
-            if s.getPath().getName().startswith("._manifest_tmp_")
-        ]
-        return max(tmps) if tmps else None
+        return None
     stream = fs.open(mpath)
     try:
         data = []
@@ -613,6 +617,29 @@ def _read_latest(spark, path: str) -> int | None:
         return int(bytes(data).decode())
     finally:
         stream.close()
+
+
+def _read_latest(spark, path: str) -> int | None:
+    committed = _read_manifest(spark, path)
+    if committed is not None:
+        return committed
+    # crash-window recovery: the commit is delete(manifest) then
+    # rename(tmp → manifest); dying between the two leaves no
+    # manifest but DOES leave the fully-written tmp (data + stats
+    # were complete before it was created). Honor the highest tmp
+    # so the table neither bricks (successors wait on a manifest
+    # that can never appear) nor loses the in-flight commit.
+    jvm, fs = _fs_for(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(hpath):
+        return None
+    tmps = [
+        v
+        for s in fs.listStatus(hpath)
+        if s.getPath().getName().startswith("._manifest_tmp_")
+        and (v := _parse_suffix_int(s.getPath().getName(), "_")) is not None
+    ]
+    return max(tmps) if tmps else None
 
 
 def _claim_path(path: str, version: int) -> str:
@@ -653,7 +680,10 @@ def _try_claim(jvm, fs, path: str, version: int) -> bool:
     try:
         out = fs.create(p, False)
     except Exception as e:  # py4j-wrapped java exception
-        if "Exists" in str(e) or "exists" in str(e):
+        # match the Java exception CLASS, not a bare 'exists'
+        # substring — an unrelated failure whose message merely
+        # mentions "exists" must surface, not be read as a lost race
+        if "FileAlreadyExistsException" in str(e):
             return False
         raise
     out.close()
@@ -708,39 +738,85 @@ def save_versioned_table(
     else:  # pragma: no cover - pathological claim storm
         raise IOError(f"could not claim a version slot under {path}")
     vdir = f"{path.rstrip('/')}/version={version}"
-    df.write.mode("overwrite").parquet(vdir)
-    if stats_cols:
-        _write_file_stats(spark, path, version, list(stats_cols))
-    # serialize commits in claim order: our rename may only follow the
-    # predecessor's, so the manifest never regresses and every version
-    # at-or-below it is fully committed
-    deadline = _time.monotonic() + commit_timeout_s
-    while version > 0:
-        cur = _read_latest(spark, path)
-        if cur is not None and cur >= version - 1:
-            break
-        if _time.monotonic() > deadline:
-            raise IOError(
-                f"timed out waiting for version {version - 1} to commit "
-                f"under {path} — a predecessor writer likely crashed "
-                "between claim and commit; run vacuum_versions() to "
-                "clear stale claims/uncommitted dirs, then retry"
-            )
-        _time.sleep(0.05)
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        f"{path.rstrip('/')}/._manifest_tmp_{version}"
-    )
-    out = fs.create(tmp, True)
     try:
-        out.write(bytearray(str(version).encode()))
-    finally:
-        out.close()
-    final = jvm.org.apache.hadoop.fs.Path(
-        f"{path.rstrip('/')}/{_VERSION_MANIFEST}"
-    )
-    fs.delete(final, False)
-    if not fs.rename(tmp, final):  # pragma: no cover - filesystem race
-        raise IOError(f"manifest rename failed for version {version}")
+        df.write.mode("overwrite").parquet(vdir)
+        if stats_cols:
+            _write_file_stats(spark, path, version, list(stats_cols))
+        # serialize commits in claim order: our rename may only follow
+        # the predecessor's, so the manifest never regresses and every
+        # version at-or-below it is fully committed. The wait keeps
+        # the ._manifest_tmp_ crash-recovery fallback (a DEAD
+        # predecessor's fully-written tmp must unbrick the table);
+        # the live-predecessor hazard — observing a tmp mid-commit
+        # and racing the two renames — is closed below by making the
+        # commit itself window-free instead.
+        deadline = _time.monotonic() + commit_timeout_s
+        while version > 0:
+            cur = _read_latest(spark, path)
+            if cur is not None and cur >= version - 1:
+                break
+            if _time.monotonic() > deadline:
+                raise IOError(
+                    f"timed out waiting for version {version - 1} to commit "
+                    f"under {path} — a predecessor writer likely crashed "
+                    "between claim and commit; run vacuum_versions() to "
+                    "clear stale claims/uncommitted dirs, then retry"
+                )
+            _time.sleep(0.05)
+        tmp_name = f"{path.rstrip('/')}/._manifest_tmp_{version}"
+        tmp = jvm.org.apache.hadoop.fs.Path(tmp_name)
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(str(version).encode()))
+        finally:
+            out.close()
+        final_name = f"{path.rstrip('/')}/{_VERSION_MANIFEST}"
+        final = jvm.org.apache.hadoop.fs.Path(final_name)
+        if str(fs.getUri().getScheme() or "file") == "file":
+            # POSIX replace is an atomic OVERWRITE — the manifest is
+            # never missing mid-commit, so a successor reading during
+            # our commit can only see the old committed value, never
+            # our tmp via the fallback. (Hadoop's RawLocalFileSystem
+            # rename is delete-then-rename, which opens exactly the
+            # window this avoids: a successor observing our tmp would
+            # start its own commit and the late rename could REGRESS
+            # the manifest over the successor's newer one.)
+            os.replace(_norm_file_uri(tmp_name), _norm_file_uri(final_name))
+        else:
+            # HDFS rename fails (returns false) when the destination
+            # exists rather than overwriting, so a late rename can
+            # never regress the manifest; a lost race surfaces as a
+            # rename failure, which we resolve by re-reading the
+            # committed manifest and retrying the delete+rename.
+            for _ in range(5):
+                fs.delete(final, False)
+                if fs.rename(tmp, final):
+                    break
+                cur = _read_manifest(spark, path)
+                if cur is not None and cur >= version:
+                    break  # a racing writer landed our-or-newer commit
+            else:  # pragma: no cover - persistent fs race
+                raise IOError(
+                    f"manifest rename failed for version {version}"
+                )
+    except BaseException:
+        # A clean post-claim failure (an ordinary Spark job error, a
+        # commit timeout) must not wedge every later writer into the
+        # timeout path until someone hand-runs vacuum: nothing was
+        # committed, so retire our uncommitted artifacts and release
+        # the slot. Order matters — data dir first, claim LAST, so no
+        # new claimant of this slot can race our deletion of the dir.
+        for sub in (
+            vdir,
+            _stats_path(path, version),
+            f"{path.rstrip('/')}/._manifest_tmp_{version}",
+            _claim_path(path, version),
+        ):
+            try:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(sub), True)
+            except Exception:  # pragma: no cover - best-effort cleanup
+                pass
+        raise
     # the claim file intentionally SURVIVES the commit: it is the
     # slot's tombstone, so a writer acting on a stale latest can never
     # re-claim (and clobber) an already-committed version. Vacuum
@@ -758,7 +834,11 @@ def read_versioned_table(spark, path: str, version: int | None = None) -> DataFr
 
 
 def vacuum_versions(
-    spark, path: str, keep: int = 2, protect: set[int] | None = None
+    spark,
+    path: str,
+    keep: int = 2,
+    protect: set[int] | None = None,
+    clear_uncommitted: bool = True,
 ) -> list[int]:
     """Retire old committed versions, keeping the newest ``keep``
     (the latest is always kept) and every version in ``protect``
@@ -766,7 +846,17 @@ def vacuum_versions(
     Returns the versions deleted. Uncommitted directories (crashed
     writers) are also removed — they are invisible to readers and only
     waste space. Mirrors Delta's VACUUM retention contract on the
-    versioned-parquet layout."""
+    versioned-parquet layout.
+
+    ``clear_uncommitted`` gates the crash-debris sweep (uncommitted
+    ``version=`` dirs above latest, stale claims, superseded manifest
+    tmps). The sweep assumes NO ACTIVE WRITERS — an in-flight writer's
+    not-yet-committed dir and live claim are indistinguishable from a
+    crashed one's, and deleting them clobbers the live write. Pass
+    ``clear_uncommitted=False`` to run vacuum CONCURRENTLY with
+    writers: that mode only drops committed versions past retention
+    (which no writer touches), the same reason Delta's VACUUM is safe
+    alongside writers while its orphan-file cleanup is not."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     jvm, fs = _fs_for(spark, path)
@@ -778,12 +868,17 @@ def vacuum_versions(
     if protect:
         to_drop = [v for v in to_drop if v not in protect]
     hpath = jvm.org.apache.hadoop.fs.Path(path)
-    uncommitted = [
-        int(s.getPath().getName().split("=", 1)[1])
-        for s in fs.listStatus(hpath)
-        if s.getPath().getName().startswith("version=")
-        and int(s.getPath().getName().split("=", 1)[1]) > latest
-    ]
+    uncommitted = (
+        [
+            v
+            for s in fs.listStatus(hpath)
+            if s.getPath().getName().startswith("version=")
+            and (v := _parse_suffix_int(s.getPath().getName(), "=")) is not None
+            and v > latest
+        ]
+        if clear_uncommitted
+        else []
+    )
     for v in to_drop + uncommitted:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/version={v}"),
@@ -793,21 +888,26 @@ def vacuum_versions(
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(_stats_path(path, v)), False
         )
-    # clear claim markers for retired/uncommitted versions AND stale
-    # claims from writers that crashed before writing any data — only
-    # safe because vacuum's contract is "no active writers" (same as
-    # Delta's VACUUM retention caveat)
+    # clear claim markers for retired versions; with clear_uncommitted
+    # also stale claims/tmps from crashed writers — that half is only
+    # safe under "no active writers" (same as Delta's VACUUM caveat),
+    # since a LIVE writer's claim looks identical to a crashed one's
     for s in fs.listStatus(hpath):
         name = s.getPath().getName()
         if name.startswith("._claim_v"):
-            v = int(name[len("._claim_v"):])
-            if v > latest or v in to_drop:
+            # non-conforming names (editor backups, foreign tmp) are
+            # skipped, never fatal — vacuum is the recovery tool
+            v = _parse_suffix_int(name, "_v")
+            if v is not None and (
+                v in to_drop or (clear_uncommitted and v > latest)
+            ):
                 fs.delete(s.getPath(), False)
-        elif name.startswith("._manifest_tmp_"):
+        elif name.startswith("._manifest_tmp_") and clear_uncommitted:
             # superseded commit leftovers; STRICTLY below latest —
             # a tmp AT latest may be the crash-recovery manifest
             # (_read_latest's fallback) and must survive
-            if int(name.rsplit("_", 1)[1]) < latest:
+            v = _parse_suffix_int(name, "_")
+            if v is not None and v < latest:
                 fs.delete(s.getPath(), False)
     return sorted(to_drop)
 
