@@ -50,32 +50,25 @@ def test_query_and_oracle_maps_cover_catalog():
     }
 
 
-def test_round6_backlog_and_parity_tail_inside_window():
-    """Round-6 exit criteria: the 10 oracle entries registered after
-    the r5 window froze (never driver-checked) plus the parity-core
-    tail owed since round 2 must sit inside the ~50-entry window so
-    each gets its hard driver row."""
+def test_round7_new_entries_and_stalest_reconfirms_inside_window():
+    """Round-7 exit criteria: every NEW r7 oracle entry (never
+    driver-checked) plus the stalest re-confirm cohorts — the 11
+    r2-era names the r6 insertions pushed past slot 50 — must sit
+    inside the ~50-entry window so each gets its hard driver row.
+    (The r3-era tier-3 cohort fills the remaining slots but is
+    allowed to be partially evicted by later r7 additions.)"""
     first = set(list(query_map())[:WINDOW])
-    never_checked = {
-        "decontaminate_substring", "sketch_hll_union_checked",
-        "merge_upsert_last_wins", "streaming_mv_incremental_fold",
-        "acf_daily_value_lags", "dedup_embedding_cosine_exact",
-        "ann_lsh_fullprobe", "decontaminate_embedding_cosine",
-        "mixture_temperature_sample", "anomaly_zscore_daily",
+    new_r7 = {
+        "pack_sequences_ctx4k",
+        "curation_quality_score",
+        "curation_corpus_pipeline_scored",
     }
-    parity_tail = {
-        "q5_region_revenue", "s6_projection", "o2_clustering_sort",
-        "f2_time_filter_daily", "a1_count_year_filter",
-        "a2_count_by_year", "a3_fact_yearly", "a4_fact_monthly",
-        "a5_row_count", "o4_limit_offset",
+    r2_era = {
+        "dedup_ngram_jaccard", "dedup_resolve_clusters",
+        "ann_brute_force", "text_token_stats", "text_fingerprint",
+        "text_lang_guess", "text_quality_filter",
+        "multimodal_image_meta", "multimodal_frame_counts",
+        "multimodal_resize_meta", "multimodal_image_features",
     }
-    promotions = {
-        "ann_pq_adc_checked", "ann_ivf_pq_fullprobe",
-        "dedup_semdedup_exact", "rag_index_ivf_fullprobe",
-        "sketch_histogram_checked", "skew_hot_key_rollup",
-        "dedup_minhash_checked", "dedup_simhash_checked",
-        "pit_join_state_at_purchase", "mv_join_incremental",
-        "target_encode_kfold",
-    }
-    missing = (never_checked | parity_tail | promotions) - first
+    missing = (new_r7 | r2_era) - first
     assert not missing, f"entries fell out of the driver window: {missing}"

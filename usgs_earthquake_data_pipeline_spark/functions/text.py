@@ -129,6 +129,77 @@ def quality_gate(col: Column | str) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Linear quality classifier (the fastText-shaped scoring stage real
+# curation pipelines run after the heuristic gates): token-length
+# bucket features × literal trained-style weights → logit. The
+# featurizer is deliberately the SQL-twin-able one (token length
+# capped at QUALITY_CLF_DIM, not a hash — DuckDB has no xxhash64), the
+# same trade rag_index's featurizer makes; swapping in hashed n-gram
+# features changes only the bucket expression, not the plan shape
+# (broadcast-free: weights are literals folded into codegen). Weights
+# are DECIMAL STRINGS so both engines accumulate the dot product in
+# exact decimal arithmetic and cast the identical value to double.
+QUALITY_CLF_DIM = 16
+QUALITY_CLF_BIAS = "-0.550000"
+#: weight per token-length bucket 1..16 (length capped at 16); shaped
+#: like a real LM-quality probe: penalize 1-char noise tokens and very
+#: long unbroken strings, reward mid-length vocabulary
+QUALITY_CLF_WEIGHTS = (
+    "-0.080000",  # 1
+    "-0.020000",  # 2
+    "0.010000",  # 3
+    "0.015000",  # 4
+    "0.020000",  # 5
+    "0.010000",  # 6
+    "0.005000",  # 7
+    "-0.030000",  # 8
+    "-0.040000",  # 9
+    "-0.050000",  # 10
+    "-0.060000",  # 11
+    "-0.070000",  # 12
+    "-0.080000",  # 13
+    "-0.090000",  # 14
+    "-0.100000",  # 15
+    "-0.120000",  # 16+
+)
+
+
+def quality_clf_logit(col: Column | str) -> Column:
+    """Exact-decimal logit of the linear quality classifier: bias +
+    Σ_j w_j · |{tokens of capped length j}|. Pure Column expressions —
+    the 16 bucket counts are ``size(filter(...))`` over one token
+    array, the weights fold as decimal literals, so the whole score
+    pipelines inside the scan stage with no shuffle and no Python."""
+    toks = tokens(col)
+
+    # closure factory, NOT a default-arg lambda: PySpark reads a
+    # two-parameter lambda as the (value, index) form of the
+    # higher-order function, which would shadow the captured bucket
+    def bucket_eq(j: int):
+        return lambda t: F.least(F.length(t), F.lit(QUALITY_CLF_DIM)) == j
+
+    logit: Column = F.lit(QUALITY_CLF_BIAS).cast("decimal(12,6)")
+    for j, w in enumerate(QUALITY_CLF_WEIGHTS, start=1):
+        cnt = F.size(F.filter(toks, bucket_eq(j))).cast("long")
+        logit = logit + F.lit(w).cast("decimal(12,6)") * cnt
+    return logit
+
+
+def quality_clf_logit_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of ``quality_clf_logit`` — built from the SAME
+    weight literals, so the two engines compute the identical exact
+    decimal before any double cast."""
+    terms = [f"CAST('{QUALITY_CLF_BIAS}' AS DECIMAL(12,6))"]
+    for j, w in enumerate(QUALITY_CLF_WEIGHTS, start=1):
+        terms.append(
+            f"CAST('{w}' AS DECIMAL(12,6)) * "
+            f"len(list_filter(regexp_split_to_array(trim({text_expr}), "
+            f"'\\s+'), t -> least(length(t), {QUALITY_CLF_DIM}) = {j}))"
+        )
+    return " + ".join(terms)
+
+
 def lang_id(col: Column | str) -> Column:
     """Heuristic language guess: argmax of per-language stopword hit
     counts; 'und' (undetermined) when nothing matches.

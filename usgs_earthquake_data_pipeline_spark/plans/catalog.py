@@ -80,90 +80,32 @@ def register(
 # must never displace a hash-checked one from the window.
 # ---------------------------------------------------------------------------
 
-# Round-6 window: CORRECTNESS_r05 went 50/50 green, so every r5
-# window occupant has its hard driver row. This round's window:
-#   tier 1 — the 10 oracle-gated entries registered after the r5
-#     window froze (never driver-checked; VERDICT r5 ask #1);
-#   tier 2 — the SURVEY parity-core tail whose last driver row was
-#     round 2, pre-testdata-drift (q5/s6/o2/f2/a1-a5/o4);
-#   tier 3 — new round-6 bound-gated promotions (VERDICT ask #2:
-#     PQ/IVF-PQ/SemDeDup/RAG-IVF/histogram exactness-config entries,
-#     inserted here as they are implemented this round) plus the
-#     skew-stress headliner (ask #5);
-#   tier 4 — re-confirms, oldest-first: every remaining oracle entry
-#     whose latest driver row is round 2.
-# Whatever tier-4 names the tier-3 insertions push past slot 50
-# simply stay in the round-7 queue (they already have green rows).
+# Round-7 window (CORRECTNESS_r06 went 50/50 green; cumulative union
+# now covers 100% of oracle-gated entries, so the window's job shifts
+# from backlog-draining to freshness rotation):
+#   tier 1 — NEW round-7 oracle entries, never driver-checked
+#     (sequence packing, the linear quality classifier + its pipeline
+#     integration; later r7 additions are inserted here as they land);
+#   tier 2 — the 11 r2-era re-confirms the r6 tier-3 insertions
+#     pushed past slot 50 (computed from list(query_map())[50:61] at
+#     r6 close — dedup_ngram_jaccard etc.);
+#   tier 3 — r3-era re-confirms, the next-stalest cohort (their last
+#     driver row predates the round-3 testdata regeneration).
+# 3 + 11 + 36 = exactly 50; every later r7 tier-1 insertion evicts
+# the tier-3 tail (q4_priority_late_ship onward), which is fine —
+# those already have green rows and rotate back next round.
 #
-# Round-7 queue (final r6 occupancy: tiers 1-3 fill slots 1-31, the
-# first 19 tier-4 re-confirms fill 32-50): the 11 tier-4 names pushed
-# past slot 50 — dedup_ngram_jaccard, dedup_resolve_clusters,
-# ann_brute_force, text_token_stats, text_fingerprint,
-# text_lang_guess, text_quality_filter, multimodal_image_meta,
-# multimodal_frame_counts, multimodal_resize_meta,
-# multimodal_image_features (all r2-era re-confirms, already green;
-# the first three are also bench-timed every round) — lead round 7's
-# re-confirm tier, plus any r7 additions in their tier 3. (Keep this
-# list computed, not assumed: `list(query_map())[50:61]` — an earlier
-# revision of this comment went stale after late tier-3 insertions.)
+# Round-8 queue: whatever tier-3 names the r7 insertions push past
+# slot 50, then the r4-era cohort (agg_minmax_by_type,
+# agg_regression_per_type, asof_join_last_error, ... — compute with
+# the staleness script, latest-round-per-entry over
+# CORRECTNESS_r01..r07, never from memory).
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
-    # -- tier 1: oracle-gated, registered late in r5, never
-    # driver-checked — green CORRECTNESS_r06 rows for these 10 are
-    # the round's first exit criterion --------------------------------
-    "decontaminate_substring",
-    "sketch_hll_union_checked",
-    "merge_upsert_last_wins",
-    "streaming_mv_incremental_fold",
-    "acf_daily_value_lags",
-    "dedup_embedding_cosine_exact",
-    "ann_lsh_fullprobe",
-    "decontaminate_embedding_cosine",
-    "mixture_temperature_sample",
-    "anomaly_zscore_daily",
-    # -- tier 2: SURVEY parity-core tail, last driver row r2 ----------
-    "q5_region_revenue",
-    "s6_projection",
-    "o2_clustering_sort",
-    "f2_time_filter_daily",
-    "a1_count_year_filter",
-    "a2_count_by_year",
-    "a3_fact_yearly",
-    "a4_fact_monthly",
-    "a5_row_count",
-    "o4_limit_offset",
-    # -- tier 3: round-6 additions (bound-gated promotions + skew
-    # headliner) are inserted here as they land -----------------------
-    "ann_pq_adc_checked",
-    "ann_ivf_pq_fullprobe",
-    "dedup_semdedup_exact",
-    "rag_index_ivf_fullprobe",
-    "sketch_histogram_checked",
-    "skew_hot_key_rollup",
-    "dedup_minhash_checked",
-    "dedup_simhash_checked",
-    "pit_join_state_at_purchase",
-    "mv_join_incremental",
-    "target_encode_kfold",
-    # -- tier 4: re-confirms, oldest (r2) first -----------------------
-    "q2_cheapest_per_brand",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_revenue",
-    "join_semi_nations",
-    "join_anti_customers",
-    "join_full_outer_nation_profile",
-    "window_topn_per_type",
-    "distinct_users_by_type",
-    "agg_rollup_by_type",
-    "agg_cube_type_day",
-    "agg_having_hot_users",
-    "subquery_scalar_acctbal",
-    "subquery_exists_orders",
-    "setop_except_users",
-    "setop_union_counts",
-    "setop_intersect_users",
-    "dedup_exact_fingerprint",
-    "dedup_latest_per_user",
+    # -- tier 1: new round-7 entries, never driver-checked ------------
+    "pack_sequences_ctx4k",
+    "curation_quality_score",
+    "curation_corpus_pipeline_scored",
+    # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",
     "ann_brute_force",
@@ -175,6 +117,43 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "multimodal_frame_counts",
     "multimodal_resize_meta",
     "multimodal_image_features",
+    # -- tier 3: r3-era re-confirms, stalest-first ---------------------
+    "agg_grouping_sets",
+    "corpus_shuffle_deterministic",
+    "date_funcs_orders",
+    "decontaminate_ngram_overlap",
+    "dedup_incremental_new_batch",
+    "dedup_jaccard_prefix",
+    "dedup_normalized_text",
+    "dedup_repeated_chunks",
+    "geojson_flatten",
+    "join_salted_skew",
+    "mixture_downsample_uniform",
+    "pandas_grouped_mad",
+    "percentile_quantity",
+    "pivot_event_counts",
+    "q11_part_value_concentration",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_orders",
+    "q22_idle_rich_customers",
+    "q4_priority_late_ship",
+    "q8_market_share",
+    "q9_profit_nation_year",
+    "salted_aggregate_by_type",
+    "sample_hash_10pct",
+    "sample_stratified_events",
+    "string_funcs_customers",
+    "text_redact_pii",
+    "text_repetition_gopher",
+    "window_analytics_suite",
+    "window_rolling_revenue",
 )
 
 

@@ -57,8 +57,22 @@ def curation_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape the whole engine exists for: the dedup shuffle carries
     only gate-surviving rows, and the final exchange is |source×lang|
     rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    gated = docs.filter(T.quality_gate("text")).select(
+    return _corpus_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+def _corpus_pipeline(
+    docs: DataFrame, *, with_classifier: bool = False
+) -> DataFrame:
+    """Shared pipeline body; ``with_classifier=True`` inserts the
+    linear quality-classifier stage (``T.quality_clf_logit`` ≥ 0)
+    after the heuristic gates — the fastText-shaped scoring pass real
+    corpus builds run. The classifier is pure folded-literal
+    expressions, so the flag changes only a filter predicate, never
+    the plan shape (still one scan + two exchanges)."""
+    gate = T.quality_gate("text")
+    if with_classifier:
+        gate = gate & (T.quality_clf_logit("text") >= 0)
+    gated = docs.filter(gate).select(
         "doc_id",
         "text",
         "lang",
@@ -76,6 +90,60 @@ def curation_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text").cast("long")).alias("total_chars"),
         )
         .orderBy("source", "lang")
+    )
+
+
+@register(
+    "curation_quality_score",
+    oracle=(
+        "SELECT doc_id, "
+        f"CAST({T.quality_clf_logit_sql('text')} AS DOUBLE) AS logit, "
+        f"({T.quality_clf_logit_sql('text')}) >= 0 AS quality_pass "
+        "FROM documents ORDER BY doc_id"
+    ),
+    tags=("llm", "text", "pipeline"),
+)
+def curation_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scores for every document: exact
+    decimal dot product of token-length-bucket counts with literal
+    weights (``functions/text.py`` — the weights fold into codegen, so
+    this is a broadcast-free map stage), logit cast to double, pass
+    decided ON THE DECIMAL so the cut is bit-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    logit = T.quality_clf_logit("text")
+    return docs.select(
+        "doc_id",
+        logit.cast("double").alias("logit"),
+        (logit >= 0).alias("quality_pass"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "curation_corpus_pipeline_scored",
+    oracle=(
+        "WITH t AS (SELECT doc_id, text, lang, source, "
+        f"{T.QUALITY_COLS_SQL}, md5(text) AS fp, "
+        f"({T.quality_clf_logit_sql('text')}) AS logit "
+        "FROM documents), "
+        f"q AS (SELECT * FROM t WHERE ({T.QUALITY_WHERE_SQL}) "
+        "AND logit >= 0), "
+        "d AS (SELECT * FROM (SELECT q.*, row_number() OVER "
+        "(PARTITION BY fp ORDER BY doc_id) AS rn FROM q) WHERE rn = 1) "
+        "SELECT source, lang, count(*) AS n_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
+        "CAST(SUM(length(text)) AS BIGINT) AS total_chars "
+        "FROM d GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("llm", "pipeline", "dedup", "text"),
+)
+def curation_corpus_pipeline_scored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The corpus pipeline with the classifier stage enabled — proves
+    the scoring pass composes into the curation chain without adding
+    an exchange (the flag only strengthens the gate predicate)."""
+    return _corpus_pipeline(
+        load_table(spark, sf_dir, "documents"), with_classifier=True
     )
 
 

@@ -1594,3 +1594,46 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("n_bench_hits") > 0)
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences_ctx4k",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok "
+        "FROM documents) "
+        "SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
+        "CAST(SUM(CAST(ceil(n_tok / 4096.0) AS BIGINT)) AS BIGINT) AS n_chunks, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "TRUE AS caps_ok, TRUE AS halffull_ok, TRUE AS binbound_ok "
+        "FROM tok WHERE n_tok > 0"
+    ),
+    tags=("llm", "packing"),
+)
+def pack_sequences_ctx4k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack tokenized documents into 4096-token training sequences
+    (first-fit-decreasing per deterministic hash group — see
+    ``operators.packing``), then emit the one-row quality contract:
+    exact token/chunk/doc totals recomputed FROM the packed output
+    (conservation through the pack is what the hash gate checks) plus
+    the packing-guarantee booleans — no bin over ctx, at most one
+    half-empty bin per group (the first-fit invariant), and the bin
+    count within its implied ceil(2·tokens/ctx) bound. The oracle
+    computes the same exact totals straight from ``documents`` and
+    asserts the guarantees as literal TRUE — the sketch-``_checked``
+    pattern for operators whose full output is order-of-placement
+    dependent and so not ANSI-SQL-expressible."""
+    from ..operators.packing import pack_sequences, packing_quality
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").cast("long").alias("n_tok")
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "n_tok", ctx=4096, n_groups=4
+    )
+    return packing_quality(packed, 4096)
