@@ -62,6 +62,8 @@ def test_round7_new_entries_and_stalest_reconfirms_inside_window():
         "pack_sequences_ctx4k",
         "curation_quality_score",
         "curation_corpus_pipeline_scored",
+        "rag_bm25_topk",
+        "sample_quality_curriculum",
     }
     r2_era = {
         "dedup_ngram_jaccard", "dedup_resolve_clusters",

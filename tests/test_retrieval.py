@@ -1,0 +1,97 @@
+"""BM25 retrieval (operators.retrieval): scores against a
+hand-computed reference corpus, ranking/tiebreak determinism, and the
+plan-shape contract (query-term pruning before any shuffle, broadcast
+term stats, TakeOrdered top-k — never a global sort)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from usgs_earthquake_data_pipeline_spark.operators.retrieval import bm25_topk
+from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _ref_bm25(corpus, query, k1=1.2, b=0.75):
+    """Plain-python BM25 reference (same Lucene variant)."""
+    toks = {i: t.split() for i, t in corpus.items()}
+    n = len(corpus)
+    sum_dl = sum(len(t) for t in toks.values())
+    scores = {}
+    for i, t in toks.items():
+        dl = len(t)
+        s = 0.0
+        for q in set(query):
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            df_t = sum(1 for tt in toks.values() if q in tt)
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * dl * n / sum_dl)
+            )
+        if s > 0:
+            scores[i] = round(s, 6)
+    return scores
+
+
+def test_bm25_matches_hand_reference(spark):
+    corpus = {
+        1: "a b a",
+        2: "a c",
+        3: "d d d",
+        4: "b c e",  # no query terms — must not appear
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id LONG, text STRING")
+    got = bm25_topk(df, "doc_id", "text", ["a", "d"], k=10).collect()
+    ref = _ref_bm25(corpus, ["a", "d"])
+    assert {r.id: r.score for r in got} == ref
+    # ranking: score desc, id asc tiebreak; ranks are 1..n
+    expect_order = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r.id, r.rank) for r in got] == [
+        (i, rk + 1) for rk, (i, _) in enumerate(expect_order)
+    ]
+
+
+def test_bm25_k_truncates_and_rank_is_dense(spark):
+    df = spark.createDataFrame(
+        [(i, "hit " * (i + 1)) for i in range(6)], "doc_id LONG, text STRING"
+    )
+    got = bm25_topk(df, "doc_id", "text", ["hit"], k=3).collect()
+    assert len(got) == 3
+    assert [r.rank for r in got] == [1, 2, 3]
+
+
+def test_bm25_plan_prunes_broadcasts_and_takeordered(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    df = bm25_topk(docs, "doc_id", "text", ["spark", "merge", "window"], k=10)
+    plan = _plan(df)
+    # top-k is TakeOrdered, never a global Sort+Limit over the corpus
+    assert "TakeOrderedAndProject" in plan
+    # term stats and corpus aggregate join as broadcasts
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    # the query-term filter is pushed below the tf aggregation: the
+    # only aggregates over unfiltered tokens are the doc-length ones
+    assert "isin" in plan or "IN (" in plan.upper()
+    df.count()  # the plan executes
+
+
+def test_curriculum_sample_is_subset_with_monotone_quality(spark, sf_dir):
+    """sample_quality_curriculum keeps a deterministic subset whose
+    acceptance follows the clamped linear map of the classifier
+    logit; re-running yields the identical set (resumable-training
+    requirement)."""
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    entry = CATALOG["sample_quality_curriculum"]
+    a = [tuple(r) for r in entry.spark_fn(spark, sf_dir).collect()]
+    b = [tuple(r) for r in entry.spark_fn(spark, sf_dir).collect()]
+    assert a == b and a
+    for _, p in a:
+        assert 0.05 <= p <= 0.95

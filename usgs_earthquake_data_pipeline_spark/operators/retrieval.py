@@ -1,0 +1,104 @@
+"""Lexical retrieval: distributed BM25 scoring and top-k search.
+
+The retrieval half real RAG pipelines pair with the embedding index
+(``operators/similarity.py`` / ``plans/llm_ops.py rag_index_*``):
+BM25 (Robertson/Spärck Jones; the Lucene ``k1``/``b`` variant with
+the +1-smoothed IDF) over whitespace tokens.
+
+Scale shape (100 TB): the query's term set is tiny and known up
+front, so the FIRST operation after the token explode is
+``term IN (query)`` — postings for non-query terms never reach a
+shuffle, never aggregate, never join. What remains is one narrow
+aggregation per (doc, query-term), a BROADCAST join against the
+|Q|-row term-statistics table, and a top-k (TakeOrdered — no global
+sort). Corpus statistics (N, total length) are a one-row aggregate
+broadcast the same way. Nothing is quadratic and no stage carries
+the corpus' full token volume past the map side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against a bag of query terms.
+
+    score(D, Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene
+    non-negative variant.
+
+    Ranking is by the score ROUNDED to 6 decimals with ``id`` as the
+    tiebreak: the only non-rational term is ln(), whose cross-engine
+    ULP differences 6-dp rounding absorbs, making the top-k set and
+    order reproducible against a SQL oracle (same convention as the
+    ANN entries). Returns (id, score, rank).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    # doc lengths BEFORE the query filter (BM25 normalizes by full
+    # document length) — one narrow (id, dl) aggregate
+    doclen = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # query-term pruning first: everything downstream carries only
+    # |Q|-term postings
+    qtoks = toks.filter(F.col("term").isin(list(query_terms)))
+    tf = qtoks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(F.countDistinct("id").alias("df_t"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    scored = (
+        tf.join(F.broadcast(stats), "term")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * F.col("dl")
+                    * F.col("n_docs")
+                    / F.col("sum_dl")
+                )
+            ),
+        )
+    )
+    by_doc = scored.groupBy("id").agg(
+        F.round(F.sum("contrib"), 6).alias("score")
+    )
+    # rank over the k survivors only (a single tiny partition), never
+    # a global window over the corpus — the limit compiles to
+    # TakeOrdered, which is the distributed top-k
+    topk = by_doc.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("id"))
+    return topk.select(
+        "id", "score", F.row_number().over(w).cast("long").alias("rank")
+    )

@@ -105,6 +105,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "pack_sequences_ctx4k",
     "curation_quality_score",
     "curation_corpus_pipeline_scored",
+    "rag_bm25_topk",
+    "sample_quality_curriculum",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -1637,3 +1637,49 @@ def pack_sequences_ctx4k(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "n_tok", ctx=4096, n_groups=4
     )
     return packing_quality(packed, 4096)
+
+
+@register(
+    "rag_bm25_topk",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+        "FROM documents), "
+        "doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        "WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2), "
+        "stats AS (SELECT term, count(DISTINCT doc_id) AS df_t "
+        "FROM tf GROUP BY 1), "
+        "corpus AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl "
+        "FROM doclen), "
+        "scored AS (SELECT tf.doc_id AS id, "
+        "ln(CAST(1.0 AS DOUBLE) + (n_docs - df_t + CAST(0.5 AS DOUBLE)) "
+        "/ (df_t + CAST(0.5 AS DOUBLE))) "
+        "* (tf * CAST(2.2 AS DOUBLE)) "
+        "/ (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) "
+        "+ CAST(0.75 AS DOUBLE) * dl * n_docs / sum_dl)) AS contrib "
+        "FROM tf JOIN stats USING (term) JOIN doclen USING (doc_id) "
+        "CROSS JOIN corpus), "
+        "by_doc AS (SELECT id, round(SUM(contrib), 6) AS score "
+        "FROM scored GROUP BY 1) "
+        "SELECT id, score, CAST(row_number() OVER "
+        "(ORDER BY score DESC, id) AS BIGINT) AS rank "
+        "FROM by_doc ORDER BY score DESC, id LIMIT 10"
+    ),
+    tags=("llm", "retrieval", "text"),
+)
+def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BM25 top-10 for a fixed query over the documents
+    corpus (``operators/retrieval.py``): query-term pruning straight
+    after the token explode, broadcast |Q|-row term stats, TakeOrdered
+    top-k — the lexical half of a RAG retrieval stack next to the
+    rag_index_* embedding entries. Scores ranked after 6-dp rounding
+    (identical formula structure on both engines; only ln() is
+    transcendental, and its ULP noise is far below the rounding
+    grain)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", ["spark", "merge", "window"], k=10
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text as T
 from ..sources.tables import load_table
 from .catalog import register
 
@@ -287,4 +288,55 @@ def target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("enc_value"),
         )
         .orderBy("event_type", "fold")
+    )
+
+
+@register(
+    "sample_quality_curriculum",
+    oracle=(
+        "WITH s AS (SELECT doc_id, "
+        "least(greatest(CAST('0.5' AS DECIMAL(12,6)) + "
+        f"({T.quality_clf_logit_sql('text')}) * CAST('0.25' AS DECIMAL(3,2)), "
+        "CAST('0.05' AS DECIMAL(12,6))), CAST('0.95' AS DECIMAL(12,6))) "
+        "AS p, "
+        f"{_bucket_sql('doc_id', 1000)} AS bucket "
+        "FROM documents) "
+        "SELECT doc_id, CAST(p AS DOUBLE) AS p_accept "
+        "FROM s WHERE bucket < p * 1000 ORDER BY doc_id"
+    ),
+    tags=("llm", "sampling", "text"),
+)
+def sample_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (curriculum-style) document sampling: each
+    document's acceptance probability is a piecewise-LINEAR map of its
+    quality-classifier logit, p = clamp(0.5 + 0.25·logit, 0.05, 0.95),
+    and membership is the deterministic md5 bucket test
+    bucket_1000(doc_id) < 1000·p — the weighted generalization of
+    ``sample_hash_10pct``. Everything is exact decimal + integer
+    arithmetic (the linear map replaces the sigmoid precisely so no
+    transcendental enters the membership decision), so the sample SET
+    is bit-reproducible across engines and runs — the property
+    curriculum schedulers need for resumable training. Pure
+    expressions on the scan: no shuffle, no RNG state."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    logit = T.quality_clf_logit("text")
+    p = F.least(
+        F.greatest(
+            F.lit("0.5").cast("decimal(12,6)")
+            + logit * F.lit("0.25").cast("decimal(3,2)"),
+            F.lit("0.05").cast("decimal(12,6)"),
+        ),
+        F.lit("0.95").cast("decimal(12,6)"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            p.alias("p"),
+            hash_bucket("doc_id", 1000).alias("bucket"),
+        )
+        .filter(F.col("bucket") < F.col("p") * 1000)
+        .select("doc_id", F.col("p").cast("double").alias("p_accept"))
+        .orderBy("doc_id")
     )
