@@ -64,6 +64,8 @@ def test_round7_new_entries_and_stalest_reconfirms_inside_window():
         "curation_corpus_pipeline_scored",
         "rag_bm25_topk",
         "sample_quality_curriculum",
+        "zorder_curve_events",
+        "vocab_top_terms_coverage",
     }
     r2_era = {
         "dedup_ngram_jaccard", "dedup_resolve_clusters",

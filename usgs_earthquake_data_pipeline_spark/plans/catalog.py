@@ -107,6 +107,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "curation_corpus_pipeline_scored",
     "rag_bm25_topk",
     "sample_quality_curriculum",
+    "zorder_curve_events",
+    "vocab_top_terms_coverage",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -1683,3 +1683,56 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, "doc_id", "text", ["spark", "merge", "window"], k=10
     )
+
+
+@register(
+    "vocab_top_terms_coverage",
+    oracle=(
+        "WITH tf AS (SELECT term, count(*) AS freq FROM (SELECT "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+        "FROM documents) GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf), "
+        "top AS (SELECT term, freq FROM tf "
+        "ORDER BY freq DESC, term LIMIT 200) "
+        "SELECT term, CAST(freq AS BIGINT) AS freq, "
+        "round(CAST(SUM(freq) OVER (ORDER BY freq DESC, term "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "/ total, 6) AS coverage "
+        "FROM top CROSS JOIN tot ORDER BY freq DESC, term"
+    ),
+    tags=("llm", "text", "vocab"),
+)
+def vocab_top_terms_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction, step one: the top-200 corpus
+    terms with the cumulative fraction of all token occurrences a
+    vocab cut at each rank would cover — the coverage curve that
+    decides vocab size before BPE merges start. One shuffle for term
+    counts, a TakeOrdered for the cut, then the cumulative window
+    runs over the 200 survivors only (never the full vocabulary) with
+    the corpus total joined as a broadcast 1-row aggregate. Coverage
+    is a single division of identical integers on both engines, so
+    the doubles match bit-for-bit before the cosmetic 6-dp round."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(T.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = tf.agg(F.sum("freq").cast("long").alias("total"))
+    top = tf.orderBy(F.col("freq").desc(), "term").limit(200)
+    w = (
+        Window.orderBy(F.col("freq").desc(), "term")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("cum", F.sum("freq").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.col("freq").cast("long").alias("freq"),
+            F.round(
+                F.col("cum").cast("double") / F.col("total"), 6
+            ).alias("coverage"),
+        )
+        .orderBy(F.col("freq").desc(), "term")
+    )

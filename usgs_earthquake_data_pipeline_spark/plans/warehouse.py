@@ -292,3 +292,58 @@ def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB twin of operators.zorder.z_value over events
+    (user_id, value), built from the same quantization constants so
+    both engines interleave identical cell indices. The float work is
+    one identical-order expression per dimension; the interleave is
+    pure integer bit algebra, expanded to the same 16 terms."""
+    cells = (1 << 16) - 1
+    qa = (
+        "least(greatest(CAST(round((CAST(user_id AS DOUBLE) - 0.0) "
+        f"/ 150.0 * {cells}.0, 0) AS BIGINT), 0), {cells})"
+    )
+    qb = (
+        "least(greatest(CAST(round((CAST(value AS DOUBLE) - 0.0) "
+        f"/ 500.0 * {cells}.0, 0) AS BIGINT), 0), {cells})"
+    )
+    terms = []
+    for i in range(16):
+        terms.append(f"(((a >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((b >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return (
+        f"WITH q AS (SELECT event_id, {qa} AS a, {qb} AS b FROM events) "
+        f"SELECT event_id, CAST({z} AS BIGINT) AS z FROM q "
+        "ORDER BY z, event_id LIMIT 100"
+    )
+
+
+@register(
+    "zorder_curve_events",
+    oracle=_zorder_oracle_sql(),
+    tags=("warehouse", "clustering"),
+)
+def zorder_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton Z-curve values over (user_id, value) — the clustering
+    key ``operators.zorder.z_order_sort`` lays files out by so 2-D
+    predicates prune on min/max file stats (the reference's 'z order'
+    TODO, done properly; see operators/zorder.py). The entry gates the
+    quantize + bit-interleave algebra against a pure-SQL twin: first
+    100 events along the curve, event_id tiebreak. Pure codegen
+    expressions — the only exchange is the TakeOrdered."""
+    from ..operators.zorder import z_value
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            z_value(
+                F.col("user_id"), F.col("value"), (0.0, 150.0), (0.0, 500.0)
+            ).alias("z"),
+        )
+        .orderBy("z", "event_id")
+        .limit(100)
+    )
