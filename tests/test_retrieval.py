@@ -95,3 +95,29 @@ def test_curriculum_sample_is_subset_with_monotone_quality(spark, sf_dir):
     assert a == b and a
     for _, p in a:
         assert 0.05 <= p <= 0.95
+
+
+def test_bm25_fuzz_against_reference(spark):
+    """Randomized corpora (fixed seed — reproducible) vs the pure
+    python reference: scores, membership, and ranking must agree for
+    every query against every corpus."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    for trial in range(5):
+        corpus = {
+            i: " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 12))
+            )
+            for i in range(rng.randint(2, 12))
+        }
+        query = rng.sample(vocab, rng.randint(1, 3))
+        df = spark.createDataFrame(
+            list(corpus.items()), "doc_id LONG, text STRING"
+        )
+        got = bm25_topk(df, "doc_id", "text", query, k=100).collect()
+        ref = _ref_bm25(corpus, query)
+        assert {r.id: r.score for r in got} == ref, (trial, query, corpus)
+        expect_order = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert [r.id for r in got] == [i for i, _ in expect_order]

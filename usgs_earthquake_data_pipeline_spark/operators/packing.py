@@ -6,6 +6,15 @@ varying token counts must be packed into ``ctx``-token sequences with
 minimal padding waste, while keeping (doc, offset) lineage so labels /
 attention masks can be reconstructed downstream.
 
+This is the NO-SPLIT bin-packing variant (a document is never divided
+across bins unless it alone exceeds ``ctx``) — the right choice when
+examples must stay attention-contiguous. Its sibling
+``plans/corpus_ops.py pack_sequences_2048`` is the GPT-style
+CONCATENATED-stream variant (one global token stream chunked at exact
+``ctx`` boundaries, documents split wherever the boundary falls, via
+a scale-safe two-level cumsum); the two cover both packing
+conventions real training pipelines use.
+
 Scale design (100 TB): packing is inherently sequential WITHIN a bin
 stream, so the parallel unit is a deterministic hash GROUP of
 documents — each group packs independently with first-fit-decreasing
