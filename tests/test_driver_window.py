@@ -66,6 +66,7 @@ def test_round7_new_entries_and_stalest_reconfirms_inside_window():
         "sample_quality_curriculum",
         "zorder_curve_events",
         "vocab_top_terms_coverage",
+        "rag_hybrid_rrf",
     }
     r2_era = {
         "dedup_ngram_jaccard", "dedup_resolve_clusters",

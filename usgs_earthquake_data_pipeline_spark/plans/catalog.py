@@ -109,6 +109,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "sample_quality_curriculum",
     "zorder_curve_events",
     "vocab_top_terms_coverage",
+    "rag_hybrid_rrf",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -1639,15 +1639,20 @@ def pack_sequences_ctx4k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_quality(packed, 4096)
 
 
-@register(
-    "rag_bm25_topk",
-    oracle=(
-        "WITH toks AS (SELECT doc_id, "
+def _bm25_ctes(terms: tuple[str, ...]) -> str:
+    """Shared DuckDB CTE chain computing per-doc BM25 scores for
+    ``terms`` (ends with ``by_doc(id, score)``) — identical expression
+    structure to ``operators.retrieval.bm25_topk`` so both engines
+    evaluate the same float ops in the same order. Used by the
+    standalone BM25 entry and the RRF hybrid-fusion entry."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "toks AS (SELECT doc_id, "
         "unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
         "FROM documents), "
         "doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
-        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
-        "WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2), "
+        f"tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+        f"WHERE term IN ({in_list}) GROUP BY 1, 2), "
         "stats AS (SELECT term, count(DISTINCT doc_id) AS df_t "
         "FROM tf GROUP BY 1), "
         "corpus AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl "
@@ -1661,7 +1666,14 @@ def pack_sequences_ctx4k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM tf JOIN stats USING (term) JOIN doclen USING (doc_id) "
         "CROSS JOIN corpus), "
         "by_doc AS (SELECT id, round(SUM(contrib), 6) AS score "
-        "FROM scored GROUP BY 1) "
+        "FROM scored GROUP BY 1)"
+    )
+
+
+@register(
+    "rag_bm25_topk",
+    oracle=(
+        f"WITH {_bm25_ctes(('spark', 'merge', 'window'))} "
         "SELECT id, score, CAST(row_number() OVER "
         "(ORDER BY score DESC, id) AS BIGINT) AS rank "
         "FROM by_doc ORDER BY score DESC, id LIMIT 10"
@@ -1735,4 +1747,78 @@ def vocab_top_terms_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
         .orderBy(F.col("freq").desc(), "term")
+    )
+
+
+@register(
+    "rag_hybrid_rrf",
+    oracle=(
+        f"WITH {_bm25_ctes(('spark', 'merge', 'window'))}, "
+        "lex AS (SELECT id, CAST(row_number() OVER "
+        "(ORDER BY score DESC, id) AS BIGINT) AS rnk_lex "
+        "FROM by_doc ORDER BY score DESC, id LIMIT 50), "
+        "sem AS (SELECT neighbor_id, rnk_sem FROM ("
+        "SELECT c.vec_id AS neighbor_id, "
+        "CAST(row_number() OVER (ORDER BY "
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS BIGINT) "
+        "AS rnk_sem "
+        "FROM embeddings q CROSS JOIN embeddings c "
+        "WHERE q.vec_id = 0 AND c.vec_id <> 0) t WHERE rnk_sem <= 50) "
+        "SELECT COALESCE(lex.id, sem.neighbor_id) AS id, "
+        "round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + rnk_lex), "
+        "CAST(0.0 AS DOUBLE)) + COALESCE(CAST(1.0 AS DOUBLE) / "
+        "(60 + rnk_sem), CAST(0.0 AS DOUBLE)), 6) AS rrf, "
+        "CAST((rnk_lex IS NOT NULL)::INT + (rnk_sem IS NOT NULL)::INT "
+        "AS BIGINT) AS n_sources "
+        "FROM lex FULL OUTER JOIN sem ON lex.id = sem.neighbor_id "
+        "ORDER BY rrf DESC, id LIMIT 20"
+    ),
+    tags=("llm", "retrieval", "ann"),
+)
+def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09, the fusion every hybrid vector/lexical search stack
+    runs): BM25 top-50 over ``documents`` fused with exact-cosine
+    top-50 around query vector 0 over ``embeddings`` by
+    rrf = Σ 1/(60 + rank), full-outer on the candidate id so
+    single-source hits score their one term. Both input rankings are
+    deterministic (score-desc, id tiebreak); the fused score is pure
+    rational arithmetic on integer ranks in a fixed expression order,
+    so it is bit-identical across engines before the cosmetic 6-dp
+    round. Scale shape: each branch is its own bounded top-k
+    (TakeOrdered); the fusion joins two ≤k-row frames — broadcast
+    territory, never a corpus-sized exchange."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, "doc_id", "text", ["spark", "merge", "window"], k=50
+    ).select("id", F.col("rank").cast("long").alias("rnk_lex"))
+    sem = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    ).select(
+        F.col("neighbor_id").alias("id"),
+        F.col("rank").cast("long").alias("rnk_sem"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("rnk_lex")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("rnk_sem")), F.lit(0.0)
+    )
+    return (
+        lex.join(sem, "id", "full_outer")
+        .select(
+            "id",
+            F.round(rrf, 6).alias("rrf"),
+            (
+                F.col("rnk_lex").isNotNull().cast("int")
+                + F.col("rnk_sem").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("n_sources"),
+        )
+        .orderBy(F.col("rrf").desc(), "id")
+        .limit(20)
     )
