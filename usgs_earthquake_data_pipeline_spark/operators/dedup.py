@@ -49,16 +49,34 @@ def _widen(df: DataFrame) -> DataFrame:
     lower-bounds scan partitions (large files SPLIT into more via
     ``maxPartitionBytes``, never fewer), so the only false positive is
     repartitioning a few-big-files scan that was already wide — a
-    cheap raw-row shuffle. Non-scan plans (in-memory relations,
-    post-shuffle stages) report no files and are left alone: they
-    already carry ``defaultParallelism`` / ``shuffle.partitions``
-    width."""
+    cheap raw-row shuffle.
+
+    ``inputFiles()`` reports the LEAF scan's files even for plans that
+    already shuffled above it (an aggregated or joined input is
+    already at ``shuffle.partitions`` width regardless of how few
+    files its leaves had), so widening additionally requires the
+    analyzed plan to be scan-shaped — project/filter over a relation,
+    no width-setting operator in between. The probe reads the
+    analyzed logical plan (analysis only; no RDD conversion, no
+    job)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     nfiles = len(df.inputFiles())
-    if 0 < nfiles < target:
-        return df.repartition(target)
-    return df
+    if not (0 < nfiles < target):
+        return df
+    plan = df._jdf.queryExecution().analyzed().toString()
+    width_setting = (
+        "Aggregate",
+        "Join",
+        "Window",
+        "Sort",
+        "Repartition",
+        "Deduplicate",
+        "Distinct",
+    )
+    if any(op in plan for op in width_setting):
+        return df
+    return df.repartition(target)
 
 
 def exact_dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:

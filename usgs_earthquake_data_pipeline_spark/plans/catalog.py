@@ -91,9 +91,12 @@ def register(
 #     r6 close — dedup_ngram_jaccard etc.);
 #   tier 3 — r3-era re-confirms, the next-stalest cohort (their last
 #     driver row predates the round-3 testdata regeneration).
-# 3 + 11 + 36 = exactly 50; every later r7 tier-1 insertion evicts
-# the tier-3 tail (q4_priority_late_ship onward), which is fine —
-# those already have green rows and rotate back next round.
+# Tier 1 GROWS as round-7 work lands (8 names at last count), so the
+# tuple runs past 50 and the tier-3 TAIL is evicted from the window —
+# fine, those already have green rows and rotate back next round.
+# Never trust a hardcoded sum here: compute occupancy with
+# `list(query_map())[:50]` / `[50:]` before planning the next
+# rotation (this comment block has gone stale twice before).
 #
 # Round-8 queue: whatever tier-3 names the r7 insertions push past
 # slot 50, then the r4-era cohort (agg_minmax_by_type,

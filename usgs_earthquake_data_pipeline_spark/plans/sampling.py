@@ -318,8 +318,6 @@ def sample_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-reproducible across engines and runs — the property
     curriculum schedulers need for resumable training. Pure
     expressions on the scan: no shuffle, no RNG state."""
-    from ..functions import text as T
-
     docs = load_table(spark, sf_dir, "documents")
     logit = T.quality_clf_logit("text")
     p = F.least(

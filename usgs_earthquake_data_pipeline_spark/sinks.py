@@ -642,6 +642,15 @@ def _read_latest(spark, path: str) -> int | None:
     return max(tmps) if tmps else None
 
 
+def _crc_sidecar(local_path: str) -> str:
+    """Hadoop ChecksumFileSystem's sidecar name for a local file:
+    ``dir/.<name>.crc``. The raw-file commit path must retire these —
+    a stale sidecar makes every later ``fs.open`` of the manifest die
+    with ChecksumException."""
+    d, b = os.path.split(local_path)
+    return os.path.join(d, f".{b}.crc")
+
+
 def _claim_path(path: str, version: int) -> str:
     return f"{path.rstrip('/')}/._claim_v{version}"
 
@@ -763,53 +772,23 @@ def save_versioned_table(
                     "clear stale claims/uncommitted dirs, then retry"
                 )
             _time.sleep(0.05)
-        tmp_name = f"{path.rstrip('/')}/._manifest_tmp_{version}"
-        tmp = jvm.org.apache.hadoop.fs.Path(tmp_name)
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(str(version).encode()))
-        finally:
-            out.close()
-        final_name = f"{path.rstrip('/')}/{_VERSION_MANIFEST}"
-        final = jvm.org.apache.hadoop.fs.Path(final_name)
-        if str(fs.getUri().getScheme() or "file") == "file":
-            # POSIX replace is an atomic OVERWRITE — the manifest is
-            # never missing mid-commit, so a successor reading during
-            # our commit can only see the old committed value, never
-            # our tmp via the fallback. (Hadoop's RawLocalFileSystem
-            # rename is delete-then-rename, which opens exactly the
-            # window this avoids: a successor observing our tmp would
-            # start its own commit and the late rename could REGRESS
-            # the manifest over the successor's newer one.)
-            os.replace(_norm_file_uri(tmp_name), _norm_file_uri(final_name))
-        else:
-            # HDFS rename fails (returns false) when the destination
-            # exists rather than overwriting, so a late rename can
-            # never regress the manifest; a lost race surfaces as a
-            # rename failure, which we resolve by re-reading the
-            # committed manifest and retrying the delete+rename.
-            for _ in range(5):
-                fs.delete(final, False)
-                if fs.rename(tmp, final):
-                    break
-                cur = _read_manifest(spark, path)
-                if cur is not None and cur >= version:
-                    break  # a racing writer landed our-or-newer commit
-            else:  # pragma: no cover - persistent fs race
-                raise IOError(
-                    f"manifest rename failed for version {version}"
-                )
     except BaseException:
-        # A clean post-claim failure (an ordinary Spark job error, a
+        # A clean PRE-COMMIT failure (an ordinary Spark job error, a
         # commit timeout) must not wedge every later writer into the
         # timeout path until someone hand-runs vacuum: nothing was
-        # committed, so retire our uncommitted artifacts and release
-        # the slot. Order matters — data dir first, claim LAST, so no
-        # new claimant of this slot can race our deletion of the dir.
+        # committed and no manifest tmp exists yet, so retire our
+        # uncommitted artifacts and release the slot. Order matters —
+        # data dir first, claim LAST, so no new claimant of this slot
+        # can race our deletion of the dir. The COMMIT phase below
+        # deliberately has no such cleanup: once the manifest tmp
+        # exists it is the crash-recovery artifact (_read_latest's
+        # fallback), and a failure there may already have retired the
+        # predecessor manifest — deleting our tmp then would leave
+        # the table with no manifest and no fallback, hiding every
+        # committed version.
         for sub in (
             vdir,
             _stats_path(path, version),
-            f"{path.rstrip('/')}/._manifest_tmp_{version}",
             _claim_path(path, version),
         ):
             try:
@@ -817,6 +796,90 @@ def save_versioned_table(
             except Exception:  # pragma: no cover - best-effort cleanup
                 pass
         raise
+    # ---- commit phase -------------------------------------------------
+    # Both branches run the same no-overwrite protocol: try to install
+    # the manifest WITHOUT clobbering (os.link locally, fs.rename on
+    # HDFS — both fail when the destination exists); on failure read
+    # the committed manifest — at-or-past our version means a racing
+    # writer already advanced it (tolerate; monotone), strictly below
+    # means a stale predecessor manifest (retire that SPECIFIC file
+    # and retry). A late writer can therefore never REGRESS the
+    # manifest over a successor's newer commit: its install fails and
+    # it observes the newer value. The only manifest-less window is
+    # between retiring a stale manifest and installing ours, which the
+    # ._manifest_tmp_ fallback covers for readers and crash recovery.
+    tmp_name = f"{path.rstrip('/')}/._manifest_tmp_{version}"
+    final_name = f"{path.rstrip('/')}/{_VERSION_MANIFEST}"
+    if str(fs.getUri().getScheme() or "file") == "file":
+        tmp_os = _norm_file_uri(tmp_name)
+        final_os = _norm_file_uri(final_name)
+        # RAW python write, not fs.create: Hadoop's local fs is a
+        # ChecksumFileSystem whose create() leaves a ".<name>.crc"
+        # sidecar; installing the manifest with a raw link/replace
+        # would strand that sidecar stale, and every later fs.open
+        # would die with ChecksumException (a bricked table).
+        with open(tmp_os, "w") as fh:
+            fh.write(str(version))
+        # one-time migration: retire checksum sidecars left by
+        # fs.create-based commits of earlier revisions — absence of a
+        # crc simply disables validation, so removal is always safe
+        for sidecar in (_crc_sidecar(final_os), _crc_sidecar(tmp_os)):
+            try:
+                os.remove(sidecar)
+            except FileNotFoundError:
+                pass
+        committed = False
+        for _ in range(5):
+            try:
+                os.link(tmp_os, final_os)  # atomic no-overwrite
+                committed = True
+                break
+            except FileExistsError:
+                cur = _read_manifest(spark, path)
+                if cur is not None and cur >= version:
+                    committed = True
+                    break
+                if cur is not None and cur < version:
+                    try:
+                        os.remove(final_os)
+                    except FileNotFoundError:  # pragma: no cover - race
+                        pass
+                # cur None: destination vanished between the failed
+                # link and the read — just retry the link
+            except OSError:  # pragma: no cover - no-hardlink filesystem
+                os.replace(tmp_os, final_os)
+                committed = True
+                tmp_os = None  # replace consumed the tmp
+                break
+        if not committed:  # pragma: no cover - persistent fs race
+            raise IOError(f"manifest rename failed for version {version}")
+        if tmp_os is not None:
+            try:
+                os.remove(tmp_os)
+            except FileNotFoundError:  # pragma: no cover - race
+                pass
+    else:
+        tmp = jvm.org.apache.hadoop.fs.Path(tmp_name)
+        final = jvm.org.apache.hadoop.fs.Path(final_name)
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(str(version).encode()))
+        finally:
+            out.close()
+        committed = False
+        for _ in range(5):
+            if fs.rename(tmp, final):  # fails if destination exists
+                committed = True
+                break
+            cur = _read_manifest(spark, path)
+            if cur is not None and cur >= version:
+                committed = True
+                fs.delete(tmp, False)  # superseded; manifest covers us
+                break
+            if cur is not None and cur < version:
+                fs.delete(final, False)  # retire the stale predecessor
+        if not committed:  # pragma: no cover - persistent fs race
+            raise IOError(f"manifest rename failed for version {version}")
     # the claim file intentionally SURVIVES the commit: it is the
     # slot's tombstone, so a writer acting on a stale latest can never
     # re-claim (and clobber) an already-committed version. Vacuum
@@ -909,6 +972,23 @@ def vacuum_versions(
             v = _parse_suffix_int(name, "_")
             if v is not None and v < latest:
                 fs.delete(s.getPath(), False)
+    # Orphan Hadoop checksum sidecars from fs.create-era commits (the
+    # raw-file commit path no longer creates them). ChecksumFileSystem
+    # HIDES ".<name>.crc" entries from listStatus, so this sweep must
+    # go through the OS on local tables; retention matches the tmp
+    # itself, and the legacy manifest sidecar is always safe to retire
+    # (absence of a crc merely disables validation).
+    if clear_uncommitted and str(fs.getUri().getScheme() or "file") == "file":
+        root = _norm_file_uri(path.rstrip("/"))
+        for name in os.listdir(root):
+            if not name.endswith(".crc"):
+                continue
+            if name.startswith(".._manifest_tmp_"):
+                v = _parse_suffix_int(name[: -len(".crc")], "_")
+                if v is not None and v < latest:
+                    os.remove(os.path.join(root, name))
+            elif name == f".{_VERSION_MANIFEST}.crc":
+                os.remove(os.path.join(root, name))
     return sorted(to_drop)
 
 
