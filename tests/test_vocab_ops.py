@@ -1,0 +1,105 @@
+"""Vocabulary-statistics tests: BPE pair counting against a hand
+computation, entropy bounds/identities, and JSD's metric properties
+(bounds, symmetry of the underlying formula, zero on identical
+distributions)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from usgs_earthquake_data_pipeline_spark.functions import text as T
+from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+
+
+def _run_on(entry_name, spark, df, tmp_path):
+    path = str(tmp_path / entry_name)
+    df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return CATALOG[entry_name].spark_fn(spark, path)
+
+
+def test_bpe_pairs_hand_check(spark, tmp_path):
+    # corpus: "abab ab" x2, "cd" x1 -> word freqs: abab:2, ab:2, cd:1
+    # pairs: abab -> ab,ba,ab (x2); ab -> ab (x2); cd -> cd (x1)
+    # counts: ab = 2*2 + 2 = 6, ba = 2, cd = 1
+    df = _docs(spark, [("abab ab", "s"), ("abab ab", "s"), ("cd", "s")])
+    got = {
+        r.pair: (r.pair_count, r.rank)
+        for r in _run_on("bpe_merge_pairs_top", spark, df, tmp_path).collect()
+    }
+    assert got == {"ab": (6, 1), "ba": (2, 2), "cd": (1, 3)}
+
+
+def test_bpe_single_char_words_ignored(spark, tmp_path):
+    df = _docs(spark, [("a b c d e", "s")])
+    assert _run_on("bpe_merge_pairs_top", spark, df, tmp_path).count() == 0
+
+
+def test_entropy_identities(spark, tmp_path):
+    df = _docs(
+        spark,
+        [
+            ("x x x x", "s"),  # one distinct token -> H = 0
+            ("a b c d", "s"),  # uniform over 4 -> H = 2
+            ("a a b b", "s"),  # uniform over 2 -> H = 1
+            ("   ", "s"),  # tokenizes to nothing -> absent
+        ],
+    )
+    rows = {
+        r.doc_id: r for r in _run_on("text_unigram_entropy", spark, df, tmp_path).collect()
+    }
+    assert rows[0].entropy == 0.0 and rows[0].n_tokens == 4
+    assert rows[1].entropy == 2.0
+    assert rows[2].entropy == 1.0
+    assert 3 not in rows  # whitespace-only doc has no token rows
+
+
+def test_entropy_bounded_by_log2_n(spark, sf_dir):
+    out = CATALOG["text_unigram_entropy"].spark_fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert -1e-6 <= r.entropy <= math.log2(r.n_tokens) + 1e-6, r
+
+
+def test_jsd_identical_sources_zero(spark, tmp_path):
+    df = _docs(spark, [("a b c", "s1"), ("a b c", "s2")])
+    rows = _run_on("mixture_js_divergence", spark, df, tmp_path).collect()
+    assert len(rows) == 1
+    assert rows[0].source_a == "s1" and rows[0].source_b == "s2"
+    assert rows[0].jsd == 0.0
+
+
+def test_jsd_disjoint_sources_one(spark, tmp_path):
+    # disjoint vocabularies -> JSD = 1 bit exactly (log2 base)
+    df = _docs(spark, [("a a b", "s1"), ("c d d", "s2")])
+    rows = _run_on("mixture_js_divergence", spark, df, tmp_path).collect()
+    assert rows[0].jsd == 1.0
+
+
+def test_jsd_bounds_on_testdata(spark, sf_dir):
+    out = CATALOG["mixture_js_divergence"].spark_fn(spark, sf_dir).collect()
+    assert len(out) >= 1
+    for r in out:
+        assert -1e-6 <= r.jsd <= 1.0 + 1e-6, r
+        assert r.source_a < r.source_b  # each unordered pair exactly once
+
+
+def test_bpe_top_is_take_ordered(spark, sf_dir):
+    # the top-20 must come from TakeOrdered, not a global sort of the
+    # full pair table
+    plan = (
+        CATALOG["bpe_merge_pairs_top"]
+        .spark_fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan

@@ -15,3 +15,4 @@ from . import parity_geojson  # noqa: F401  (registers the GeoJSON parse-path en
 from . import corpus_ops  # noqa: F401  (registers the corpus-curation entries)
 from . import spatial  # noqa: F401  (registers the geospatial entries)
 from . import warehouse  # noqa: F401  (registers MERGE/CDC table-maintenance entries)
+from . import vocab_ops  # noqa: F401  (registers tokenizer/mixture vocabulary statistics)

@@ -105,6 +105,10 @@ def register(
 # CORRECTNESS_r01..r07, never from memory).
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: new round-7 entries, never driver-checked ------------
+    "bloom_prefilter_semi_join",
+    "bpe_merge_pairs_top",
+    "text_unigram_entropy",
+    "mixture_js_divergence",
     "pack_sequences_ctx4k",
     "curation_quality_score",
     "curation_corpus_pipeline_scored",

@@ -2448,3 +2448,47 @@ def churn_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "bloom_prefilter_semi_join",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F') "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    headline=True,
+    tags=("join", "bloom", "skipping", "scale"),
+)
+def bloom_prefilter_semi_join_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective semi join through an explicit broadcast-bloom
+    prefilter (operators/bloom.py): build a 2**17-bit bitmap from the
+    ~7%-selective urgent-finished order keys in one aggregate job,
+    inline it as a literal-array predicate at the lineitem scan, and
+    shuffle only the survivors into the exact semi join.  The result
+    is hash-identical to the plain semi join oracle — bloom false
+    positives die in the join; the bloom has no false negatives.
+    This is the always-on form of Spark's runtime bloom-filter
+    rewrite: at 100 TB the probe-side shuffle is the dominant cost
+    and the bitmap (16 KiB, driver-held) removes ~93% of it."""
+    from ..operators.bloom import bloom_prefilter_semi_join
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = bloom_prefilter_semi_join(li, orders, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

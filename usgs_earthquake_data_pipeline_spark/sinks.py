@@ -704,6 +704,9 @@ def save_versioned_table(
     path: str,
     stats_cols: Sequence[str] | None = None,
     commit_timeout_s: float = 60.0,
+    bloom_cols: Sequence[str] | None = None,
+    bloom_bits: int = 1 << 12,
+    bloom_k: int = 3,
 ) -> int:
     """Write ``df`` as the next version of the table; returns the new
     version number. The write lands in ``version=N`` (invisible to
@@ -731,6 +734,17 @@ def save_versioned_table(
     stats are part of the commit) — the Delta data-skipping contract
     on the parquet fallback. One extra scan of the just-written
     version; the collected table is one row per file, driver-bounded.
+
+    ``bloom_cols``: columns to additionally record a per-file Bloom
+    bitmap for (``bloom_bits`` wide, ``bloom_k`` hashes — the
+    operators/bloom.py hash family) in the same sidecar. Min/max
+    skipping is blind to point lookups on high-cardinality unsorted
+    keys (every file's [min, max] straddles every key); the bloom
+    answers "is key K definitely absent from this file" instead —
+    Parquet/Delta's bloom-filter index, on the sidecar fallback. The
+    default 4096-bit bitmap is 64 longs ≈ 0.5 KiB JSON per
+    file/column and holds ~400 distinct keys under 10% false
+    positives; size up for bigger files.
     """
     import time as _time
 
@@ -749,8 +763,16 @@ def save_versioned_table(
     vdir = f"{path.rstrip('/')}/version={version}"
     try:
         df.write.mode("overwrite").parquet(vdir)
-        if stats_cols:
-            _write_file_stats(spark, path, version, list(stats_cols))
+        if stats_cols or bloom_cols:
+            _write_file_stats(
+                spark,
+                path,
+                version,
+                list(stats_cols or ()),
+                bloom_cols=list(bloom_cols or ()),
+                bloom_bits=bloom_bits,
+                bloom_k=bloom_k,
+            )
         # serialize commits in claim order: our rename may only follow
         # the predecessor's, so the manifest never regresses and every
         # version at-or-below it is fully committed. The wait keeps
@@ -1014,34 +1036,84 @@ def _norm_file_uri(uri: str) -> str:
     return uri
 
 
-def _write_file_stats(spark, path: str, version: int, cols: list[str]) -> None:
+def _write_file_stats(
+    spark,
+    path: str,
+    version: int,
+    cols: list[str],
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 12,
+    bloom_k: int = 3,
+) -> None:
     """Collect per-file min/max for ``cols`` over the just-written
     version and persist them as a JSON sidecar. Timestamps serialize
     as ISO strings (ISO order == time order, so read-side comparison
-    stays correct); numerics and strings as themselves."""
+    stays correct); numerics and strings as themselves.
+
+    ``bloom_cols`` additionally records a per-file Bloom bitmap per
+    column (``bloom_bits``/``bloom_k``, operators/bloom.py hash
+    family) under the sidecar's ``"bloom"`` key — one extra
+    aggregate job per bloom column, each collecting at most
+    ``files × bloom_bits/64`` rows."""
+    from .operators.bloom import _bit_positions
+
     vdir = f"{path.rstrip('/')}/version={version}"
     df = spark.read.parquet(vdir)
-    aggs = []
-    for c in cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
-    rows = (
-        df.groupBy(F.input_file_name().alias("file")).agg(*aggs).collect()
-    )
+    stats: dict[str, dict] = {}
+    if cols:
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        rows = (
+            df.groupBy(F.input_file_name().alias("file")).agg(*aggs).collect()
+        )
 
-    def _ser(v):
-        return v.isoformat() if hasattr(v, "isoformat") else v
+        def _ser(v):
+            return v.isoformat() if hasattr(v, "isoformat") else v
 
-    stats = {
-        _norm_file_uri(r["file"]): {
-            c: [_ser(r[f"min_{c}"]), _ser(r[f"max_{c}"])] for c in cols
+        stats = {
+            _norm_file_uri(r["file"]): {
+                c: [_ser(r[f"min_{c}"]), _ser(r[f"max_{c}"])] for c in cols
+            }
+            for r in rows
         }
-        for r in rows
-    }
+    doc: dict = {"cols": cols, "files": stats}
+    if bloom_cols:
+        n_words = bloom_bits // 64
+        blooms: dict[str, dict[str, list[int]]] = {}
+        for c in bloom_cols:
+            pos = df.select(
+                F.input_file_name().alias("file"),
+                F.explode(
+                    F.array(*_bit_positions(F.col(c), bloom_bits, bloom_k))
+                ).alias("pos"),
+            ).filter(F.col("pos").isNotNull())
+            words = (
+                pos.groupBy(
+                    "file", F.floor(F.col("pos") / 64).cast("int").alias("w")
+                )
+                .agg(
+                    F.bit_or(
+                        F.call_function(
+                            "shiftleft",
+                            F.lit(1).cast("long"),
+                            F.pmod(F.col("pos"), F.lit(64)).cast("int"),
+                        )
+                    ).alias("bits")
+                )
+                .collect()
+            )
+            per_file: dict[str, list[int]] = {}
+            for r in words:
+                bm = per_file.setdefault(_norm_file_uri(r["file"]), [0] * n_words)
+                bm[r["w"]] = r["bits"]
+            blooms[c] = per_file
+        doc["bloom"] = {"m": bloom_bits, "k": bloom_k, "cols": blooms}
     jvm, fs = _fs_for(spark, path)
     out = fs.create(jvm.org.apache.hadoop.fs.Path(_stats_path(path, version)), True)
     try:
-        out.write(bytearray(json.dumps({"cols": cols, "files": stats}).encode()))
+        out.write(bytearray(json.dumps(doc).encode()))
     finally:
         out.close()
 
@@ -1130,11 +1202,44 @@ def _stat_disjoint(fmin, fmax, lo, hi) -> bool:
     return False
 
 
+def _bloom_probe_positions(spark, value, dtype: str, m: int, k: int) -> list[int]:
+    """The k bit positions a value hashes to, computed with the SAME
+    Spark expressions (and the column's type) the write side used —
+    one 1-row local job, so driver Python never re-implements
+    xxhash64."""
+    from .operators.bloom import _bit_positions
+
+    lit = F.lit(value).cast(dtype)
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                p.alias(f"p{i}")
+                for i, p in enumerate(_bit_positions(lit, m, k))
+            ]
+        )
+        .first()
+    )
+    return [row[f"p{i}"] for i in range(k)]
+
+
+def _bloom_excludes(bitmap: list[int], positions: list[int]) -> bool:
+    """True iff the bitmap PROVES the probed value absent (some probe
+    bit unset). Stored words are signed int64 from the JVM; mask to
+    unsigned before testing."""
+    for pos in positions:
+        word = bitmap[pos // 64] & 0xFFFFFFFFFFFFFFFF
+        if not (word >> (pos % 64)) & 1:
+            return True
+    return False
+
+
 def read_versioned_table_pruned(
     spark,
     path: str,
-    between: dict[str, tuple],
+    between: dict[str, tuple] | None = None,
     version: int | None = None,
+    equals: dict | None = None,
 ) -> DataFrame:
     """Stats-pruned versioned read: skip every file whose recorded
     [min, max] for a column cannot intersect the requested
@@ -1142,11 +1247,24 @@ def read_versioned_table_pruned(
     — pruning is a pure optimization, never a semantic change. Files
     without stats (or a missing sidecar) are always read.
 
+    ``equals`` adds point predicates ``{col: value}``: each prunes
+    through the min/max stats (as the degenerate range [v, v]) AND,
+    when the sidecar carries a Bloom bitmap for the column
+    (``save_versioned_table(bloom_cols=...)``), through the bloom —
+    a file is skipped when the bitmap proves the key absent. Bloom
+    false positives merely read a file the exact filter then empties;
+    never a wrong row.
+
     At 100 TB this is the difference between listing 10^5 files and
     scanning the 10^2 whose ranges overlap the query window — the scan
     cost becomes proportional to the answer, not the table, exactly as
     with Delta data skipping (clustering_sort gives writes the
-    disjoint per-file ranges that make it bite)."""
+    disjoint per-file ranges that make it bite; blooms cover the
+    point lookups min/max cannot)."""
+    between = dict(between or {})
+    equals = dict(equals or {})
+    if any(v is None for v in equals.values()):
+        raise ValueError("equals values must be non-null")
     if version is None:
         version = _read_latest(spark, path)
         if version is None:
@@ -1154,30 +1272,47 @@ def read_versioned_table_pruned(
     stats = _read_file_stats(spark, path, version)
     vdir = f"{path.rstrip('/')}/version={version}"
     reader = spark.read
+    ranges = dict(between)
+    for col, v in equals.items():
+        ranges.setdefault(col, (v, v))
     if stats is None:
         df = reader.parquet(vdir)
     else:
         known = stats["files"]
+        bloom = stats.get("bloom")
+        probes: dict[str, list[int]] = {}
+        if bloom and equals:
+            dtypes = dict(reader.parquet(vdir).dtypes)
+            for col, v in equals.items():
+                if col in bloom["cols"] and col in dtypes:
+                    probes[col] = _bloom_probe_positions(
+                        spark, v, dtypes[col], bloom["m"], bloom["k"]
+                    )
         keep = []
         jvm, fs = _fs_for(spark, path)
         for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(vdir)):
             f = status.getPath().toString()
             if not f.endswith(".parquet"):
                 continue
-            fstats = known.get(_norm_file_uri(f))
-            if fstats is None:
-                keep.append(f)
-                continue
+            fname = _norm_file_uri(f)
+            fstats = known.get(fname)
             overlaps = True
-            for col, (lo, hi) in between.items():
-                if col not in fstats:
-                    continue
-                fmin, fmax = fstats[col]
-                if fmin is None or fmax is None:
-                    continue
-                if _stat_disjoint(fmin, fmax, lo, hi):
-                    overlaps = False
-                    break
+            if fstats is not None:
+                for col, (lo, hi) in ranges.items():
+                    if col not in fstats:
+                        continue
+                    fmin, fmax = fstats[col]
+                    if fmin is None or fmax is None:
+                        continue
+                    if _stat_disjoint(fmin, fmax, lo, hi):
+                        overlaps = False
+                        break
+            if overlaps and probes:
+                for col, positions in probes.items():
+                    bitmap = bloom["cols"][col].get(fname)
+                    if bitmap is not None and _bloom_excludes(bitmap, positions):
+                        overlaps = False
+                        break
             if overlaps:
                 keep.append(f)
         if not keep:
@@ -1188,6 +1323,9 @@ def read_versioned_table_pruned(
     pred = None
     for col, (lo, hi) in between.items():
         c = F.col(col).between(F.lit(lo), F.lit(hi))
+        pred = c if pred is None else (pred & c)
+    for col, v in equals.items():
+        c = F.col(col) == F.lit(v)
         pred = c if pred is None else (pred & c)
     return df.filter(pred) if pred is not None else df
 
