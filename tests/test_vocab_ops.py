@@ -103,3 +103,37 @@ def test_bpe_top_is_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pearson_matches_builtin_corr(spark, sf_dir):
+    # the exact-decimal five-sums identity must agree with Spark's own
+    # corr() to float precision
+    from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+    got = {
+        r.grp: r.pearson_r
+        for r in CATALOG["pearson_quantity_price"].spark_fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    ref = {
+        r.grp: r.c
+        for r in li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for g in got:
+        assert abs(got[g] - ref[g]) < 1e-5, (g, got[g], ref[g])
+
+
+def test_pearson_perfect_correlation(spark, tmp_path):
+    # y = 3x + 1 exactly -> r = 1
+    path = str(tmp_path / "perf")
+    df = spark.range(1, 101).select(
+        F.lit("A").alias("l_returnflag"),
+        F.col("id").cast("double").alias("l_quantity"),
+        (F.col("id") * 3 + 1).cast("double").alias("l_extendedprice"),
+    )
+    df.write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    rows = CATALOG["pearson_quantity_price"].spark_fn(spark, path).collect()
+    assert rows[0].pearson_r == 1.0

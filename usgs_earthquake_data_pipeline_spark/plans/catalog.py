@@ -106,6 +106,7 @@ def register(
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: new round-7 entries, never driver-checked ------------
     "bloom_prefilter_semi_join",
+    "pearson_quantity_price",
     "bpe_merge_pairs_top",
     "text_unigram_entropy",
     "mixture_js_divergence",

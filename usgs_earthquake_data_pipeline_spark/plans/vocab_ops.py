@@ -143,29 +143,40 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM documents), "
         "tf AS (SELECT source, term, count(*) AS tf FROM tok "
         "WHERE term <> '' GROUP BY 1, 2), "
-        "tot AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY 1), "
-        "p AS (SELECT tf.source, tf.term, "
-        "CAST(tf.tf AS DOUBLE) / CAST(tot.n AS DOUBLE) AS p "
-        "FROM tf JOIN tot ON tf.source = tot.source), "
-        "pairs AS (SELECT a.source AS source_a, b.source AS source_b "
-        "FROM tot a JOIN tot b ON a.source < b.source), "
-        "sides AS ("
-        "SELECT pr.source_a, pr.source_b, p.term, p.p AS pa, 0.0 AS pb "
-        "FROM p JOIN pairs pr ON p.source = pr.source_a "
-        "UNION ALL "
-        "SELECT pr.source_a, pr.source_b, p.term, 0.0 AS pa, p.p AS pb "
-        "FROM p JOIN pairs pr ON p.source = pr.source_b), "
-        "m AS (SELECT source_a, source_b, term, SUM(pa) AS pa, SUM(pb) AS pb "
-        "FROM sides GROUP BY 1, 2, 3), "
-        "contrib AS (SELECT source_a, source_b, "
-        "round(CASE WHEN pa > 0 THEN 0.5 * pa * log2(2.0 * pa / (pa + pb)) "
-        "ELSE 0.0 END + "
-        "CASE WHEN pb > 0 THEN 0.5 * pb * log2(2.0 * pb / (pa + pb)) "
-        "ELSE 0.0 END, 9) AS c FROM m) "
-        "SELECT source_a, source_b, "
-        "round(CAST(SUM(CAST(c AS DECIMAL(28,9))) AS DOUBLE), 6) AS jsd, "
-        "CAST(count(*) AS BIGINT) AS n_terms "
-        "FROM contrib GROUP BY 1, 2 ORDER BY 1, 2"
+        "st AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS n, "
+        "CAST(COUNT(*) AS BIGINT) AS tc FROM tf GROUP BY 1), "
+        "pairs AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "a.n AS na, b.n AS nb, a.tc AS tca, b.tc AS tcb "
+        "FROM st a JOIN st b ON a.source < b.source), "
+        "shared AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "a.tf AS tfa, b.tf AS tfb FROM tf a "
+        "JOIN tf b ON a.term = b.term AND a.source < b.source), "
+        "core AS (SELECT sh.source_a, sh.source_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared, "
+        "CAST(SUM(CAST(round(CAST(sh.tfa AS DOUBLE) / CAST(pr.na AS DOUBLE), 9) "
+        "AS DECIMAL(28,9))) AS DOUBLE) AS s_a, "
+        "CAST(SUM(CAST(round(CAST(sh.tfb AS DOUBLE) / CAST(pr.nb AS DOUBLE), 9) "
+        "AS DECIMAL(28,9))) AS DOUBLE) AS s_b, "
+        "CAST(SUM(CAST(round("
+        "0.5 * (CAST(sh.tfa AS DOUBLE) / CAST(pr.na AS DOUBLE)) * "
+        "log2(2.0 * (CAST(sh.tfa AS DOUBLE) / CAST(pr.na AS DOUBLE)) / "
+        "((CAST(sh.tfa AS DOUBLE) / CAST(pr.na AS DOUBLE)) + "
+        "(CAST(sh.tfb AS DOUBLE) / CAST(pr.nb AS DOUBLE)))) + "
+        "0.5 * (CAST(sh.tfb AS DOUBLE) / CAST(pr.nb AS DOUBLE)) * "
+        "log2(2.0 * (CAST(sh.tfb AS DOUBLE) / CAST(pr.nb AS DOUBLE)) / "
+        "((CAST(sh.tfa AS DOUBLE) / CAST(pr.na AS DOUBLE)) + "
+        "(CAST(sh.tfb AS DOUBLE) / CAST(pr.nb AS DOUBLE)))), 9) "
+        "AS DECIMAL(28,9))) AS DOUBLE) AS core "
+        "FROM shared sh JOIN pairs pr "
+        "ON sh.source_a = pr.source_a AND sh.source_b = pr.source_b "
+        "GROUP BY 1, 2) "
+        "SELECT pr.source_a, pr.source_b, "
+        "round(0.5 * (1.0 - COALESCE(c.s_a, 0.0)) + "
+        "0.5 * (1.0 - COALESCE(c.s_b, 0.0)) + COALESCE(c.core, 0.0), 6) AS jsd, "
+        "pr.tca + pr.tcb - COALESCE(c.n_shared, 0) AS n_terms "
+        "FROM pairs pr LEFT JOIN core c "
+        "ON pr.source_a = c.source_a AND pr.source_b = c.source_b "
+        "ORDER BY 1, 2"
     ),
     tags=("llm", "mixture", "vocab"),
 )
@@ -175,66 +186,170 @@ def mixture_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard "how far apart are these mixture components" measure for
     corpus reweighting.
 
-    Scale shape: per-source term probabilities are one (source, term)
-    aggregate joined to the |sources|-row totals by broadcast; each
-    of the O(|sources|²) pairs (a handful — sources are mixture
-    components, not documents) is materialized by broadcasting the
-    tiny pair table against the probability table from BOTH ends and
-    union-aggregating on (pair, term), which aligns pa/pb without a
-    full-outer self-join.  Per-term JSD contributions use the same
-    op order as the oracle, rounded to 9 dp, then an exact DECIMAL
-    sum per pair."""
+    Plan shape (this is the interesting part): terms present in only
+    one of the pair contribute 0.5·p·log2(2) = 0.5·p, so their total
+    is available in CLOSED FORM as 0.5·(1 − Σ_shared pa) — no
+    full-outer join, no union materializing every (pair, term) twice
+    (the first cut did exactly that and recomputed the token
+    explosion once per branch — 10 scans).  The shared-term pairs
+    come from ONE extra aggregate: collect the per-term (source, tf)
+    list — bounded by |mixture components|, not documents — and
+    explode its ordered 2-combinations with pure array expressions,
+    so the (source, term) aggregate has exactly two consumers (this
+    pipeline and the tiny per-source totals, whose shuffles AQE
+    plans once and reuses) instead of a self-join's two aliased
+    subtrees that defeat exchange reuse.  Per-source totals ride in
+    by broadcast.  Disjoint-vocabulary pairs fall out of the LEFT
+    join as exactly 1.0.  The DuckDB oracle keeps the equivalent
+    self-join formulation — same rows, different plan.  Float
+    convention: per-term probabilities and JSD contributions use one
+    identically-ordered IEEE expression on both engines, rounded to
+    9 dp, summed exactly as DECIMAL; Σ_shared pa itself rides the
+    same contract, so the closed-form complement is engine-identical
+    too."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(T.tokens("text")).alias("term"))
     tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
-    tot = tf.groupBy("source").agg(F.sum("tf").alias("n"))
-    p = tf.join(F.broadcast(tot), "source").select(
-        "source",
-        "term",
-        (F.col("tf").cast("double") / F.col("n").cast("double")).alias("p"),
+    # per-source totals are |mixture components| rows — a bounded
+    # collect (the codebook/centroid convention), so the pair table
+    # is a LOCAL literal: consumed twice below at zero plan cost,
+    # leaving the token-explosion subtree exactly one consumer
+    st = (
+        tf.groupBy("source")
+        .agg(F.sum("tf").alias("n"), F.count("*").alias("tc"))
+        .collect()
     )
-    a = tot.select(F.col("source").alias("source_a"))
-    b = tot.select(F.col("source").alias("source_b"))
-    pairs = a.crossJoin(b).filter(F.col("source_a") < F.col("source_b"))
-    side_a = p.join(
-        F.broadcast(pairs), p["source"] == pairs["source_a"]
-    ).select("source_a", "source_b", "term", F.col("p").alias("pa"), F.lit(0.0).alias("pb"))
-    side_b = p.join(
-        F.broadcast(pairs), p["source"] == pairs["source_b"]
-    ).select("source_a", "source_b", "term", F.lit(0.0).alias("pa"), F.col("p").alias("pb"))
-    merged = (
-        side_a.unionByName(side_b)
-        .groupBy("source_a", "source_b", "term")
-        .agg(F.sum("pa").alias("pa"), F.sum("pb").alias("pb"))
+    pairs = F.broadcast(
+        tf.sparkSession.createDataFrame(
+            [
+                (a["source"], b["source"], a["n"], b["n"], a["tc"], b["tc"])
+                for a in st
+                for b in st
+                if a["source"] < b["source"]
+            ],
+            "source_a string, source_b string, na long, nb long, "
+            "tca long, tcb long",
+        )
     )
-    half = F.lit(0.5)
-    two = F.lit(2.0)
-    contrib = merged.select(
-        "source_a",
-        "source_b",
-        F.round(
-            F.when(
-                F.col("pa") > 0,
-                half * F.col("pa") * F.log2(two * F.col("pa") / (F.col("pa") + F.col("pb"))),
-            ).otherwise(F.lit(0.0))
-            + F.when(
-                F.col("pb") > 0,
-                half * F.col("pb") * F.log2(two * F.col("pb") / (F.col("pa") + F.col("pb"))),
-            ).otherwise(F.lit(0.0)),
-            9,
-        ).alias("c"),
+    # ordered 2-combinations of each term's sources, without a
+    # self-join: xs is at most |sources| long per term
+    shared = (
+        tf.groupBy("term")
+        .agg(F.collect_list(F.struct("source", "tf")).alias("xs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, x -> "
+                    "filter(transform(xs, y -> IF(x.source < y.source, "
+                    "named_struct('source_a', x.source, 'source_b', y.source, "
+                    "'tfa', x.tf, 'tfb', y.tf), "
+                    "CAST(NULL AS STRUCT<source_a: STRING, source_b: STRING, "
+                    "tfa: BIGINT, tfb: BIGINT>))), "
+                    "z -> z IS NOT NULL)))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.*")
     )
-    return (
-        contrib.groupBy("source_a", "source_b")
-        .agg(
-            F.sum(F.col("c").cast("decimal(28,9)")).cast("double").alias("jsd_raw"),
-            F.count("*").alias("n_terms"),
+    half, one, two = F.lit(0.5), F.lit(1.0), F.lit(2.0)
+    pa = F.col("tfa").cast("double") / F.col("na").cast("double")
+    pb = F.col("tfb").cast("double") / F.col("nb").cast("double")
+    core = (
+        shared.join(
+            F.broadcast(pairs), ["source_a", "source_b"]
         )
         .select(
             "source_a",
             "source_b",
-            F.round("jsd_raw", 6).alias("jsd"),
-            "n_terms",
+            F.round(pa, 9).cast("decimal(28,9)").alias("pa9"),
+            F.round(pb, 9).cast("decimal(28,9)").alias("pb9"),
+            F.round(
+                half * pa * F.log2(two * pa / (pa + pb))
+                + half * pb * F.log2(two * pb / (pa + pb)),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("c9"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum("pa9").cast("double").alias("s_a"),
+            F.sum("pb9").cast("double").alias("s_b"),
+            F.sum("c9").cast("double").alias("core"),
+        )
+    )
+    return (
+        pairs.join(core, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                half * (one - F.coalesce(F.col("s_a"), F.lit(0.0)))
+                + half * (one - F.coalesce(F.col("s_b"), F.lit(0.0)))
+                + F.coalesce(F.col("core"), F.lit(0.0)),
+                6,
+            ).alias("jsd"),
+            (
+                F.col("tca") + F.col("tcb") - F.coalesce(F.col("n_shared"), F.lit(0))
+            ).alias("n_terms"),
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "pearson_quantity_price",
+    oracle=(
+        "WITH sums AS ("
+        "  SELECT l_returnflag AS grp, CAST(COUNT(*) AS DOUBLE) AS n, "
+        "         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, "
+        "         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, "
+        "         CAST(SUM(CAST(l_quantity AS DECIMAL(19,2)) * "
+        "                  CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE) AS sxy, "
+        "         CAST(SUM(CAST(l_quantity AS DECIMAL(19,2)) * "
+        "                  CAST(l_quantity AS DECIMAL(19,2))) AS DOUBLE) AS sxx, "
+        "         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * "
+        "                  CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE) AS syy "
+        "  FROM lineitem GROUP BY 1"
+        ") "
+        "SELECT grp, round((n * sxy - sx * sy) / "
+        "       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS pearson_r "
+        "FROM sums ORDER BY grp"
+    ),
+    tags=("stats", "agg"),
+)
+def pearson_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group via the five-sums identity —
+    the parametric sibling of spearman_quantity_price. Every sum
+    accumulates in DECIMAL (the stored doubles are exact hundredths,
+    so the sums are exact and order-independent; operands are cast to
+    DECIMAL(19,2) before multiplying — DuckDB multiplies (18,2) pairs
+    in int64 and overflows, (19,2) forces the hugeint path); the
+    final r is one identically-ordered IEEE expression on both sides,
+    rounded to 6 dp. One shuffle: a plain grouped aggregate with
+    map-side partials — unlike the rank-based twin there is no window
+    anywhere, so this is the cheap screening pass a feature-selection
+    sweep runs over hundreds of column pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(19,2)")
+    y = F.col("l_extendedprice").cast("decimal(19,2)")
+    sums = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    return sums.select(
+        "grp",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("grp")
