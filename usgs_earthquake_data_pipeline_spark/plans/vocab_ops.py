@@ -113,7 +113,12 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window, no driver state.  Documents that tokenize to nothing
     (all-whitespace text) are absent on both sides by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    # drop empty tokens (a leading tab yields one on both engines —
+    # see tests/test_text_properties._py_tokens) to match the
+    # oracle's term <> '' guard
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     per_doc = tf.groupBy("doc_id").agg(
         F.sum("tf").alias("n_tokens"),
@@ -208,7 +213,10 @@ def mixture_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     same contract, so the closed-form complement is engine-identical
     too."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("source", F.explode(T.tokens("text")).alias("term"))
+    # empty-token guard: same contract note as text_unigram_entropy
+    toks = docs.select(
+        "source", F.explode(T.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
     tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
     # per-source totals are |mixture components| rows — a bounded
     # collect (the codebook/centroid convention), so the pair table
