@@ -132,3 +132,33 @@ def test_jsd_matches_python_reference(spark, tmp_root, corpus):
                 jsd += 0.5 * pb * math.log2(pb / m)
         assert abs(r.jsd - jsd) < 2e-5, (r.source_a, r.source_b, r.jsd, jsd)
         assert r.n_terms == len(terms)
+
+
+@given(corpus=_CORPUS)
+@_SETTINGS
+def test_bigram_perplexity_matches_python_reference(spark, tmp_root, corpus):
+    path = _write_docs(spark, tmp_root, corpus, next(_counter))
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in CATALOG["quality_perplexity_bigram"].spark_fn(spark, path).collect()
+    }
+    uni: Counter = Counter()
+    bigrams: Counter = Counter()
+    per_doc: dict[int, list[tuple[str, str]]] = {}
+    for i, (text, _) in enumerate(corpus):
+        toks = _py_tokens(text)
+        uni.update(toks)
+        bg = list(zip(toks, toks[1:]))
+        bigrams.update(bg)
+        if bg:
+            per_doc[i] = bg
+    v = len(uni)
+    assert set(got) == set(per_doc)
+    for i, bg in per_doc.items():
+        n_got, s_got = got[i]
+        assert n_got == len(bg)
+        want = sum(
+            -math.log((bigrams[p] + 0.5) / (uni[p[0]] + 0.5 * v)) for p in bg
+        ) / len(bg)
+        # per-term 6 dp rounding + final 6 dp round → ≤ ~1e-6 slack/term
+        assert abs(s_got - want) < 2e-6, (i, s_got, want)

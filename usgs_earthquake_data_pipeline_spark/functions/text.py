@@ -342,3 +342,47 @@ def hashed_bow(col: Column | str, dim: int = 16) -> Column:
     return F.when(norm > 0, F.transform(signed, lambda v: v / norm)).otherwise(
         signed
     )
+
+
+def cdc_chunks(col: Column | str, hex_prefixes: str = "0") -> Column:
+    """Content-defined chunking over whitespace tokens: split the
+    token stream into chunks whose boundary falls AFTER any token
+    whose md5 hex digest starts with one of ``hex_prefixes``
+    (single characters; one char ≈ expected chunk length 16 tokens,
+    two ≈ 8, ...). Returns ``array<string>`` of space-joined chunks.
+
+    Because the boundary test is a pure function of the token itself,
+    an edit to a document perturbs only the chunks it touches —
+    downstream chunk identities are stable under insertion/deletion
+    (the FastCDC/rsync property), which is what makes chunk-hash
+    dedup shift-robust where fixed-offset windows are not.
+
+    The whole walk is ONE ``aggregate`` fold over the token array —
+    O(tokens) per row, evaluated JVM-side, no explode/window/shuffle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(c, lambda x: x != "")
+    prefixes = F.array(*[F.lit(p) for p in hex_prefixes])
+    init = F.struct(
+        F.array().cast("array<string>").alias("chunks"),
+        F.lit("").alias("cur"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        joined = F.when(acc["cur"] == "", x).otherwise(
+            F.concat(acc["cur"], F.lit(" "), x)
+        )
+        is_boundary = F.array_contains(prefixes, F.substring(F.md5(x), 1, 1))
+        return F.struct(
+            F.when(is_boundary, F.concat(acc["chunks"], F.array(joined)))
+            .otherwise(acc["chunks"])
+            .alias("chunks"),
+            F.when(is_boundary, F.lit("")).otherwise(joined).alias("cur"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc["cur"] == "", acc["chunks"]).otherwise(
+            F.concat(acc["chunks"], F.array(acc["cur"]))
+        )
+
+    return F.aggregate(toks, init, step, finish)

@@ -118,6 +118,9 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "zorder_curve_events",
     "vocab_top_terms_coverage",
     "rag_hybrid_rrf",
+    "quality_perplexity_bigram",
+    "docs_chunk_cdc",
+    "dedup_sorted_neighborhood",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

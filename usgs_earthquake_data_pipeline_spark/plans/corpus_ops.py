@@ -573,3 +573,67 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"))
         .orderBy("source")
     )
+
+
+@register(
+    "docs_chunk_cdc",
+    oracle=(
+        "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "trim(text), '\\s+'), x -> x <> '') AS t FROM documents), "
+        "tok AS (SELECT doc_id, i, t[i] AS tok "
+        "FROM tk, unnest(range(1, len(t) + 1)) AS r(i)), "
+        "fl AS (SELECT doc_id, i, tok, CASE WHEN substr(md5(tok), 1, 1) = '0' "
+        "THEN 1 ELSE 0 END AS b FROM tok), "
+        "ch AS (SELECT doc_id, i, tok, COALESCE(SUM(b) OVER ("
+        "PARTITION BY doc_id ORDER BY i "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx "
+        "FROM fl), "
+        "chunks AS (SELECT doc_id, chunk_idx, "
+        "string_agg(tok, ' ' ORDER BY i) AS chunk FROM ch GROUP BY 1, 2), "
+        "h AS (SELECT doc_id, md5(chunk) AS chunk_hash, "
+        "len(string_split(chunk, ' ')) AS n_tok FROM chunks) "
+        "SELECT chunk_hash, count(*) AS occurrences, "
+        "count(DISTINCT doc_id) AS n_docs, "
+        "CAST(MAX(n_tok) AS INT) AS chunk_tokens "
+        "FROM h GROUP BY 1 ORDER BY occurrences DESC, chunk_hash LIMIT 50"
+    ),
+    tags=("llm", "curation", "chunking", "dedup"),
+)
+def docs_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync-style, over tokens) +
+    chunk-level duplication profile: a chunk boundary falls AFTER any
+    token whose md5 starts with '0' (expected chunk length 16
+    tokens), so chunk boundaries are a pure function of local content
+    — unlike ``docs_chunk_fixed``'s offsets, an insertion near the
+    head of a document shifts NO downstream chunk identity.  The
+    output is the top-50 most duplicated chunks (the Lee-et-al-style
+    "repeated passage" candidates a substring-dedup pass would
+    remove), with how many documents share each.
+
+    Scale shape: chunking never leaves the row — the boundary test
+    and the chunk split are one ``aggregate`` fold over the token
+    array (O(tokens) per doc, JVM expression eval, no per-token
+    explode/window/shuffle — the oracle's window-cumsum over exploded
+    tokens is the single-node spec this decomposition is proven
+    against).  The only shuffle is the chunk-hash aggregate, whose
+    key space is the distinct-chunk count, and the top-50 is
+    TakeOrdered, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(T.cdc_chunks(T.tokens("text"))).alias("chunk")
+    )
+    h = ch.select(
+        "doc_id",
+        F.md5("chunk").alias("chunk_hash"),
+        F.size(F.split("chunk", " ", -1)).alias("n_tok"),
+    )
+    return (
+        h.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("n_tok").alias("chunk_tokens"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("chunk_hash"))
+        .limit(50)
+    )

@@ -361,3 +361,91 @@ def pearson_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     ).orderBy("grp")
+
+
+@register(
+    "quality_perplexity_bigram",
+    oracle=(
+        "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "trim(text), '\\s+'), x -> x <> '') AS t FROM documents), "
+        "uni AS (SELECT unnest(t) AS w FROM tk), "
+        "c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1), "
+        "v AS (SELECT count(*) AS v FROM c1), "
+        "bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 "
+        "FROM tk, unnest(range(1, len(t))) AS r(i)), "
+        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), "
+        "x AS (SELECT doc_id, round(-ln((CAST(c2 AS DOUBLE) + 0.5) / "
+        "(CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))), 6) AS nl "
+        "FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = bg.w1 "
+        "CROSS JOIN v) "
+        "SELECT doc_id, count(*) AS n_bigrams, "
+        "round(CAST(SUM(CAST(nl AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) "
+        "AS avg_neg_logprob FROM x GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "quality", "vocab"),
+)
+def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering with a corpus-trained bigram
+    LM: every document is scored by the mean negative log probability
+    of its token bigrams under an add-1/2-smoothed bigram model
+    estimated from the corpus itself — i.e. ln(perplexity).  High
+    scores mark rare-transition soup (OCR noise, shuffled text), low
+    scores boilerplate; the curation pipeline thresholds both tails.
+    Steps up from ``unigram_logprob_quality``: the bigram conditional
+    P(w2|w1) = (c(w1 w2) + 0.5) / (c(w1) + 0.5·|V|) sees word ORDER,
+    which the unigram model is blind to.
+
+    Scale shape: bigrams are built INSIDE the token array (a codegen
+    ``transform`` over the already-split tokens — no self-join, no
+    window, no per-token shuffle to pair adjacent rows); the model
+    tables are vocabulary-sized aggregates (|V| and |V|² keys, far
+    below corpus size) joined back by plain equi-joins, and |V| is a
+    one-row broadcast.  Per-bigram floats follow the module's
+    convention: identical operation order both engines, round 6 dp,
+    DECIMAL-exact summation, one final rounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.filter(T.tokens("text"), lambda t: t != "").alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab = c1.agg(F.count("*").alias("v"))
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    nl = F.round(
+        -F.log(
+            (F.col("c2").cast("double") + 0.5)
+            / (F.col("c1").cast("double") + 0.5 * F.col("v").cast("double"))
+        ),
+        6,
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .join(F.broadcast(vocab))
+        .select("doc_id", nl.alias("nl"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("nl").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
