@@ -162,3 +162,57 @@ def test_bigram_perplexity_matches_python_reference(spark, tmp_root, corpus):
         ) / len(bg)
         # per-term 6 dp rounding + final 6 dp round → ≤ ~1e-6 slack/term
         assert abs(s_got - want) < 2e-6, (i, s_got, want)
+
+
+# ASCII-only corpus for the BPE trainer property: the argmax tiebreak
+# compares pair STRINGS, and ASCII is where Python (code points),
+# Spark (UTF-16 units) and DuckDB (UTF-8 bytes) orderings provably
+# coincide — non-ASCII ordering is not part of the entry's contract.
+_ASCII_CORPUS = st.lists(
+    st.tuples(
+        st.text(alphabet="ab cde.19", max_size=30),
+        st.sampled_from(["s1", "s2"]),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _py_bpe(corpus, k=4):
+    wf = Counter(w for text, _ in corpus for w in _py_tokens(text))
+    sym = {w: list(w) for w in wf}
+    merges = []
+    for it in range(1, k + 1):
+        pairs: Counter = Counter()
+        for w, c in wf.items():
+            s = sym[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        merges.append((it, f"{a} {b}", cnt))
+        for w, s in sym.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            sym[w] = out
+    return merges
+
+
+@given(corpus=_ASCII_CORPUS)
+@_SETTINGS
+def test_bpe_trainer_matches_python_reference(spark, tmp_root, corpus):
+    path = _write_docs(spark, tmp_root, corpus, next(_counter))
+    got = [
+        (r.iteration, r.pair, r.pair_count)
+        for r in CATALOG["bpe_train_merges_k4"].spark_fn(spark, path).collect()
+    ]
+    assert got == _py_bpe(corpus)

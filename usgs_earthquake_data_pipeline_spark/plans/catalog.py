@@ -121,6 +121,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "quality_perplexity_bigram",
     "docs_chunk_cdc",
     "dedup_sorted_neighborhood",
+    "bpe_train_merges_k4",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -449,3 +449,130 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """DuckDB oracle for ``bpe_train_merges_k4``: k chained CTE stages,
+    each = (pair counts over current symbolization, argmax pair,
+    re-symbolize via a left-to-right list_reduce fold) — the exact
+    single-node spec of the distributed trainer."""
+    parts = [
+        "WITH w AS (SELECT unnest(list_filter(regexp_split_to_array("
+        "trim(text), '\\s+'), x -> x <> '')) AS word FROM documents), "
+        "wf0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS s, "
+        "count(*) AS wf FROM w GROUP BY 1)"
+    ]
+    for i in range(1, k + 1):
+        prev = f"wf{i-1}"
+        parts.append(
+            f"p{i} AS (SELECT pr AS pair, CAST(SUM(wf) AS BIGINT) AS cnt "
+            f"FROM (SELECT unnest(list_transform(range(1, len(l)), "
+            f"j -> l[j] || ' ' || l[j+1])) AS pr, wf "
+            f"FROM (SELECT string_split(s, ' ') AS l, wf FROM {prev})) "
+            f"GROUP BY 1)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT pair, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        parts.append(
+            f"wf{i} AS (SELECT CASE WHEN len(l) = 1 THEN s ELSE "
+            f"list_reduce(l, (acc, x) -> CASE WHEN "
+            f"regexp_extract(acc, '[^ ]*$') = split_part(pair, ' ', 1) "
+            f"AND x = split_part(pair, ' ', 2) THEN acc || x "
+            f"ELSE acc || ' ' || x END) END AS s, wf "
+            f"FROM (SELECT s, string_split(s, ' ') AS l, wf FROM {prev}) "
+            f"CROSS JOIN b{i})"
+        )
+    return (
+        ", ".join(parts)
+        + " "
+        + " UNION ALL ".join(
+            f"SELECT {i} AS iteration, pair, cnt AS pair_count FROM b{i}"
+            for i in range(1, k + 1)
+        )
+        + " ORDER BY iteration"
+    )
+
+
+@register(
+    "bpe_train_merges_k4",
+    oracle=_bpe_oracle_sql(4),
+    tags=("llm", "vocab", "tokenizer", "iterative"),
+)
+def bpe_train_merges_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE TRAINING (Sennrich et al.), k=4 merges: repeat
+    (count adjacent symbol pairs over the word-frequency table →
+    take the most frequent pair, ties broken lexicographically →
+    merge every left-to-right occurrence of that pair) — the actual
+    tokenizer-training loop, of which ``bpe_merge_pairs_top`` is one
+    snapshot.  Output: the learned merge table (iteration, pair,
+    corpus pair frequency at merge time).
+
+    Scale shape: the corpus collapses ONCE to the word-frequency
+    table (the only corpus-sized shuffle — everything after is
+    vocabulary-sized, cached).  Each iteration is: pair explode +
+    map-side-combined aggregate over ≤|vocab|·avg_len rows, a
+    driver-bounded argmax (LIMIT 1 collect — one row), and the merge
+    applied as a pure ``aggregate`` fold over each symbol sequence
+    (greedy left-to-right, no Python row work, no re-shuffle: the
+    fold is a narrow map over the cached table).  k is a constant,
+    so plan depth is bounded; a production trainer (k≈30k) would
+    localCheckpoint every ~50 merges — same loop, same operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.filter(T.tokens("text"), lambda t: t != "")).alias("word")
+    )
+    wf = (
+        words.groupBy(
+            F.array_join(
+                F.filter(F.split("word", ""), lambda x: x != ""), " "
+            ).alias("s")
+        )
+        .agg(F.count("*").alias("wf"))
+        .cache()
+    )
+    out: list[tuple[int, str, int]] = []
+    try:
+        cur = wf
+        for it in range(1, 5):
+            l = F.split("s", " ", -1)
+            pairs = (
+                cur.withColumn("l", l)
+                .filter(F.size("l") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(l) - 1), j -> "
+                            "concat(element_at(l, j), ' ', element_at(l, j + 1)))"
+                        )
+                    ).alias("pair"),
+                    "wf",
+                )
+                .groupBy("pair")
+                .agg(F.sum("wf").alias("cnt"))
+            )
+            best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
+            if not best:  # degenerate corpus: nothing left to merge
+                break
+            pair, cnt = best[0].pair, int(best[0].cnt)
+            out.append((it, pair, cnt))
+            a, b = pair.split(" ", 1)
+            ll = F.split("s", " ", -1)
+            merged = F.when(F.size(ll) == 1, F.col("s")).otherwise(
+                F.aggregate(
+                    F.slice(ll, F.lit(2), F.size(ll) - 1),
+                    F.element_at(ll, 1),
+                    lambda acc, x: F.when(
+                        (F.regexp_extract(acc, "[^ ]*$", 0) == F.lit(a))
+                        & (x == F.lit(b)),
+                        F.concat(acc, x),
+                    ).otherwise(F.concat(acc, F.lit(" "), x)),
+                )
+            )
+            cur = cur.select(merged.alias("s"), "wf")
+    finally:
+        wf.unpersist()
+    return spark.createDataFrame(
+        out, "iteration int, pair string, pair_count long"
+    ).orderBy("iteration")
