@@ -438,3 +438,37 @@ def test_skew_hot_key_rollup_exchanges_are_salted(spark, sf_dir):
     assert any(
         "tier" in e and "__salt" in e for e in exchanges
     ), f"rollup partial exchange not salted: {exchanges}"
+
+
+def test_cdc_chunking_is_zero_shuffle_before_agg(spark, sf_dir):
+    """Content-defined chunking happens inside the row (one array
+    fold): the plan's only exchanges belong to the chunk-hash
+    aggregate (partial distinct + final), and there is no join and no
+    window anywhere."""
+    plan = _plan(CATALOG["docs_chunk_cdc"].spark_fn(spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_snm_single_window_pass(spark, sf_dir):
+    """Sorted-neighborhood must evaluate ONE window over ONE scan —
+    the union-of-two-lead-branches formulation silently doubles both
+    (Catalyst does not dedupe common subplans)."""
+    plan = _plan(CATALOG["dedup_sorted_neighborhood"].spark_fn(spark, sf_dir))
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_bigram_model_tables_join_by_hash(spark, sf_dir):
+    """The bigram LM's model tables join back by equi-join (broadcast
+    at test scale, shuffle-hash/SMJ at cluster scale) — never a
+    nested loop on the corpus side; the only nested-loop join is the
+    broadcast of the ONE-ROW vocab-size aggregate."""
+    plan = _plan(CATALOG["quality_perplexity_bigram"].spark_fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # one-row |V| broadcast is the only nested-loop join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) >= 2, plan

@@ -1861,24 +1861,23 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     the record to another block, which multi-pass SNM with a second
     key (e.g. reversed name) would recover.  The window emits w-1
     lead pairs per row (no self-join, no candidate blow-up), so
-    candidate volume is exactly (w-1)·N."""
+    candidate volume is exactly (w-1)·N — and both leads come out of
+    ONE window evaluation (explode of an array of the leads, not a
+    union of two window branches, which would scan the table and run
+    the window twice — Catalyst does not dedupe common subplans)."""
     part = load_table(spark, sf_dir, "part")
     win = Window.partitionBy(F.substring("p_name", 1, 2)).orderBy(
         "p_name", "p_partkey"
     )
-    w = part.select(
-        "p_name",
-        F.lead("p_name", 1).over(win).alias("n1"),
-        F.lead("p_name", 2).over(win).alias("n2"),
+    nbrs = part.select(
+        F.col("p_name").alias("a_name"),
+        F.array(
+            F.lead("p_name", 1).over(win),
+            F.lead("p_name", 2).over(win),
+        ).alias("nbrs"),
     )
-    pairs = (
-        w.filter(F.col("n1").isNotNull())
-        .select(F.col("p_name").alias("a_name"), F.col("n1").alias("b_name"))
-        .unionAll(
-            w.filter(F.col("n2").isNotNull()).select(
-                F.col("p_name").alias("a_name"), F.col("n2").alias("b_name")
-            )
-        )
+    pairs = nbrs.select("a_name", F.explode("nbrs").alias("b_name")).filter(
+        F.col("b_name").isNotNull()
     )
     m = pairs.select(
         "a_name",
