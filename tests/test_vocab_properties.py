@@ -204,7 +204,11 @@ def _py_bpe(corpus, k=4):
                     out.append(s[i])
                     i += 1
             sym[w] = out
-    return merges
+    symcounts: Counter = Counter()
+    for w, c in wf.items():
+        for s in sym[w]:
+            symcounts[s] += c
+    return merges, symcounts
 
 
 @given(corpus=_ASCII_CORPUS)
@@ -215,4 +219,20 @@ def test_bpe_trainer_matches_python_reference(spark, tmp_root, corpus):
         (r.iteration, r.pair, r.pair_count)
         for r in CATALOG["bpe_train_merges_k4"].spark_fn(spark, path).collect()
     ]
-    assert got == _py_bpe(corpus)
+    assert got == _py_bpe(corpus)[0]
+
+
+@given(corpus=_ASCII_CORPUS)
+@_SETTINGS
+def test_bpe_encode_matches_python_reference(spark, tmp_root, corpus):
+    path = _write_docs(spark, tmp_root, corpus, next(_counter))
+    got = [
+        (r.sym, r.n_occurrences)
+        for r in CATALOG["bpe_encode_vocab_top"].spark_fn(spark, path).collect()
+    ]
+    _, symcounts = _py_bpe(corpus)
+    want = sorted(symcounts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+    # chars conserved: symbol lengths weighted by frequency = corpus chars
+    total_chars = sum(len(w) for text, _ in corpus for w in _py_tokens(text))
+    assert sum(len(s) * c for s, c in symcounts.items()) == total_chars

@@ -451,11 +451,11 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(k: int) -> str:
-    """DuckDB oracle for ``bpe_train_merges_k4``: k chained CTE stages,
-    each = (pair counts over current symbolization, argmax pair,
-    re-symbolize via a left-to-right list_reduce fold) — the exact
-    single-node spec of the distributed trainer."""
+def _bpe_ctes_sql(k: int) -> str:
+    """DuckDB CTE chain shared by the BPE trainer/encoder oracles: k
+    stages, each = (pair counts over current symbolization, argmax
+    pair, re-symbolize via a left-to-right list_reduce fold) — the
+    exact single-node spec of the distributed loop."""
     parts = [
         "WITH w AS (SELECT unnest(list_filter(regexp_split_to_array("
         "trim(text), '\\s+'), x -> x <> '')) AS word FROM documents), "
@@ -484,14 +484,29 @@ def _bpe_oracle_sql(k: int) -> str:
             f"FROM (SELECT s, string_split(s, ' ') AS l, wf FROM {prev}) "
             f"CROSS JOIN b{i})"
         )
+    return ", ".join(parts)
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Trainer oracle: the learned merge table off the chained CTEs."""
     return (
-        ", ".join(parts)
+        _bpe_ctes_sql(k)
         + " "
         + " UNION ALL ".join(
             f"SELECT {i} AS iteration, pair, cnt AS pair_count FROM b{i}"
             for i in range(1, k + 1)
         )
         + " ORDER BY iteration"
+    )
+
+
+def _bpe_encode_oracle_sql(k: int) -> str:
+    """Encoder oracle: symbol frequencies after applying all k merges."""
+    return (
+        _bpe_ctes_sql(k)
+        + f" SELECT sym, CAST(SUM(wf) AS BIGINT) AS n_occurrences "
+        f"FROM (SELECT unnest(string_split(s, ' ')) AS sym, wf FROM wf{k}) "
+        f"GROUP BY 1 ORDER BY n_occurrences DESC, sym LIMIT 20"
     )
 
 
@@ -519,6 +534,21 @@ def bpe_train_merges_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold is a narrow map over the cached table).  k is a constant,
     so plan depth is bounded; a production trainer (k≈30k) would
     localCheckpoint every ~50 merges — same loop, same operators."""
+    merges, _ = _bpe_train(spark, sf_dir, 4)
+    return spark.createDataFrame(
+        merges, "iteration int, pair string, pair_count long"
+    ).orderBy("iteration")
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, k: int
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Run k BPE merge iterations; returns (merge table, final
+    word-frequency DataFrame whose ``s`` column is the space-joined
+    symbolization after all k merges).  The returned DataFrame is NOT
+    cached (the loop's cache is released before returning — a plan
+    builder must not leak cache entries); its lineage recomputes the
+    one corpus-sized aggregate when next acted on."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.filter(T.tokens("text"), lambda t: t != "")).alias("word")
@@ -535,7 +565,7 @@ def bpe_train_merges_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     out: list[tuple[int, str, int]] = []
     try:
         cur = wf
-        for it in range(1, 5):
+        for it in range(1, k + 1):
             l = F.split("s", " ", -1)
             pairs = (
                 cur.withColumn("l", l)
@@ -573,6 +603,37 @@ def bpe_train_merges_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = cur.select(merged.alias("s"), "wf")
     finally:
         wf.unpersist()
-    return spark.createDataFrame(
-        out, "iteration int, pair string, pair_count long"
-    ).orderBy("iteration")
+    return out, cur
+
+
+@register(
+    "bpe_encode_vocab_top",
+    oracle=_bpe_encode_oracle_sql(4),
+    tags=("llm", "vocab", "tokenizer", "iterative"),
+)
+def bpe_encode_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the apply side of ``bpe_train_merges_k4``: run
+    the k=4 training loop, then re-segment the whole corpus with the
+    learned merges and emit the top-20 symbols of the resulting
+    vocabulary by corpus frequency.  After training, learned merges
+    ('er', 'in', ...) surface as single multi-char symbols — the
+    statistic a tokenizer-build pipeline checks before shipping a
+    vocab (are the learned units sane, what coverage do they have).
+
+    Scale shape: identical to the trainer (the encode is the
+    trainer's final fold — zero extra shuffles over the symbolized
+    word-frequency table) plus one vocabulary-sized symbol-count
+    aggregate and a TakeOrdered top-20.  Encoding UNSEEN text with a
+    FROZEN merge table is the same fold applied per merge in rank
+    order — the loop here just happens to interleave it with
+    training."""
+    _, wf_final = _bpe_train(spark, sf_dir, 4)
+    sym = wf_final.select(
+        F.explode(F.split("s", " ", -1)).alias("sym"), "wf"
+    )
+    return (
+        sym.groupBy("sym")
+        .agg(F.sum("wf").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("sym"))
+        .limit(20)
+    )
