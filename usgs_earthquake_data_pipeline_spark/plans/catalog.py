@@ -123,6 +123,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_sorted_neighborhood",
     "bpe_train_merges_k4",
     "bpe_encode_vocab_top",
+    "skyline_parts_per_brand",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -716,3 +716,57 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_key")
     )
+
+
+@register(
+    "skyline_parts_per_brand",
+    oracle=(
+        "WITH pts AS (SELECT DISTINCT p_brand, p_retailprice AS price, "
+        "p_size AS size FROM part) "
+        "SELECT p_brand AS brand, price, size FROM pts a "
+        "WHERE NOT EXISTS (SELECT 1 FROM pts b WHERE b.p_brand = a.p_brand "
+        "AND b.price <= a.price AND b.size >= a.size "
+        "AND (b.price < a.price OR b.size > a.size)) "
+        "ORDER BY 1, 2, 3"
+    ),
+    tags=("relational", "skyline", "analytics"),
+)
+def skyline_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 2-D skyline (Pareto frontier): per brand, the parts not
+    DOMINATED by any other — no other part of the brand is both
+    cheaper-or-equal AND larger-or-equal with one strict — i.e. the
+    price/size trade-off frontier a buyer actually chooses from
+    (Börzsönyi et al., "The Skyline Operator", ICDE'01).
+
+    Scale shape: the naive spec is a quadratic self-join (the
+    oracle's NOT EXISTS — the differential proves the decomposition
+    against it); the distributed plan is O(n log n): dedupe the
+    (brand, price, size) points, sort each brand's points by
+    (price ASC, size DESC) inside a ``partitionBy(brand)`` window,
+    and keep a point iff its size strictly exceeds the running max
+    size over all PRECEDING points — every preceding point is either
+    strictly cheaper or same-price-larger, so "size > running max" is
+    exactly "undominated".  One shuffle for the distinct, one for the
+    window (same key — Catalyst reuses the partitioning), no
+    self-join anywhere.  The group is the scale unit: a single
+    brand's frontier never crosses executors, and 2-D is the
+    window-expressible case (d>2 needs the block-nested-loop /
+    divide-and-conquer variants)."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    ).distinct()
+    win = (
+        Window.partitionBy("brand")
+        .orderBy(F.asc("price"), F.desc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runmax = F.max("size").over(win)
+    return (
+        pts.withColumn("_m", runmax)
+        .filter(F.col("_m").isNull() | (F.col("size") > F.col("_m")))
+        .drop("_m")
+        .orderBy("brand", "price", "size")
+    )
