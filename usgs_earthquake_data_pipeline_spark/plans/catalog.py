@@ -124,6 +124,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "bpe_train_merges_k4",
     "bpe_encode_vocab_top",
     "skyline_parts_per_brand",
+    "dp_noisy_counts_by_type",
+    "l_diversity_audit",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -2492,3 +2492,99 @@ def bloom_prefilter_semi_join_entry(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "dp_noisy_counts_by_type",
+    oracle=(
+        "WITH c AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1), "
+        "u AS (SELECT event_type, c, (CAST("
+        "list_reduce(list_transform(regexp_extract_all("
+        "substr(md5(CAST(event_type AS VARCHAR)), 1, 8), '.'), "
+        "c2 -> strpos('0123456789abcdef', c2) - 1), "
+        "(a, b) -> a * 16 + b) % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u "
+        "FROM c) "
+        "SELECT event_type, round(c + ((-10.0) * sign(u - 0.5) * "
+        "ln(1 - 2 * abs(u - 0.5))), 6) AS noisy_count "
+        "FROM u ORDER BY 1"
+    ),
+    tags=("governance", "privacy", "dp"),
+)
+def dp_noisy_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    ε=0.1 → scale b=1/ε=10 for a count query of sensitivity 1): per
+    event type, the exact count plus Laplace noise drawn by INVERSE
+    CDF from a DETERMINISTIC uniform seeded by the group key (the
+    sampling module's cross-engine md5 bucket, 2^20 buckets,
+    midpoint-offset so u∈(0,1) exclusive).  Deterministic noise is
+    what an auditable release pipeline wants anyway: re-running the
+    release must not leak a fresh noise draw per run (the
+    averaging-attack the DP literature warns about) — fixing the
+    draw per (release, key) is the standard mitigation.
+
+    Scale shape: one map-side-combined count aggregate (output
+    bounded by the key domain), noise is per-GROUP codegen arithmetic
+    on the aggregated rows — zero extra shuffles, zero driver state.
+    Floats follow the catalog convention: identical operation order
+    on both engines, one final 6 dp round."""
+    from .sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type").agg(F.count("*").alias("c"))
+    m = 1 << 20
+    u = (hash_bucket(F.col("event_type"), m).cast("double") + 0.5) / float(m)
+    noise = F.lit(-10.0) * F.signum(u - 0.5) * F.log(1 - 2 * F.abs(u - 0.5))
+    return (
+        cnt.select(
+            "event_type",
+            F.round(F.col("c") + noise, 6).alias("noisy_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "l_diversity_audit",
+    oracle=(
+        "WITH g AS (SELECT c_nationkey, c_mktsegment, "
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band "
+        "FROM customer) "
+        "SELECT c_nationkey, c_mktsegment, "
+        "CAST(count(*) AS BIGINT) AS group_size, "
+        "CAST(count(DISTINCT bal_band) AS BIGINT) AS n_sensitive, "
+        "count(DISTINCT bal_band) < 3 AS violates_l "
+        "FROM g GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("governance", "privacy", "agg"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.): k-anonymity's
+    group-size check (the ``k_anonymity_audit`` twin) is blind to a
+    uniform group — 50 users who all share one sensitive value leak
+    it despite k=50.  Per quasi-identifier class (nation, market
+    segment), count the DISTINCT sensitive values (account-balance
+    band, 1000-unit floors) and flag classes with fewer than l=3.
+    One grouped distinct-count aggregate; output bounded by the QI
+    domain, the distinct is a two-phase partial aggregate (no
+    row-level data leaves the executors)."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    return (
+        g.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("bal_band").alias("n_sensitive"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "n_sensitive",
+            (F.col("n_sensitive") < 3).alias("violates_l"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
