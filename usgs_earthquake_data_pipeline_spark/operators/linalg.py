@@ -1,0 +1,127 @@
+"""Distributed linear algebra over embedding columns: covariance /
+Gram accumulation and PCA projection.
+
+The scale decomposition is the classic one (the same shape MLlib's
+RowMatrix.computeCovariance uses): the only corpus-sized work is
+accumulating d² cross-products — expressed as a double-posexplode into
+a (i, j)-keyed aggregate, which Spark's partial (map-side) hash
+aggregation collapses to d² rows PER PARTITION before the shuffle, so
+shuffle volume is partitions×d², never rows×d².  The d×d eigensolve is
+driver-side numpy on a BOUNDED matrix (d ≤ a few thousand — for wider
+embeddings you switch to randomized/iterative sketches, which change
+this one bounded step, not the distributed accumulation).  The
+projection back over the corpus is a broadcast-free zip_with dot
+product — pure codegen, no shuffle.
+
+Float convention for the oracle-gated covariance: per-term products
+are rounded to 9 dp and summed as DECIMAL (order-free, so the
+aggregate is deterministic under any partitioning), matching the
+catalog's decimal-exact summation convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cross_moment_sums(
+    df: DataFrame, vec_col: str = "embedding", upper_only: bool = True
+) -> DataFrame:
+    """Σ xᵢ·xⱼ (per-term 9 dp rounds, DECIMAL-exact sums), Σ xᵢ and n
+    for every dimension pair — the sufficient statistics for a
+    covariance / Gram matrix, in one pass.
+
+    Output: (i, j, s_ij, s_i, s_j, n) with 0-based dims, i ≤ j when
+    ``upper_only``.  The double explode feeds a partial hash
+    aggregate whose key space is d² — each partition reduces to d²
+    rows before anything shuffles."""
+    v = F.col(vec_col).cast("array<double>")
+    src = df.select(v.alias("v"))
+    ij = (
+        src.select(F.posexplode("v").alias("i", "x"), "v")
+        .select("i", "x", F.posexplode("v").alias("j", "y"))
+    )
+    if upper_only:
+        ij = ij.filter(F.col("i") <= F.col("j"))
+    sij = ij.groupBy("i", "j").agg(
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(38,9)"))
+        .alias("s_ij_dec"),
+        F.count("*").alias("n"),
+    )
+    si = (
+        src.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.round(F.col("x"), 9).cast("decimal(38,9)")).alias(
+                "s_dec"
+            )
+        )
+    )
+    return (
+        sij.join(si.select(F.col("i"), F.col("s_dec").alias("s_i_dec")), "i")
+        .join(
+            si.select(F.col("i").alias("j"), F.col("s_dec").alias("s_j_dec")),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.col("s_ij_dec").cast("double").alias("s_ij"),
+            F.col("s_i_dec").cast("double").alias("s_i"),
+            F.col("s_j_dec").cast("double").alias("s_j"),
+            "n",
+        )
+    )
+
+
+def covariance_entries(
+    df: DataFrame, vec_col: str = "embedding", upper_only: bool = True
+) -> DataFrame:
+    """Sample covariance cov(i, j) from the cross-moment sums:
+    (Σxy − Σx·Σy/n) / (n−1), one identically-ordered float expression
+    per cell, rounded to 6 dp."""
+    s = cross_moment_sums(df, vec_col, upper_only)
+    cov = F.round(
+        (
+            F.col("s_ij")
+            - F.col("s_i") * F.col("s_j") / F.col("n").cast("double")
+        )
+        / (F.col("n").cast("double") - 1),
+        6,
+    )
+    return s.select("i", "j", cov.alias("cov")).orderBy("i", "j")
+
+
+def pca_top_components(cov_rows, d: int):
+    """Driver-side eigensolve over collected covariance cells (a
+    BOUNDED d×d matrix — the one deliberate driver step).  Returns
+    (eigenvalues desc, eigenvectors as rows) with the sign convention
+    "largest-|component| entry is positive" so downstream projections
+    are deterministic despite eigh's sign ambiguity."""
+    import numpy as np
+
+    m = np.zeros((d, d))
+    for r in cov_rows:
+        m[r["i"], r["j"]] = r["cov"]
+        m[r["j"], r["i"]] = r["cov"]
+    w, v = np.linalg.eigh(m)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order].T  # rows are components
+    for k in range(v.shape[0]):
+        lead = np.argmax(np.abs(v[k]))
+        if v[k][lead] < 0:
+            v[k] = -v[k]
+    return w, v
+
+
+def project_component(vec_col: Column | str, component) -> Column:
+    """Dot product of the embedding with a (Python-list) component —
+    a codegen zip_with/aggregate fold, no UDF, no shuffle."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    lit = F.array(*[F.lit(float(x)) for x in component])
+    return F.aggregate(
+        F.zip_with(c.cast("array<double>"), lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

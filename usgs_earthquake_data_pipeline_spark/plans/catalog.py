@@ -126,6 +126,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "skyline_parts_per_brand",
     "dp_noisy_counts_by_type",
     "l_diversity_audit",
+    "embedding_covariance_upper",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

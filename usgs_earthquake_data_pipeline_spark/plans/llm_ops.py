@@ -1889,3 +1889,95 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("a_name", "b_name")
     )
+
+
+@register(
+    "embedding_covariance_upper",
+    oracle=(
+        "WITH src AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "ij AS (SELECT a.i AS i, b.j AS j, "
+        "round(v[a.i + 1] * v[b.j + 1], 9) AS xy "
+        "FROM src, unnest(range(0, len(v))) a(i), "
+        "unnest(range(0, len(v))) b(j) WHERE a.i <= b.j), "
+        "sij AS (SELECT i, j, CAST(SUM(CAST(xy AS DECIMAL(38,9))) AS DOUBLE) "
+        "AS s_ij, count(*) AS n FROM ij GROUP BY 1, 2), "
+        "si AS (SELECT a.i AS i, CAST(SUM(CAST(round(v[a.i + 1], 9) "
+        "AS DECIMAL(38,9))) AS DOUBLE) AS s FROM src, "
+        "unnest(range(0, len(v))) a(i) GROUP BY 1) "
+        "SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, "
+        "round((s_ij - x.s * y.s / CAST(n AS DOUBLE)) / "
+        "(CAST(n AS DOUBLE) - 1), 6) AS cov "
+        "FROM sij JOIN si x USING (i) JOIN si y ON y.i = sij.j "
+        "ORDER BY 1, 2"
+    ),
+    tags=("llm", "similarity", "linalg"),
+)
+def embedding_covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance of the embedding corpus (upper triangle,
+    d=64 → 2080 cells) — the sufficient statistic for PCA/whitening/
+    ZCA, and the step that is actually corpus-sized.  See
+    ``operators/linalg.py``: the double posexplode feeds a partial
+    hash aggregate keyed on (i, j), so every partition collapses to
+    ≤ d² rows before the shuffle — shuffle volume is partitions×d²,
+    never rows×d² — and per-term 9 dp rounds + DECIMAL sums make the
+    aggregate bit-stable under any partitioning (the oracle proves
+    it).  The d×d result is bounded; nothing here grows with the
+    corpus except the one linear accumulation pass."""
+    from ..operators import linalg as L
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return L.covariance_entries(emb, "embedding", upper_only=True)
+
+
+@register(
+    "embedding_pca_label_profile",
+    # no oracle: the eigensolve is not SQL-expressible; the numpy
+    # differential lives in tests/test_linalg.py and the covariance
+    # input is itself oracle-gated above
+    tags=("llm", "similarity", "linalg", "iterative"),
+)
+def embedding_pca_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding corpus, end to end: the oracle-gated
+    distributed covariance above → a driver-side eigensolve on the
+    BOUNDED 64×64 matrix (the one deliberate driver step — numpy on
+    ≤ d² cells; sign-normalized so projections are deterministic) →
+    the corpus projected onto PC1 as a codegen zip_with dot product
+    (no UDF, no shuffle) → per-label mean/variance of the projection
+    (decimal-exact rounded sums, so output is partitioning-stable).
+    This is the standard embedding-diagnostics pass: does the leading
+    component separate the labels, and how much variance does it
+    carry per class."""
+    from ..operators import linalg as L
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov_rows = L.covariance_entries(emb, "embedding", upper_only=True).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    _, comps = L.pca_top_components(cov_rows, d)
+    p = F.round(L.project_component("embedding", comps[0]), 9)
+    per = emb.select("label", p.alias("p"))
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("p").cast("decimal(38,9)")).alias("sp"),
+            F.sum((F.col("p") * F.col("p")).cast("decimal(38,9)")).alias("spp"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.col("sp").cast("double") / F.col("n_vecs").cast("double"), 6
+            ).alias("pc1_mean"),
+            F.round(
+                (
+                    F.col("spp").cast("double")
+                    - F.col("sp").cast("double")
+                    * F.col("sp").cast("double")
+                    / F.col("n_vecs").cast("double")
+                )
+                / (F.col("n_vecs").cast("double") - 1),
+                6,
+            ).alias("pc1_var"),
+        )
+        .orderBy("label")
+    )
