@@ -1981,3 +1981,42 @@ def embedding_pca_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "text_compression_ratio",
+    # no oracle: DEFLATE is not SQL-expressible in DuckDB; the exact
+    # byte-for-byte differential vs driver-side zlib lives in
+    # tests/test_compression.py
+    tags=("llm", "quality", "pandas-udf"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compression-ratio profile — deflate(text)/len(text),
+    the classic repetitiveness signal a web-corpus pipeline runs next
+    to the Gopher rules (template spam compresses far below natural
+    text; noise above it).  See ``functions/compress.py``: the one
+    Python kernel is an Arrow-batched pandas UDF (zlib's C loop per
+    ~10k-row batch), and everything around it — rounding, grouping,
+    decimal-exact averaging — is JVM-side.  Scale shape: the UDF
+    pipelines with the scan (no shuffle added); the aggregate is one
+    map-side-combined groupBy bounded by the source domain."""
+    from ..functions.compress import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        "source", compression_ratio("text").alias("ratio")
+    ).filter(F.col("ratio").isNotNull())
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_ratio"),
+            F.min("ratio").alias("min_ratio"),
+            F.max("ratio").alias("max_ratio"),
+        )
+        .orderBy("source")
+    )
