@@ -90,3 +90,46 @@ def test_snm_candidate_volume_bounded(spark, sf_dir):
     for r in out:
         assert 0 <= r.dist <= 4
         assert r.a_name[:2] == r.b_name[:2]  # same block by construction
+
+
+def test_multipass_covers_forward_pass(spark, sf_dir):
+    """Multipass recall contract: every canonical pair the forward
+    pass finds is in the multipass output with in_forward set."""
+    fwd = CATALOG["dedup_sorted_neighborhood"].spark_fn(spark, sf_dir).collect()
+    multi = {
+        (r.a_name, r.b_name): (r.in_forward, r.in_reverse)
+        for r in CATALOG["dedup_snm_multipass"].spark_fn(spark, sf_dir).collect()
+    }
+    for r in fwd:
+        a, b = sorted((r.a_name, r.b_name))
+        if a == b:
+            continue  # multipass drops self-pairs (exact dup names)
+        assert (a, b) in multi and multi[(a, b)][0], (a, b)
+
+
+def test_reverse_pass_recovers_prefix_typos(spark):
+    """The point of the second key: two names differing only in their
+    FIRST characters land in different forward blocks (pair missed)
+    but share a reverse block (pair found)."""
+    rows = [(1, "xsmall gear"), (2, "ysmall gear"), (3, "zz unrelated")]
+    import os
+    import tempfile
+
+    df = spark.createDataFrame(
+        [(k, n, "B", "t", 1, 1.0) for k, n in rows],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    d = tempfile.mkdtemp(prefix="snm_mp_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+    single = {
+        (r.a_name, r.b_name)
+        for r in CATALOG["dedup_sorted_neighborhood"].spark_fn(spark, d).collect()
+    }
+    multi = {
+        (r.a_name, r.b_name): (r.in_forward, r.in_reverse)
+        for r in CATALOG["dedup_snm_multipass"].spark_fn(spark, d).collect()
+    }
+    pair = ("xsmall gear", "ysmall gear")
+    assert pair not in single  # forward blocking misses it
+    assert pair in multi and multi[pair] == (False, True)

@@ -127,6 +127,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dp_noisy_counts_by_type",
     "l_diversity_audit",
     "embedding_covariance_upper",
+    "vocab_zipf_alpha",
+    "dedup_snm_multipass",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -2020,3 +2020,91 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_snm_multipass",
+    oracle=(
+        "WITH fwd AS (SELECT p_name, p_partkey, p_name AS k, "
+        "substr(p_name, 1, 2) AS blk FROM part), "
+        "rev AS (SELECT p_name, p_partkey, reverse(p_name) AS k, "
+        "substr(reverse(p_name), 1, 2) AS blk FROM part), "
+        "wf AS (SELECT p_name, "
+        "lead(p_name, 1) OVER (PARTITION BY blk ORDER BY k, p_partkey) AS n1, "
+        "lead(p_name, 2) OVER (PARTITION BY blk ORDER BY k, p_partkey) AS n2 "
+        "FROM fwd), "
+        "wr AS (SELECT p_name, "
+        "lead(p_name, 1) OVER (PARTITION BY blk ORDER BY k, p_partkey) AS n1, "
+        "lead(p_name, 2) OVER (PARTITION BY blk ORDER BY k, p_partkey) AS n2 "
+        "FROM rev), "
+        "pairs AS ("
+        "SELECT 'f' AS pass, least(p_name, n) AS a_name, "
+        "greatest(p_name, n) AS b_name FROM ("
+        "SELECT p_name, unnest([n1, n2]) AS n FROM wf) WHERE n IS NOT NULL "
+        "UNION ALL "
+        "SELECT 'r', least(p_name, n), greatest(p_name, n) FROM ("
+        "SELECT p_name, unnest([n1, n2]) AS n FROM wr) WHERE n IS NOT NULL), "
+        "m AS (SELECT pass, a_name, b_name, "
+        "CAST(levenshtein(a_name, b_name) AS INT) AS dist FROM pairs "
+        "WHERE a_name <> b_name) "
+        "SELECT a_name, b_name, dist, "
+        "bool_or(pass = 'f') AS in_forward, bool_or(pass = 'r') AS in_reverse "
+        "FROM m WHERE dist <= 4 GROUP BY 1, 2, 3 ORDER BY 1, 2"
+    ),
+    tags=("llm", "dedup", "entity-resolution"),
+)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood — the standard recall fix for
+    single-key SNM's blind spot (``dedup_sorted_neighborhood``'s
+    docstring): a typo in the PREFIX moves a record out of its
+    forward block, so a second pass sorts on the REVERSED key (suffix
+    blocking) and the union of both passes' candidate pairs is
+    verified.  Output: canonical near-match name pairs (distance ≤ 4,
+    self-pairs dropped) with per-pass provenance flags — pairs only
+    the reverse pass finds are exactly the prefix-typo recall the
+    second key buys.
+
+    Scale shape: each pass is the single-window/single-scan plan of
+    the one-pass entry (2·(w−1)·N total candidates); pair
+    canonicalization (least/greatest) makes the union's dedup an
+    equi-aggregate, and provenance is two bool_or flags in the same
+    aggregate — no join between passes."""
+    part = load_table(spark, sf_dir, "part")
+
+    def one_pass(key, tag: str):
+        win = Window.partitionBy(F.substring(key, 1, 2)).orderBy(
+            key.asc(), F.col("p_partkey").asc()
+        )
+        nbrs = part.select(
+            "p_name",
+            F.array(
+                F.lead("p_name", 1).over(win), F.lead("p_name", 2).over(win)
+            ).alias("nbrs"),
+        )
+        return (
+            nbrs.select("p_name", F.explode("nbrs").alias("n"))
+            .filter(F.col("n").isNotNull())
+            .select(
+                F.lit(tag).alias("pass"),
+                F.least("p_name", "n").alias("a_name"),
+                F.greatest("p_name", "n").alias("b_name"),
+            )
+        )
+
+    pairs = one_pass(F.col("p_name"), "f").unionAll(
+        one_pass(F.reverse(F.col("p_name")), "r")
+    )
+    m = pairs.filter(F.col("a_name") != F.col("b_name")).select(
+        "pass",
+        "a_name",
+        "b_name",
+        F.levenshtein("a_name", "b_name").alias("dist"),
+    ).filter(F.col("dist") <= 4)
+    return (
+        m.groupBy("a_name", "b_name", "dist")
+        .agg(
+            F.max(F.col("pass") == "f").alias("in_forward"),
+            F.max(F.col("pass") == "r").alias("in_reverse"),
+        )
+        .orderBy("a_name", "b_name")
+    )

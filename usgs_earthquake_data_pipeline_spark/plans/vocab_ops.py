@@ -637,3 +637,78 @@ def bpe_encode_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("sym"))
         .limit(20)
     )
+
+
+@register(
+    "vocab_zipf_alpha",
+    oracle=(
+        "WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array("
+        "trim(text), '\\s+'), x -> x <> '')) AS w FROM documents), "
+        "f AS (SELECT w, count(*) AS f FROM tok GROUP BY 1), "
+        "top AS (SELECT w, f FROM f ORDER BY f DESC, w LIMIT 100), "
+        "r AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rk "
+        "FROM top), "
+        "xy AS (SELECT round(ln(CAST(rk AS DOUBLE)), 9) AS x, "
+        "round(ln(CAST(f AS DOUBLE)), 9) AS y FROM r), "
+        "s AS (SELECT count(*) AS n, "
+        "CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx, "
+        "CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy, "
+        "CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy, "
+        "CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx "
+        "FROM xy) "
+        "SELECT CAST(n AS BIGINT) AS n_terms, "
+        "round(-((CAST(n AS DOUBLE) * sxy - sx * sy) / "
+        "(CAST(n AS DOUBLE) * sxx - sx * sx)), 6) AS zipf_alpha FROM s"
+    ),
+    tags=("llm", "vocab", "profiling"),
+)
+def vocab_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of log-frequency against
+    log-rank over the top-100 terms — natural language sits near
+    α≈1; α far below says the vocabulary is too flat (shuffled/
+    synthetic soup), far above says a few tokens dominate (template
+    spam).  The corpus-health number a data-mixing run tracks per
+    source snapshot.
+
+    Scale shape: one token-count aggregate (vocabulary-sized), then
+    the top-100 via TakeOrdered (orderBy+limit — no global sort
+    materialization), and ONLY those 100 driver-bounded rows enter
+    the rank window (the classic trap — ranking the full vocabulary —
+    would be a single-task global window).  Regression sums follow
+    the decimal convention; the final slope is one identically-
+    ordered expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.filter(T.tokens("text"), lambda t: t != "")).alias("w")
+    )
+    f = tok.groupBy("w").agg(F.count("*").alias("f"))
+    top = f.orderBy(F.desc("f"), F.asc("w")).limit(100)
+    rk = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w")))
+    )
+    xy = rk.select(
+        F.round(F.log(F.col("rk").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 9).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            -(
+                (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ),
+            6,
+        ).alias("zipf_alpha"),
+    )
