@@ -472,3 +472,26 @@ def test_bigram_model_tables_join_by_hash(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") + plan.count(
         "ShuffledHashJoin"
     ) >= 2, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_join(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a FILTERED dim must plan a
+    dynamic-partition-pruning subquery on the fact scan — at 100 TB
+    this is the difference between scanning one partition and all of
+    them when the partition keys to read are only known at runtime."""
+    from usgs_earthquake_data_pipeline_spark.sinks import (
+        read_partitioned_table,
+        save_partitioned_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "dpp_events")
+    save_partitioned_table(ev, path, partition_cols=["event_type"])
+    fact = read_partitioned_table(spark, path)
+    dim = spark.createDataFrame(
+        [("purchase", 1.0), ("click", 0.1), ("view", 0.05)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") > 0.5)  # runtime-pruning filter
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan, plan[:2000]

@@ -129,6 +129,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "embedding_covariance_upper",
     "vocab_zipf_alpha",
     "dedup_snm_multipass",
+    "seasonal_decompose_weekly",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -825,3 +825,76 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "seasonal_decompose_weekly",
+    oracle=(
+        "WITH daily AS (SELECT day(ts) AS d, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x "
+        "FROM events GROUP BY 1), "
+        "offs AS (SELECT UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS o), "
+        "win AS (SELECT d + o AS dc, x FROM daily CROSS JOIN offs), "
+        "tr AS (SELECT dc AS d, CAST(SUM(x) AS DOUBLE) AS s7, "
+        "count(*) AS n7 FROM win GROUP BY 1), "
+        "det AS (SELECT daily.d, round(CAST(daily.x AS DOUBLE) - "
+        "round(s7 / 7.0, 6), 6) AS det "
+        "FROM daily JOIN tr ON tr.d = daily.d WHERE n7 = 7) "
+        "SELECT CAST(d % 7 AS INT) AS phase, count(*) AS n_days, "
+        "round(CAST(SUM(CAST(det AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) "
+        "AS seasonal FROM det GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("temporal", "stats"),
+)
+def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily value
+    series (the moving-average step of STL): trend = 7-day centered
+    moving average (FULL windows only — edge days with partial
+    windows are excluded on both engines), detrended = value − trend,
+    seasonal factor = mean detrended value per weekly phase (d mod
+    7).  The factors are what a forecasting/monitoring pipeline
+    subtracts before anomaly scoring — the ``anomaly_zscore_daily``
+    entry's unseasonalized twin.
+
+    Scale shape: the corpus collapses to |days| rows in one map-side
+    aggregate; the centered window is an offset CROSS JOIN against a
+    7-row broadcast + re-aggregate (decimal-exact — sidesteps
+    engine-specific float summation order inside window-frame AVG),
+    and everything downstream runs on the tiny daily series.  Same
+    'daily pre-agg shrinks input to O(days)' pattern as the ACF
+    entry."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("x")
+    )
+    offs = spark.range(-3, 4).select(F.col("id").cast("int").alias("o"))
+    win = daily.crossJoin(F.broadcast(offs)).select(
+        (F.col("d") + F.col("o")).alias("dc"), "x"
+    )
+    tr = win.groupBy(F.col("dc").alias("d")).agg(
+        F.sum("x").cast("double").alias("s7"), F.count("*").alias("n7")
+    )
+    det = (
+        daily.join(tr, "d")
+        .filter(F.col("n7") == 7)
+        .select(
+            "d",
+            F.round(
+                F.col("x").cast("double") - F.round(F.col("s7") / 7.0, 6), 6
+            ).alias("det"),
+        )
+    )
+    return (
+        det.groupBy((F.col("d") % 7).cast("int").alias("phase"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(
+                F.sum(F.col("det").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("seasonal"),
+        )
+        .orderBy("phase")
+    )
