@@ -321,3 +321,34 @@ def test_hashed_bow_properties(spark):
     ).collect()[0]
     assert r["near"] > r["far"], (r["near"], r["far"])
     assert r["near"] > 0.5  # 4-of-5 token overlap stays clearly similar
+
+
+def test_containment_finds_excerpt_jaccard_misses(spark):
+    """The asymmetric signal: a short excerpt quoted inside a long
+    document has near-zero Jaccard (invisible at any usable
+    threshold) but containment 1.0."""
+    body = " ".join(f"w{i}" for i in range(400))
+    excerpt = " ".join(f"w{i}" for i in range(100, 130))
+    df = spark.createDataFrame(
+        [(1, body), (2, excerpt), (3, "completely different words here only")],
+        "doc_id long, text string",
+    )
+    jac = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert (1, 2) not in jac  # symmetric measure misses the quote
+    cont = {
+        (r.contained_id, r.container_id): r.containment
+        for r in D.ngram_containment_pairs(df, "doc_id", "text").collect()
+    }
+    assert cont == {(2, 1): 1.0}  # excerpt fully contained, direction right
+
+
+def test_containment_direction_ties_break_to_smaller_id(spark):
+    t = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame([(7, t), (9, t)], "doc_id long, text string")
+    rows = D.ngram_containment_pairs(df, "doc_id", "text").collect()
+    assert [(r.contained_id, r.container_id, r.containment) for r in rows] == [
+        (7, 9, 1.0)
+    ]

@@ -695,3 +695,60 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_shingle: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle CONTAINMENT — the signal
+    Jaccard is structurally blind to: a 50-shingle excerpt quoted
+    inside a 5000-shingle document has Jaccard ≈ 0.01 (invisible at
+    any usable threshold) but containment 1.0.  Containment
+    C(A→B) = |A∩B| / |A| with A the smaller set; emitted as
+    (contained_id, container_id, containment ≥ threshold) — the
+    quote/excerpt/boilerplate-inclusion detector a training-corpus
+    dedup pass runs AFTER symmetric near-dup removal.
+
+    Same inverted-posting plan as ``ngram_jaccard_pairs`` (identical
+    shuffle profile, sizes joined back after the pair aggregation);
+    only the verification formula and the direction assignment
+    differ — smaller set is the contained side, ties broken toward
+    the smaller id so output is deterministic."""
+    docs = hashed_shingle_sets(df, id_col, text_col, n_shingle).withColumnRenamed(
+        "hs", "sh"
+    )
+    posting = docs.select("id", F.explode("sh").alias("shingle"))
+    sizes = docs.select("id", F.size("sh").alias("n_sh"))
+    a = posting.select(F.col("id").alias("id_a"), "shingle")
+    b = posting.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    joined = inter.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+        "id_b",
+    )
+    containment = F.col("n_inter") / F.least("n_a", "n_b")
+    return (
+        joined.filter(containment >= threshold)
+        .select(
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("container_id"),
+            F.round(containment, 6).alias("containment"),
+        )
+    )

@@ -2108,3 +2108,44 @@ def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_name", "b_name")
     )
+
+
+@register(
+    "dedup_containment_excerpts",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+        "  FROM documents), "
+        "sh AS ("
+        "  SELECT doc_id, list_distinct(list_transform("
+        "    generate_series(1, greatest(len(t) - 2, 0)),"
+        "    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams"
+        "  FROM toks), "
+        "sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh "
+        "WHERE len(grams) > 0), "
+        "posting AS (SELECT doc_id, unnest(grams) AS shingle FROM sh), "
+        "inter AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+        "  FROM posting a JOIN posting b USING (shingle)"
+        "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN id_a ELSE id_b END "
+        "AS contained_id, "
+        "CASE WHEN sa.n_sh <= sb.n_sh THEN id_b ELSE id_a END "
+        "AS container_id, "
+        "round(n_inter / least(sa.n_sh, sb.n_sh), 6) AS containment "
+        "FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE n_inter / least(sa.n_sh, sb.n_sh) >= 0.8"
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_containment_excerpts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt/quote detection by asymmetric shingle containment — the
+    near-dup class symmetric Jaccard cannot see (a short document
+    fully quoted inside a long one has near-zero Jaccard but
+    containment 1.0).  See ``operators/dedup.py:
+    ngram_containment_pairs``: identical inverted-posting shuffle
+    profile to the Jaccard entry, different verification formula and
+    a deterministic direction assignment (smaller set = contained)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(docs, "doc_id", "text", threshold=0.8)
