@@ -2149,3 +2149,89 @@ def dedup_containment_excerpts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic direction assignment (smaller set = contained)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_containment_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+@register(
+    "embedding_matryoshka_fidelity",
+    oracle=(
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "p AS (SELECT a.v AS va, b.v AS vb "
+        "FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 "
+        "WHERE a.vec_id % 2 = 0), "
+        "c AS (SELECT "
+        "list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])) "
+        "/ (sqrt(list_sum(list_transform(va, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(vb, x -> x * x)))) AS cos_full, "
+        "list_sum(list_transform(range(1, 17), i -> va[i] * vb[i])) "
+        "/ (sqrt(list_sum(list_transform(va[1:16], x -> x * x))) * "
+        "sqrt(list_sum(list_transform(vb[1:16], x -> x * x)))) AS cos_16 "
+        "FROM p), "
+        "r AS (SELECT round(cos_full, 9) AS cf, round(cos_16, 9) AS c16, "
+        "round(abs(round(cos_full, 9) - round(cos_16, 9)), 9) AS err FROM c) "
+        "SELECT count(*) AS n_pairs, "
+        "round(CAST(SUM(CAST(cf AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) "
+        "AS avg_cos_full, "
+        "round(CAST(SUM(CAST(c16 AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) "
+        "AS avg_cos_16, "
+        "round(CAST(SUM(CAST(err AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) "
+        "AS avg_abs_err, "
+        "max(err) AS max_abs_err FROM r"
+    ),
+    tags=("llm", "similarity", "profiling"),
+)
+def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation fidelity (Kusupati et al., MRL): how well
+    does cosine over the FIRST 16 dimensions preserve full-64-dim
+    cosine?  The eval a pipeline runs before switching its ANN index
+    to truncated vectors (4× memory/compute cut) — small avg error
+    says the prefix carries the geometry; for non-MRL-trained
+    embeddings (like this synthetic corpus) the error quantifies what
+    truncation would cost.  Pairs are formed deterministically
+    (vec 2k vs 2k+1 — an id-offset equi-join, no sampling
+    randomness), cosines are sequential-fold dot products (the
+    norm-stats entry's proven cross-engine pattern), per-pair values
+    round at 9 dp and aggregate decimal-exactly.
+
+    Scale shape: one equi-join on derived pair id + one global
+    aggregate; per-pair arithmetic is codegen over the arrays, and
+    the output is a single profile row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pid"), F.col("v").alias("va")
+    )
+    b = e.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") - 1).alias("pid"), F.col("v").alias("vb")
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+
+    def nrm(u):
+        return F.sqrt(
+            F.aggregate(u, F.lit(0.0), lambda s, x: s + x * x)
+        )
+
+    va, vb = F.col("va"), F.col("vb")
+    va16, vb16 = F.slice(va, 1, 16), F.slice(vb, 1, 16)
+    cos_full = F.round(dot(va, vb) / (nrm(va) * nrm(vb)), 9)
+    cos_16 = F.round(dot(va16, vb16) / (nrm(va16) * nrm(vb16)), 9)
+    r = a.join(b, "pid").select(
+        cos_full.alias("cf"), cos_16.alias("c16")
+    ).select("cf", "c16", F.round(F.abs(F.col("cf") - F.col("c16")), 9).alias("err"))
+    return r.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("cf").cast("decimal(28,9)")).cast("double") / F.count("*"), 6
+        ).alias("avg_cos_full"),
+        F.round(
+            F.sum(F.col("c16").cast("decimal(28,9)")).cast("double") / F.count("*"), 6
+        ).alias("avg_cos_16"),
+        F.round(
+            F.sum(F.col("err").cast("decimal(28,9)")).cast("double") / F.count("*"), 6
+        ).alias("avg_abs_err"),
+        F.max("err").alias("max_abs_err"),
+    )
