@@ -132,6 +132,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "seasonal_decompose_weekly",
     "dedup_containment_excerpts",
     "embedding_matryoshka_fidelity",
+    "als_implicit_rank2_step",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -2235,3 +2235,130 @@ def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("avg_abs_err"),
         F.max("err").alias("max_abs_err"),
     )
+
+
+@register(
+    "als_implicit_rank2_step",
+    oracle=(
+        "WITH r AS (SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS r "
+        "FROM events GROUP BY 1, 2), "
+        # deterministic rank-2 init derived from the type string itself
+        "v0 AS (SELECT DISTINCT event_type, 1.0 AS w1, "
+        "round(0.1 * ((length(event_type) % 3) - 1), 9) AS w2 FROM r), "
+        "g0 AS (SELECT CAST(count(*) AS DOUBLE) AS a0, "
+        "CAST(SUM(CAST(w2 AS DECIMAL(28,9))) AS DOUBLE) AS b0, "
+        "CAST(SUM(CAST(round(w2 * w2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS c0 "
+        "FROM v0), "
+        "m0 AS (SELECT (c0 + 0.1) / ((a0 + 0.1) * (c0 + 0.1) - b0 * b0) AS m00, "
+        "-b0 / ((a0 + 0.1) * (c0 + 0.1) - b0 * b0) AS m01, "
+        "(a0 + 0.1) / ((a0 + 0.1) * (c0 + 0.1) - b0 * b0) AS m11 FROM g0), "
+        "s AS (SELECT user_id, "
+        "CAST(SUM(CAST(round(r.r * w1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s1, "
+        "CAST(SUM(CAST(round(r.r * w2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS s2 "
+        "FROM r JOIN v0 USING (event_type) GROUP BY 1), "
+        "u AS (SELECT user_id, round(m00 * s1 + m01 * s2, 9) AS u1, "
+        "round(m01 * s1 + m11 * s2, 9) AS u2 FROM s CROSS JOIN m0), "
+        "g AS (SELECT "
+        "CAST(SUM(CAST(round(u1 * u1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS a, "
+        "CAST(SUM(CAST(round(u1 * u2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS b, "
+        "CAST(SUM(CAST(round(u2 * u2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS c "
+        "FROM u), "
+        "m AS (SELECT (c + 0.1) / ((a + 0.1) * (c + 0.1) - b * b) AS m00, "
+        "-b / ((a + 0.1) * (c + 0.1) - b * b) AS m01, "
+        "(a + 0.1) / ((a + 0.1) * (c + 0.1) - b * b) AS m11 FROM g), "
+        "t AS (SELECT event_type, "
+        "CAST(SUM(CAST(round(r.r * u.u1, 9) AS DECIMAL(28,9))) AS DOUBLE) AS t1, "
+        "CAST(SUM(CAST(round(r.r * u.u2, 9) AS DECIMAL(28,9))) AS DOUBLE) AS t2 "
+        "FROM r JOIN u USING (user_id) GROUP BY 1) "
+        "SELECT event_type, round(m00 * t1 + m01 * t2, 6) AS v1, "
+        "round(m01 * t1 + m11 * t2, 6) AS v2 FROM t CROSS JOIN m ORDER BY 1"
+    ),
+    tags=("llm", "ml", "iterative"),
+)
+def als_implicit_rank2_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full ALS iteration (solve U given V₀, then V given U) of a
+    rank-2 implicit-feedback factorization of the user × event-type
+    count matrix — the inner step of a distributed recommender /
+    embedding-bootstrap trainer (Hu-Koren-Volinsky shape, λ=0.1).
+    Rank 2 keeps the per-entity solve CLOSED-FORM (a 2×2 inverse as
+    scalar arithmetic), so the whole step is joins + aggregates —
+    no per-row matrix solver, no UDF.
+
+    Scale decomposition: the ratings collapse once to (user, type)
+    counts; the U-solve is one user-keyed aggregate against the
+    broadcast V (type-domain-sized); the Gram matrix UᵀU is a 3-sum
+    global aggregate (ONE driver-bounded row — the only collect);
+    the V-solve is one type-keyed aggregate.  Every float follows
+    the decimal convention (9 dp per-term rounds, exact sums,
+    identically-ordered closed forms), so the trained factors are
+    bit-stable under any partitioning — which is what lets an ALS
+    STEP be hash-gated cross-engine at all.  k more iterations =
+    k repeats of the same two aggregates, exactly like the BPE
+    trainer's loop."""
+    ev = load_table(spark, sf_dir, "events")
+    lam = 0.1
+    r = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("double").alias("r")
+    )
+    w2 = F.round(0.1 * ((F.length("event_type") % 3) - 1), 9)
+    v0 = r.select("event_type").distinct().select(
+        "event_type", F.lit(1.0).alias("w1"), w2.alias("w2")
+    )
+    g0 = v0.agg(
+        F.count("*").cast("double").alias("a0"),
+        F.sum(F.col("w2").cast("decimal(28,9)")).cast("double").alias("b0"),
+        F.sum(F.round(F.col("w2") * F.col("w2"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("c0"),
+    ).collect()[0]
+    a0, b0, c0 = g0.a0, g0.b0, g0.c0
+    det0 = (a0 + lam) * (c0 + lam) - b0 * b0
+    m00, m01, m11 = (c0 + lam) / det0, -b0 / det0, (a0 + lam) / det0
+    s = (
+        r.join(F.broadcast(v0), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("r") * F.col("w1"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("s1"),
+            F.sum(F.round(F.col("r") * F.col("w2"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    u = s.select(
+        "user_id",
+        F.round(F.lit(m00) * F.col("s1") + F.lit(m01) * F.col("s2"), 9).alias("u1"),
+        F.round(F.lit(m01) * F.col("s1") + F.lit(m11) * F.col("s2"), 9).alias("u2"),
+    )
+    g = u.agg(
+        F.sum(F.round(F.col("u1") * F.col("u1"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("a"),
+        F.sum(F.round(F.col("u1") * F.col("u2"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("b"),
+        F.sum(F.round(F.col("u2") * F.col("u2"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("c"),
+    ).collect()[0]
+    a, b, c = g.a, g.b, g.c
+    det = (a + lam) * (c + lam) - b * b
+    n00, n01, n11 = (c + lam) / det, -b / det, (a + lam) / det
+    t = (
+        r.join(u, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.round(F.col("r") * F.col("u1"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("t1"),
+            F.sum(F.round(F.col("r") * F.col("u2"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("t2"),
+        )
+    )
+    return t.select(
+        "event_type",
+        F.round(F.lit(n00) * F.col("t1") + F.lit(n01) * F.col("t2"), 6).alias("v1"),
+        F.round(F.lit(n01) * F.col("t1") + F.lit(n11) * F.col("t2"), 6).alias("v2"),
+    ).orderBy("event_type")
