@@ -98,11 +98,17 @@ def register(
 # `list(query_map())[:50]` / `[50:]` before planning the next
 # rotation (this comment block has gone stale twice before).
 #
-# Round-8 queue: whatever tier-3 names the r7 insertions push past
-# slot 50, then the r4-era cohort (agg_minmax_by_type,
-# agg_regression_per_type, asof_join_last_error, ... — compute with
-# the staleness script, latest-round-per-entry over
-# CORRECTNESS_r01..r07, never from memory).
+# Round-8 queue (computed at r7 close via latest-round-per-entry over
+# CORRECTNESS_r01..r06 + the r7 window = first 50 of query_map()):
+# the 26 r7 tier-1 insertions evicted the whole r3-era tail past slot
+# 50, so r8 tier 2 should lead with that cohort — pandas_grouped_mad,
+# percentile_quantity, pivot_event_counts, q4/q8/q9/q11/q13-q22,
+# salted_aggregate_by_type, sample_hash_10pct,
+# sample_stratified_events, string_funcs_customers, text_redact_pii,
+# text_repetition_gopher, window_analytics_suite,
+# window_rolling_revenue (all last driver-checked r3) — then the
+# r4-era cohort. Re-run the staleness computation against the actual
+# CORRECTNESS_r07.json before trusting this list.
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: new round-7 entries, never driver-checked ------------
     "bloom_prefilter_semi_join",
