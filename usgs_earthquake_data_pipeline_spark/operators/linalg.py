@@ -36,8 +36,15 @@ def cross_moment_sums(
     ``upper_only``.  The double explode feeds a partial hash
     aggregate whose key space is d² — each partition reduces to d²
     rows before anything shuffles."""
+    from .dedup import _widen
+
     v = F.col(vec_col).cast("array<double>")
-    src = df.select(v.alias("v"))
+    # the d²-per-row explode is the CPU-heavy stage: widen a
+    # single-file scan to cluster parallelism first (no-op at real
+    # scale where the scan already has many partitions) — without
+    # this, a one-file embeddings table runs the whole accumulation
+    # on one core.
+    src = _widen(df.select(v.alias("v")))
     ij = (
         src.select(F.posexplode("v").alias("i", "x"), "v")
         .select("i", "x", F.posexplode("v").alias("j", "y"))
@@ -82,13 +89,19 @@ def covariance_entries(
     (Σxy − Σx·Σy/n) / (n−1), one identically-ordered float expression
     per cell, rounded to 6 dp."""
     s = cross_moment_sums(df, vec_col, upper_only)
-    cov = F.round(
-        (
-            F.col("s_ij")
-            - F.col("s_i") * F.col("s_j") / F.col("n").cast("double")
+    # `+ 0.0` normalizes IEEE negative zero: a cell rounding to zero
+    # from below would otherwise be -0.0 on one engine and 0.0 on the
+    # other (repr-sensitive hash compares see different rows)
+    cov = (
+        F.round(
+            (
+                F.col("s_ij")
+                - F.col("s_i") * F.col("s_j") / F.col("n").cast("double")
+            )
+            / (F.col("n").cast("double") - 1),
+            6,
         )
-        / (F.col("n").cast("double") - 1),
-        6,
+        + 0.0
     )
     return s.select("i", "j", cov.alias("cov")).orderBy("i", "j")
 

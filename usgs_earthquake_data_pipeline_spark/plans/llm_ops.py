@@ -1906,7 +1906,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unnest(range(0, len(v))) a(i) GROUP BY 1) "
         "SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, "
         "round((s_ij - x.s * y.s / CAST(n AS DOUBLE)) / "
-        "(CAST(n AS DOUBLE) - 1), 6) AS cov "
+        "(CAST(n AS DOUBLE) - 1), 6) + 0.0 AS cov "
         "FROM sij JOIN si x USING (i) JOIN si y ON y.i = sij.j "
         "ORDER BY 1, 2"
     ),
