@@ -20,6 +20,13 @@ sorting columns by name, order-insensitively):
   before SUM (deterministic, order-independent) and cast the final
   result back to DOUBLE on both sides. Raw stored doubles (min/max,
   pass-through projections) compare exactly without this.
+- NEGATIVE ZERO: a final ``round(x, k)`` whose input is a tiny
+  negative double yields ``-0.0`` in DuckDB but ``+0.0`` in Spark
+  (BigDecimal HALF_UP has no signed zero) — repr-sensitive hash
+  compares then see different rows. Any rounded output column that
+  can land exactly on zero must append ``+ 0.0`` on BOTH sides
+  (see ``embedding_covariance_upper``, caught by the r7 sf0.01
+  sweep).
 
 Reference parity map (SURVEY.md §2): the driver's ``events`` table
 stands in for the USGS events fact table — ``event_type = 'error'``
