@@ -27,6 +27,13 @@ sorting columns by name, order-insensitively):
   can land exactly on zero must append ``+ 0.0`` on BOTH sides
   (see ``embedding_covariance_upper``, caught by the r7 sf0.01
   sweep).
+- ROUNDING TIES: ``round(sum/count, k)`` diverges when the quotient
+  lands exactly on a half at scale k (Spark HALF_UP on the double's
+  exact expansion vs DuckDB's scaled-double round — the r7 sf0.1
+  sweep hit one doc at 3.4144135). Remedy: keep per-term values as
+  exact INTEGER micro-units (round(x*1e6) AS BIGINT), sum exactly,
+  and emit the average as pure IEEE division with NO decimal round
+  after the division (see ``quality_perplexity_bigram``).
 
 Reference parity map (SURVEY.md §2): the driver's ``events`` table
 stands in for the USGS events fact table — ``event_type = 'error'``

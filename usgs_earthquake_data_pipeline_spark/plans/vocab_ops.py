@@ -374,12 +374,13 @@ def pearson_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 "
         "FROM tk, unnest(range(1, len(t))) AS r(i)), "
         "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), "
-        "x AS (SELECT doc_id, round(-ln((CAST(c2 AS DOUBLE) + 0.5) / "
-        "(CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))), 6) AS nl "
+        "x AS (SELECT doc_id, CAST(round(-ln((CAST(c2 AS DOUBLE) + 0.5) / "
+        "(CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) * 1000000.0) "
+        "AS BIGINT) AS m "
         "FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = bg.w1 "
         "CROSS JOIN v) "
         "SELECT doc_id, count(*) AS n_bigrams, "
-        "round(CAST(SUM(CAST(nl AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) "
+        "CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 "
         "AS avg_neg_logprob FROM x GROUP BY 1 ORDER BY 1"
     ),
     tags=("llm", "quality", "vocab"),
@@ -424,27 +425,32 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "b.w1", "b.w2")
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    nl = F.round(
+    # per-term score in exact integer MICRO-units (−ln p rounded to the
+    # nearest 1e-6, stored as BIGINT): summation is integer-exact and
+    # the final average is pure IEEE division — no decimal round after
+    # a division, so there is no rounding TIE for the engines to
+    # disagree on (the r7 sf0.1 sweep caught exactly one doc whose
+    # 6 dp average landed on a half: 3.4144135).
+    m = F.round(
         -F.log(
             (F.col("c2").cast("double") + 0.5)
             / (F.col("c1").cast("double") + 0.5 * F.col("v").cast("double"))
-        ),
-        6,
-    )
+        )
+        * 1000000.0,
+        0,
+    ).cast("bigint")
     scored = (
         bg.join(c2, ["w1", "w2"])
         .join(c1.withColumnRenamed("w", "w1"), "w1")
         .join(F.broadcast(vocab))
-        .select("doc_id", nl.alias("nl"))
+        .select("doc_id", m.alias("m"))
     )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("nl").cast("decimal(28,6)")).cast("double")
-                / F.count("*"),
-                6,
+            (
+                F.sum("m").cast("double") / F.count("*") / 1000000.0
             ).alias("avg_neg_logprob"),
         )
         .orderBy("doc_id")
