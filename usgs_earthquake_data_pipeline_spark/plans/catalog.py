@@ -153,6 +153,11 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_containment_excerpts",
     "embedding_matryoshka_fidelity",
     "als_implicit_rank2_step",
+    "dedup_dup_spans",
+    "split_cluster_safe",
+    "vocab_heaps_beta",
+    "ngram_novelty_decile",
+    "source_overlap_jaccard",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -2362,3 +2362,97 @@ def als_implicit_rank2_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(n00) * F.col("t1") + F.lit(n01) * F.col("t2"), 6).alias("v1"),
         F.round(F.lit(n01) * F.col("t1") + F.lit(n11) * F.col("t2"), 6).alias("v2"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr method): every
+# maximal token span that occurs verbatim more than once in the corpus,
+# found via stride-1 rolling n-grams. Differs from the non-overlapping
+# chunk profile (`dedup_repeated_chunks`): stride-1 windows + island
+# merging recover the FULL extent of each duplicated run, not just its
+# chunk-aligned fragments, which is what a span-removal pass needs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_dup_spans",
+    oracle=(
+        "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk "
+        "FROM documents WHERE trim(text) <> ''), "
+        "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+        "concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]) AS gram "
+        "FROM t, unnest(range(0, greatest(len(tk) - 4, 0))) AS u(i)), "
+        "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1), "
+        "p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), "
+        "s AS (SELECT doc_id, pos, "
+        "pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl "
+        "FROM p) "
+        "SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end, "
+        "CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_tokens "
+        "FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start"
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans per document: hash every stride-1
+    5-token window, keep windows whose gram occurs >1 time corpus-wide
+    (within-doc repeats count — self-duplication is duplication), and
+    merge runs of adjacent duplicated positions into maximal spans via
+    the pos − row_number() island trick. ``span_end`` is exclusive;
+    a span-removal rewrite drops tokens [span_start, span_end) keeping
+    the first occurrence (the removal itself is `substring`+`slice`
+    plumbing; the detection here is the hard/expensive part).
+
+    Scale shape: the window explode is linear in corpus tokens (one
+    row per token position — never quadratic); the gram aggregate is a
+    map-side-combined shuffle whose exchange volume is bounded by
+    DISTINCT-gram cardinality; duplicated positions flow back through
+    one equi-join on the gram key (no broadcast assumption — the
+    duplicated-gram set is corpus-sized in the worst case); the island
+    merge is one per-doc window (shuffle on doc_id, partition-bounded).
+    At 100 TB this is exactly three exchanges, all key-bounded. The
+    reference has no substring-level dedup; n=5 tokens stands in for
+    Lee et al.'s 50-byte threshold at toy corpus size (the operator is
+    the plan shape, not the constant)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tk = T.tokens("text")
+    n_win = F.greatest(F.size(tk) - 4, F.lit(0))
+    grams = F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+                F.element_at(tk, i + 3),
+                F.element_at(tk, i + 4),
+                F.element_at(tk, i + 5),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos_i", "gram")
+    ).select("doc_id", F.col("pos_i").cast("long").alias("pos"), "gram")
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gram")
+    )
+    p = g.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = p.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + 5).alias("span_end"),
+            (F.max("pos") + 5 - F.min("pos")).cast("long").alias("span_tokens"),
+        )
+        .drop("isl")
+        .orderBy("doc_id", "span_start")
+    )

@@ -338,3 +338,90 @@ def sample_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("p").cast("double").alias("p_accept"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "split_cluster_safe",
+    oracle=(
+        "WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents), "
+        "rep AS (SELECT fp, min(doc_id) AS rep_id FROM fp GROUP BY 1), "
+        "d AS (SELECT fp.doc_id, fp.fp, rep.rep_id, "
+        f"{_bucket_sql('fp.doc_id')} AS nb, {_bucket_sql('rep.rep_id')} AS sb "
+        "FROM fp JOIN rep USING (fp)), "
+        "s AS (SELECT doc_id, fp, "
+        "CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'val' ELSE 'test' "
+        "END AS naive_split, "
+        "CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val' ELSE 'test' "
+        "END AS safe_split FROM d), "
+        "straddle AS (SELECT "
+        "CAST(SUM(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS straddle_naive, "
+        "CAST(SUM(CASE WHEN n_safe > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS straddle_safe FROM ("
+        "SELECT fp, count(DISTINCT naive_split) AS n_naive, "
+        "count(DISTINCT safe_split) AS n_safe FROM s GROUP BY fp)) "
+        "SELECT safe_split AS split, count(*) AS n_docs, "
+        "CAST(SUM(CASE WHEN naive_split <> safe_split THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_moved, straddle_naive, straddle_safe "
+        "FROM s, straddle "
+        "GROUP BY 1, straddle_naive, straddle_safe ORDER BY 1"
+    ),
+    tags=("llm", "sampling", "dedup"),
+)
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assign each document the
+    split of its duplicate-group REPRESENTATIVE (min doc_id per exact
+    content fingerprint), so verbatim copies can never straddle
+    train/test — the eval-contamination failure mode of the naive
+    per-doc hash split (`split_train_val_test`). Emits, per split,
+    the doc count, how many docs the safe assignment moved relative
+    to the naive one, and the corpus-wide straddle audit: duplicate
+    groups spanning >1 split under each policy (safe is 0 by
+    construction — the audit PROVES it rather than assuming it).
+
+    Scale shape: one fingerprint aggregate (map-side combined, one row
+    per distinct document), one equi-join back on the fingerprint to
+    attach rep_id, one group audit, one final conditional aggregation;
+    the 1-row straddle audit joins on via broadcast. Near-dup-safe
+    splitting swaps the fingerprint for `dedup_resolve_clusters`'
+    connected-component label — same shape, iterative label cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    d = fp.join(rep, "fp")
+    nb = hash_bucket("doc_id")
+    sb = hash_bucket("rep_id")
+    split_of = lambda b: (  # noqa: E731
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    s = d.select(
+        "doc_id",
+        "fp",
+        split_of(nb).alias("naive_split"),
+        split_of(sb).alias("safe_split"),
+    )
+    per_group = s.groupBy("fp").agg(
+        F.countDistinct("naive_split").alias("n_naive"),
+        F.countDistinct("safe_split").alias("n_safe"),
+    )
+    straddle = per_group.agg(
+        F.sum(F.when(F.col("n_naive") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("straddle_naive"),
+        F.sum(F.when(F.col("n_safe") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("straddle_safe"),
+    )
+    return (
+        s.groupBy(F.col("safe_split").alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("naive_split") != F.col("safe_split"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .orderBy("split")
+    )

@@ -718,3 +718,262 @@ def vocab_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-growth curves over ingestion order. Documents carry no
+# timestamp, so ingestion deciles come from the stable doc_id range:
+# bucket = (doc_id * 10) div (max_id + 1) — integer arithmetic (no
+# float rounding at bucket edges), one 1-row broadcast for the max,
+# and — unlike ntile() — no global single-task window over the corpus.
+# ---------------------------------------------------------------------------
+
+_DECILE_SQL = "(doc_id * 10) // (SELECT max(doc_id) + 1 FROM documents)"
+
+
+def _with_decile(docs: DataFrame) -> DataFrame:
+    """Attach the ingestion-order decile: integer bucket from the
+    doc_id range via a broadcast 1-row max — a pure codegen expression
+    on the scan, deterministic at any scale and partitioning."""
+    mx = docs.agg(F.max("doc_id").alias("_mx"))
+    return docs.crossJoin(F.broadcast(mx)).withColumn(
+        "bucket", F.expr("(doc_id * 10) div (_mx + 1)")
+    )
+
+
+@register(
+    "vocab_heaps_beta",
+    oracle=(
+        "WITH b AS (SELECT doc_id, text, "
+        f"{_DECILE_SQL} AS bucket FROM documents), "
+        "tok AS (SELECT bucket, unnest(list_filter(regexp_split_to_array("
+        "trim(text), '\\s+'), x -> x <> '')) AS w FROM b), "
+        "tpb AS (SELECT bucket, count(*) AS n_tok FROM tok GROUP BY 1), "
+        "fst AS (SELECT w, min(bucket) AS fb FROM tok GROUP BY 1), "
+        "npb AS (SELECT fb AS bucket, count(*) AS n_new FROM fst GROUP BY 1), "
+        "curve AS (SELECT t.bucket, "
+        "CAST(SUM(t.n_tok) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens, "
+        "CAST(SUM(coalesce(n.n_new, 0)) OVER (ORDER BY t.bucket) AS BIGINT) "
+        "AS cum_vocab FROM tpb t LEFT JOIN npb n USING (bucket)), "
+        "xy AS (SELECT round(ln(CAST(cum_tokens AS DOUBLE)), 9) AS x, "
+        "round(ln(CAST(cum_vocab AS DOUBLE)), 9) AS y FROM curve), "
+        "s AS (SELECT count(*) AS n, "
+        "CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx, "
+        "CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy, "
+        "CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy, "
+        "CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx "
+        "FROM xy), "
+        "beta AS (SELECT round((CAST(n AS DOUBLE) * sxy - sx * sy) / "
+        "(CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta FROM s) "
+        "SELECT bucket, cum_tokens, cum_vocab, heaps_beta "
+        "FROM curve, beta ORDER BY bucket"
+    ),
+    tags=("llm", "vocab", "profiling"),
+)
+def vocab_heaps_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct-term count
+    against cumulative token count across ingestion-order deciles,
+    plus the fitted exponent β (OLS on the log-log curve — natural
+    corpora sit near β≈0.5; β→1 means near-zero vocabulary reuse,
+    i.e. id-soup or mixed junk; β→0 means the corpus stopped bringing
+    new words). The companion to `vocab_zipf_alpha` a mixing run
+    tracks per snapshot: Zipf says how mass concentrates, Heaps says
+    whether new data still adds vocabulary.
+
+    Scale shape: the decile is a pure expression (broadcast 1-row
+    max); per-term first-bucket and per-bucket token counts are two
+    map-side-combined aggregates (vocabulary- and 10-sized exchanges);
+    the cumulative window and the OLS run over exactly 10 rows.
+    Float convention: per-point ln rounded to 9 dp, sums as DECIMAL
+    (order-free), one identically-ordered slope expression at 6 dp."""
+    docs = _with_decile(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "bucket",
+        F.explode(F.filter(T.tokens("text"), lambda t: t != "")).alias("w"),
+    )
+    tpb = tok.groupBy("bucket").agg(F.count("*").alias("n_tok"))
+    npb = (
+        tok.groupBy("w")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w10 = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        tpb.join(npb, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tok").over(w10).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w10)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )
+    xy = curve.select(
+        F.round(F.log(F.col("cum_tokens").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("cum_vocab").cast("double")), 9).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    beta = s.select(
+        F.round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (nd * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("heaps_beta")
+    )
+    return curve.crossJoin(F.broadcast(beta)).orderBy("bucket")
+
+
+def _trigram_rows(docs: DataFrame, key: str) -> DataFrame:
+    """DISTINCT (key, 3-gram) pairs — the shared front-end of the
+    novelty curve and the source-overlap matrix. Mirrors the
+    generate_series(1, greatest(len-2, 0)) oracle expression."""
+    tk = T.tokens("text")
+    grams = F.when(
+        F.size(tk) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(key, F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+_TRIGRAM_SQL = (
+    "SELECT DISTINCT {key}, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS gram "
+    "FROM (SELECT {key}, regexp_split_to_array(trim(text), '\\s+') AS tk "
+    "FROM {src} WHERE trim(text) <> '') t, "
+    "unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS u(i)"
+)
+
+
+@register(
+    "ngram_novelty_decile",
+    oracle=(
+        "WITH b AS (SELECT doc_id, text, "
+        f"{_DECILE_SQL} AS bucket FROM documents), "
+        "g AS (" + _TRIGRAM_SQL.format(key="bucket", src="b") + "), "
+        "fst AS (SELECT gram, min(bucket) AS fb FROM g GROUP BY 1), "
+        "tot AS (SELECT bucket, count(*) AS n_grams FROM g GROUP BY 1), "
+        "new AS (SELECT fb AS bucket, count(*) AS n_new FROM fst GROUP BY 1) "
+        "SELECT bucket, n_grams, "
+        "CAST(coalesce(n_new, 0) AS BIGINT) AS n_new, "
+        "round(CAST(coalesce(n_new, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) "
+        "AS novelty FROM tot LEFT JOIN new USING (bucket) ORDER BY bucket"
+    ),
+    tags=("llm", "vocab", "profiling"),
+)
+def ngram_novelty_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content freshness over ingestion order: per decile, the
+    fraction of its distinct 3-grams never seen in an earlier decile.
+    A crawl whose novelty decays to ~0 has stopped adding content
+    (keep-crawling-or-stop input); a dedup regression shows up as a
+    novelty CLIFF. Term-level Heaps (`vocab_heaps_beta`) can stay
+    healthy while phrase-level novelty collapses — boilerplate reuses
+    old words in old orders — which is why both curves exist.
+
+    Scale shape: DISTINCT (bucket, gram) is one map-side-combined
+    exchange bounded by distinct-gram cardinality × 10; the first-seen
+    and per-bucket totals are two more key-bounded aggregates; the
+    final join is 10 rows a side. Same decimal/rounding convention as
+    the other vocab entries."""
+    docs = _with_decile(load_table(spark, sf_dir, "documents"))
+    g = _trigram_rows(docs, "bucket")
+    fst = g.groupBy("gram").agg(F.min("bucket").alias("bucket"))
+    tot = g.groupBy("bucket").agg(F.count("*").alias("n_grams"))
+    new = fst.groupBy("bucket").agg(F.count("*").alias("n_new"))
+    n_new = F.coalesce(F.col("n_new"), F.lit(0)).cast("long")
+    return (
+        tot.join(new, "bucket", "left")
+        .select(
+            "bucket",
+            "n_grams",
+            n_new.alias("n_new"),
+            F.round(
+                n_new.cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "source_overlap_jaccard",
+    oracle=(
+        "WITH g AS ("
+        + _TRIGRAM_SQL.format(key="source", src="documents")
+        + "), "
+        "sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1), "
+        "inter AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "count(*) AS n_inter FROM g a JOIN g b USING (gram) "
+        "WHERE a.source < b.source GROUP BY 1, 2) "
+        "SELECT src_a, src_b, n_inter, "
+        "round(CAST(n_inter AS DOUBLE) / "
+        "CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS jaccard "
+        "FROM inter JOIN sz sa ON sa.source = src_a "
+        "JOIN sz sb ON sb.source = src_b ORDER BY src_a, src_b"
+    ),
+    tags=("llm", "vocab", "dedup"),
+)
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source content overlap: Jaccard similarity of
+    each source pair's distinct 3-gram SETS. The set-overlap
+    complement of `mixture_js_divergence` (distribution shape): JSD
+    can be near zero while two sources literally mirror each other's
+    documents — this matrix is how a mixing run finds mirror/scraped
+    source pairs before weighting them as independent.
+
+    Scale shape: the posting self-join is keyed on the gram, and each
+    gram contributes at most (#sources carrying it)² pair rows —
+    bounded by the SOURCE cardinality (dozens), never the corpus; the
+    heavy lifting is the same DISTINCT (source, gram) exchange the
+    novelty curve uses. Output is |sources|²/2 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = _trigram_rows(docs, "source")
+    sz = g.groupBy("source").agg(F.count("*").alias("n"))
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
