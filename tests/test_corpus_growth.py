@@ -231,3 +231,54 @@ def test_source_overlap_matches_set_arithmetic(spark, tmp_root, corpus):
     for k, (n_i, jac) in want.items():
         assert got[k][0] == n_i
         assert abs(got[k][1] - jac) < 1e-9
+
+
+def _py_removal(texts: list[str]) -> dict[int, tuple[int, int, str]]:
+    """Reference keep-one span removal: group spans by exact text,
+    keep the (doc_id, start)-smallest occurrence, drop the rest."""
+    groups: dict[str, list[tuple[int, int, int]]] = {}
+    for d, s, e in _py_spans(texts):
+        tk = _py_tokens(texts[d])
+        groups.setdefault(" ".join(tk[s:e]), []).append((d, s, e))
+    rem: dict[int, list[tuple[int, int]]] = {}
+    for occ in groups.values():
+        occ.sort()
+        for d, s, e in occ[1:]:
+            rem.setdefault(d, []).append((s, e))
+    out = {}
+    for d, sps in rem.items():
+        tk = _py_tokens(texts[d])
+        drop = {i for s, e in sps for i in range(s, e)}
+        kept = [t for i, t in enumerate(tk) if i not in drop]
+        out[d] = (len(tk), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+@given(corpus=_CORPUS)
+@_SETTINGS
+def test_span_removal_matches_python_reference(spark, tmp_root, corpus):
+    rows = [(" ".join(ws), s) for ws, s in corpus]
+    path = _write_docs(spark, tmp_root, rows, next(_counter))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in CATALOG["dedup_dup_span_removal"].spark_fn(spark, path).collect()
+    }
+    assert got == _py_removal([t for t, _ in rows])
+
+
+def test_span_removal_keeps_canonical_copy(spark, tmp_root):
+    """Two identical docs: the later copy is removed entirely, the
+    canonical first copy is untouched (absent from the output). A doc
+    repeating its own 5-gram run keeps exactly one occurrence."""
+    body = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (body, "s1"),
+        (body, "s2"),
+        ("x1 y1 z1 w1 v1 x1 y1 z1 w1 v1", "s3"),
+    ]
+    path = _write_docs(spark, tmp_root, rows, next(_counter))
+    got = {
+        r.doc_id: (r.n_removed, r.clean_text)
+        for r in CATALOG["dedup_dup_span_removal"].spark_fn(spark, path).collect()
+    }
+    assert got == {1: (6, ""), 2: (5, "x1 y1 z1 w1 v1")}

@@ -154,6 +154,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "embedding_matryoshka_fidelity",
     "als_implicit_rank2_step",
     "dedup_dup_spans",
+    "dedup_dup_span_removal",
     "split_cluster_safe",
     "vocab_heaps_beta",
     "ngram_novelty_decile",

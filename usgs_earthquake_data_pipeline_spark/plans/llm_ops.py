@@ -2400,9 +2400,8 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (within-doc repeats count — self-duplication is duplication), and
     merge runs of adjacent duplicated positions into maximal spans via
     the pos − row_number() island trick. ``span_end`` is exclusive;
-    a span-removal rewrite drops tokens [span_start, span_end) keeping
-    the first occurrence (the removal itself is `substring`+`slice`
-    plumbing; the detection here is the hard/expensive part).
+    `dedup_dup_span_removal` below is the rewrite pass that consumes
+    these spans.
 
     Scale shape: the window explode is linear in corpus tokens (one
     row per token position — never quadratic); the gram aggregate is a
@@ -2418,6 +2417,13 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.trim(F.col("text")) != ""
     )
+    return _dup_span_frame(docs).orderBy("doc_id", "span_start")
+
+
+def _dup_span_frame(docs: DataFrame) -> DataFrame:
+    """Shared detection core for the span entries: (doc_id, span_start,
+    span_end, span_tokens) for every maximal duplicated 5-token run.
+    ``docs`` must already be filtered to non-blank text."""
     tk = T.tokens("text")
     n_win = F.greatest(F.size(tk) - 4, F.lit(0))
     grams = F.when(
@@ -2454,5 +2460,96 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("pos") + 5 - F.min("pos")).cast("long").alias("span_tokens"),
         )
         .drop("isl")
-        .orderBy("doc_id", "span_start")
     )
+
+
+# shared oracle CTE prefix: tokens -> stride-1 5-grams -> duplicated
+# positions -> maximal islands (mirrors _dup_span_frame)
+_SPAN_CTES = (
+    "t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk "
+    "FROM documents WHERE trim(text) <> ''), "
+    "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+    "concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]) AS gram "
+    "FROM t, unnest(range(0, greatest(len(tk) - 4, 0))) AS u(i)), "
+    "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1), "
+    "p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), "
+    "si AS (SELECT doc_id, pos, "
+    "pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl "
+    "FROM p), "
+    "spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e "
+    "FROM si GROUP BY doc_id, isl)"
+)
+
+
+@register(
+    "dedup_dup_span_removal",
+    oracle=(
+        "WITH " + _SPAN_CTES + ", "
+        "st AS (SELECT sp.doc_id, sp.s, sp.e, "
+        "array_to_string(t.tk[sp.s + 1 : sp.e], ' ') AS span_text "
+        "FROM spans sp JOIN t USING (doc_id)), "
+        "ranked AS (SELECT doc_id, s, e, row_number() OVER "
+        "(PARTITION BY span_text ORDER BY doc_id, s) AS rn FROM st), "
+        "rem AS (SELECT doc_id, list({'s': s, 'e': e}) AS sp "
+        "FROM ranked WHERE rn > 1 GROUP BY doc_id), "
+        "clean AS (SELECT t.doc_id, t.tk, list_transform(list_filter("
+        "range(0, len(t.tk)), i -> len(list_filter(r.sp, "
+        "x -> x.s <= i AND i < x.e)) = 0), i -> t.tk[i + 1]) AS kept "
+        "FROM t JOIN rem r USING (doc_id)) "
+        "SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
+        "CAST(len(tk) - len(kept) AS BIGINT) AS n_removed, "
+        "coalesce(array_to_string(kept, ' '), '') AS clean_text "
+        "FROM clean ORDER BY doc_id"
+    ),
+    tags=("llm", "dedup"),
+)
+def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite half of ExactSubstr dedup: drop every duplicated
+    span occurrence EXCEPT the corpus-wide canonical one (first by
+    (doc_id, span_start) per exact span text), re-emitting the cleaned
+    text for each affected document. Keep-one (not drop-all) is the
+    Lee et al. policy — the content survives exactly once in the
+    training set.
+
+    Scale shape: on top of the detection core's three key-bounded
+    exchanges, the rewrite adds one doc_id equi-join to fetch token
+    arrays, one window keyed on span TEXT (partition-bounded — each
+    duplicated run's occurrence list), and one doc_id aggregation of
+    span structs; the actual token removal is a pure codegen
+    filter-with-index over the token array — rows never explode to
+    token granularity on the Spark side (the oracle's unnest is
+    DuckDB-only). Docs with nothing to remove exit via the inner join,
+    so output size is bounded by affected docs."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    spans = _dup_span_frame(docs)
+    tkdf = docs.select("doc_id", T.tokens("text").alias("tk"))
+    st = spans.join(tkdf, "doc_id").select(
+        "doc_id",
+        F.col("span_start").alias("s"),
+        F.col("span_end").alias("e"),
+        F.concat_ws(
+            " ", F.slice("tk", F.col("span_start") + 1, F.col("span_tokens"))
+        ).alias("span_text"),
+    )
+    w = Window.partitionBy("span_text").orderBy("doc_id", "s")
+    rem = (
+        st.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("sp"))
+    )
+    cleaned = tkdf.join(rem, "doc_id")
+    kept = F.filter(
+        F.col("tk"),
+        lambda t, i: ~F.exists(
+            F.col("sp"), lambda x: (x["s"] <= i) & (i < x["e"])
+        ),
+    )
+    return cleaned.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        (F.size("tk") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    ).orderBy("doc_id")
