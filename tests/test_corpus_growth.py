@@ -282,3 +282,40 @@ def test_span_removal_keeps_canonical_copy(spark, tmp_root):
         for r in CATALOG["dedup_dup_span_removal"].spark_fn(spark, path).collect()
     }
     assert got == {1: (6, ""), 2: (5, "x1 y1 z1 w1 v1")}
+
+
+def test_sq8_quantization_error_certificate(spark, tmp_root):
+    """SQ8 certificate against numpy: per-dim min/max ranges, codes
+    floor(x*255/range + 0.5), and every vector's error within half a
+    step. Constructed vectors include exact range endpoints (code 0
+    and 255 => zero error) and a constant dimension (denom == 0)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-2, 3, size=(30, 64)).astype(np.float32)
+    vecs[:, 5] = 1.25  # constant dim: denom == 0 path
+    vecs[0, 0] = -4.0  # forced endpoints on dim 0
+    vecs[1, 0] = 6.0
+    path = str(tmp_root / "sq8")
+    spark.createDataFrame(
+        [(i, [float(v) for v in row], 0) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+    rows = (
+        CATALOG["embedding_sq8_error_checked"].spark_fn(spark, path).collect()
+    )
+    assert len(rows) == 30
+    x = vecs.astype(np.float64)
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    denom = mx - mn
+    safe = np.where(denom == 0, 1.0, denom)
+    code = np.clip(np.floor((x - mn) * 255.0 / safe + 0.5), 0, 255)
+    code[:, denom == 0] = 0.0
+    err = np.round(np.abs(x - (mn + code * denom / 255.0)), 9)
+    for r in rows:
+        assert r.within_bound, r
+        assert abs(r.mean_abs_err - round(err[r.vec_id].sum() / 64.0, 6)) <= 1e-6
+        assert abs(r.max_abs_err - round(err[r.vec_id].max(), 6)) <= 1e-6
+    # endpoint vectors quantize dim 0 exactly
+    assert err[0, 0] == 0.0 and err[1, 0] == 0.0

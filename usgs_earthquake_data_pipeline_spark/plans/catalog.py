@@ -112,17 +112,18 @@ def register(
 # `list(query_map())[:50]` / `[50:]` before planning the next
 # rotation (this comment block has gone stale twice before).
 #
-# Round-8 queue (computed at r7 close via latest-round-per-entry over
-# CORRECTNESS_r01..r06 + the r7 window = first 50 of query_map()):
-# the 26 r7 tier-1 insertions evicted the whole r3-era tail past slot
-# 50, so r8 tier 2 should lead with that cohort — pandas_grouped_mad,
-# percentile_quantity, pivot_event_counts, q4/q8/q9/q11/q13-q22,
-# salted_aggregate_by_type, sample_hash_10pct,
-# sample_stratified_events, string_funcs_customers, text_redact_pii,
-# text_repetition_gopher, window_analytics_suite,
-# window_rolling_revenue (all last driver-checked r3) — then the
-# r4-era cohort. Re-run the staleness computation against the actual
-# CORRECTNESS_r07.json before trusting this list.
+# Round-8 queue (recomputed after the late-r7 tier-1 growth to 34
+# names — latest-round-per-entry over CORRECTNESS_r01..r06, entries
+# now outside the 50-slot window, stalest first): r8 tier 2 leads
+# with the r3-era cohort — dedup_jaccard_prefix, dedup_normalized_
+# text, dedup_repeated_chunks, geojson_flatten, join_salted_skew,
+# mixture_downsample_uniform, pandas_grouped_mad, percentile_
+# quantity, pivot_event_counts, q4/q8/q9/q11/q13-q22, salted_
+# aggregate_by_type, sample_hash_10pct, sample_stratified_events,
+# string_funcs_customers, text_redact_pii, text_repetition_gopher,
+# window_analytics_suite — then the r4-era cohort. Re-run the
+# staleness computation against the actual CORRECTNESS_r07.json
+# before trusting this list.
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: new round-7 entries, never driver-checked ------------
     "bloom_prefilter_semi_join",
@@ -159,6 +160,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "vocab_heaps_beta",
     "ngram_novelty_decile",
     "source_overlap_jaccard",
+    "embedding_sq8_error_checked",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

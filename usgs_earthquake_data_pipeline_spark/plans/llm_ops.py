@@ -2553,3 +2553,104 @@ def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("tk") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     ).orderBy("doc_id")
+
+
+@register(
+    "embedding_sq8_error_checked",
+    oracle=(
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "ex AS (SELECT vec_id, i, v[i] AS x FROM e, range(1, 65) t(i)), "
+        "mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1), "
+        "q AS (SELECT vec_id, x, mn, mx, mx - mn AS denom, "
+        "CASE WHEN mx - mn = 0 THEN 0.0 ELSE "
+        "greatest(least(floor((x - mn) * 255.0 / (mx - mn) + 0.5), 255.0), 0.0) "
+        "END AS code FROM ex JOIN mm USING (i)), "
+        "er AS (SELECT vec_id, "
+        "round(abs(x - (mn + code * denom / 255.0)), 9) AS err, denom FROM q), "
+        "agg AS (SELECT vec_id, "
+        "CAST(SUM(CAST(err AS DECIMAL(28,9))) AS DOUBLE) AS s, "
+        "max(err) AS mx_err, "
+        "bool_and(err <= denom / 510.0 + 1e-9) AS within_bound "
+        "FROM er GROUP BY 1) "
+        "SELECT vec_id, round(s / 64.0, 6) AS mean_abs_err, "
+        "round(mx_err, 6) AS max_abs_err, within_bound "
+        "FROM agg ORDER BY vec_id"
+    ),
+    tags=("llm", "similarity", "checked"),
+)
+def embedding_sq8_error_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus with a
+    per-vector reconstruction-error certificate: per-dimension global
+    [min, max] ranges, 8-bit codes via floor(x·255/range + ½) (ties
+    resolved by the SAME IEEE expression in both engines — no
+    engine-native round()), and the checked contract that every
+    dimension's reconstruction error is within half a quantization
+    step (+1e-9 float slack). This is the storage-shrink eval an
+    embedding pipeline runs before switching ANN search to SQ8 codes
+    (4× smaller than float32), exactly like `ann_pq_adc_checked`
+    certifies the PQ codebook path and `embedding_matryoshka_fidelity`
+    certifies prefix truncation.
+
+    Scale shape: the range pass is ONE wide aggregate (128 min/max
+    expressions, map-side combined — never an explode); the 128
+    resulting doubles broadcast back as literals, so
+    quantize + reconstruct + error is a pure codegen transform over
+    the vector array with zero additional shuffles. Per-vector error
+    terms are rounded to 9 dp and folded as DECIMAL in array-index
+    order (exact, so the oracle's unordered SUM agrees); the final
+    mean/max round to 6 dp. The oracle's per-dim unnest/join
+    formulation is DuckDB-only — the Spark side never leaves the
+    array representation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def x(i: int):
+        return F.element_at(F.col("embedding"), i).cast("double")
+
+    stats = emb.agg(
+        *[F.min(x(i)).alias(f"mn{i}") for i in range(1, 65)],
+        *[F.max(x(i)).alias(f"mx{i}") for i in range(1, 65)],
+    ).collect()[0]
+    mns = F.array(*[F.lit(float(stats[f"mn{i}"])) for i in range(1, 65)])
+    mxs = F.array(*[F.lit(float(stats[f"mx{i}"])) for i in range(1, 65)])
+
+    idx = F.sequence(F.lit(1), F.lit(64))
+
+    def xv(i):
+        return F.element_at(F.col("embedding"), i).cast("double")
+
+    def mn(i):
+        return F.element_at(mns, i)
+
+    def denom(i):
+        return F.element_at(mxs, i) - mn(i)
+
+    def err(i):
+        code = F.when(denom(i) == 0, F.lit(0.0)).otherwise(
+            F.greatest(
+                F.least(
+                    F.floor(
+                        (xv(i) - mn(i)) * F.lit(255.0) / denom(i) + F.lit(0.5)
+                    ).cast("double"),
+                    F.lit(255.0),
+                ),
+                F.lit(0.0),
+            )
+        )
+        return F.round(F.abs(xv(i) - (mn(i) + code * denom(i) / F.lit(255.0))), 9)
+
+    errs = F.transform(idx, err)
+    s = F.aggregate(
+        errs,
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, v: (acc + v.cast("decimal(28,9)")).cast("decimal(28,9)"),
+    ).cast("double")
+    within = F.forall(
+        idx, lambda i: err(i) <= denom(i) / F.lit(510.0) + F.lit(1e-9)
+    )
+    return emb.select(
+        "vec_id",
+        F.round(s / F.lit(64.0), 6).alias("mean_abs_err"),
+        F.round(F.array_max(errs), 6).alias("max_abs_err"),
+        within.alias("within_bound"),
+    ).orderBy("vec_id")
