@@ -495,3 +495,43 @@ def test_dynamic_partition_pruning_on_partitioned_join(spark, sf_dir, tmp_path):
     joined = fact.join(dim, "event_type").groupBy("event_type").count()
     plan = joined._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_dup_spans_plan_shape(spark, sf_dir):
+    """Span detection must stay key-bounded: the gram aggregate and
+    the per-doc island window are the only hash exchanges (the
+    duplicated-gram join-back broadcasts at test scale — AQE flips it
+    to a shuffle join when the dup set outgrows the threshold), and
+    the stride-1 window explode must never become a cartesian."""
+    plan = _plan(CATALOG["dedup_dup_spans"].spark_fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq8_is_pure_projection(spark, sf_dir):
+    """The SQ8 certificate's range pass runs at entry construction
+    (one wide agg, collected); the returned plan must be scan →
+    codegen projection → sort — zero joins, zero aggregates, zero
+    hash exchanges at query time."""
+    plan = _plan(CATALOG["embedding_sq8_error_checked"].spark_fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_source_overlap_posting_join_is_hash_keyed(spark, sf_dir):
+    """The pairwise source-overlap self-join must meet on the gram
+    key (hash or broadcast), never via nested-loop over text."""
+    plan = _plan(CATALOG["source_overlap_jaccard"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heaps_curve_lineage_is_truncated(spark, sf_dir):
+    """vocab_heaps_beta's 10-row curve feeds two consumers; the
+    localCheckpoint must keep the corpus token explode out of the
+    final plan (no Generate downstream of the checkpoint)."""
+    plan = _plan(CATALOG["vocab_heaps_beta"].spark_fn(spark, sf_dir))
+    assert "Generate" not in plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan

@@ -809,6 +809,12 @@ def vocab_heaps_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cum_vocab"),
         )
+        # the curve is <= 10 rows but feeds TWO consumers (the OLS sums
+        # and the output projection); without truncating lineage each
+        # consumer replays the full corpus token explode — 4 scans
+        # instead of 2 at 100 TB. localCheckpoint materializes the 10
+        # rows once.
+        .localCheckpoint()
     )
     xy = curve.select(
         F.round(F.log(F.col("cum_tokens").cast("double")), 9).alias("x"),
