@@ -319,3 +319,49 @@ def test_sq8_quantization_error_certificate(spark, tmp_root):
         assert abs(r.max_abs_err - round(err[r.vec_id].max(), 6)) <= 1e-6
     # endpoint vectors quantize dim 0 exactly
     assert err[0, 0] == 0.0 and err[1, 0] == 0.0
+
+
+def test_threshold_sweep_consistent_with_single_threshold(spark, sf_dir):
+    """The sweep's cumulative count at bin 7 must equal the number of
+    pairs the single-threshold t=0.7 operator finds, and the bin-3
+    cumulative must equal the t=0.3 headline entry's row count — the
+    curve and its point evaluations are the same measurement."""
+    rows = {
+        r.bin: r
+        for r in CATALOG["dedup_jaccard_threshold_sweep"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert rows, "sweep found no pairs at sf0.001 — corpus has dups"
+    total_03 = CATALOG["dedup_ngram_jaccard"].spark_fn(spark, sf_dir).count()
+    cum_at_3 = sum(r.n_pairs for b, r in rows.items() if b >= 3)
+    assert cum_at_3 == total_03
+    min_bin = min(rows)
+    for b, r in rows.items():
+        assert 1 <= b <= 10
+        assert abs(r.jaccard_lo - b / 10.0) < 1e-12
+    # cumulative is a suffix sum: decreasing in bin, consistent totals
+    bins = sorted(rows)
+    for lo, hi in zip(bins, bins[1:]):
+        assert rows[lo].n_pairs_at_or_above >= rows[hi].n_pairs_at_or_above
+    assert sum(r.n_pairs for r in rows.values()) == rows[min_bin].n_pairs_at_or_above
+
+
+def test_quality_median_calibration_identities(spark, sf_dir):
+    """calibration_gap must be median_logit minus ONE shared reference,
+    and that reference must be the lower median of the source medians;
+    every source present, doc counts conserved."""
+    rows = CATALOG["quality_median_by_source"].spark_fn(spark, sf_dir).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    n_docs, n_src = con.execute(
+        f"SELECT count(*), count(DISTINCT source) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    assert len(rows) == n_src
+    assert sum(r.n_docs for r in rows) == n_docs
+    refs = {round(r.median_logit - r.calibration_gap, 6) for r in rows}
+    assert len(refs) == 1  # one shared reference
+    meds = sorted((r.median_logit, r.source) for r in rows)
+    want_ref = meds[(len(meds) + 1) // 2 - 1][0]
+    assert abs(refs.pop() - round(want_ref, 6)) <= 1e-9

@@ -727,3 +727,76 @@ def sketch_histogram_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  FROM __histchk_ev GROUP BY event_type) "
         "ORDER BY event_type"
     )
+
+
+@register(
+    "quality_median_by_source",
+    oracle=(
+        "WITH s AS (SELECT source, doc_id, "
+        f"{T.quality_clf_logit_sql('text')} AS score FROM documents), "
+        "r AS (SELECT source, doc_id, score, "
+        "row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY source) AS n FROM s), "
+        "med AS (SELECT source, n AS n_docs, score AS m FROM r "
+        "WHERE rn = (n + 1) // 2), "
+        "ref AS (SELECT m AS ref FROM (SELECT m, source, "
+        "row_number() OVER (ORDER BY m, source) AS rk, "
+        "count(*) OVER () AS k FROM med) WHERE rk = (k + 1) // 2) "
+        "SELECT source, n_docs, CAST(m AS DOUBLE) AS median_logit, "
+        "CAST(m - ref AS DOUBLE) AS calibration_gap "
+        "FROM med, ref ORDER BY source"
+    ),
+    tags=("llm", "text", "pipeline"),
+)
+def quality_median_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: the exact (lower) median
+    classifier logit of each source, and its gap to the median of
+    source medians. A source whose gap is strongly negative is being
+    scored systematically lower than its peers — the signal that the
+    quality cut needs per-source calibration before it silently
+    deletes an entire source (the classic fastText-filter failure on
+    out-of-domain-but-good text).
+
+    Determinism: the median is picked by row_number over the exact
+    DECIMAL score with doc_id tie-break — no percentile interpolation,
+    no floats until the final cast, so the gap is decimal-exact
+    cross-engine. Scale shape: one window per source partition
+    (rank + count in a single pass), then the \\|sources\\|-row median
+    table feeds a bounded window for the reference; the corpus shuffles
+    exactly once, on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "source", "doc_id", T.quality_clf_logit("text").alias("score")
+    )
+    wsrc = Window.partitionBy("source").orderBy("score", "doc_id")
+    r = s.select(
+        "source",
+        "score",
+        F.row_number().over(wsrc).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "source", F.col("n").alias("n_docs"), F.col("score").alias("m")
+    )
+    wref = Window.orderBy("m", "source")
+    ref = (
+        med.select(
+            "m",
+            F.row_number().over(wref).alias("rk"),
+            F.count("*").over(
+                Window.partitionBy()
+            ).alias("k"),
+        )
+        .filter(F.col("rk") == F.expr("(k + 1) div 2"))
+        .select(F.col("m").alias("ref"))
+    )
+    return (
+        med.crossJoin(F.broadcast(ref))
+        .select(
+            "source",
+            "n_docs",
+            F.col("m").cast("double").alias("median_logit"),
+            (F.col("m") - F.col("ref")).cast("double").alias("calibration_gap"),
+        )
+        .orderBy("source")
+    )

@@ -2654,3 +2654,87 @@ def embedding_sq8_error_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(errs), 6).alias("max_abs_err"),
         within.alias("within_bound"),
     ).orderBy("vec_id")
+
+
+@register(
+    "dedup_jaccard_threshold_sweep",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+        "  FROM documents), "
+        "sh AS ("
+        "  SELECT doc_id, list_distinct(list_transform("
+        "    generate_series(1, greatest(len(t) - 2, 0)),"
+        "    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams"
+        "  FROM toks), "
+        "sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh WHERE len(grams) > 0), "
+        "posting AS (SELECT doc_id, unnest(grams) AS shingle FROM sh), "
+        "inter AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+        "  FROM posting a JOIN posting b USING (shingle)"
+        "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT (10 * n_inter) // "
+        "(sa.n_sh + sb.n_sh - n_inter) AS bin FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE 10 * n_inter >= (sa.n_sh + sb.n_sh - n_inter)), "
+        "hist AS (SELECT bin, count(*) AS n_pairs FROM pairs GROUP BY 1) "
+        "SELECT bin, CAST(bin AS DOUBLE) / 10.0 AS jaccard_lo, n_pairs, "
+        "CAST(SUM(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT) "
+        "AS n_pairs_at_or_above FROM hist ORDER BY bin"
+    ),
+    tags=("llm", "dedup", "profiling"),
+)
+def dedup_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OPERATING CURVE: how many near-dup pairs each Jaccard
+    threshold would surface, as a histogram over 0.1-wide bins from
+    0.1 up (bin 10 = exact-duplicate shingle sets) plus the cumulative
+    pairs-at-or-above count. This is the number a dedup run consults
+    to pick its threshold — the marginal pair volume between 0.7 and
+    0.8 is the cost/recall trade made explicit — and it prices the
+    whole curve with ONE pass of the same inverted-posting plan the
+    single-threshold entry pays for one point. The floor sits at 0.1
+    (not 0): bin 0 is the incidental any-shared-shingle mass (~1.1M
+    pairs at sf0.1 vs 260 real candidates) that no threshold choice
+    would ever consult.
+
+    Determinism: binning is pure integer arithmetic ((10·|∩|) div
+    |∪|, floor test 10·|∩| ≥ |∪|) — no float round near bin edges on
+    either engine. Scale shape: identical to `dedup_ngram_jaccard`
+    (posting self-join quadratic only within identical shingles) with
+    the pair table collapsing to ≤10 histogram rows before any
+    further work; the cumulative window runs over those rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = D.hashed_shingle_sets(docs, "doc_id", "text", 3)
+    posting = sets.select("id", F.explode("hs").alias("shingle"))
+    sizes = sets.select("id", F.size("hs").alias("n_sh"))
+    a = posting.select(F.col("id").alias("id_a"), "shingle")
+    b = posting.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    pairs = (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .filter(10 * F.col("n_inter") >= union)
+        .select(F.expr("(10 * n_inter) div (n_a + n_b - n_inter)").alias("bin"))
+    )
+    hist = pairs.groupBy("bin").agg(F.count("*").alias("n_pairs"))
+    wcum = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        "bin",
+        (F.col("bin").cast("double") / F.lit(10.0)).alias("jaccard_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(wcum).cast("long").alias("n_pairs_at_or_above"),
+    ).orderBy("bin")
