@@ -365,3 +365,33 @@ def test_quality_median_calibration_identities(spark, sf_dir):
     meds = sorted((r.median_logit, r.source) for r in rows)
     want_ref = meds[(len(meds) + 1) // 2 - 1][0]
     assert abs(refs.pop() - round(want_ref, 6)) <= 1e-9
+
+
+def test_split_contamination_constructed(spark, tmp_root):
+    """Constructed corpus: doc_ids picked so the hash split puts one
+    copy of a shared 5-gram run in train and one in each held-out
+    split; a fully-unique eval doc stays clean."""
+    from usgs_earthquake_data_pipeline_spark.plans.sampling import hash_bucket
+
+    # find doc ids landing in each split under the real hash
+    buckets = {}
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    for r in df.select("doc_id", hash_bucket("doc_id").alias("b")).collect():
+        split = "train" if r.b < 80 else ("val" if r.b < 90 else "test")
+        buckets.setdefault(split, []).append(r.doc_id)
+    shared = "s1 s2 s3 s4 s5 filler words here"
+    rows = []
+    rows.append((buckets["train"][0], shared))
+    rows.append((buckets["val"][0], shared))                 # contaminated
+    rows.append((buckets["val"][1], "clean v1 v2 v3 v4 v5 v6"))  # clean
+    rows.append((buckets["test"][0], shared))                # contaminated
+    path = str(tmp_root / "contam")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    out = {
+        r.split: (r.n_docs, r.n_contaminated, r.contamination_pct)
+        for r in CATALOG["split_contamination_report"].spark_fn(spark, path).collect()
+    }
+    assert out == {"val": (2, 1, 0.5), "test": (1, 1, 1.0)}

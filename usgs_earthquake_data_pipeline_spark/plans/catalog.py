@@ -163,6 +163,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "embedding_sq8_error_checked",
     "dedup_jaccard_threshold_sweep",
     "quality_median_by_source",
+    "split_contamination_report",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -425,3 +425,83 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(straddle))
         .orderBy("split")
     )
+
+
+@register(
+    "split_contamination_report",
+    oracle=(
+        "WITH b AS (SELECT doc_id, text, "
+        f"CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train' "
+        f"WHEN {_bucket_sql('doc_id')} < 90 THEN 'val' ELSE 'test' END "
+        "AS split FROM documents), "
+        "g AS (SELECT split, doc_id, unnest(list_distinct(list_transform("
+        "generate_series(1, greatest(len(tk) - 4, 0)), "
+        "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])))) "
+        "AS gram FROM (SELECT split, doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS tk FROM b "
+        "WHERE trim(text) <> '') t), "
+        "tg AS (SELECT DISTINCT gram FROM g WHERE split = 'train'), "
+        "hit AS (SELECT DISTINCT g.split, g.doc_id FROM g "
+        "JOIN tg USING (gram) WHERE g.split <> 'train'), "
+        "tot AS (SELECT split, count(*) AS n_docs FROM b "
+        "WHERE split <> 'train' GROUP BY 1), "
+        "h AS (SELECT split, count(*) AS n_contaminated FROM hit GROUP BY 1) "
+        "SELECT t.split, t.n_docs, "
+        "CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated, "
+        "round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / "
+        "CAST(t.n_docs AS DOUBLE), 6) AS contamination_pct "
+        "FROM tot t LEFT JOIN h USING (split) ORDER BY t.split"
+    ),
+    tags=("llm", "sampling", "dedup"),
+)
+def split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit of the hash split: for each held-out split,
+    how many documents share at least one verbatim 5-gram with ANY
+    train document, and the contaminated fraction. This is the number
+    that says whether the per-doc hash split (which `split_cluster_
+    safe` fixes only for verbatim copies) is leaking eval content at
+    the SUBSTRING level — the same 5-token granularity the
+    `dedup_dup_spans` detector uses, applied across the split
+    boundary like `decontaminate_substring` applies it against an
+    external benchmark.
+
+    Scale shape: one explode of per-doc DISTINCT 5-grams (codegen —
+    `operators/dedup.shingles`); the train-gram DISTINCT aggregate is
+    the only corpus-sized exchange; eval grams meet it via one
+    equi-join on the gram (AQE broadcast at toy scale); everything
+    after is ≤2-row arithmetic."""
+    from ..operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id")
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    b = docs.select("doc_id", "text", split.alias("split"))
+    g = b.filter(F.trim(F.col("text")) != "").select(
+        "split", "doc_id", F.explode(shingles("text", 5)).alias("gram")
+    )
+    tg = g.filter(F.col("split") == "train").select("gram").distinct()
+    hit = (
+        g.filter(F.col("split") != "train")
+        .join(tg, "gram")
+        .select("split", "doc_id")
+        .distinct()
+    )
+    tot = b.filter(F.col("split") != "train").groupBy("split").agg(
+        F.count("*").alias("n_docs")
+    )
+    h = hit.groupBy("split").agg(F.count("*").alias("n_contaminated"))
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
+    return (
+        tot.join(h, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            n_cont.alias("n_contaminated"),
+            F.round(
+                n_cont.cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("contamination_pct"),
+        )
+        .orderBy("split")
+    )
