@@ -2392,6 +2392,7 @@ def als_implicit_rank2_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_tokens "
         "FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start"
     ),
+    headline=True,  # data-dominated ExactSubstr scale path (round 7)
     tags=("llm", "dedup"),
 )
 def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2423,24 +2424,28 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dup_span_frame(docs: DataFrame) -> DataFrame:
     """Shared detection core for the span entries: (doc_id, span_start,
     span_end, span_tokens) for every maximal duplicated 5-token run.
-    ``docs`` must already be filtered to non-blank text."""
-    tk = T.tokens("text")
+    ``docs`` must already be filtered to non-blank text.
+
+    Performance shape (measured at sf0.1): tokens MUST be projected to
+    a column before the window transform — higher-order lambdas
+    evaluate interpreted with no subexpression elimination, so an
+    inline tokens() re-runs the regex split once PER WINDOW (25 s →
+    0.7 s for the explode). Grams travel as xxhash64 longs, not
+    strings: the dup aggregate and join-back key on 8 bytes (equality
+    over hashed grams = string equality up to xxhash64 collisions —
+    the same convention as `hashed_shingle_sets`, and the oracle gate
+    would surface a collision as a hash mismatch)."""
+    base = docs.select("doc_id", T.tokens("text").alias("tk"))
+    tk = F.col("tk")
     n_win = F.greatest(F.size(tk) - 4, F.lit(0))
     grams = F.when(
         n_win > 0,
         F.transform(
             F.sequence(F.lit(0), n_win - 1),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(tk, i + 1),
-                F.element_at(tk, i + 2),
-                F.element_at(tk, i + 3),
-                F.element_at(tk, i + 4),
-                F.element_at(tk, i + 5),
-            ),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i + 1, 5))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = docs.select(
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = base.select(
         "doc_id", F.posexplode(grams).alias("pos_i", "gram")
     ).select("doc_id", F.col("pos_i").cast("long").alias("pos"), "gram")
     dup = (
