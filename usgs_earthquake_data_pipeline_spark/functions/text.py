@@ -179,11 +179,18 @@ def quality_clf_logit(col: Column | str) -> Column:
     def bucket_eq(j: int):
         return lambda t: F.least(F.length(t), F.lit(QUALITY_CLF_DIM)) == j
 
-    logit: Column = F.lit(QUALITY_CLF_BIAS).cast("decimal(12,6)")
-    for j, w in enumerate(QUALITY_CLF_WEIGHTS, start=1):
-        cnt = F.size(F.filter(toks, bucket_eq(j))).cast("long")
-        logit = logit + F.lit(w).cast("decimal(12,6)") * cnt
-    return logit
+    # let-bind the token array so the 16 interpreted filter passes
+    # each read an evaluated value — a directly captured tokens(col)
+    # re-runs the regex split once per bucket (16 splits/row; see
+    # operators/dedup.shingles for the pattern)
+    def bound(tk: Column) -> Column:
+        logit: Column = F.lit(QUALITY_CLF_BIAS).cast("decimal(12,6)")
+        for j, w in enumerate(QUALITY_CLF_WEIGHTS, start=1):
+            cnt = F.size(F.filter(tk, bucket_eq(j))).cast("long")
+            logit = logit + F.lit(w).cast("decimal(12,6)") * cnt
+        return logit
+
+    return F.element_at(F.transform(F.array(toks), bound), 1)
 
 
 def quality_clf_logit_sql(text_expr: str = "text") -> str:
@@ -248,18 +255,24 @@ def word_ngrams(col: Column | str, n: int = 2) -> Column:
     one ``transform`` over an index ``sequence`` — no explode, no
     shuffle, so repetition stats pipeline with the scan."""
     toks = tokens(col)
-    # stop clamped to >=1 so the sequence never runs descending; the
-    # outer when() discards the junk gram it produces for short texts.
-    stop = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), stop),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    # let-bind the token array through a single-element transform so
+    # the interpreted window lambda slices an evaluated VALUE instead
+    # of re-running the split per window (see operators/dedup.shingles
+    # for the measured 5x)
+    def bound(tk: Column) -> Column:
+        # stop clamped to >=1 so the sequence never runs descending;
+        # the outer when() discards the junk gram for short texts.
+        stop = F.greatest(F.size(tk) - (n - 1), F.lit(1))
+        grams = F.transform(
+            F.sequence(F.lit(1), stop),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        )
+        return F.when(F.size(tk) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(toks), bound), 1)
 
 
 def duplicate_fraction(arr: Column) -> Column:
@@ -323,19 +336,27 @@ def hashed_bow(col: Column | str, dim: int = 16) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(c)
-    signed = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: F.aggregate(
-            toks,
-            F.lit(0.0),
-            lambda acc, t: acc
-            + F.when(
-                F.pmod(F.xxhash64(t), F.lit(dim)) == d,
-                F.when(F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0, 1.0)
-                .otherwise(-1.0),
-            ).otherwise(0.0),
-        ),
-    )
+
+    # let-bind the token array (single-element outer transform) so the
+    # per-dimension folds walk an evaluated value instead of
+    # re-splitting the text once per dimension (dim x split otherwise;
+    # see operators/dedup.shingles)
+    def bound(tk: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.aggregate(
+                tk,
+                F.lit(0.0),
+                lambda acc, t: acc
+                + F.when(
+                    F.pmod(F.xxhash64(t), F.lit(dim)) == d,
+                    F.when(F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0, 1.0)
+                    .otherwise(-1.0),
+                ).otherwise(0.0),
+            ),
+        )
+
+    signed = F.element_at(F.transform(F.array(toks), bound), 1)
     norm = F.sqrt(
         F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v * v)
     )

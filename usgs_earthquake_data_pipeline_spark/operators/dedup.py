@@ -110,17 +110,29 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word ``n``-gram shingles of a text column.
 
     Pure expression: split → sliding window via transform(sequence) →
-    array_distinct. Executes inside codegen alongside the scan.
-    """
+    array_distinct — no explode, no shuffle.
+
+    The token array is LET-BOUND via a single-element outer transform
+    (``transform(array(tokens), tk -> ...)``): higher-order lambdas
+    evaluate interpreted with no common-subexpression elimination, so
+    a directly captured ``tokens(col)`` re-runs the regex split once
+    per window position — 2.8 s vs 0.5 s at sf0.1 for this one
+    expression. A lambda VARIABLE is an evaluated value, so binding
+    the array once makes every window slice O(n) instead of
+    O(split + n)."""
     toks = tokens(col)
-    k = F.size(toks)
-    grams = F.when(k < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+
+    def bound(tk: Column) -> Column:
+        k = F.size(tk)
+        grams = F.when(k < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            )
         )
-    )
-    return F.array_distinct(grams)
+        return F.array_distinct(grams)
+
+    return F.element_at(F.transform(F.array(toks), bound), 1)
 
 
 def shingle_hashes(shingle_col: Column) -> Column:

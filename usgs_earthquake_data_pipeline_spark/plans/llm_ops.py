@@ -712,19 +712,20 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg collapses within-partition repeats, so exchange volume is
     bounded by distinct-chunk cardinality — not corpus size. Top-100
     by occurrence with a total deterministic tie-break."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
+    # tokens projected before the window lambda + slice-based chunk:
+    # a captured inline tokens() re-runs the split per chunk inside
+    # the interpreted HOF (the _dup_span_frame lesson, 3.1 s -> sub-s
+    # at sf0.1)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens("text").alias("tk")
+    )
+    toks = F.col("tk")
     n_chunks = F.floor(F.size(toks) / F.lit(3)).cast("int")
     chunks = F.when(
         n_chunks > 0,
         F.transform(
             F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i * 3 + 1),
-                F.element_at(toks, i * 3 + 2),
-                F.element_at(toks, i * 3 + 3),
-            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 3 + 1, 3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
