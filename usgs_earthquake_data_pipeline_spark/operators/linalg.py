@@ -138,3 +138,27 @@ def project_component(vec_col: Column | str, component) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def jl_sign_matrix(
+    d: int, k: int, seed: str = "usgs-jl"
+) -> list[list[float]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix as
+    ``k`` sign columns of length ``d`` (Achlioptas 2003: Rademacher
+    entries satisfy the JL lemma with the same guarantees as
+    Gaussian ones, database-friendly because projection is just
+    signed addition).  Entries come from a counter hash — no RNG
+    state, identical on every executor/run/engine, embeddable as SQL
+    literals (the same reproducibility device as the LSH hyperplanes
+    and the DP noise seeds)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}-{i}-{j}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]

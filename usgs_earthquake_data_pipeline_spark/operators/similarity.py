@@ -510,3 +510,72 @@ def semantic_dedup(
         drop_in_cluster, "id long, list_id int"
     )
     return survivors.select(F.col("id").alias(id_col), "list_id")
+
+
+def mutual_knn_edges(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Mutual k-NN graph over an embedding set: directed cosine top-k
+    per node, kept only where BOTH endpoints rank each other — the
+    symmetric neighborhood graph that seeds NN-descent, agglomerative
+    near-dup clustering, and manifold methods (UMAP's first stage).
+    Mutuality is the standard cheap filter against hub nodes: a hub
+    that everyone ranks (but that ranks almost nobody back) loses its
+    spurious edges without any degree heuristic.
+
+    Determinism: ranking is by cosine ROUNDED to 6 dp with the
+    neighbor id as tiebreak (the ANN-family convention), so the top-k
+    set — and therefore the mutual edge set — is reproducible across
+    engines.  Returns canonical (src < dst) edges with the rank each
+    endpoint gave the other.
+
+    Scale shape: the quadratic candidate step here is an explicit
+    broadcast nested-loop — correct ONLY because callers pass a
+    bounded node set (a cluster, a bucket, a sampled probe set; the
+    catalog entry filters to a hash subset).  At corpus scale the
+    candidate generator swaps for the LSH bucket join (``lsh_topk``)
+    or IVF lists — the window rank, mutual self-join, and
+    canonicalization below are unchanged, which is exactly why they
+    live behind this one function.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("src"), _as_double(F.col(vec_col)).alias("va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("dst"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+    sims = pairs.select(
+        "src",
+        "dst",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("sim").desc(), F.col("dst")
+    )
+    topk = (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", "sim", "rnk")
+    )
+    rev = topk.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("rnk").alias("rnk_back"),
+    )
+    return (
+        topk.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            "sim",
+            F.col("rnk").cast("long").alias("rank_fwd"),
+            F.col("rnk_back").cast("long").alias("rank_back"),
+        )
+        .orderBy("src", "dst")
+    )

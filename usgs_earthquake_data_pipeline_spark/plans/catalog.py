@@ -126,6 +126,10 @@ def register(
 # before trusting this list.
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: new round-7 entries, never driver-checked ------------
+    "rag_maxsim_topk",
+    "knn_graph_mutual",
+    "embedding_jl_distortion_checked",
+    "feature_woe_value_bins",
     "bloom_prefilter_semi_join",
     "pearson_quantity_price",
     "bpe_merge_pairs_top",

@@ -2744,3 +2744,228 @@ def dedup_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_pairs",
         F.sum("n_pairs").over(wcum).cast("long").alias("n_pairs_at_or_above"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: late-interaction retrieval, mutual k-NN graph,
+# JL projection certification
+# ---------------------------------------------------------------------------
+
+
+def _maxsim_oracle(m: int = 8, sub: int = 8, k: int = 10) -> str:
+    """DuckDB oracle for ``rag_maxsim_topk``: the m x m slot-dot grid
+    written out term-by-term with the SAME arithmetic order as the
+    Spark plan — each dot is a left-fold over ``sub`` products
+    (list_sum(list_transform(range, ...)), the proven sequential-fold
+    mirror), per-query-slot maxima via GREATEST, slot maxima summed
+    left-associatively, rounded 6 dp before ranking."""
+
+    def dotm(i: int, j: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"t -> qe[t + {i * sub}] * ce[t + {j * sub}]))"
+        )
+
+    per_q = [
+        "greatest(" + ", ".join(dotm(i, j) for j in range(m)) + ")"
+        for i in range(m)
+    ]
+    score = " + ".join(per_q)
+    return (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe "
+        "FROM embeddings WHERE vec_id = 0), "
+        "c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce "
+        "FROM embeddings WHERE vec_id <> 0), "
+        f"s AS (SELECT id, round({score}, 6) AS score "
+        "FROM c CROSS JOIN q) "
+        "SELECT id, score, CAST(row_number() OVER "
+        "(ORDER BY score DESC, id) AS BIGINT) AS rank "
+        f"FROM s ORDER BY score DESC, id LIMIT {k}"
+    )
+
+
+@register(
+    "rag_maxsim_topk",
+    oracle=_maxsim_oracle(),
+    tags=("llm", "retrieval", "ann"),
+)
+def rag_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia
+    SIGIR'20): the 64-dim vector viewed as 8 token sub-vectors;
+    score = per-query-token best document-token dot, summed.  See
+    ``operators/retrieval.py maxsim_topk`` for the token-level-index
+    plan (posexplode to slot rows with the slice let-bound to a real
+    column, codegen dot projections, one partial-aggregated per-doc
+    max/sum, TakeOrdered top-k).  Query vector 0 retrieves from the
+    rest of the corpus, k=10."""
+    from ..operators.retrieval import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()[0]
+    ]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return maxsim_topk(corpus, "vec_id", "embedding", qvec, m=8, k=10)
+
+
+_KNN_COS = (
+    "round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) "
+    "/ (sqrt(list_sum(list_transform(a.v, x -> x * x))) "
+    "* sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)"
+)
+
+
+@register(
+    "knn_graph_mutual",
+    oracle=(
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id % 10 = 0), "
+        "s AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
+        f"{_KNN_COS} AS sim "
+        "FROM e a JOIN e b ON a.vec_id <> b.vec_id), "
+        "t AS (SELECT src, dst, sim, rnk FROM ("
+        "SELECT src, dst, sim, row_number() OVER "
+        "(PARTITION BY src ORDER BY sim DESC, dst) AS rnk FROM s) z "
+        "WHERE rnk <= 5) "
+        "SELECT t1.src, t1.dst, t1.sim, "
+        "CAST(t1.rnk AS BIGINT) AS rank_fwd, "
+        "CAST(t2.rnk AS BIGINT) AS rank_back "
+        "FROM t t1 JOIN t t2 ON t1.src = t2.dst AND t1.dst = t2.src "
+        "WHERE t1.src < t1.dst ORDER BY t1.src, t1.dst"
+    ),
+    tags=("llm", "similarity", "graph"),
+)
+def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph (k=5) over a deterministic hash subset of the
+    embedding corpus (vec_id % 10 — a bounded probe set, the contract
+    ``operators/similarity.py mutual_knn_edges`` documents): directed
+    cosine top-k each way, edges kept only when BOTH endpoints rank
+    each other, canonicalized src < dst.  The symmetric neighborhood
+    graph that seeds NN-descent, agglomerative near-dup clustering,
+    and UMAP-style manifold steps; mutuality is the standard hub
+    filter.  At corpus scale the broadcast candidate step swaps for
+    the LSH/IVF bucket join; rank + mutual join are unchanged."""
+    from ..operators.similarity import mutual_knn_edges
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    return mutual_knn_edges(emb, "vec_id", "embedding", k=5)
+
+
+def _jl_oracle() -> str:
+    """DuckDB oracle for ``embedding_jl_distortion_checked`` — the
+    sign matrix is embedded as 16 literal DOUBLE[64] columns generated
+    by the same counter-hash as the Spark side."""
+    from ..operators.linalg import jl_sign_matrix
+
+    signs = jl_sign_matrix(64, 16)
+    lits = ["[" + ", ".join(str(x) for x in col) + "]" for col in signs]
+    pd_cols = ", ".join(
+        f"list_sum(list_transform(range(1, 65), i -> dv[i] * ({lit})[i])) "
+        f"AS pd_{j}"
+        for j, lit in enumerate(lits)
+    )
+    d2p = "(" + " + ".join(f"pd_{j} * pd_{j}" for j in range(16)) + ") / 16.0"
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "p AS (SELECT list_transform(range(1, 65), i -> a.v[i] - b.v[i]) "
+        "AS dv FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 "
+        "WHERE a.vec_id % 2 = 0), "
+        f"pr AS (SELECT {pd_cols}, "
+        "list_sum(list_transform(dv, x -> x * x)) AS d2o FROM p), "
+        f"r AS (SELECT round(abs(({d2p}) / d2o - 1.0), 6) AS rdist "
+        "FROM pr WHERE d2o > 0) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+        "round(CAST(SUM(CAST(rdist AS DECIMAL(18,6))) AS DOUBLE) "
+        "/ count(*), 6) AS mean_abs_distortion, "
+        "round(SUM(CAST(rdist <= 0.5 AS INT)) / count(*), 6) "
+        "AS frac_within_half, "
+        "(round(CAST(SUM(CAST(rdist AS DECIMAL(18,6))) AS DOUBLE) "
+        "/ count(*), 6) <= 0.45 AND "
+        "round(SUM(CAST(rdist <= 0.5 AS INT)) / count(*), 6) >= 0.7) "
+        "AS jl_bound_ok FROM r"
+    )
+
+
+@register(
+    "embedding_jl_distortion_checked",
+    oracle=_jl_oracle(),
+    tags=("llm", "similarity", "approx", "checked"),
+)
+def embedding_jl_distortion_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection certificate: project 64 → 16
+    dims through a deterministic ±1 Rademacher matrix (Achlioptas
+    2003) and measure squared-distance distortion |‖Rx−Ry‖²/16 /
+    ‖x−y‖² − 1| over deterministic adjacent pairs (2k, 2k+1).  The
+    eval that licenses running ANN candidate generation / coarse
+    clustering in the projected space: for k=16 the chi²₁₆
+    concentration predicts mean distortion ≈ 0.28 and ~86% of pairs
+    within 0.5 — the gates (mean ≤ 0.45, frac ≥ 0.7) certify the
+    measured corpus sits inside the JL envelope with ≥1.5× margin,
+    the approximation-family ``*_checked`` convention where the error
+    CONTRACT itself is the hash-gated output.
+
+    Determinism: the difference vector is let-bound to a real column
+    before any fold touches it; each projection coordinate is one
+    sequential-fold dot against a literal sign column; per-pair
+    distortions round 6 dp then aggregate decimal-exactly (the mean
+    is order-free).  Scale shape: one id-offset equi-join, 16 codegen
+    dots per pair, one global aggregate to a single profile row — at
+    100 TB the pair join is the only shuffle and the projection work
+    is embarrassingly parallel."""
+    from ..operators.linalg import jl_sign_matrix
+    from ..operators.similarity import dot as _sdot
+
+    signs = jl_sign_matrix(64, 16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pid"), F.col("v").alias("va")
+    )
+    b = e.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") - 1).alias("pid"), F.col("v").alias("vb")
+    )
+    p = a.join(b, "pid").select(
+        F.zip_with("va", "vb", lambda x, y: x - y).alias("dv")
+    )
+    pr = p.select(
+        *[
+            _sdot(
+                F.col("dv"), F.array(*[F.lit(x) for x in col])
+            ).alias(f"pd_{j}")
+            for j, col in enumerate(signs)
+        ],
+        F.aggregate(
+            F.col("dv"), F.lit(0.0), lambda s, x: s + x * x
+        ).alias("d2o"),
+    )
+    d2p = F.col("pd_0") * F.col("pd_0")
+    for j in range(1, 16):
+        d2p = d2p + F.col(f"pd_{j}") * F.col(f"pd_{j}")
+    r = pr.filter(F.col("d2o") > 0).select(
+        F.round(F.abs((d2p / F.lit(16.0)) / F.col("d2o") - F.lit(1.0)), 6)
+        .alias("rdist")
+    )
+    mean_c = F.round(
+        F.sum(F.col("rdist").cast("decimal(18,6)")).cast("double")
+        / F.count("*"),
+        6,
+    )
+    frac_c = F.round(
+        F.sum((F.col("rdist") <= 0.5).cast("int")) / F.count("*"), 6
+    )
+    return r.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        mean_c.alias("mean_abs_distortion"),
+        frac_c.alias("frac_within_half"),
+        ((mean_c <= 0.45) & (frac_c >= 0.7)).alias("jl_bound_ok"),
+    )

@@ -505,3 +505,70 @@ def split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "feature_woe_value_bins",
+    oracle=(
+        "WITH b AS (SELECT CAST(floor(value / 50) AS INT) AS bin, "
+        "CAST(event_type = 'error' AS INT) AS bad FROM events), "
+        "cell AS (SELECT bin, "
+        "SUM(1 - bad) AS n_good, SUM(bad) AS n_bad FROM b GROUP BY 1), "
+        "tot AS (SELECT SUM(n_good) AS g_tot, SUM(n_bad) AS b_tot "
+        "FROM cell) "
+        "SELECT bin, CAST(n_good AS BIGINT) AS n_good, "
+        "CAST(n_bad AS BIGINT) AS n_bad, "
+        "round(ln(((n_bad + 0.5) / (b_tot + 5.0)) "
+        "/ ((n_good + 0.5) / (g_tot + 5.0))), 6) AS woe, "
+        "round(((n_bad + 0.5) / (b_tot + 5.0) "
+        "- (n_good + 0.5) / (g_tot + 5.0)) "
+        "* ln(((n_bad + 0.5) / (b_tot + 5.0)) "
+        "/ ((n_good + 0.5) / (g_tot + 5.0))), 6) AS iv_contrib "
+        "FROM cell CROSS JOIN tot ORDER BY bin"
+    ),
+    tags=("llm", "features", "encoding"),
+)
+def feature_woe_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature screening (the
+    credit-scoring-born encoding that survives as a fast univariate
+    feature-quality test): bin ``value`` into fixed-width bins
+    (floor(v/50) — deterministic integer bins, no quantile
+    nondeterminism), target = event_type 'error', and per bin
+    WOE = ln(bad_frac / good_frac) with 0.5 Laplace smoothing, plus
+    the IV contribution (bad_frac − good_frac)·WOE whose sum ranks
+    the feature's separating power.  Counts are exact integers; the
+    two fractions are single IEEE divisions in identical expression
+    order on both engines; only ln() is transcendental and the 6-dp
+    round absorbs its ULP noise (the BM25 convention).
+
+    Scale shape: one map-side-combined (bin) aggregate — output
+    bounded by the bin domain, never rows — with the 1-row totals
+    broadcast back.  The k-fold twin for multi-valued categoricals is
+    ``target_encode_kfold``; this is the screening pass that decides
+    which features earn an encoder at all."""
+    ev = load_table(spark, sf_dir, "events")
+    bad = (F.col("event_type") == "error").cast("int")
+    cell = ev.select(
+        F.floor(F.col("value") / 50).cast("int").alias("bin"),
+        bad.alias("bad"),
+    ).groupBy("bin").agg(
+        F.sum(F.lit(1) - F.col("bad")).alias("n_good"),
+        F.sum("bad").alias("n_bad"),
+    )
+    tot = cell.agg(
+        F.sum("n_good").alias("g_tot"), F.sum("n_bad").alias("b_tot")
+    )
+    bad_frac = (F.col("n_bad") + 0.5) / (F.col("b_tot") + 5.0)
+    good_frac = (F.col("n_good") + 0.5) / (F.col("g_tot") + 5.0)
+    woe = F.log(bad_frac / good_frac)
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_good").cast("long").alias("n_good"),
+            F.col("n_bad").cast("long").alias("n_bad"),
+            F.round(woe, 6).alias("woe"),
+            F.round((bad_frac - good_frac) * woe, 6).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )
