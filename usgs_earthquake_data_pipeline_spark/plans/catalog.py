@@ -127,6 +127,7 @@ def register(
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: new round-7 entries, never driver-checked ------------
     "rag_maxsim_topk",
+    "preference_bradley_terry_mm",
     "knn_graph_mutual",
     "embedding_jl_distortion_checked",
     "feature_woe_value_bins",

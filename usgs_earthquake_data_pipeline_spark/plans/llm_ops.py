@@ -2969,3 +2969,123 @@ def embedding_jl_distortion_checked(
         frac_c.alias("frac_within_half"),
         ((mean_c <= 0.45) & (frac_c >= 0.7)).alias("jl_bound_ok"),
     )
+
+
+@register(
+    "preference_bradley_terry_mm",
+    oracle=(
+        "WITH s AS (SELECT user_id, event_type, "
+        "SUM(CAST(value AS DECIMAL(18,6))) AS sv FROM events GROUP BY 1, 2), "
+        "p AS (SELECT a.event_type AS ta, b.event_type AS tb, "
+        "SUM(CAST(a.sv > b.sv AS INT)) AS w_a, "
+        "SUM(CAST(b.sv > a.sv AS INT)) AS w_b "
+        "FROM s a JOIN s b ON a.user_id = b.user_id "
+        "AND a.event_type < b.event_type GROUP BY 1, 2), "
+        "d AS (SELECT ta AS t, tb AS o, w_a AS w, w_a + w_b AS n FROM p "
+        "UNION ALL SELECT tb, ta, w_b, w_a + w_b FROM p), "
+        "t1 AS (SELECT t, CAST(SUM(w) AS BIGINT) AS wins, "
+        "CAST(SUM(n) AS BIGINT) AS n_matches, "
+        "CASE WHEN SUM(n) > 0 THEN round(2.0 * SUM(w) / SUM(n), 9) END "
+        "AS s1 FROM d GROUP BY 1), "
+        "e AS (SELECT d.t, d.n, a.s1 AS si, b.s1 AS so "
+        "FROM d JOIN t1 a ON a.t = d.t JOIN t1 b ON b.t = d.o), "
+        "den AS (SELECT t, CAST(SUM(CAST(round(n / (si + so), 9) "
+        "AS DECIMAL(28,9))) AS DOUBLE) AS denom FROM e GROUP BY 1) "
+        "SELECT t1.t AS event_type, wins, n_matches, "
+        "s1 AS score_mm1, "
+        "CASE WHEN denom > 0 THEN round(wins / denom, 6) END AS score_mm2 "
+        "FROM t1 JOIN den ON den.t = t1.t ORDER BY 1"
+    ),
+    tags=("llm", "ml", "preference", "iterative"),
+)
+def preference_bradley_terry_mm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bradley-Terry preference-strength fitting — the model behind
+    RLHF reward-data aggregation and LLM-arena leaderboards — via two
+    Hunter-2004 MM iterations over pairwise comparisons derived from
+    the events table (per user, type A beats type B when the user's
+    exact-decimal value total for A exceeds B's; ties drop).  From
+    the uniform start the first MM update is closed-form
+    s¹_i = 2·W_i/N_i; the second solves
+    s²_i = W_i / Σ_j n_ij/(s¹_i + s¹_j) — one more pass of the same
+    aggregate, exactly how k more iterations would run (the ALS/BPE
+    chained-step convention: the trained STEP is what's hash-gated).
+
+    Determinism: win decisions compare exact DECIMAL sums (no float
+    comparison flakes); per-pair MM terms round 9 dp then sum as
+    DECIMAL (order-free); both scores are single IEEE divisions.
+
+    Scale shape: ratings collapse once to (user, type) decimal
+    totals; the comparison self-join shuffles on user_id with
+    |types|²-bounded fan-out per user; everything after lives on the
+    type-domain-sized pair table (broadcast territory) — at 100 TB
+    only the first aggregate and the user-keyed pair join touch
+    corpus-sized data."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv")
+    )
+    a = s.select(
+        "user_id", F.col("event_type").alias("ta"), F.col("sv").alias("sa")
+    )
+    b = s.select(
+        "user_id", F.col("event_type").alias("tb"), F.col("sv").alias("sb")
+    )
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum((F.col("sa") > F.col("sb")).cast("int")).alias("w_a"),
+            F.sum((F.col("sb") > F.col("sa")).cast("int")).alias("w_b"),
+        )
+    )
+    n = F.col("w_a") + F.col("w_b")
+    d = p.select(
+        F.col("ta").alias("t"), F.col("tb").alias("o"),
+        F.col("w_a").alias("w"), n.alias("n"),
+    ).unionAll(
+        p.select(
+            F.col("tb").alias("t"), F.col("ta").alias("o"),
+            F.col("w_b").alias("w"), n.alias("n"),
+        )
+    )
+    t1 = d.groupBy("t").agg(
+        F.sum("w").cast("long").alias("wins"),
+        F.sum("n").cast("long").alias("n_matches"),
+        F.when(
+            F.sum("n") > 0,
+            F.round(F.lit(2.0) * F.sum("w") / F.sum("n"), 9),
+        ).alias("s1"),
+    )
+    e = d.join(
+        F.broadcast(t1.select("t", F.col("s1").alias("si"))), "t"
+    ).join(
+        F.broadcast(
+            t1.select(F.col("t").alias("o"), F.col("s1").alias("so"))
+        ),
+        "o",
+    )
+    den = e.groupBy("t").agg(
+        F.sum(
+            F.round(F.col("n") / (F.col("si") + F.col("so")), 9).cast(
+                "decimal(28,9)"
+            )
+        )
+        .cast("double")
+        .alias("denom")
+    )
+    return (
+        t1.join(F.broadcast(den), "t")
+        .select(
+            F.col("t").alias("event_type"),
+            "wins",
+            "n_matches",
+            F.col("s1").alias("score_mm1"),
+            F.when(
+                F.col("denom") > 0, F.round(F.col("wins") / F.col("denom"), 6)
+            ).alias("score_mm2"),
+        )
+        .orderBy("event_type")
+    )
