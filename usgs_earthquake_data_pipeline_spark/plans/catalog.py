@@ -128,6 +128,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: new round-7 entries, never driver-checked ------------
     "rag_maxsim_topk",
     "preference_bradley_terry_mm",
+    "survival_kaplan_meier_daily",
+    "mixture_token_budget_waterfill",
     "knn_graph_mutual",
     "embedding_jl_distortion_checked",
     "feature_woe_value_bins",

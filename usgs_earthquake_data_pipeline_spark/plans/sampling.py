@@ -572,3 +572,99 @@ def feature_woe_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "mixture_token_budget_waterfill",
+    oracle=(
+        "WITH cell AS (SELECT source, "
+        "CAST(SUM(n_chars) AS BIGINT) AS avail, "
+        "CAST(1 + (CAST(substr(source, 4) AS INT) % 5) AS BIGINT) AS w "
+        "FROM documents GROUP BY 1), "
+        "tot AS (SELECT (6 * SUM(avail)) // 10 AS budget, "
+        "SUM(w) AS w_all FROM cell), "
+        "r1 AS (SELECT source, avail, w, "
+        "least(avail, (w * budget) // w_all) AS alloc1, budget "
+        "FROM cell CROSS JOIN tot), "
+        "l1 AS (SELECT budget - SUM(alloc1) AS leftover, "
+        "SUM(CASE WHEN alloc1 < avail THEN w ELSE 0 END) AS w_open "
+        "FROM r1 GROUP BY budget), "
+        "r2 AS (SELECT source, avail, w, alloc1, "
+        "CASE WHEN alloc1 < avail AND w_open > 0 "
+        "THEN least(avail, alloc1 + (w * leftover) // w_open) "
+        "ELSE alloc1 END AS alloc2 FROM r1 CROSS JOIN l1) "
+        "SELECT source, avail AS avail_chars, w AS weight, "
+        "CAST(alloc1 AS BIGINT) AS alloc_round1, "
+        "CAST(alloc2 AS BIGINT) AS alloc_round2, "
+        "round(CAST(alloc2 AS DOUBLE) / avail, 9) AS sample_rate, "
+        "alloc2 >= avail AS exhausted "
+        "FROM r2 ORDER BY source"
+    ),
+    tags=("llm", "sampling", "mixture"),
+)
+def mixture_token_budget_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget allocation across corpus sources with waterfilling
+    — the computation behind every training-data mixture spec: given
+    per-source target weights and a total token budget (60% of the
+    corpus here, per-source weights derived deterministically from
+    the source name), allocate weight-proportional budgets CAPPED at
+    each source's available tokens, then redistribute the stranded
+    remainder of capped (exhausted) sources over the still-open ones
+    in a second proportional round.  More rounds repeat the same
+    bounded aggregate (the BT/ALS chained-step convention); two
+    rounds already exercise the cap-and-redistribute recursion.
+
+    Everything is EXACT integer arithmetic — weights are small
+    integers, allocations use integer floor-division — so the entry
+    hash-gates with no float convention needed except the final
+    cosmetic per-source rate (one IEEE division of exact integers).
+
+    Scale shape: one map-side-combined (source) aggregate over the
+    corpus; all waterfilling runs on the source-domain-sized table
+    (broadcast 1-row totals), never touching rows again — the
+    output IS the sampling plan the hash-samplers then execute."""
+    docs = load_table(spark, sf_dir, "documents")
+    # weight is a pure function of the group key, computed post-agg
+    cell = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("avail")
+    ).withColumn(
+        "w",
+        (
+            F.lit(1) + (F.expr("substring(source, 4)").cast("int") % 5)
+        ).cast("long"),
+    )
+    tot = cell.agg(
+        F.expr("(6 * SUM(avail)) div 10").alias("budget"),
+        F.sum("w").alias("w_all"),
+    )
+    r1 = cell.crossJoin(F.broadcast(tot)).withColumn(
+        "alloc1", F.expr("least(avail, (w * budget) div w_all)")
+    )
+    l1 = r1.groupBy("budget").agg(
+        (F.col("budget") - F.sum("alloc1")).alias("leftover"),
+        F.sum(
+            F.when(F.col("alloc1") < F.col("avail"), F.col("w")).otherwise(
+                F.lit(0)
+            )
+        ).alias("w_open"),
+    ).select("leftover", "w_open")
+    r2 = r1.crossJoin(F.broadcast(l1)).withColumn(
+        "alloc2",
+        F.when(
+            (F.col("alloc1") < F.col("avail")) & (F.col("w_open") > 0),
+            F.expr("least(avail, alloc1 + (w * leftover) div w_open)"),
+        ).otherwise(F.col("alloc1")),
+    )
+    return r2.select(
+        "source",
+        F.col("avail").alias("avail_chars"),
+        F.col("w").alias("weight"),
+        F.col("alloc1").cast("long").alias("alloc_round1"),
+        F.col("alloc2").cast("long").alias("alloc_round2"),
+        F.round(F.col("alloc2").cast("double") / F.col("avail"), 9).alias(
+            "sample_rate"
+        ),
+        (F.col("alloc2") >= F.col("avail")).alias("exhausted"),
+    ).orderBy("source")

@@ -898,3 +898,118 @@ def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+@register(
+    "survival_kaplan_meier_daily",
+    oracle=(
+        "WITH horizon AS (SELECT max(CAST(ts AS DATE)) AS w_end "
+        "FROM events), "
+        "u AS (SELECT user_id, "
+        "date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) "
+        "AS t, "
+        "CAST(max(CAST(ts AS DATE)) <= w_end - 7 AS INT) AS churned "
+        "FROM events CROSS JOIN horizon GROUP BY user_id, w_end), "
+        "cell AS (SELECT t, CAST(count(*) AS BIGINT) AS m, "
+        "CAST(SUM(churned) AS BIGINT) AS d FROM u GROUP BY 1), "
+        "tot AS (SELECT SUM(m) AS n_users FROM cell), "
+        "rk AS (SELECT t, m, d, "
+        "n_users - COALESCE(SUM(m) OVER (ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n "
+        "FROM cell CROSS JOIN tot), "
+        "km AS (SELECT t, CAST(n AS BIGINT) AS n_at_risk, d AS n_churned, "
+        "SUM(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeros, "
+        "SUM(CASE WHEN d < n THEN ln(1.0 - CAST(d AS DOUBLE) / n) "
+        "ELSE 0.0 END) OVER (ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum "
+        "FROM rk) "
+        "SELECT CAST(t AS BIGINT) AS t_days, n_at_risk, n_churned, "
+        "CASE WHEN zeros > 0 THEN 0.0 ELSE round(exp(lsum), 6) END "
+        "AS survival FROM km ORDER BY t_days"
+    ),
+    tags=("temporal", "survival", "analytics"),
+)
+def survival_kaplan_meier_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve for user retention with proper
+    right-censoring — THE standard churn estimator (the naive
+    "fraction still active after t days" is biased because users who
+    joined late haven't had time to churn; KM handles exactly that).
+    Survival time = days between a user's first and last event; users
+    whose last event falls in the final 7 days of the observation
+    window are CENSORED (still alive as far as the data can tell) —
+    they shrink risk sets but never count as deaths, the textbook
+    estimator S(t) = Π_{u≤t} (1 − d_u/n_u).
+
+    Determinism: risk sets and death counts are exact integers; the
+    running product is exp(Σ ln(1−d/n)) over the t-ordered window
+    (both engines fold the frame in the same t order; ln/exp ULP
+    noise sits far below the 6-dp round — the BM25 convention), with
+    an explicit zero-crossing guard because Spark's ln(0) is NULL
+    while DuckDB's is -inf.
+
+    Scale shape: the corpus-sized work is ONE (user) aggregate; the
+    KM recursion runs on the bounded |distinct t| day-domain table
+    (a single tiny window partition by design — days, not rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    horizon = ev.agg(F.max(day).alias("w_end"))
+    u = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id", "w_end")
+        .agg(
+            F.datediff(F.max(day), F.min(day)).alias("t"),
+            (F.max(day) <= F.date_sub(F.col("w_end"), 7))
+            .cast("int")
+            .alias("churned_flag"),
+        )
+        .select(
+            "t", F.col("churned_flag").alias("churned")
+        )
+    )
+    cell = u.groupBy("t").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    tot = cell.agg(F.sum("m").alias("n_users"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = cell.crossJoin(F.broadcast(tot)).withColumn(
+        "n",
+        F.col("n_users")
+        - F.coalesce(F.sum("m").over(w_prev), F.lit(0)),
+    )
+    km = rk.select(
+        "t",
+        F.col("n").cast("long").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        F.sum(
+            F.when(F.col("d") == F.col("n"), 1).otherwise(0)
+        )
+        .over(w_cum)
+        .alias("zeros"),
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n"),
+                F.log(
+                    F.lit(1.0) - F.col("d").cast("double") / F.col("n")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_cum)
+        .alias("lsum"),
+    )
+    return km.select(
+        F.col("t").cast("long").alias("t_days"),
+        "n_at_risk",
+        "n_churned",
+        F.when(F.col("zeros") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("lsum")), 6))
+        .alias("survival"),
+    ).orderBy("t_days")
