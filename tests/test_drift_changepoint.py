@@ -1,0 +1,130 @@
+"""Time-decay attribution, KS drift, CUSUM, and binary-segmentation
+changepoint: hand-replayed references on constructed event logs."""
+
+from __future__ import annotations
+
+import datetime
+
+from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+BASE = datetime.datetime(2024, 5, 1)
+
+
+def _write(spark, tmp_path, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def _ev(eid, day_offset, uid, etype, value, hours=0):
+    return (
+        eid,
+        BASE + datetime.timedelta(days=day_offset, hours=hours),
+        uid,
+        etype,
+        value,
+        "{}",
+    )
+
+
+def test_time_decay_attribution_hand_case(spark, tmp_path):
+    rows = [
+        # purchase on day 10; touches at ages 0 (same-day click),
+        # 2 (view), 6 (click) -> weights 1, 1/4, 1/64
+        _ev(1, 10, 1, "purchase", 5.0, hours=12),
+        _ev(2, 10, 1, "click", 0.0, hours=1),   # age 0 days
+        _ev(3, 8, 1, "view", 0.0, hours=12),    # age 2 days
+        _ev(4, 4, 1, "click", 0.0, hours=12),   # age 6 days
+        _ev(5, 1, 1, "click", 0.0),             # age 9 — outside lookback
+        # second user: single view 1 day before its purchase
+        _ev(6, 20, 2, "purchase", 5.0),
+        _ev(7, 19, 2, "view", 0.0),
+    ]
+    sf = _write(spark, tmp_path, rows)
+    got = {
+        r.channel: r
+        for r in CATALOG["attribution_time_decay"].spark_fn(spark, sf).collect()
+    }
+    wsum = 1.0 + 0.25 + 1.0 / 64
+    click_credit = round(round(1.0 / wsum, 9) + round((1 / 64) / wsum, 9), 6)
+    view_credit = round(round(0.25 / wsum, 9) + round(1.0, 9), 6)
+    assert got["click"].n_touches == 2
+    assert got["view"].n_touches == 2
+    assert abs(got["click"].credit - click_credit) < 1e-9
+    assert abs(got["view"].credit - view_credit) < 1e-9
+    # each conversion distributes exactly one unit of credit
+    total = got["click"].credit + got["view"].credit
+    assert abs(total - 2.0) < 1e-5
+
+
+def test_ks_two_sample_hand_case(spark, tmp_path):
+    # sample A (days 1..15): values 1,2,3,4 — sample B (days 16+):
+    # values 3,4,5,6.  EDFs diverge most at value 2: F1=0.5, F2=0 →
+    # D = 0.5
+    rows = [
+        _ev(1, 1, 1, "view", 1.0),
+        _ev(2, 2, 1, "view", 2.0),
+        _ev(3, 3, 1, "view", 3.0),
+        _ev(4, 4, 1, "view", 4.0),
+        _ev(5, 20, 1, "view", 3.0),
+        _ev(6, 21, 1, "view", 4.0),
+        _ev(7, 22, 1, "view", 5.0),
+        _ev(8, 23, 1, "view", 6.0),
+    ]
+    sf = _write(spark, tmp_path, rows)
+    row = CATALOG["drift_ks_two_sample"].spark_fn(spark, sf).collect()[0]
+    assert (row.n1, row.n2) == (4, 4)
+    assert row.d_scaled == 8  # |2*4 - 0*4| at value 2
+    assert row.ks_d == 0.5
+    # n=4 per side: crit = 1.358*sqrt(8/16) ≈ 0.96 > 0.5 → no drift
+    assert not row.drift_flag
+
+
+def test_cusum_fires_after_level_shift(spark, tmp_path):
+    # 10 quiet days at 10/day, then 5 loud days at 30/day.
+    rows = []
+    eid = 0
+    for d in range(10):
+        eid += 1
+        rows.append(_ev(eid, d, 1, "view", 10.0))
+    for d in range(10, 15):
+        eid += 1
+        rows.append(_ev(eid, d, 1, "view", 30.0))
+    sf = _write(spark, tmp_path, rows)
+    out = CATALOG["anomaly_cusum_daily"].spark_fn(spark, sf).collect()
+    assert len(out) == 15
+    # python replay: mu over all days, k = 1.05 mu, h = 0.5 mu
+    mu = (10 * 10 + 5 * 30) / 15.0
+    k, h, s = mu * 1.05, mu * 0.5, 0.0
+    for r, x in zip(out, [10.0] * 10 + [30.0] * 5):
+        s = max(0.0, s + x - k)
+        assert r.cusum == round(s, 6)
+        assert r.alarm == (s > h)
+    # quiet days never alarm; the shift must alarm before it ends
+    assert not any(r.alarm for r in out[:10])
+    assert any(r.alarm for r in out[10:])
+
+
+def test_changepoint_finds_the_step(spark, tmp_path):
+    # step function: 8 days at 5, then 8 days at 50 — the split must
+    # land exactly at the boundary (i=8)
+    rows = []
+    eid = 0
+    for d in range(8):
+        eid += 1
+        rows.append(_ev(eid, d, 1, "view", 5.0))
+    for d in range(8, 16):
+        eid += 1
+        rows.append(_ev(eid, d, 1, "view", 50.0))
+    sf = _write(spark, tmp_path, rows)
+    row = CATALOG["changepoint_binary_seg_daily"].spark_fn(spark, sf).collect()[0]
+    assert row.split_idx == 8
+    assert row.n_days == 16
+    assert row.mean_left == 5.0
+    assert row.mean_right == 50.0
+    assert row.gain > 0

@@ -130,6 +130,10 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "preference_bradley_terry_mm",
     "survival_kaplan_meier_daily",
     "mixture_token_budget_waterfill",
+    "anomaly_cusum_daily",
+    "changepoint_binary_seg_daily",
+    "drift_ks_two_sample",
+    "attribution_time_decay",
     "knn_graph_mutual",
     "embedding_jl_distortion_checked",
     "feature_woe_value_bins",

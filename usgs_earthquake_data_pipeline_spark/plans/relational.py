@@ -2588,3 +2588,166 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+@register(
+    "attribution_time_decay",
+    oracle=(
+        "WITH p AS (SELECT event_id AS pid, user_id, ts, epoch_us(ts) "
+        "AS p_us FROM events WHERE event_type = 'purchase'), "
+        "t AS (SELECT user_id, event_type AS channel, ts, epoch_us(ts) "
+        "AS t_us FROM events WHERE event_type IN ('click', 'view')), "
+        "j AS (SELECT pid, channel, "
+        "power(0.5, CAST((p_us - t_us) // 86400000000 AS DOUBLE)) AS w "
+        "FROM p JOIN t ON t.user_id = p.user_id AND t.ts < p.ts "
+        "AND t.ts >= p.ts - INTERVAL 7 DAY), "
+        "tot AS (SELECT pid, SUM(w) AS w_sum FROM j GROUP BY 1), "
+        "s AS (SELECT channel, round(w / w_sum, 9) AS share "
+        "FROM j JOIN tot USING (pid)) "
+        "SELECT channel, CAST(count(*) AS BIGINT) AS n_touches, "
+        "round(CAST(SUM(CAST(share AS DECIMAL(28,9))) AS DOUBLE), 6) "
+        "AS credit FROM s GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("analytics", "attribution", "join", "agg"),
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution — the third classic credit model next
+    to ``attribution_first_last_touch``: every click/view in a
+    purchase's 7-day lookback earns weight 2^(−age_days), each
+    conversion's weights normalize to unit credit, and credit sums
+    per channel.  The decay base is DELIBERATELY a power of two with
+    an integer exponent: every weight is an exact binary fraction
+    with exponents in [−6, 0], so the per-conversion weight sum is
+    EXACTLY representable (no float-order sensitivity despite being
+    a plain double SUM) and the normalizing division is one IEEE op
+    — shares then round 9 dp and aggregate decimal-exactly.
+
+    Scale shape: the lookback join rides the user_id equi-join with
+    a range predicate (never cartesian), per-conversion totals are a
+    pid-keyed aggregate, and the output is channel-domain-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    j = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select(
+        "pid",
+        "channel",
+        F.pow(
+            F.lit(0.5),
+            F.expr("(p_us - t_us) div 86400000000").cast("double"),
+        ).alias("w"),
+    )
+    tot = j.groupBy("pid").agg(F.sum("w").alias("w_sum"))
+    s = j.join(tot, "pid").select(
+        "channel", F.round(F.col("w") / F.col("w_sum"), 9).alias("share")
+    )
+    return (
+        s.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.round(
+                F.sum(F.col("share").cast("decimal(28,9)")).cast("double"),
+                6,
+            ).alias("credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "drift_ks_two_sample",
+    oracle=(
+        "WITH s AS (SELECT value, CAST(day(ts) <= 15 AS INT) AS in_a "
+        "FROM events), "
+        "n AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n1, "
+        "CAST(SUM(1 - in_a) AS BIGINT) AS n2 FROM s), "
+        "g AS (SELECT value, SUM(in_a) AS c1, SUM(1 - in_a) AS c2 "
+        "FROM s GROUP BY 1), "
+        "c AS (SELECT SUM(c1) OVER (ORDER BY value "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1, "
+        "SUM(c2) OVER (ORDER BY value "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2 FROM g), "
+        "d AS (SELECT CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) "
+        "AS d_scaled FROM c CROSS JOIN n GROUP BY n1, n2) "
+        "SELECT n1, n2, d_scaled, "
+        "round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 9) AS ks_d, "
+        "round(1.358 * sqrt((n1 + n2) / CAST(n1 * n2 AS DOUBLE)), 9) "
+        "AS crit_5pct, "
+        "CAST(d_scaled AS DOUBLE) / (n1 * n2) > "
+        "1.358 * sqrt((n1 + n2) / CAST(n1 * n2 AS DOUBLE)) AS drift_flag "
+        "FROM d CROSS JOIN n"
+    ),
+    tags=("analytics", "drift", "distribution"),
+)
+def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the first and
+    second half of the month — the EXACT empirical-CDF companion to
+    the binned PSI entry (`drift_psi_value_bins`): D = sup|F₁−F₂|
+    evaluated at every distinct value, no binning loss.  The supremum
+    is computed in INTEGER arithmetic — max|f₁·n₂ − f₂·n₁| over
+    cumulative counts — so the statistic is exact and the only floats
+    are the final division and the 5% critical value
+    (1.358·√((n₁+n₂)/n₁n₂), identical one-op expressions on both
+    engines).
+
+    Scale shape: one (value) aggregate collapses the corpus, then the
+    cumulative window runs over the bounded VALUE-GRID domain (2-dp
+    prices in [0, 500] — ≤50k cells regardless of row count; the
+    single-partition window is domain-bounded by design, the |days|
+    argument of the KM/seasonal entries)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "value", (F.dayofmonth("ts") <= 15).cast("int").alias("in_a")
+    )
+    n = s.agg(
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("n2"),
+    )
+    g = s.groupBy("value").agg(
+        F.sum("in_a").alias("c1"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    d = (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            )
+            .cast("long")
+            .alias("d_scaled")
+        )
+    )
+    ks = F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2"))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2"))
+        / (F.col("n1") * F.col("n2")).cast("double")
+    )
+    return d.select(
+        "n1",
+        "n2",
+        "d_scaled",
+        F.round(ks, 9).alias("ks_d"),
+        F.round(crit, 9).alias("crit_5pct"),
+        (ks > crit).alias("drift_flag"),
+    )

@@ -1013,3 +1013,153 @@ def survival_kaplan_meier_daily(
         .otherwise(F.round(F.exp(F.col("lsum")), 6))
         .alias("survival"),
     ).orderBy("t_days")
+
+
+_CUSUM_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(floor({epoch} / 86400000000) AS BIGINT) AS d,
+         SUM(CAST(value AS DECIMAL(18,2))) AS xd
+  FROM {table} GROUP BY 1),
+stats AS (
+  SELECT CAST(SUM(xd) AS DOUBLE) / count(*) AS mu FROM daily),
+idx AS (
+  SELECT d, CAST(xd AS DOUBLE) AS x,
+         row_number() OVER (ORDER BY d) AS i,
+         mu * 1.05 AS k, mu * 0.5 AS h
+  FROM daily CROSS JOIN stats),
+cu(i, d, x, h, s) AS (
+  SELECT i, d, x, h, greatest(0.0, x - k) FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.d, idx.x, idx.h, greatest(0.0, cu.s + idx.x - idx.k)
+  FROM idx JOIN cu ON idx.i = cu.i + 1
+)
+SELECT d, round(x, 6) AS daily_value, round(s, 6) AS cusum,
+       s > h AS alarm
+FROM cu ORDER BY d
+"""
+
+
+@register(
+    "anomaly_cusum_daily",
+    oracle=_CUSUM_SQL.format(epoch="epoch_us(ts)", table="events"),
+    tags=("temporal", "timeseries", "recursive", "anomaly"),
+)
+def anomaly_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detector over the daily value sum —
+    the sequential drift alarm (Page 1954) that catches small
+    persistent shifts a per-day z-score never sees: S_t =
+    max(0, S_{t−1} + x_t − k) with allowance k = 1.05·mean and alarm
+    threshold h = 0.5·mean.  Inherently recursive (the max-reset
+    makes it non-linear, unlike EWMA's convolution form), so it runs
+    as WITH RECURSIVE — identical SQL text on both engines, the
+    `ewma_daily_value_recursive` convention.
+
+    Float discipline: daily sums are exact decimals; the mean is one
+    division of an exact decimal total; each recursion step is an
+    add, a subtract, and a max on doubles in identical order — no
+    intermediate rounding, bit-identical chains (the EWMA entry's
+    measured result).  Recursion depth = |days|, work per step one
+    1-row join: scale-independent, the corpus collapses in the first
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__cusum_events")
+    return spark.sql(
+        _CUSUM_SQL.format(epoch="unix_micros(ts)", table="__cusum_events")
+    )
+
+
+@register(
+    "changepoint_binary_seg_daily",
+    oracle=(
+        "WITH daily AS (SELECT CAST(floor(epoch_us(ts) / 86400000000) "
+        "AS BIGINT) AS d, SUM(CAST(value AS DECIMAL(18,2))) AS xd "
+        "FROM events GROUP BY 1), "
+        "idx AS (SELECT d, xd, row_number() OVER (ORDER BY d) AS i "
+        "FROM daily), "
+        "pre AS (SELECT d, i, SUM(xd) OVER (ORDER BY i "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p "
+        "FROM idx), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(xd) AS t "
+        "FROM daily), "
+        "g AS (SELECT d, i, n, t, p, "
+        "CAST(n * p - i * t AS DOUBLE) AS num FROM pre CROSS JOIN tot "
+        "WHERE i < n), "
+        "sc AS (SELECT d, i, n, t, p, "
+        "(num * num) / (CAST(n AS DOUBLE) * i * (n - i)) AS gain "
+        "FROM g) "
+        "SELECT CAST(d AS BIGINT) AS split_day, CAST(i AS BIGINT) "
+        "AS split_idx, CAST(n AS BIGINT) AS n_days, "
+        "round(gain, 6) AS gain, "
+        "round(CAST(p AS DOUBLE) / i, 6) AS mean_left, "
+        "round(CAST(t - p AS DOUBLE) / (n - i), 6) AS mean_right "
+        "FROM sc ORDER BY gain DESC, split_day LIMIT 1"
+    ),
+    tags=("temporal", "timeseries", "changepoint"),
+)
+def changepoint_binary_seg_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First step of binary-segmentation changepoint detection over
+    the daily value series: the split maximizing the between-segment
+    sum of squares, in the prefix-sum closed form gain(i) =
+    (n·P_i − i·T)² / (n·i·(n−i)) — no per-split rescan, one pass
+    over prefix sums.  Numerators are EXACT (integer × decimal
+    prefix-sum arithmetic, converted to double once); the gain is
+    then two IEEE ops, with the split day as deterministic tiebreak.
+    Further segmentation steps recurse on each side of the argmax —
+    the same bounded computation per segment.
+
+    Scale shape: the corpus collapses in the daily aggregate; prefix
+    sums and the argmax run on the |days|-bounded domain (single tiny
+    window partition by design).  Returns the split with segment
+    means, the fitted step function's parameters."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(floor(unix_micros(ts) / 86400000000) AS BIGINT)")
+        .alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("xd"))
+    idx = daily.withColumn(
+        "i", F.row_number().over(Window.orderBy("d"))
+    )
+    w = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = idx.select("d", "i", F.sum("xd").over(w).alias("p"))
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("xd").alias("t")
+    )
+    g = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "d",
+            "i",
+            "n",
+            "p",
+            "t",
+            (F.col("n") * F.col("p") - F.col("i") * F.col("t"))
+            .cast("double")
+            .alias("num"),
+        )
+    )
+    gain = (F.col("num") * F.col("num")) / (
+        F.col("n").cast("double") * F.col("i") * (F.col("n") - F.col("i"))
+    )
+    return (
+        g.select(
+            F.col("d").cast("long").alias("split_day"),
+            F.col("i").cast("long").alias("split_idx"),
+            F.col("n").cast("long").alias("n_days"),
+            F.round(gain, 6).alias("gain"),
+            F.round(F.col("p").cast("double") / F.col("i"), 6).alias(
+                "mean_left"
+            ),
+            F.round(
+                (F.col("t") - F.col("p")).cast("double")
+                / (F.col("n") - F.col("i")),
+                6,
+            ).alias("mean_right"),
+        )
+        .orderBy(F.col("gain").desc(), "split_day")
+        .limit(1)
+    )
