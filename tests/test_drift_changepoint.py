@@ -128,3 +128,41 @@ def test_changepoint_finds_the_step(spark, tmp_path):
     assert row.mean_left == 5.0
     assert row.mean_right == 50.0
     assert row.gain > 0
+
+
+def test_theil_sen_ignores_outlier_day(spark, tmp_path):
+    # perfect slope-10 line except one wild outlier day — OLS would
+    # bend, Theil-Sen must not
+    rows = []
+    for d in range(10):
+        v = 10.0 * (d + 1) if d != 5 else 100000.0
+        rows.append(_ev(d + 1, d, 1, "view", v))
+    sf = _write(spark, tmp_path, rows)
+    row = CATALOG["trend_theil_sen_daily"].spark_fn(spark, sf).collect()[0]
+    assert row.n_days == 10
+    assert row.n_pairs == 45
+    assert row.slope == 10.0
+
+
+def test_gate_bitmask_consistent_with_pipeline(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    masks = CATALOG["curation_gate_bitmask"].spark_fn(spark, sf_dir)
+    pipeline_total = (
+        CATALOG["curation_corpus_pipeline"]
+        .spark_fn(spark, sf_dir)
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+    )
+    kept = masks.filter("keep").count()
+    assert kept == pipeline_total
+    # keep is exactly bits 0-3 of the mask
+    bad = masks.filter(
+        (F.col("gate_mask").bitwiseAND(15) == 15) != F.col("keep")
+    ).count()
+    assert bad == 0
+    # every input document appears exactly once
+    docs_total = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert masks.count() == docs_total

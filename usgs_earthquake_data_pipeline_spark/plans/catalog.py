@@ -134,6 +134,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "changepoint_binary_seg_daily",
     "drift_ks_two_sample",
     "attribution_time_decay",
+    "curation_gate_bitmask",
+    "trend_theil_sen_daily",
     "knn_graph_mutual",
     "embedding_jl_distortion_checked",
     "feature_woe_value_bins",

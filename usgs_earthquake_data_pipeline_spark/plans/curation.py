@@ -800,3 +800,70 @@ def quality_median_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "curation_gate_bitmask",
+    oracle=(
+        "WITH t AS (SELECT doc_id, text, "
+        f"{T.QUALITY_COLS_SQL}, md5(text) AS fp, "
+        f"({T.quality_clf_logit_sql('text')}) >= 0 AS clf "
+        "FROM documents), "
+        "r AS (SELECT *, row_number() OVER "
+        "(PARTITION BY fp ORDER BY doc_id) AS rn FROM t), "
+        "bits AS (SELECT doc_id, "
+        f"CAST(n_tok >= {T.QUALITY_MIN_TOKENS} AS INT) AS b_len, "
+        "CAST((CASE WHEN n_tok > 0 THEN sw_hits / n_tok ELSE 0.0 END) "
+        f">= {T.QUALITY_MIN_STOPWORD_RATIO} AS INT) AS b_sw, "
+        "CAST((CASE WHEN nonspace > 0 THEN punct / nonspace "
+        f"ELSE 0.0 END) <= {T.QUALITY_MAX_PUNCT_RATIO} AS INT) AS b_punct, "
+        "CAST(rn = 1 AS INT) AS b_canon, "
+        "CAST(clf AS INT) AS b_clf FROM r) "
+        "SELECT doc_id, "
+        "CAST(b_len + 2 * b_sw + 4 * b_punct + 8 * b_canon "
+        "+ 16 * b_clf AS BIGINT) AS gate_mask, "
+        "b_len + b_sw + b_punct + b_canon = 4 AS keep "
+        "FROM bits ORDER BY doc_id"
+    ),
+    tags=("llm", "pipeline", "governance", "lineage"),
+)
+def curation_gate_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation lineage: instead of silently dropping
+    rows, emit EVERY document with a bitmask of which gates it
+    passed — length (bit 0), stopword ratio (1), punctuation ratio
+    (2), dedup-canonical (3), linear classifier (4, advisory) — and
+    the ``keep`` verdict (bits 0-3, exactly
+    ``curation_corpus_pipeline``'s survivor set).  This is the audit
+    artifact a governed corpus build ships next to the corpus: every
+    exclusion is attributable to a specific gate, filter-rates are
+    one GROUP BY over the mask away, and gate changes diff row-by-row
+    between builds.
+
+    Ratio bits mirror the Spark functions' empty-input guards (the
+    bare pipeline never evaluates ratios on zero-token docs because
+    the length gate short-circuits; the bitmask evaluates every bit
+    on every doc, so the guards matter here).  Plan: one scan with
+    pure-expression bits + the fingerprint window — the same single
+    shuffle as the pipeline, output one row per input document."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    r = docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tok"),
+        T.stopword_ratio("text", T.LANG_STOPWORDS["en"]).alias("sw_ratio"),
+        T.punctuation_ratio("text").alias("p_ratio"),
+        T.fingerprint_md5("text").alias("fp"),
+        (T.quality_clf_logit("text") >= 0).alias("clf"),
+    ).withColumn("rn", F.row_number().over(w))
+    b_len = (F.col("n_tok") >= T.QUALITY_MIN_TOKENS).cast("int")
+    b_sw = (F.col("sw_ratio") >= T.QUALITY_MIN_STOPWORD_RATIO).cast("int")
+    b_punct = (F.col("p_ratio") <= T.QUALITY_MAX_PUNCT_RATIO).cast("int")
+    b_canon = (F.col("rn") == 1).cast("int")
+    b_clf = F.col("clf").cast("int")
+    return r.select(
+        "doc_id",
+        (b_len + 2 * b_sw + 4 * b_punct + 8 * b_canon + 16 * b_clf)
+        .cast("long")
+        .alias("gate_mask"),
+        (b_len + b_sw + b_punct + b_canon == 4).alias("keep"),
+    ).orderBy("doc_id")

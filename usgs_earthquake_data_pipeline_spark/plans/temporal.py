@@ -1163,3 +1163,77 @@ def changepoint_binary_seg_daily(
         .orderBy(F.col("gain").desc(), "split_day")
         .limit(1)
     )
+
+
+@register(
+    "trend_theil_sen_daily",
+    oracle=(
+        "WITH daily AS (SELECT CAST(floor(epoch_us(ts) / 86400000000) "
+        "AS BIGINT) AS d, SUM(CAST(value AS DECIMAL(18,2))) AS xd "
+        "FROM events GROUP BY 1), "
+        "pairs AS (SELECT CAST(b.xd - a.xd AS DOUBLE) / (b.d - a.d) "
+        "AS slope FROM daily a JOIN daily b ON b.d > a.d), "
+        "sl AS (SELECT median(slope) AS med_slope, "
+        "CAST(count(*) AS BIGINT) AS n_pairs FROM pairs), "
+        "res AS (SELECT CAST(xd AS DOUBLE) - med_slope * d AS resid, "
+        "med_slope, n_pairs FROM daily CROSS JOIN sl) "
+        "SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days, "
+        "n_pairs, round(med_slope, 6) AS slope, "
+        "round(median(resid), 6) AS intercept "
+        "FROM res GROUP BY med_slope, n_pairs"
+    ),
+    tags=("temporal", "timeseries", "robust"),
+)
+def trend_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily value series: slope =
+    median of all pairwise day-to-day slopes (breakdown point ~29%,
+    immune to the outlier days that wreck OLS), intercept = median
+    residual at that slope — the robust twin of the per-type OLS
+    entry (`agg_regression_per_type`).
+
+    Determinism: each pairwise slope is an exact-decimal difference
+    cast to double once, divided by an exact integer day gap; the
+    median of identical double multisets is identical on both engines
+    (both interpolate the two middle order statistics as (a+b)/2),
+    and the intercept pass reuses the UNROUNDED slope so rounding is
+    cosmetic-only at the output.
+
+    Scale shape: the corpus collapses to the |days| daily aggregate
+    first; the pairwise join is |days|²-bounded (a domain, not a
+    data, quadratic — 435 pairs for a month, regardless of row
+    count), and both medians run on bounded frames."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(floor(unix_micros(ts) / 86400000000) AS BIGINT)")
+        .alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("xd"))
+    a = daily.select(F.col("d").alias("da"), F.col("xd").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("xd").alias("xb"))
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        (
+            (F.col("xb") - F.col("xa")).cast("double")
+            / (F.col("db") - F.col("da"))
+        ).alias("slope")
+    )
+    sl = pairs.agg(
+        F.expr("percentile(slope, 0.5)").alias("med_slope"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    res = daily.crossJoin(F.broadcast(sl)).select(
+        (F.col("xd").cast("double") - F.col("med_slope") * F.col("d"))
+        .alias("resid"),
+        "med_slope",
+        "n_pairs",
+    )
+    return (
+        res.groupBy("med_slope", "n_pairs")
+        .agg(F.expr("percentile(resid, 0.5)").alias("med_resid"))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round(F.col("med_slope"), 6).alias("slope"),
+            F.round(F.col("med_resid"), 6).alias("intercept"),
+        )
+    )
