@@ -112,10 +112,11 @@ def register(
 # `list(query_map())[:50]` / `[50:]` before planning the next
 # rotation (this comment block has gone stale twice before).
 #
-# Round-8 queue (recomputed after the late-r7 tier-1 growth to 34
-# names — latest-round-per-entry over CORRECTNESS_r01..r06, entries
-# now outside the 50-slot window, stalest first): r8 tier 2 leads
-# with the r3-era cohort — dedup_jaccard_prefix, dedup_normalized_
+# Round-8 queue (recomputed after the second-half r7 wave grew
+# tier 1 to 51 names — one past the window): r8 tier 1 leads with
+# attribution_time_decay (the deliberate slot-51 overflow, the only
+# never-driver-checked oracle entry left), then the r3-era cohort —
+# dedup_jaccard_prefix, dedup_normalized_
 # text, dedup_repeated_chunks, geojson_flatten, join_salted_skew,
 # mixture_downsample_uniform, pandas_grouped_mad, percentile_
 # quantity, pivot_event_counts, q4/q8/q9/q11/q13-q22, salted_
@@ -126,19 +127,13 @@ def register(
 # before trusting this list.
 DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: new round-7 entries, never driver-checked ------------
-    "rag_maxsim_topk",
-    "preference_bradley_terry_mm",
-    "survival_kaplan_meier_daily",
-    "mixture_token_budget_waterfill",
-    "anomaly_cusum_daily",
-    "changepoint_binary_seg_daily",
-    "drift_ks_two_sample",
-    "attribution_time_decay",
-    "curation_gate_bitmask",
-    "trend_theil_sen_daily",
-    "knn_graph_mutual",
-    "embedding_jl_distortion_checked",
-    "feature_woe_value_bins",
+    # (first-half additions lead — they have waited longest; the
+    # second-half wave follows after split_contamination_report.
+    # Tier 1 is now 51 names against a ~50-slot window: exactly ONE
+    # never-checked entry overflows to round 8 — deliberately
+    # attribution_time_decay, ordered last as the lowest-novelty
+    # member of its family, already covered by the first/last-touch
+    # twin's green rows.)
     "bloom_prefilter_semi_join",
     "pearson_quantity_price",
     "bpe_merge_pairs_top",
@@ -177,6 +172,20 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_jaccard_threshold_sweep",
     "quality_median_by_source",
     "split_contamination_report",
+    # second-half round-7 wave (this session):
+    "rag_maxsim_topk",
+    "preference_bradley_terry_mm",
+    "survival_kaplan_meier_daily",
+    "mixture_token_budget_waterfill",
+    "anomaly_cusum_daily",
+    "changepoint_binary_seg_daily",
+    "drift_ks_two_sample",
+    "curation_gate_bitmask",
+    "trend_theil_sen_daily",
+    "knn_graph_mutual",
+    "embedding_jl_distortion_checked",
+    "feature_woe_value_bins",
+    "attribution_time_decay",  # slot 51: the deliberate r8 overflow
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",
