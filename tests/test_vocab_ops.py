@@ -137,3 +137,55 @@ def test_pearson_perfect_correlation(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
     rows = CATALOG["pearson_quantity_price"].spark_fn(spark, path).collect()
     assert rows[0].pearson_r == 1.0
+
+
+def test_good_turing_hand_corpus(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "en", "s", 7),   # bigrams: "a b" x2, "b a"
+            (2, "a b c d", "en", "s", 7),   # "a b", "b c", "c d"
+            (3, "x", "en", "s", 1),         # too short: no bigrams
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    row = (
+        CATALOG["vocab_good_turing_unseen"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()[0]
+    )
+    # counts: "a b"->3, "b a"->1, "b c"->1, "c d"->1 → N=6, types=4,
+    # hapax=3, dis=0
+    assert (row.n_types, row.n_tokens, row.n_hapax, row.n_dis) == (4, 6, 3, 0)
+    assert row.unseen_mass == round(3 / 6, 9)
+    assert row.hapax_type_share == round(3 / 4, 9)
+
+
+def test_blocklist_audit_hand_corpus(spark, tmp_path):
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the table scan and the table scan again", "en", "s", 9),
+            (2, "a slow query", "en", "s", 9),
+            (3, "nothing here", "en", "s", 9),
+            (4, "table scan plus slow query", "en", "s", 9),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.phrase: r
+        for r in CATALOG["blocklist_phrase_audit"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert (got["table scan"].n_docs, got["table scan"].n_occurrences) == (2, 3)
+    assert (got["slow query"].n_docs, got["slow query"].n_occurrences) == (2, 2)
+    assert got["hash join"].n_docs == 0
+    assert got["table scan"].doc_rate == round(2 / 4, 9)
+    # every blocklist phrase reports, even at zero hits
+    assert len(got) == 4

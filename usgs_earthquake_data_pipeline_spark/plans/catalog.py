@@ -185,7 +185,9 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "knn_graph_mutual",
     "embedding_jl_distortion_checked",
     "feature_woe_value_bins",
-    "attribution_time_decay",  # slot 51: the deliberate r8 overflow
+    "attribution_time_decay",  # slots 51+: the deliberate r8 overflow
+    "vocab_good_turing_unseen",
+    "blocklist_phrase_audit",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -867,3 +867,68 @@ def curation_gate_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gate_mask"),
         (b_len + b_sw + b_punct + b_canon == 4).alias("keep"),
     ).orderBy("doc_id")
+
+
+_BLOCKLIST = ("hash join", "merge join", "slow query", "table scan")
+
+
+@register(
+    "blocklist_phrase_audit",
+    oracle=(
+        "WITH p AS (SELECT unnest(["
+        + ", ".join(f"'{x}'" for x in _BLOCKLIST)
+        + "]) AS phrase), "
+        "j AS (SELECT phrase, CAST(contains(text, phrase) AS INT) AS hit, "
+        "len(regexp_extract_all(text, phrase)) AS occ "
+        "FROM documents CROSS JOIN p), "
+        "tot AS (SELECT count(*) AS n_total FROM documents) "
+        "SELECT phrase, CAST(SUM(hit) AS BIGINT) AS n_docs, "
+        "CAST(SUM(occ) AS BIGINT) AS n_occurrences, "
+        "round(SUM(hit) / CAST(n_total AS DOUBLE), 9) AS doc_rate "
+        "FROM j CROSS JOIN tot GROUP BY phrase, n_total ORDER BY phrase"
+    ),
+    tags=("llm", "text", "governance", "filter"),
+)
+def blocklist_phrase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-phrase blocklist audit — the measurement pass every
+    corpus filter runs BEFORE enforcing a phrase blocklist (PII
+    markers, banned boilerplate, license strings): per phrase, how
+    many documents contain it, total occurrence count, and the
+    document hit-rate the filter would remove.  Auditing before
+    filtering is the governance discipline the gate-bitmask entry
+    serves for the heuristic gates; this is its content-blocklist
+    sibling.
+
+    Plan: the phrase list is a tiny literal array exploded map-side
+    against each document (|phrases|× narrow rows, no shuffle until
+    the phrase-keyed aggregate — output bounded by the blocklist
+    size).  Substring hits are codegen `contains`; occurrence counts
+    are regexp_count on literal patterns.  At 100 TB a thousand-entry
+    blocklist rides the same shape — the explode stays map-side and
+    the aggregate stays |blocklist|-bounded; only a blocklist too big
+    to broadcast would force the Aho-Corasick UDF variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.explode(F.array(*[F.lit(x) for x in _BLOCKLIST])).alias("phrase")
+    j = docs.select("text", p).select(
+        "phrase",
+        F.col("text").contains(F.col("phrase")).cast("int").alias("hit"),
+        F.regexp_count("text", F.col("phrase")).alias("occ"),
+    )
+    tot = docs.agg(F.count("*").alias("n_total"))
+    return (
+        j.groupBy("phrase")
+        .agg(
+            F.sum("hit").cast("long").alias("n_docs"),
+            F.sum("occ").cast("long").alias("n_occurrences"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "phrase",
+            "n_docs",
+            "n_occurrences",
+            F.round(
+                F.col("n_docs") / F.col("n_total").cast("double"), 9
+            ).alias("doc_rate"),
+        )
+        .orderBy("phrase")
+    )

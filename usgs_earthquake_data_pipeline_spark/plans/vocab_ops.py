@@ -983,3 +983,70 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "vocab_good_turing_unseen",
+    oracle=(
+        "WITH toks AS (SELECT list_filter(regexp_split_to_array("
+        "trim(text), '\\s+'), x -> x <> '') AS l FROM documents), "
+        "grams AS (SELECT unnest(list_transform(range(1, len(l)), "
+        "j -> l[j] || ' ' || l[j+1])) AS gram FROM toks WHERE len(l) >= 2), "
+        "tf AS (SELECT gram, count(*) AS c FROM grams GROUP BY 1), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n_types, "
+        "CAST(SUM(c) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_hapax, "
+        "CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dis FROM tf) "
+        "SELECT n_types, n_tokens, n_hapax, n_dis, "
+        "round(n_hapax / CAST(n_tokens AS DOUBLE), 9) AS unseen_mass, "
+        "round(n_hapax / CAST(n_types AS DOUBLE), 9) AS hapax_type_share "
+        "FROM s"
+    ),
+    tags=("llm", "text", "vocab"),
+)
+def vocab_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass estimate over corpus word BIGRAMS: the
+    singleton fraction n₁/N estimates the probability that the NEXT
+    bigram drawn is one never seen — the classic "how much of the
+    language is this corpus still missing" number (Good 1953), the
+    probabilistic cousin of the Heaps-curve entry.  Bigrams rather
+    than unigrams because the generator's closed word vocabulary
+    saturates (zero hapax unigrams would make the estimate vacuous);
+    the bigram space is where novelty lives, exactly as in real
+    corpora whose unigram vocab saturates long before phrase space.
+
+    All counts are exact integers from one (gram) aggregate +
+    frequency-of-frequency rollup; the two output ratios are single
+    IEEE divisions.  Scale shape: the gram explode is map-side, the
+    only shuffles are the gram-keyed count and the tiny
+    freq-of-freq aggregate — mergeable partials all the way."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(T.word_ngrams("text", 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c"))
+    )
+    s = tf.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dis"),
+    )
+    return s.select(
+        "n_types",
+        "n_tokens",
+        "n_hapax",
+        "n_dis",
+        F.round(
+            F.col("n_hapax") / F.col("n_tokens").cast("double"), 9
+        ).alias("unseen_mass"),
+        F.round(
+            F.col("n_hapax") / F.col("n_types").cast("double"), 9
+        ).alias("hapax_type_share"),
+    )
