@@ -121,3 +121,62 @@ def test_bm25_fuzz_against_reference(spark):
         assert {r.id: r.score for r in got} == ref, (trial, query, corpus)
         expect_order = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
         assert [r.id for r in got] == [i for i, _ in expect_order]
+
+
+def test_ndcg_eval_hand_corpus(spark, tmp_path):
+    import math
+
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    # 3 relevant docs (contain spark+merge+window); doc 4 scores on
+    # 'spark spark' but is not relevant; doc 5 is noise
+    docs = spark.createDataFrame(
+        [
+            (1, "spark merge window", "en", "s", 18),
+            (2, "spark merge window extra words here", "en", "s", 30),
+            (3, "big spark and merge and window", "en", "s", 30),
+            (4, "spark spark spark spark", "en", "s", 23),
+            (5, "totally unrelated content", "en", "s", 25),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    row = (
+        CATALOG["rag_eval_ndcg_bm25"].spark_fn(spark, str(tmp_path)).collect()[0]
+    )
+    assert row.n_relevant == 3
+    # all 3 relevant docs rank in the top 10 (only 4 docs score)
+    assert row.hits_at_10 == 3
+    assert 0.0 < row.ndcg_at_10 <= 1.0
+    assert row.mrr_at_10 in (1.0, 0.5, round(1 / 3, 6), 0.25)
+    # perfect-ordering check: if the 3 relevant docs occupy the top 3
+    # ranks, ndcg must be exactly 1.0 (DCG == IDCG by construction)
+    ranked = bm25_topk(
+        docs, "doc_id", "text", ["spark", "merge", "window"], k=10
+    ).collect()
+    hits = {r.id: r.rank for r in ranked}
+    if all(hits.get(d, 99) <= 3 for d in (1, 2, 3)):
+        assert row.ndcg_at_10 == 1.0
+
+
+def test_pmi_prefers_exclusive_pair(spark, tmp_path):
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    # "alpha beta" always co-occur exclusively (5 times, the support
+    # floor); "the of" are frequent but independent filler
+    rows = []
+    for i in range(5):
+        rows.append((i, "alpha beta", "en", "s", 10))
+    for i in range(5, 25):
+        rows.append((i, "the of the of the of", "en", "s", 20))
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = CATALOG["vocab_pmi_collocations"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert got, "support-floor pairs must exist"
+    # the exclusive pair outranks the independent filler pairs
+    assert got[0].gram == "alpha beta"
+    assert all(got[0].pmi >= r.pmi for r in got)

@@ -188,6 +188,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "attribution_time_decay",  # slots 51+: the deliberate r8 overflow
     "vocab_good_turing_unseen",
     "blocklist_phrase_audit",
+    "rag_eval_ndcg_bm25",
+    "vocab_pmi_collocations",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

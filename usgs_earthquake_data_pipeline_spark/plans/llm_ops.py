@@ -3089,3 +3089,115 @@ def preference_bradley_terry_mm(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "rag_eval_ndcg_bm25",
+    oracle=(
+        f"WITH {_bm25_ctes(('spark', 'merge', 'window'))}, "
+        "ranked AS (SELECT id, CAST(row_number() OVER "
+        "(ORDER BY score DESC, id) AS BIGINT) AS rnk "
+        "FROM by_doc ORDER BY score DESC, id LIMIT 10), "
+        "rel AS (SELECT doc_id, CAST(contains(' ' || text || ' ', "
+        "' spark ') AND contains(' ' || text || ' ', ' merge ') AND "
+        "contains(' ' || text || ' ', ' window ') AS INT) AS r "
+        "FROM documents), "
+        "n_rel AS (SELECT CAST(SUM(r) AS BIGINT) AS n_relevant FROM rel), "
+        "hits AS (SELECT ranked.rnk, rel.r FROM ranked "
+        "JOIN rel ON rel.doc_id = ranked.id), "
+        "dcg AS (SELECT CAST(SUM(CAST(round(r / log2(rnk + 1.0), 9) "
+        "AS DECIMAL(18,9))) AS DOUBLE) AS dcg, "
+        "CAST(SUM(r) AS BIGINT) AS hits_at_10, "
+        "COALESCE(min(CASE WHEN r = 1 THEN rnk END), 0) AS first_rel "
+        "FROM hits), "
+        "idcg AS (SELECT CAST(SUM(CAST(round(1.0 / log2(i + 1.0), 9) "
+        "AS DECIMAL(18,9))) AS DOUBLE) AS idcg FROM ("
+        "SELECT unnest(range(1, 11)) AS i) t CROSS JOIN n_rel "
+        "WHERE i <= least(10, n_relevant)) "
+        "SELECT n_relevant, hits_at_10, "
+        "CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) ELSE 0.0 END "
+        "AS ndcg_at_10, "
+        "CASE WHEN first_rel > 0 THEN round(1.0 / first_rel, 6) "
+        "ELSE 0.0 END AS mrr_at_10 "
+        "FROM dcg CROSS JOIN idcg CROSS JOIN n_rel"
+    ),
+    tags=("llm", "retrieval", "eval"),
+)
+def rag_eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the BM25 stack — the eval
+    harness a RAG pipeline runs before swapping rankers: binary
+    relevance = document contains ALL query terms as whitespace
+    tokens (a deterministic qrel set, no human labels in the loop),
+    metrics = hits@10, nDCG@10, MRR@10 over the BM25 top-10.
+
+    Float discipline: per-rank DCG terms round 9 dp and sum as
+    DECIMAL (order-free — a plain double SUM over the top-10 frame
+    would be partition-order-sensitive); IDCG folds the ideal-rank
+    sequence the same way; the two metrics are single IEEE divisions
+    rounded 6 dp.  log2 ULP sits far under the 9-dp grain.
+
+    Scale shape: everything after bm25_topk's TakeOrdered lives on
+    ≤10 rows + one corpus aggregate for |relevant| — the eval adds
+    one broadcast-sized join to the ranking plan."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "merge", "window"]
+    ranked = bm25_topk(docs, "doc_id", "text", terms, k=10).select(
+        "id", F.col("rank").alias("rnk")
+    )
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    is_rel = F.lit(True)
+    for t in terms:
+        is_rel = is_rel & padded.contains(f" {t} ")
+    rel = docs.select(
+        F.col("doc_id"), is_rel.cast("int").alias("r")
+    )
+    n_rel = rel.agg(F.sum("r").cast("long").alias("n_relevant"))
+    hits = ranked.join(rel, ranked.id == rel.doc_id).select("rnk", "r")
+    dcg = hits.agg(
+        F.sum(
+            F.round(
+                F.col("r") / F.log2(F.col("rnk") + F.lit(1.0)), 9
+            ).cast("decimal(18,9)")
+        )
+        .cast("double")
+        .alias("dcg"),
+        F.sum("r").cast("long").alias("hits_at_10"),
+        F.coalesce(
+            F.min(F.when(F.col("r") == 1, F.col("rnk"))), F.lit(0)
+        ).alias("first_rel"),
+    )
+    ideal = spark.range(1, 11).select(F.col("id").alias("i"))
+    idcg = (
+        ideal.crossJoin(F.broadcast(n_rel))
+        .filter(F.col("i") <= F.least(F.lit(10), F.col("n_relevant")))
+        .agg(
+            F.sum(
+                F.round(F.lit(1.0) / F.log2(F.col("i") + F.lit(1.0)), 9)
+                .cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            "n_relevant",
+            "hits_at_10",
+            F.when(
+                F.col("idcg") > 0,
+                F.round(F.col("dcg") / F.col("idcg"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg_at_10"),
+            F.when(
+                F.col("first_rel") > 0,
+                F.round(F.lit(1.0) / F.col("first_rel"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mrr_at_10"),
+        )
+    )

@@ -1050,3 +1050,84 @@ def vocab_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hapax") / F.col("n_types").cast("double"), 9
         ).alias("hapax_type_share"),
     )
+
+
+@register(
+    "vocab_pmi_collocations",
+    oracle=(
+        "WITH toks AS (SELECT list_filter(regexp_split_to_array("
+        "trim(text), '\\s+'), x -> x <> '') AS l FROM documents), "
+        "uni AS (SELECT unnest(l) AS w FROM toks), "
+        "uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1), "
+        "bi AS (SELECT unnest(list_transform(range(1, len(l)), "
+        "j -> l[j] || ' ' || l[j+1])) AS gram FROM toks "
+        "WHERE len(l) >= 2), "
+        "bc AS (SELECT gram, count(*) AS c_ab FROM bi GROUP BY 1), "
+        "n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bc), "
+        "p AS (SELECT gram, c_ab, "
+        "round(ln(CAST(c_ab AS DOUBLE) * n_bi "
+        "/ (ca.c * cb.c)), 6) AS pmi "
+        "FROM bc CROSS JOIN n "
+        "JOIN uc ca ON ca.w = split_part(gram, ' ', 1) "
+        "JOIN uc cb ON cb.w = split_part(gram, ' ', 2) "
+        "WHERE c_ab >= 5) "
+        "SELECT gram, CAST(c_ab AS BIGINT) AS c_ab, pmi "
+        "FROM p ORDER BY pmi DESC, gram LIMIT 20"
+    ),
+    tags=("llm", "text", "vocab", "collocation"),
+)
+def vocab_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church &
+    Hanks): the top-20 adjacent word pairs whose co-occurrence beats
+    the independence baseline, PMI = ln(c(ab)·N / (c(a)·c(b))), with
+    a count-≥5 support floor (raw PMI is notoriously hapax-dominated
+    — the floor is the standard fix).  THE classic phrase-detection
+    pass before tokenizer training decides which word pairs deserve
+    merged tokens — the statistical cousin of the BPE trainer's
+    frequency argmax.
+
+    Plan: two map-side-combined counts (unigram, bigram) + two
+    broadcast-friendly joins from the bigram table back to unigram
+    counts (the unigram side is vocab-domain-sized), one 1-row total
+    broadcast, TakeOrdered top-20 on the 6-dp-rounded PMI with the
+    gram tiebreak.  Only ln() is transcendental; its argument is an
+    exact-integer ratio evaluated in identical op order on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(T.tokens("text").alias("l"))
+    uc = toks.select(F.explode("l").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    bc = (
+        docs.select(F.explode(T.word_ngrams("text", 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    n = bc.agg(F.sum("c_ab").cast("long").alias("n_bi"))
+    left = F.split(F.col("gram"), " ").getItem(0)
+    right = F.split(F.col("gram"), " ").getItem(1)
+    p = (
+        bc.filter(F.col("c_ab") >= 5)
+        .crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(uc.select(F.col("w").alias("wa"), F.col("c").alias("ca"))),
+            left == F.col("wa"),
+        )
+        .join(
+            F.broadcast(uc.select(F.col("w").alias("wb"), F.col("c").alias("cb"))),
+            right == F.col("wb"),
+        )
+        .select(
+            "gram",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_bi")
+                    / (F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return p.orderBy(F.col("pmi").desc(), "gram").limit(20)
