@@ -54,3 +54,28 @@ def compression_ratio(col: Column | str, decimals: int = 6) -> Column:
     Series per batch."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(_make_deflate_ratio()(c), decimals)
+
+
+def _make_deflate_size():
+    # lazy for the same session-binding reason as _make_deflate_ratio
+    @pandas_udf("long")
+    def deflate_size(texts: pd.Series) -> pd.Series:
+        def size(t: str | None) -> int | None:
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, DEFLATE_LEVEL))
+
+        return texts.map(size)
+
+    return deflate_size
+
+
+def deflate_size(col: Column | str) -> Column:
+    """deflate-compressed byte size of the utf-8 text; NULL for
+    empty/NULL. The building block of normalized compression distance
+    (NCD) — same Arrow-batched discipline as ``compression_ratio``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _make_deflate_size()(c)

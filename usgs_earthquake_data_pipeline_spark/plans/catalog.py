@@ -190,6 +190,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "blocklist_phrase_audit",
     "rag_eval_ndcg_bm25",
     "vocab_pmi_collocations",
+    "quality_percentile_by_source",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

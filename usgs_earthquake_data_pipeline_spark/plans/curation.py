@@ -932,3 +932,70 @@ def blocklist_phrase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phrase")
     )
+
+
+@register(
+    "quality_percentile_by_source",
+    oracle=(
+        "WITH s AS (SELECT source, doc_id, "
+        f"{T.quality_clf_logit_sql('text')} AS score FROM documents "
+        "WHERE doc_id % 10 = 0), "
+        "r AS (SELECT source, doc_id, score, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY score, doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY source) AS n FROM s) "
+        "SELECT source, doc_id, CAST(score AS DOUBLE) AS logit, "
+        "CASE WHEN n > 1 THEN round(CAST(rn - 1 AS DOUBLE) / (n - 1), 9) "
+        "ELSE 0.0 END AS pct_in_source "
+        "FROM r ORDER BY source, doc_id"
+    ),
+    tags=("llm", "text", "quality", "normalization"),
+)
+def quality_percentile_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Within-source percentile normalization of the quality score —
+    the mixing trick that makes quality cuts comparable ACROSS
+    sources: a raw-logit threshold deletes whole sources whose score
+    distribution sits low (what `quality_median_by_source` measures);
+    ranking each doc within its own source and cutting on the
+    percentile removes the same FRACTION everywhere.  Emitted over a
+    deterministic doc_id subset so the per-doc output stays
+    driver-comparable.
+
+    Determinism: ranks order by the EXACT DECIMAL logit with doc_id
+    tiebreak (no float comparison flakes), and the percentile
+    (rn−1)/(n−1) is one IEEE division of exact integers.  Scale
+    shape: one shuffle on source for the rank window — partitions
+    bounded by source cardinality × docs-per-source, the same profile
+    as every per-source aggregate in the curation family."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    s = docs.select(
+        "source",
+        "doc_id",
+        T.quality_clf_logit("text").alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    wn = Window.partitionBy("source")
+    r = s.select(
+        "source",
+        "doc_id",
+        "score",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.select(
+        "source",
+        "doc_id",
+        F.col("score").cast("double").alias("logit"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                (F.col("rn") - 1).cast("double") / (F.col("n") - 1), 9
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_in_source"),
+    ).orderBy("source", "doc_id")

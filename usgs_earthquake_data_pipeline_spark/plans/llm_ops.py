@@ -3201,3 +3201,84 @@ def rag_eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mrr_at_10"),
         )
     )
+
+
+@register(
+    "source_ncd_matrix",
+    # no oracle: DEFLATE is not SQL-expressible in DuckDB; byte-exact
+    # parity vs driver-side zlib is pinned in tests/test_compression.py
+    tags=("llm", "similarity", "pandas-udf", "compression"),
+)
+def source_ncd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized compression distance between corpus sources —
+    NCD(a,b) = (C(ab) − min(C(a),C(b))) / max(C(a),C(b)) (Cilibrasi &
+    Vitányi): the parameter-free similarity that catches mirrored /
+    templated source pairs whatever their token statistics, the
+    compression-side sibling of `source_overlap_jaccard`'s exact
+    shingle sets.  Near-duplicate sources score near 0; independent
+    ones near 1.
+
+    Each source is represented by a BOUNDED blob — its first 20
+    documents by doc_id, concatenated in deterministic id order (the
+    cap is what keeps C(·) well-defined at 100 TB; real NCD runs
+    always sample, and a deterministic prefix keeps the signal
+    reproducible).  C(·) is the Arrow-batched deflate kernel from
+    ``functions/compress.py``.
+
+    Scale shape: one (source) aggregate builds the blobs (sort_array
+    over collected (doc_id, text) structs, slice 20 — collect_list
+    alone would be partition-order-nondeterministic); the pair join
+    is source-domain² (190 pairs for 20 sources) on blobs of bounded
+    size; three deflate calls per pair cross Python once per Arrow
+    batch."""
+    from ..functions.compress import deflate_size
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = (
+        docs.groupBy("source")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "text"))
+            ).alias("rows")
+        )
+        .select(
+            "source",
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.slice(F.col("rows"), 1, 20), lambda r: r["text"]
+                ),
+            ).alias("blob"),
+        )
+        .select("source", "blob", deflate_size("blob").alias("c"))
+    )
+    a = blobs.select(
+        F.col("source").alias("src_a"),
+        F.col("blob").alias("blob_a"),
+        F.col("c").alias("c_a"),
+    )
+    b = blobs.select(
+        F.col("source").alias("src_b"),
+        F.col("blob").alias("blob_b"),
+        F.col("c").alias("c_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b")).select(
+        "src_a",
+        "src_b",
+        "c_a",
+        "c_b",
+        deflate_size(
+            F.concat(F.col("blob_a"), F.lit("\n"), F.col("blob_b"))
+        ).alias("c_ab"),
+    )
+    ncd = (
+        F.col("c_ab") - F.least(F.col("c_a"), F.col("c_b"))
+    ).cast("double") / F.greatest(F.col("c_a"), F.col("c_b"))
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "c_a",
+        "c_b",
+        "c_ab",
+        F.round(ncd, 6).alias("ncd"),
+    ).orderBy("src_a", "src_b")
