@@ -535,3 +535,70 @@ def test_heaps_curve_lineage_is_truncated(spark, sf_dir):
     plan = _plan(CATALOG["vocab_heaps_beta"].spark_fn(spark, sf_dir))
     assert "Generate" not in plan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_waterfill_runs_on_broadcast_totals(spark, sf_dir):
+    # the waterfilling recursion must live on broadcast 1-row/domain
+    # frames — no shuffle beyond the (source) aggregate
+    plan = _plan(
+        CATALOG["mixture_token_budget_waterfill"].spark_fn(spark, sf_dir)
+    )
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_window_runs_after_value_aggregate(spark, sf_dir):
+    # the corpus collapses to the value grid BEFORE the cumulative
+    # window: a hash aggregate on value must precede the single-
+    # partition window exchange
+    plan = _plan(CATALOG["drift_ks_two_sample"].spark_fn(spark, sf_dir))
+    agg_pos = plan.index("hashpartitioning(value")
+    win_pos = plan.index("Window")
+    assert agg_pos > win_pos  # executedPlan prints top-down: window
+    # consumes the aggregate, so the aggregate's exchange appears
+    # BELOW (later in the string than) the Window node
+
+
+def test_pmi_unigram_sides_broadcast(spark, sf_dir):
+    # both unigram-count joins and the 1-row total must broadcast —
+    # the bigram table is the only corpus-sized side
+    plan = _plan(CATALOG["vocab_pmi_collocations"].spark_fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gate_bitmask_single_fingerprint_shuffle(spark, sf_dir):
+    # one hash exchange on the content fingerprint — the same single
+    # shuffle as the curation pipeline, everything else map-side
+    plan = _plan(CATALOG["curation_gate_bitmask"].spark_fn(spark, sf_dir))
+    assert plan.count("hashpartitioning(fp") == 1
+
+
+def test_time_decay_attribution_rides_equi_join(spark, sf_dir):
+    # the 7-day lookback must ride the user_id equi-join (range as a
+    # residual condition), never a nested-loop or cartesian
+    plan = _plan(CATALOG["attribution_time_decay"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_bradley_terry_step2_scores_broadcast(spark, sf_dir):
+    # step-2 MM terms join the (type-domain) step-1 scores by
+    # broadcast; the only corpus-shuffles are the (user,type) decimal
+    # totals and the user-keyed comparison join
+    plan = _plan(
+        CATALOG["preference_bradley_terry_mm"].spark_fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kaplan_meier_window_on_day_domain(spark, sf_dir):
+    # the KM recursion's window runs AFTER the per-user and per-day
+    # aggregates — the window input is the bounded day domain
+    plan = _plan(
+        CATALOG["survival_kaplan_meier_daily"].spark_fn(spark, sf_dir)
+    )
+    assert plan.count("Window") >= 1
+    assert "hashpartitioning(user_id" in plan  # corpus collapse first
