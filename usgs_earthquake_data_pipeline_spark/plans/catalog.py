@@ -191,6 +191,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "rag_eval_ndcg_bm25",
     "vocab_pmi_collocations",
     "quality_percentile_by_source",
+    "forecast_holt_linear_daily",
+    "er_blocking_quality",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

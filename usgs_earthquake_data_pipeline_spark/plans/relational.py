@@ -2751,3 +2751,92 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 9).alias("crit_5pct"),
         (ks > crit).alias("drift_flag"),
     )
+
+
+@register(
+    "er_blocking_quality",
+    oracle=(
+        "WITH s AS (SELECT p_partkey AS k, p_name AS nm, "
+        "substr(p_name, 1, 2) AS blk FROM part WHERE p_partkey % 10 = 0), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM s), "
+        "p AS (SELECT CAST(levenshtein(a.nm, b.nm) <= 4 AS INT) AS m, "
+        "CAST(a.blk = b.blk AS INT) AS c "
+        "FROM s a JOIN s b ON a.k < b.k), "
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_all, "
+        "CAST(SUM(c) AS BIGINT) AS n_cand, "
+        "CAST(SUM(m) AS BIGINT) AS n_true, "
+        "CAST(SUM(m * c) AS BIGINT) AS n_found FROM p) "
+        "SELECT n_records, n_all AS n_all_pairs, n_cand AS n_candidates, "
+        "n_true, n_found, "
+        "round(1.0 - n_cand / CAST(n_all AS DOUBLE), 9) "
+        "AS reduction_ratio, "
+        "CASE WHEN n_true > 0 THEN "
+        "round(n_found / CAST(n_true AS DOUBLE), 9) END "
+        "AS pair_completeness "
+        "FROM agg CROSS JOIN n"
+    ),
+    tags=("entity-resolution", "dedup", "eval"),
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality report for entity resolution (Christen's two
+    numbers): REDUCTION RATIO — what fraction of the quadratic pair
+    space the 2-char-prefix blocking scheme prunes — and PAIR
+    COMPLETENESS — what fraction of TRUE matches (edit distance ≤ 4,
+    the sorted-neighborhood entries' threshold) survive the pruning.
+    The eval every blocking-scheme change must pass before it ships:
+    RR without PC rewards deleting everything; PC without RR rewards
+    no blocking at all.
+
+    Ground truth needs all-pairs edit distances, so it runs on a
+    deliberately bounded hash subset (p_partkey % 10) — the eval-only
+    quadratic, same contract as the mutual-kNN probe set; the
+    blocking scheme under test stays linear at corpus scale.  All
+    counts are exact integers from one self-join pass carrying both
+    the match and same-block flags; the two ratios are single IEEE
+    divisions."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 10 == 0
+    )
+    s = part.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("nm"),
+        F.substring("p_name", 1, 2).alias("blk"),
+    )
+    n = s.agg(F.count("*").cast("long").alias("n_records"))
+    a = s.select(
+        F.col("k").alias("ka"), F.col("nm").alias("na"), F.col("blk").alias("ba")
+    )
+    b = s.select(
+        F.col("k").alias("kb"), F.col("nm").alias("nb"), F.col("blk").alias("bb")
+    )
+    p = a.join(F.broadcast(b), F.col("ka") < F.col("kb")).select(
+        (F.levenshtein("na", "nb") <= 4).cast("int").alias("m"),
+        (F.col("ba") == F.col("bb")).cast("int").alias("c"),
+    )
+    agg = p.agg(
+        F.count("*").cast("long").alias("n_all_pairs"),
+        F.sum("c").cast("long").alias("n_candidates"),
+        F.sum("m").cast("long").alias("n_true"),
+        F.sum(F.col("m") * F.col("c")).cast("long").alias("n_found"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .select(
+            "n_records",
+            "n_all_pairs",
+            "n_candidates",
+            "n_true",
+            "n_found",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidates") / F.col("n_all_pairs").cast("double"),
+                9,
+            ).alias("reduction_ratio"),
+            F.when(
+                F.col("n_true") > 0,
+                F.round(
+                    F.col("n_found") / F.col("n_true").cast("double"), 9
+                ),
+            ).alias("pair_completeness"),
+        )
+    )

@@ -1237,3 +1237,56 @@ def trend_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("med_resid"), 6).alias("intercept"),
         )
     )
+
+
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(floor({epoch} / 86400000000) AS BIGINT) AS d,
+         SUM(CAST(value AS DECIMAL(18,2))) AS xd
+  FROM {table} GROUP BY 1),
+idx AS (SELECT d, CAST(xd AS DOUBLE) AS x,
+        row_number() OVER (ORDER BY d) AS i FROM daily),
+h(i, d, x, l, b) AS (
+  SELECT i, d, x, x, CAST(0.0 AS DOUBLE) FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.d, idx.x,
+         (idx.x + (h.l + h.b)) / 2,
+         (((idx.x + (h.l + h.b)) / 2 - h.l) + h.b) / 2
+  FROM idx JOIN h ON idx.i = h.i + 1
+)
+SELECT d, round(x, 6) AS daily_value, round(l, 6) AS level,
+       round(b, 6) AS trend, round(l + 7 * b, 6) AS forecast_7d
+FROM h ORDER BY d
+"""
+
+
+@register(
+    "forecast_holt_linear_daily",
+    oracle=_HOLT_SQL.format(epoch="epoch_us(ts)", table="events"),
+    tags=("temporal", "timeseries", "recursive", "forecast"),
+)
+def forecast_holt_linear_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (the step up
+    from the EWMA entry when the series drifts): level l_t =
+    α·x_t + (1−α)(l_{t−1}+b_{t−1}), trend b_t = β(l_t−l_{t−1}) +
+    (1−β)b_{t−1}, plus the 7-day-ahead forecast l+7b — the
+    workhorse short-horizon forecaster before anything seasonal
+    (`seasonal_decompose_weekly` handles that axis).
+
+    α=β=1/2 deliberately, the EWMA/CUSUM recursive convention: every
+    step is additions and exact halvings of doubles in identical
+    order, so the two-state recursion is bit-identical across
+    engines with NO intermediate rounding (a 2-state chain is exactly
+    where per-step rounding would compound divergence).  Inherently
+    recursive — two coupled states, no window frame expresses it —
+    so WITH RECURSIVE, identical SQL text on both engines.
+
+    Scale: corpus collapses in the daily aggregate; recursion depth =
+    |days|, one 1-row join per step."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__holt_events")
+    return spark.sql(
+        _HOLT_SQL.format(epoch="unix_micros(ts)", table="__holt_events")
+    )
