@@ -30,7 +30,20 @@ def _km_reference(times_churned: list[tuple[int, int]]):
             dead_zone = True
         elif dt > 0:
             lsum += math.log(1.0 - dt / n)
-        surv = 0.0 if dead_zone else round(math.exp(lsum), 6)
+        # HALF_UP like both engines — python round() is banker's and
+        # diverges on exact half-ULP ties (e.g. 0.6015625)
+        import decimal
+
+        surv = (
+            0.0
+            if dead_zone
+            else float(
+                decimal.Decimal(math.exp(lsum)).quantize(
+                    decimal.Decimal("0.000001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+        )
         out[t] = (n, dt, surv)
         seen += m[t]
     return out
@@ -136,3 +149,109 @@ def test_waterfill_budget_invariants(spark, sf_dir):
             continue
         # strictly higher weight, round-1 proportional share is higher
         assert b.alloc_round1 >= a.alloc_round1 or b.exhausted
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: waterfill and KM vs python references
+# ---------------------------------------------------------------------------
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+
+
+def _py_waterfill(avail: dict[int, int]):
+    """Python replay of mixture_token_budget_waterfill's integer
+    arithmetic: weights 1+(i%5), budget 60%, two rounds."""
+    w = {i: 1 + (i % 5) for i in avail}
+    total = sum(avail.values())
+    budget = (6 * total) // 10
+    w_all = sum(w.values())
+    a1 = {i: min(avail[i], (w[i] * budget) // w_all) for i in avail}
+    leftover = budget - sum(a1.values())
+    w_open = sum(w[i] for i in avail if a1[i] < avail[i])
+    a2 = {}
+    for i in avail:
+        if a1[i] < avail[i] and w_open > 0:
+            a2[i] = min(avail[i], a1[i] + (w[i] * leftover) // w_open)
+        else:
+            a2[i] = a1[i]
+    return a1, a2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    avails=st.lists(
+        st.integers(min_value=1, max_value=100_000), min_size=2, max_size=8
+    )
+)
+def test_waterfill_fuzz_vs_python(spark, tmp_path_factory, avails):
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    tmp = tmp_path_factory.mktemp("wf")
+    rows = [
+        (i, "x", "en", f"src{i}", av) for i, av in enumerate(avails)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).write.parquet(str(tmp / "documents.parquet"))
+    got = {
+        int(r.source[3:]): r
+        for r in CATALOG["mixture_token_budget_waterfill"]
+        .spark_fn(spark, str(tmp))
+        .collect()
+    }
+    a1, a2 = _py_waterfill({i: av for i, av in enumerate(avails)})
+    for i, av in enumerate(avails):
+        assert got[i].alloc_round1 == a1[i]
+        assert got[i].alloc_round2 == a2[i]
+        assert got[i].avail_chars == av
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),  # first-event day
+            st.integers(min_value=0, max_value=25),  # extra span days
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_kaplan_meier_fuzz_vs_python(spark, tmp_path_factory, spans):
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    base = datetime.datetime(2024, 7, 1)
+    rows = []
+    eid = 0
+    last_days = []
+    for uid, (start, extra) in enumerate(spans):
+        end = min(start + extra, 29)
+        start = min(start, end)
+        for d in {start, end}:
+            eid += 1
+            rows.append(
+                (eid, base + datetime.timedelta(days=d), uid, "view", 1.0, "{}")
+            )
+        last_days.append((uid, start, end))
+    tmp = tmp_path_factory.mktemp("km")
+    spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING",
+    ).write.parquet(str(tmp / "events.parquet"))
+
+    horizon = max(end for _, _, end in last_days)
+    obs = [
+        (end - start, 1 if end <= horizon - 7 else 0)
+        for _, start, end in last_days
+    ]
+    ref = _km_reference(obs)
+    got = {
+        r.t_days: (r.n_at_risk, r.n_churned, r.survival)
+        for r in CATALOG["survival_kaplan_meier_daily"]
+        .spark_fn(spark, str(tmp))
+        .collect()
+    }
+    assert got == ref
