@@ -180,3 +180,24 @@ def test_pmi_prefers_exclusive_pair(spark, tmp_path):
     # the exclusive pair outranks the independent filler pairs
     assert got[0].gram == "alpha beta"
     assert all(got[0].pmi >= r.pmi for r in got)
+
+
+def test_ranker_shootout_bounds_and_composition(spark, sf_dir):
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    rows = {
+        r.ranker: r
+        for r in CATALOG["rag_eval_ranker_shootout"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {"bm25", "cosine", "rrf", "maxsim"}
+    for r in rows.values():
+        assert 0 <= r.hits_at_10 <= 10
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+        assert 0.0 <= r.mrr_at_10 <= 1.0
+    # the shootout's bm25 row must agree with the standalone eval
+    solo = CATALOG["rag_eval_ndcg_bm25"].spark_fn(spark, sf_dir).collect()[0]
+    assert rows["bm25"].hits_at_10 == solo.hits_at_10
+    assert rows["bm25"].ndcg_at_10 == solo.ndcg_at_10
+    assert rows["bm25"].mrr_at_10 == solo.mrr_at_10

@@ -193,6 +193,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "quality_percentile_by_source",
     "forecast_holt_linear_daily",
     "er_blocking_quality",
+    "rag_eval_ranker_shootout",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -2752,13 +2752,11 @@ def dedup_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-def _maxsim_oracle(m: int = 8, sub: int = 8, k: int = 10) -> str:
-    """DuckDB oracle for ``rag_maxsim_topk``: the m x m slot-dot grid
-    written out term-by-term with the SAME arithmetic order as the
-    Spark plan — each dot is a left-fold over ``sub`` products
-    (list_sum(list_transform(range, ...)), the proven sequential-fold
-    mirror), per-query-slot maxima via GREATEST, slot maxima summed
-    left-associatively, rounded 6 dp before ranking."""
+def _maxsim_score_sql(m: int = 8, sub: int = 8) -> str:
+    """The m x m slot-dot MaxSim score expression over ``qe``/``ce``
+    DOUBLE[] columns — shared by the rag_maxsim_topk oracle and the
+    ranker-shootout eval so both engines (and both entries) evaluate
+    the identical left-fold grid."""
 
     def dotm(i: int, j: int) -> str:
         return (
@@ -2770,7 +2768,17 @@ def _maxsim_oracle(m: int = 8, sub: int = 8, k: int = 10) -> str:
         "greatest(" + ", ".join(dotm(i, j) for j in range(m)) + ")"
         for i in range(m)
     ]
-    score = " + ".join(per_q)
+    return " + ".join(per_q)
+
+
+def _maxsim_oracle(m: int = 8, sub: int = 8, k: int = 10) -> str:
+    """DuckDB oracle for ``rag_maxsim_topk``: the m x m slot-dot grid
+    written out term-by-term with the SAME arithmetic order as the
+    Spark plan — each dot is a left-fold over ``sub`` products
+    (list_sum(list_transform(range, ...)), the proven sequential-fold
+    mirror), per-query-slot maxima via GREATEST, slot maxima summed
+    left-associatively, rounded 6 dp before ranking."""
+    score = _maxsim_score_sql(m, sub)
     return (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe "
         "FROM embeddings WHERE vec_id = 0), "
@@ -3282,3 +3290,195 @@ def source_ncd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_ab",
         F.round(ncd, 6).alias("ncd"),
     ).orderBy("src_a", "src_b")
+
+
+def _shootout_oracle() -> str:
+    """Four rankers (bm25, dense cosine, RRF fusion, MaxSim) scored
+    with the same nDCG@10 / MRR@10 harness against the same
+    deterministic qrel set — each ranker CTE reuses the proven
+    fragment of its standalone entry (the bm25 CTE chain, the rrf
+    fusion arithmetic, the MaxSim slot grid)."""
+    score = _maxsim_score_sql()
+    rankers = ("bm25", "cosine", "rrf", "maxsim")
+    metric_ctes = ", ".join(
+        f"h_{n} AS (SELECT rnk, r FROM {n}_r "
+        f"JOIN rel ON rel.doc_id = {n}_r.id), "
+        f"d_{n} AS (SELECT CAST(SUM(CAST(round(r / log2(rnk + 1.0), 9) "
+        f"AS DECIMAL(18,9))) AS DOUBLE) AS dcg, "
+        f"CAST(SUM(r) AS BIGINT) AS hits, "
+        f"COALESCE(min(CASE WHEN r = 1 THEN rnk END), 0) AS fr "
+        f"FROM h_{n})"
+        for n in rankers
+    )
+    metric_rows = " UNION ALL ".join(
+        f"SELECT '{n}' AS ranker, hits AS hits_at_10, "
+        f"CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) ELSE 0.0 END "
+        f"AS ndcg_at_10, "
+        f"CASE WHEN fr > 0 THEN round(1.0 / fr, 6) ELSE 0.0 END "
+        f"AS mrr_at_10 FROM d_{n} CROSS JOIN idcg"
+        for n in rankers
+    )
+    return (
+        f"WITH {_bm25_ctes(('spark', 'merge', 'window'))}, "
+        "bm25_r AS (SELECT id, CAST(row_number() OVER "
+        "(ORDER BY score DESC, id) AS BIGINT) AS rnk "
+        "FROM by_doc ORDER BY score DESC, id LIMIT 10), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "qv AS (SELECT v AS qe FROM e WHERE vec_id = 0), "
+        "cos_all AS (SELECT c.vec_id AS id, "
+        "list_cosine_similarity(qv.qe, c.v) AS cs "
+        "FROM e c CROSS JOIN qv WHERE c.vec_id <> 0), "
+        "cosine_r AS (SELECT id, CAST(row_number() OVER "
+        "(ORDER BY cs DESC, id) AS BIGINT) AS rnk "
+        "FROM cos_all ORDER BY cs DESC, id LIMIT 10), "
+        "lex50 AS (SELECT id, CAST(row_number() OVER "
+        "(ORDER BY score DESC, id) AS BIGINT) AS rl "
+        "FROM by_doc ORDER BY score DESC, id LIMIT 50), "
+        "sem50 AS (SELECT id, CAST(row_number() OVER "
+        "(ORDER BY cs DESC, id) AS BIGINT) AS rs "
+        "FROM cos_all ORDER BY cs DESC, id LIMIT 50), "
+        "fused AS (SELECT COALESCE(lex50.id, sem50.id) AS id, "
+        "COALESCE(CAST(1.0 AS DOUBLE) / (60 + rl), CAST(0.0 AS DOUBLE)) "
+        "+ COALESCE(CAST(1.0 AS DOUBLE) / (60 + rs), "
+        "CAST(0.0 AS DOUBLE)) AS f "
+        "FROM lex50 FULL OUTER JOIN sem50 ON lex50.id = sem50.id), "
+        "rrf_r AS (SELECT id, CAST(row_number() OVER "
+        "(ORDER BY f DESC, id) AS BIGINT) AS rnk "
+        "FROM fused ORDER BY f DESC, id LIMIT 10), "
+        "msb AS (SELECT c.vec_id AS id, c.v AS ce, qv.qe AS qe "
+        "FROM e c CROSS JOIN qv WHERE c.vec_id <> 0), "
+        f"ms AS (SELECT id, round({score}, 6) AS s FROM msb), "
+        "maxsim_r AS (SELECT id, CAST(row_number() OVER "
+        "(ORDER BY s DESC, id) AS BIGINT) AS rnk "
+        "FROM ms ORDER BY s DESC, id LIMIT 10), "
+        "rel AS (SELECT doc_id, CAST(contains(' ' || text || ' ', "
+        "' spark ') AND contains(' ' || text || ' ', ' merge ') AND "
+        "contains(' ' || text || ' ', ' window ') AS INT) AS r "
+        "FROM documents), "
+        "nr AS (SELECT CAST(SUM(r) AS BIGINT) AS n_relevant FROM rel), "
+        "idcg AS (SELECT CAST(SUM(CAST(round(1.0 / log2(i + 1.0), 9) "
+        "AS DECIMAL(18,9))) AS DOUBLE) AS idcg FROM ("
+        "SELECT unnest(range(1, 11)) AS i) t CROSS JOIN nr "
+        "WHERE i <= least(10, n_relevant)), "
+        f"{metric_ctes} "
+        f"SELECT * FROM ({metric_rows}) ORDER BY ranker"
+    )
+
+
+@register(
+    "rag_eval_ranker_shootout",
+    oracle=_shootout_oracle(),
+    tags=("llm", "retrieval", "eval", "ann"),
+)
+def rag_eval_ranker_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-stack bake-off: BM25, dense cosine, their RRF
+    fusion, and MaxSim late interaction — all four rankers scored by
+    the SAME nDCG@10 / MRR@10 harness against the same deterministic
+    qrel set (docs containing every query term; doc_id ≡ vec_id by
+    the testdata's construction).  This is the comparison table a
+    RAG pipeline produces before choosing its ranker, and the
+    composability proof for the retrieval family: each ranker is the
+    standalone entry's own operator (bm25_topk, brute_force_topk,
+    the RRF fusion arithmetic, maxsim_topk) feeding one shared
+    metrics aggregation.
+
+    Scale shape: every branch ends in a TakeOrdered top-k, the
+    metrics run on ≤10-row frames with decimal-exact DCG sums, and
+    the only corpus-sized work is each ranker's own scan — the
+    harness adds one broadcast qrel join per ranker."""
+    from ..operators.retrieval import bm25_topk, maxsim_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    terms = ["spark", "merge", "window"]
+    q0 = emb.filter(F.col("vec_id") == 0)
+    qvec = [float(x) for x in q0.select("embedding").head()[0]]
+
+    bm10 = bm25_topk(docs, "doc_id", "text", terms, k=10).select(
+        "id", F.col("rank").alias("rnk")
+    )
+    bm50 = bm25_topk(docs, "doc_id", "text", terms, k=50).select(
+        "id", F.col("rank").alias("rl")
+    )
+    cos10 = S.brute_force_topk(emb, q0, k=10).select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("rnk")
+    )
+    cos50 = S.brute_force_topk(emb, q0, k=50).select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("rs")
+    )
+    fused = bm50.join(cos50, "id", "full_outer").select(
+        "id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rl")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rs")), F.lit(0.0))
+        ).alias("f"),
+    )
+    w_rrf = Window.orderBy(F.col("f").desc(), F.col("id"))
+    rrf10 = (
+        fused.orderBy(F.col("f").desc(), "id")
+        .limit(10)
+        .select("id", F.row_number().over(w_rrf).cast("long").alias("rnk"))
+    )
+    ms10 = maxsim_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qvec,
+        m=8, k=10,
+    ).select("id", F.col("rank").alias("rnk"))
+
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    is_rel = F.lit(True)
+    for t in terms:
+        is_rel = is_rel & padded.contains(f" {t} ")
+    rel = docs.select("doc_id", is_rel.cast("int").alias("r"))
+    n_rel = rel.agg(F.sum("r").cast("long").alias("n_relevant"))
+    idcg = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(n_rel))
+        .filter(F.col("i") <= F.least(F.lit(10), F.col("n_relevant")))
+        .agg(
+            F.sum(
+                F.round(F.lit(1.0) / F.log2(F.col("i") + F.lit(1.0)), 9)
+                .cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+
+    def metrics(ranked: DataFrame, label: str) -> DataFrame:
+        d = ranked.join(rel, ranked.id == rel.doc_id).agg(
+            F.sum(
+                F.round(
+                    F.col("r") / F.log2(F.col("rnk") + F.lit(1.0)), 9
+                ).cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("dcg"),
+            F.sum("r").cast("long").alias("hits_at_10"),
+            F.coalesce(
+                F.min(F.when(F.col("r") == 1, F.col("rnk"))), F.lit(0)
+            ).alias("fr"),
+        )
+        return d.crossJoin(F.broadcast(idcg)).select(
+            F.lit(label).alias("ranker"),
+            "hits_at_10",
+            F.when(
+                F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg_at_10"),
+            F.when(
+                F.col("fr") > 0, F.round(F.lit(1.0) / F.col("fr"), 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mrr_at_10"),
+        )
+
+    out = (
+        metrics(bm10, "bm25")
+        .unionAll(metrics(cos10, "cosine"))
+        .unionAll(metrics(rrf10, "rrf"))
+        .unionAll(metrics(ms10, "maxsim"))
+    )
+    return out.orderBy("ranker")
