@@ -203,3 +203,26 @@ def test_er_blocking_quality_bounds(spark, sf_dir):
         assert 0.0 <= row.pair_completeness <= 1.0
     # prefix blocking on these name distributions must prune hard
     assert row.reduction_ratio > 0.5
+
+
+def test_segmented_fit_recovers_two_slopes(spark, tmp_path):
+    # slope 5 for 10 days, then a level jump and slope 30: the split
+    # and both slopes must be recovered exactly
+    rows = []
+    for d in range(10):
+        rows.append(_ev(d + 1, d, 1, "view", 5.0 * (d + 1)))
+    for d in range(10, 20):
+        rows.append(_ev(d + 1, d, 1, "view", 1000.0 + 30.0 * (d + 1)))
+    sf = _write(spark, tmp_path, rows)
+    got = {
+        r.side: r
+        for r in CATALOG["changepoint_segmented_fit"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+    assert set(got) == {"left", "right"}
+    assert got["left"].n_days + got["right"].n_days == 20
+    # both sides of the jump are clean lines — exact slopes
+    assert got["left"].slope == 5.0
+    assert got["right"].slope == 30.0
+    assert got["left"].split_day == got["right"].split_day

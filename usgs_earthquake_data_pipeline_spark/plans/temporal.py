@@ -1290,3 +1290,120 @@ def forecast_holt_linear_daily(
     return spark.sql(
         _HOLT_SQL.format(epoch="unix_micros(ts)", table="__holt_events")
     )
+
+
+@register(
+    "changepoint_segmented_fit",
+    oracle=(
+        "WITH daily AS (SELECT CAST(floor(epoch_us(ts) / 86400000000) "
+        "AS BIGINT) AS d, SUM(CAST(value AS DECIMAL(18,2))) AS xd "
+        "FROM events GROUP BY 1), "
+        "idx AS (SELECT d, xd, row_number() OVER (ORDER BY d) AS i "
+        "FROM daily), "
+        "pre AS (SELECT d, i, SUM(xd) OVER (ORDER BY i "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p "
+        "FROM idx), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(xd) AS t "
+        "FROM daily), "
+        "split AS (SELECT i AS i_star, d AS split_day FROM ("
+        "SELECT d, i, (CAST(n * p - i * t AS DOUBLE) * "
+        "CAST(n * p - i * t AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * i * (n - i)) AS gain "
+        "FROM pre CROSS JOIN tot WHERE i < n) z "
+        "ORDER BY gain DESC, d LIMIT 1), "
+        "sides AS (SELECT CASE WHEN i <= i_star THEN 'left' ELSE 'right' "
+        "END AS side, i, xd, split_day FROM idx CROSS JOIN split), "
+        "fits AS (SELECT side, split_day, CAST(count(*) AS BIGINT) AS m, "
+        "CAST(SUM(i) AS BIGINT) AS sx, SUM(xd) AS sy, "
+        "CAST(SUM(i * i) AS BIGINT) AS sxx, SUM(i * xd) AS sxy "
+        "FROM sides GROUP BY 1, 2) "
+        "SELECT split_day, side, m AS n_days, "
+        "CASE WHEN m * sxx - sx * sx > 0 THEN "
+        "round(CAST(m * sxy - sx * sy AS DOUBLE) "
+        "/ CAST(m * sxx - sx * sx AS DOUBLE), 6) END AS slope, "
+        "CASE WHEN m * sxx - sx * sx > 0 THEN "
+        "round((CAST(sy AS DOUBLE) - (CAST(m * sxy - sx * sy AS DOUBLE) "
+        "/ CAST(m * sxx - sx * sx AS DOUBLE)) * sx) / m, 6) END "
+        "AS intercept "
+        "FROM fits ORDER BY side"
+    ),
+    tags=("temporal", "timeseries", "changepoint", "regression"),
+)
+def changepoint_segmented_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise-linear (segmented) fit around the detected
+    changepoint — binary segmentation's second half: re-fit OLS on
+    each side of `changepoint_binary_seg_daily`'s argmax split, the
+    step-plus-trend model a monitoring pipeline reports ("level
+    shifted on day D; before: +a/day, after: +b/day").
+
+    Exactness: x is the integer day index and y the exact-decimal
+    daily sum, so every OLS moment (Σx, Σy, Σx², Σxy) is EXACT and
+    the closed-form slope/intercept are single IEEE divisions of
+    exactly-computed numerators — no float-order anywhere before the
+    final division (the same discipline as `agg_regression_per_type`,
+    composed with the changepoint argmax).
+
+    Scale shape: corpus collapses to |days|; the argmax and both fits
+    run on the bounded day domain; output is the 2-row model."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(floor(unix_micros(ts) / 86400000000) AS BIGINT)")
+        .alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("xd"))
+    idx = daily.withColumn("i", F.row_number().over(Window.orderBy("d")))
+    w = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = idx.select("d", "i", F.sum("xd").over(w).alias("p"))
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("xd").alias("t")
+    )
+    num = (F.col("n") * F.col("p") - F.col("i") * F.col("t")).cast("double")
+    gain = (num * num) / (
+        F.col("n").cast("double") * F.col("i") * (F.col("n") - F.col("i"))
+    )
+    split = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            F.col("i").alias("i_star"),
+            F.col("d").alias("split_day"),
+            gain.alias("gain"),
+        )
+        .orderBy(F.col("gain").desc(), "split_day")
+        .limit(1)
+        .drop("gain")
+    )
+    sides = idx.crossJoin(F.broadcast(split)).select(
+        F.when(F.col("i") <= F.col("i_star"), "left")
+        .otherwise("right")
+        .alias("side"),
+        "i",
+        "xd",
+        "split_day",
+    )
+    fits = sides.groupBy("side", "split_day").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("i").cast("long").alias("sx"),
+        F.sum("xd").alias("sy"),
+        F.sum(F.col("i") * F.col("i")).cast("long").alias("sxx"),
+        F.sum(F.col("i") * F.col("xd")).alias("sxy"),
+    )
+    det = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / det.cast("double")
+    return fits.select(
+        "split_day",
+        "side",
+        F.col("m").alias("n_days"),
+        F.when(det > 0, F.round(slope, 6)).alias("slope"),
+        F.when(
+            det > 0,
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx"))
+                / F.col("m"),
+                6,
+            ),
+        ).alias("intercept"),
+    ).orderBy("side")
