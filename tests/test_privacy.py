@@ -43,3 +43,24 @@ def test_l_diversity_flags_match_group_contents(spark, sf_dir):
     for r in rows:
         assert r.n_sensitive <= r.group_size
         assert r.violates_l == (r.n_sensitive < 3)
+
+
+def test_k_anon_ladder_picks_finest_satisfying_level(spark, sf_dir):
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    rows = (
+        CATALOG["k_anon_generalize_ladder"].spark_fn(spark, sf_dir).collect()
+    )
+    assert [r.level for r in rows] == ["day", "week", "month"]
+    # coarsening monotonicity: groups shrink in number, min size grows
+    assert rows[0].n_groups >= rows[1].n_groups >= rows[2].n_groups
+    assert rows[0].min_group <= rows[1].min_group <= rows[2].min_group
+    # exactly one chosen level iff any level meets k, and it is the
+    # finest one that does
+    meeting = [r for r in rows if r.meets_k]
+    chosen = [r for r in rows if r.chosen]
+    if meeting:
+        assert len(chosen) == 1
+        assert chosen[0].level == meeting[0].level
+    else:
+        assert not chosen

@@ -195,6 +195,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "er_blocking_quality",
     "rag_eval_ranker_shootout",
     "changepoint_segmented_fit",
+    "k_anon_generalize_ladder",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -2840,3 +2840,106 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_completeness"),
         )
     )
+
+
+@register(
+    "k_anon_generalize_ladder",
+    oracle=(
+        "WITH lv AS ("
+        "SELECT 1 AS lvl, 'day' AS level, CAST(event_type || '|' || "
+        "CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS VARCHAR) "
+        "AS qi FROM events "
+        "UNION ALL "
+        "SELECT 2, 'week', event_type || '|' || "
+        "CAST(CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) "
+        "AS VARCHAR) FROM events "
+        "UNION ALL "
+        "SELECT 3, 'month', event_type || '|' || "
+        "CAST(year(ts) * 100 + month(ts) AS VARCHAR) FROM events), "
+        "g AS (SELECT lvl, level, qi, count(*) AS sz "
+        "FROM lv GROUP BY 1, 2, 3), "
+        "per AS (SELECT lvl, level, CAST(count(*) AS BIGINT) AS n_groups, "
+        "CAST(min(sz) AS BIGINT) AS min_group, min(sz) >= 25 AS meets_k "
+        "FROM g GROUP BY 1, 2), "
+        "best AS (SELECT COALESCE(min(CASE WHEN meets_k THEN lvl END), 9) "
+        "AS best_lvl FROM per) "
+        "SELECT level, n_groups, min_group, meets_k, "
+        "lvl = best_lvl AS chosen "
+        "FROM per CROSS JOIN best ORDER BY lvl"
+    ),
+    tags=("governance", "privacy", "k-anonymity"),
+)
+def k_anon_generalize_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity generalization ladder — the ENFORCEMENT step the
+    `k_anonymity_audit` twin only measures: coarsen the
+    quasi-identifier (event_type × time) up a fixed hierarchy
+    (day → week → month) and choose the FINEST level whose minimum
+    group size reaches k=25, the standard generalization-lattice
+    walk (Samarati) restricted to one attribute's ladder.  Output is
+    the per-level report with the chosen level flagged — the testdata
+    actually exercises the ladder: sf0.001's day cells (min 2) and
+    week cells (min 13) both fail k and push the choice to month,
+    while sf0.01+ passes at day.
+
+    All counts exact integers; one (level, qi) aggregate (the level
+    union triples the map-side rows, nothing else), a 3-row rollup,
+    and a 1-row broadcast argmin.  At 100 TB: the union explode is
+    map-side and the aggregate output stays bounded by the QI
+    domain × |ladder|."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    lv = (
+        ev.select(
+            F.lit(1).alias("lvl"),
+            F.lit("day").alias("level"),
+            F.concat_ws(
+                "|",
+                F.col("event_type"),
+                F.floor(us / 86400000000).cast("long").cast("string"),
+            ).alias("qi"),
+        )
+        .unionAll(
+            ev.select(
+                F.lit(2),
+                F.lit("week"),
+                F.concat_ws(
+                    "|",
+                    F.col("event_type"),
+                    F.floor(us / 604800000000).cast("long").cast("string"),
+                ),
+            )
+        )
+        .unionAll(
+            ev.select(
+                F.lit(3),
+                F.lit("month"),
+                F.concat_ws(
+                    "|",
+                    F.col("event_type"),
+                    (F.year("ts") * 100 + F.month("ts")).cast("string"),
+                ),
+            )
+        )
+    )
+    g = lv.groupBy("lvl", "level", "qi").agg(F.count("*").alias("sz"))
+    per = g.groupBy("lvl", "level").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("min_group"),
+        (F.min("sz") >= 25).alias("meets_k"),
+    )
+    best = per.agg(
+        F.coalesce(
+            F.min(F.when(F.col("meets_k"), F.col("lvl"))), F.lit(9)
+        ).alias("best_lvl")
+    )
+    return (
+        per.crossJoin(F.broadcast(best))
+        .select(
+            "level",
+            "n_groups",
+            "min_group",
+            "meets_k",
+            (F.col("lvl") == F.col("best_lvl")).alias("chosen"),
+        )
+        .orderBy("lvl")
+    )
