@@ -226,3 +226,27 @@ def test_segmented_fit_recovers_two_slopes(spark, tmp_path):
     assert got["left"].slope == 5.0
     assert got["right"].slope == 30.0
     assert got["left"].split_day == got["right"].split_day
+
+
+def test_rfm_segments_invariants(spark, sf_dir):
+    rows = CATALOG["rfm_user_segments"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+        assert r.r_days >= 0
+    # equal metrics must get equal scores (threshold-binning promise)
+    by_f = {}
+    for r in rows:
+        by_f.setdefault(r.f_events, set()).add(r.f_score)
+    assert all(len(s) == 1 for s in by_f.values())
+    # scores are monotone in the metric
+    fs = sorted(rows, key=lambda r: r.f_events)
+    assert all(
+        a.f_score <= b.f_score for a, b in zip(fs, fs[1:])
+    )
+    # more recent users never score lower on recency
+    rs = sorted(rows, key=lambda r: r.r_days)
+    assert all(a.r_score >= b.r_score for a, b in zip(rs, rs[1:]))

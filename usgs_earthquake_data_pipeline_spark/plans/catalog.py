@@ -196,6 +196,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "rag_eval_ranker_shootout",
     "changepoint_segmented_fit",
     "k_anon_generalize_ladder",
+    "rfm_user_segments",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

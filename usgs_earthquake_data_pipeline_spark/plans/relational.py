@@ -2943,3 +2943,114 @@ def k_anon_generalize_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lvl")
     )
+
+
+@register(
+    "rfm_user_segments",
+    oracle=(
+        "WITH horizon AS (SELECT max(CAST(ts AS DATE)) AS w_end "
+        "FROM events), "
+        "u AS (SELECT user_id, "
+        "date_diff('day', max(CAST(ts AS DATE)), w_end) AS r_days, "
+        "CAST(count(*) AS BIGINT) AS f_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary "
+        "FROM events CROSS JOIN horizon GROUP BY user_id, w_end), "
+        "cuts AS (SELECT "
+        "quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rq, "
+        "quantile_cont(f_events, [0.2, 0.4, 0.6, 0.8]) AS fq, "
+        "quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq FROM u), "
+        "s AS (SELECT user_id, CAST(r_days AS BIGINT) AS r_days, "
+        "f_events, monetary, "
+        "CAST(5 - ((r_days > rq[1])::INT + (r_days > rq[2])::INT "
+        "+ (r_days > rq[3])::INT + (r_days > rq[4])::INT) AS BIGINT) "
+        "AS r_score, "
+        "CAST(1 + (f_events > fq[1])::INT + (f_events > fq[2])::INT "
+        "+ (f_events > fq[3])::INT + (f_events > fq[4])::INT AS BIGINT) "
+        "AS f_score, "
+        "CAST(1 + (monetary > mq[1])::INT + (monetary > mq[2])::INT "
+        "+ (monetary > mq[3])::INT + (monetary > mq[4])::INT AS BIGINT) "
+        "AS m_score "
+        "FROM u CROSS JOIN cuts) "
+        "SELECT user_id, r_days, f_events, monetary, "
+        "r_score, f_score, m_score, "
+        "CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || "
+        "CAST(m_score AS VARCHAR) AS segment "
+        "FROM s ORDER BY user_id"
+    ),
+    tags=("analytics", "segmentation", "warehouse"),
+)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics classic: per user,
+    Recency (days since last event), Frequency (event count),
+    Monetary (value total), each scored 1-5 against the population's
+    exact quintile cutoffs and concatenated into the '555'-style
+    segment code.
+
+    Deliberately NOT the ntile formulation: ntile needs a global
+    single-partition window over every user — the anti-pattern this
+    repo's spearman entry exists to avoid.  Instead the cutoffs come
+    from ONE exact-percentile aggregate (partial-merge, both engines
+    interpolate with the identical (n−1)·p rule), broadcast as a
+    single row, and scoring is a pure codegen CASE chain against
+    them — per-user work never leaves the map side after the one
+    user-keyed aggregate.  Boundary semantics are strict-greater on
+    identical doubles, so ties score identically cross-engine; users
+    AT a cutoff share the lower score (threshold binning, not
+    rank binning — equal metric values always get equal scores,
+    which ntile cannot promise).
+
+    Scale: one (user) shuffle + one 1-row percentile broadcast;
+    output is |users| rows of codegen arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    horizon = ev.agg(F.max(day).alias("w_end"))
+    u = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id", "w_end")
+        .agg(
+            F.datediff(F.col("w_end"), F.max(day)).alias("r_days"),
+            F.count("*").cast("long").alias("f_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select("user_id", "r_days", "f_events", "monetary")
+    )
+    qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    cuts = u.agg(
+        F.expr(f"percentile(r_days, {qs})").alias("rq"),
+        F.expr(f"percentile(f_events, {qs})").alias("fq"),
+        F.expr(f"percentile(monetary, {qs})").alias("mq"),
+    )
+
+    def score(col: str, cut: str, invert: bool) -> F.Column:
+        above = sum(
+            (F.col(col) > F.col(cut)[i]).cast("int") for i in range(4)
+        )
+        return (
+            (F.lit(5) - above) if invert else (F.lit(1) + above)
+        ).cast("long")
+
+    s = u.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        F.col("r_days").cast("long").alias("r_days"),
+        "f_events",
+        "monetary",
+        score("r_days", "rq", invert=True).alias("r_score"),
+        score("f_events", "fq", invert=False).alias("f_score"),
+        score("monetary", "mq", invert=False).alias("m_score"),
+    )
+    return s.select(
+        "user_id",
+        "r_days",
+        "f_events",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    ).orderBy("user_id")
