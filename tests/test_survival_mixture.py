@@ -255,3 +255,45 @@ def test_kaplan_meier_fuzz_vs_python(spark, tmp_path_factory, spans):
         .collect()
     }
     assert got == ref
+
+
+def test_grouped_km_matches_per_type_pooled_computation(spark, sf_dir):
+    """Each stratum's curve must equal the pooled estimator run on
+    that stratum's own observations (python replay per type)."""
+    import pyspark.sql.functions as F
+
+    rows = (
+        CATALOG["survival_km_by_type"].spark_fn(spark, sf_dir).collect()
+    )
+    assert rows
+    # rebuild the per-type observations driver-side
+    from usgs_earthquake_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w_end = ev.agg(F.max(day)).collect()[0][0]
+    obs = (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.datediff(F.max(day), F.min(day)).alias("t"),
+            (F.max(day) <= F.date_sub(F.lit(w_end), 7))
+            .cast("int")
+            .alias("c"),
+        )
+        .collect()
+    )
+    by_type = {}
+    for r in obs:
+        by_type.setdefault(r.event_type, []).append((r.t, r.c))
+    got = {}
+    for r in rows:
+        got.setdefault(r.event_type, {})[r.t_days] = (
+            r.n_at_risk,
+            r.n_churned,
+            r.survival,
+        )
+    assert set(got) == set(by_type)
+    for etype, o in by_type.items():
+        assert got[etype] == _km_reference(o), etype

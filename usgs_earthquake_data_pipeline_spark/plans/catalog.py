@@ -197,6 +197,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "changepoint_segmented_fit",
     "k_anon_generalize_ladder",
     "rfm_user_segments",
+    "survival_km_by_type",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

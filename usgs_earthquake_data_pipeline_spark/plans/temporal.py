@@ -1407,3 +1407,114 @@ def changepoint_segmented_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("intercept"),
     ).orderBy("side")
+
+
+@register(
+    "survival_km_by_type",
+    oracle=(
+        "WITH horizon AS (SELECT max(CAST(ts AS DATE)) AS w_end "
+        "FROM events), "
+        "u AS (SELECT event_type, user_id, "
+        "date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) "
+        "AS t, "
+        "CAST(max(CAST(ts AS DATE)) <= w_end - 7 AS INT) AS churned "
+        "FROM events CROSS JOIN horizon GROUP BY 1, 2, w_end), "
+        "cell AS (SELECT event_type, t, CAST(count(*) AS BIGINT) AS m, "
+        "CAST(SUM(churned) AS BIGINT) AS d FROM u GROUP BY 1, 2), "
+        "tot AS (SELECT event_type, SUM(m) AS n_users FROM cell "
+        "GROUP BY 1), "
+        "rk AS (SELECT cell.event_type, t, m, d, "
+        "n_users - COALESCE(SUM(m) OVER (PARTITION BY cell.event_type "
+        "ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS n FROM cell JOIN tot USING (event_type)), "
+        "km AS (SELECT event_type, t, CAST(n AS BIGINT) AS n_at_risk, "
+        "d AS n_churned, "
+        "SUM(CASE WHEN d = n THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY event_type ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeros, "
+        "SUM(CASE WHEN d < n THEN ln(1.0 - CAST(d AS DOUBLE) / n) "
+        "ELSE 0.0 END) OVER (PARTITION BY event_type ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum "
+        "FROM rk) "
+        "SELECT event_type, CAST(t AS BIGINT) AS t_days, n_at_risk, "
+        "n_churned, CASE WHEN zeros > 0 THEN 0.0 "
+        "ELSE round(exp(lsum), 6) END AS survival "
+        "FROM km ORDER BY event_type, t_days"
+    ),
+    tags=("temporal", "survival", "analytics", "grouped"),
+)
+def survival_km_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Kaplan-Meier: one survival curve PER event type
+    (survival time = the span between a user's first and last event
+    OF THAT TYPE, same censoring rule as the pooled entry) — the
+    cohort-comparison form survival analysis is actually used in
+    ("does the purchase cohort retain differently from the error
+    cohort?"), and the log-rank test's input.
+
+    The grouped form is the scale story: the KM window carries
+    ``partitionBy(event_type)``, so a million strata mean a million
+    SMALL day-domain windows sharing one shuffle — never a single
+    global partition (the pooled entry's window is domain-bounded;
+    this one is domain-bounded PER KEY and key-parallel).  Float
+    discipline identical to the pooled twin."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    horizon = ev.agg(F.max(day).alias("w_end"))
+    u = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("event_type", "user_id", "w_end")
+        .agg(
+            F.datediff(F.max(day), F.min(day)).alias("t"),
+            (F.max(day) <= F.date_sub(F.col("w_end"), 7))
+            .cast("int")
+            .alias("churned"),
+        )
+        .select("event_type", "t", "churned")
+    )
+    cell = u.groupBy("event_type", "t").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    tot = cell.groupBy("event_type").agg(F.sum("m").alias("n_users"))
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = cell.join(F.broadcast(tot), "event_type").withColumn(
+        "n",
+        F.col("n_users") - F.coalesce(F.sum("m").over(w_prev), F.lit(0)),
+    )
+    km = rk.select(
+        "event_type",
+        "t",
+        F.col("n").cast("long").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        F.sum(F.when(F.col("d") == F.col("n"), 1).otherwise(0))
+        .over(w_cum)
+        .alias("zeros"),
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n"),
+                F.log(
+                    F.lit(1.0) - F.col("d").cast("double") / F.col("n")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_cum)
+        .alias("lsum"),
+    )
+    return km.select(
+        "event_type",
+        F.col("t").cast("long").alias("t_days"),
+        "n_at_risk",
+        "n_churned",
+        F.when(F.col("zeros") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("lsum")), 6))
+        .alias("survival"),
+    ).orderBy("event_type", "t_days")
