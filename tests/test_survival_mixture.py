@@ -297,3 +297,53 @@ def test_grouped_km_matches_per_type_pooled_computation(spark, sf_dir):
     assert set(got) == set(by_type)
     for etype, o in by_type.items():
         assert got[etype] == _km_reference(o), etype
+
+
+def _logrank_events(spark, tmp_path, spans_a, spans_b):
+    base = datetime.datetime(2024, 9, 1)
+    rows, eid = [], 0
+    for grp, spans in (("purchase", spans_a), ("error", spans_b)):
+        for uid_off, (start, end) in enumerate(spans):
+            uid = (1000 if grp == "error" else 0) + uid_off
+            for d in {start, end}:
+                eid += 1
+                rows.append(
+                    (eid, base + datetime.timedelta(days=d), uid, grp, 1.0, "{}")
+                )
+    # horizon pin: one far-future event in each group keeps w_end fixed
+    spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_logrank_flags_divergent_hazards(spark, tmp_path):
+    # purchase cohort churns instantly (t=0..2); error cohort survives
+    # to the horizon (censored) — strongly different hazards
+    spans_a = [(0, d % 3) for d in range(15)]           # churn fast
+    spans_b = [(0, 28 + (d % 2)) for d in range(15)]    # censored
+    sf = _logrank_events(spark, tmp_path, spans_a, spans_b)
+    row = (
+        CATALOG["survival_logrank_purchase_vs_error"]
+        .spark_fn(spark, sf)
+        .collect()[0]
+    )
+    assert row.chi_sq is not None and row.chi_sq > 3.841
+    assert row.significant_5pct
+    # direction: purchase observed far above expectation
+    assert row.observed_a > row.expected_a
+
+
+def test_logrank_identical_cohorts_not_significant(spark, tmp_path):
+    spans = [(0, 5 + (d % 7)) for d in range(12)] + [(2, 27)]
+    sf = _logrank_events(spark, tmp_path, spans, spans)
+    row = (
+        CATALOG["survival_logrank_purchase_vs_error"]
+        .spark_fn(spark, sf)
+        .collect()[0]
+    )
+    # identical observation sets: O == E exactly, chi-square 0
+    assert row.chi_sq == 0.0
+    assert not row.significant_5pct

@@ -198,6 +198,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "k_anon_generalize_ladder",
     "rfm_user_segments",
     "survival_km_by_type",
+    "survival_logrank_purchase_vs_error",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

@@ -1518,3 +1518,161 @@ def survival_km_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("lsum")), 6))
         .alias("survival"),
     ).orderBy("event_type", "t_days")
+
+
+@register(
+    "survival_logrank_purchase_vs_error",
+    oracle=(
+        "WITH horizon AS (SELECT max(CAST(ts AS DATE)) AS w_end "
+        "FROM events), "
+        "u AS (SELECT event_type AS grp, user_id, "
+        "date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) "
+        "AS t, "
+        "CAST(max(CAST(ts AS DATE)) <= w_end - 7 AS INT) AS churned "
+        "FROM events CROSS JOIN horizon "
+        "WHERE event_type IN ('purchase', 'error') "
+        "GROUP BY 1, 2, w_end), "
+        "cell AS (SELECT grp, t, count(*) AS m, SUM(churned) AS d "
+        "FROM u GROUP BY 1, 2), "
+        "grid AS (SELECT g.grp, x.t, COALESCE(cell.m, 0) AS m, "
+        "COALESCE(cell.d, 0) AS d "
+        "FROM (SELECT DISTINCT t FROM cell) x "
+        "CROSS JOIN (SELECT DISTINCT grp FROM cell) g "
+        "LEFT JOIN cell ON cell.grp = g.grp AND cell.t = x.t), "
+        "tot AS (SELECT grp, SUM(m) AS n_tot FROM grid GROUP BY 1), "
+        "rk AS (SELECT grid.grp, t, m, d, "
+        "n_tot - COALESCE(SUM(m) OVER (PARTITION BY grid.grp ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n "
+        "FROM grid JOIN tot ON tot.grp = grid.grp), "
+        "piv AS (SELECT t, "
+        "SUM(CASE WHEN grp = 'purchase' THEN n ELSE 0 END) AS na, "
+        "SUM(CASE WHEN grp = 'purchase' THEN d ELSE 0 END) AS da, "
+        "SUM(CASE WHEN grp = 'error' THEN n ELSE 0 END) AS nb, "
+        "SUM(CASE WHEN grp = 'error' THEN d ELSE 0 END) AS db "
+        "FROM rk GROUP BY 1), "
+        "terms AS (SELECT da, "
+        "round((da + db) * CAST(na AS DOUBLE) / (na + nb), 9) AS e_a, "
+        "round((da + db) * (CAST(na AS DOUBLE) / (na + nb)) "
+        "* (CAST(nb AS DOUBLE) / (na + nb)) "
+        "* (na + nb - (da + db)) / (na + nb - 1), 9) AS v "
+        "FROM piv WHERE da + db > 0 AND na + nb > 1), "
+        "agg AS (SELECT CAST(SUM(da) AS BIGINT) AS observed_a, "
+        "CAST(SUM(CAST(e_a AS DECIMAL(28,9))) AS DOUBLE) AS expected_a, "
+        "CAST(SUM(CAST(round(da - e_a, 9) AS DECIMAL(28,9))) AS DOUBLE) "
+        "AS u_sum, "
+        "CAST(SUM(CAST(v AS DECIMAL(28,9))) AS DOUBLE) AS v_sum "
+        "FROM terms) "
+        "SELECT observed_a, round(expected_a, 6) AS expected_a, "
+        "CASE WHEN v_sum > 0 THEN round(u_sum * u_sum / v_sum, 6) END "
+        "AS chi_sq, "
+        "CASE WHEN v_sum > 0 THEN u_sum * u_sum / v_sum > 3.841 "
+        "ELSE FALSE END AS significant_5pct "
+        "FROM agg"
+    ),
+    tags=("temporal", "survival", "stats"),
+)
+def survival_logrank_purchase_vs_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The log-rank test (Mantel-Cox) between the purchase and error
+    cohorts' survival curves — the hypothesis test that turns the
+    stratified KM entry's two curves into a yes/no "do these cohorts
+    retain differently": at every death time, compare group A's
+    observed deaths to the hypergeometric expectation under H₀ (same
+    hazard), accumulate U = Σ(O−E) and its variance, and report
+    χ² = U²/ΣV against the 5% df-1 critical value.
+
+    Exactness: risk sets and death counts are integers on the JOINT
+    time grid (zero-filled full grid so each group's cumulative risk
+    window is correct even at the other group's death times);
+    per-time E and V terms are identical rational expressions rounded
+    9 dp and summed as DECIMAL (order-free); the statistic is one
+    division.  Scale: everything after the per-user aggregate lives
+    on the |times|×2 grid."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    day = F.col("ts").cast("date")
+    horizon = ev.agg(F.max(day).alias("w_end"))
+    u = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy(F.col("event_type").alias("grp"), "user_id", "w_end")
+        .agg(
+            F.datediff(F.max(day), F.min(day)).alias("t"),
+            (F.max(day) <= F.date_sub(F.col("w_end"), 7))
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    cell = u.groupBy("grp", "t").agg(
+        F.count("*").alias("m"), F.sum("churned").alias("d")
+    )
+    times = cell.select("t").distinct()
+    grps = cell.select("grp").distinct()
+    grid = (
+        times.crossJoin(grps)
+        .join(cell, ["grp", "t"], "left")
+        .select(
+            "grp",
+            "t",
+            F.coalesce("m", F.lit(0)).alias("m"),
+            F.coalesce("d", F.lit(0)).alias("d"),
+        )
+    )
+    tot = grid.groupBy("grp").agg(F.sum("m").alias("n_tot"))
+    w_prev = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = grid.join(F.broadcast(tot), "grp").withColumn(
+        "n",
+        F.col("n_tot") - F.coalesce(F.sum("m").over(w_prev), F.lit(0)),
+    )
+    piv = rk.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == "purchase", F.col("n")).otherwise(0))
+        .alias("na"),
+        F.sum(F.when(F.col("grp") == "purchase", F.col("d")).otherwise(0))
+        .alias("da"),
+        F.sum(F.when(F.col("grp") == "error", F.col("n")).otherwise(0))
+        .alias("nb"),
+        F.sum(F.when(F.col("grp") == "error", F.col("d")).otherwise(0))
+        .alias("db"),
+    )
+    dtot = F.col("da") + F.col("db")
+    ntot = F.col("na") + F.col("nb")
+    e_a = F.round(dtot * F.col("na").cast("double") / ntot, 9)
+    v = F.round(
+        dtot
+        * (F.col("na").cast("double") / ntot)
+        * (F.col("nb").cast("double") / ntot)
+        * (ntot - dtot)
+        / (ntot - 1),
+        9,
+    )
+    terms = piv.filter((dtot > 0) & (ntot > 1)).select(
+        "da", e_a.alias("e_a"), v.alias("v")
+    )
+    agg = terms.agg(
+        F.sum("da").cast("long").alias("observed_a"),
+        F.sum(F.col("e_a").cast("decimal(28,9)"))
+        .cast("double")
+        .alias("expected_raw"),
+        F.sum(
+            F.round(F.col("da") - F.col("e_a"), 9).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("u_sum"),
+        F.sum(F.col("v").cast("decimal(28,9)"))
+        .cast("double")
+        .alias("v_sum"),
+    )
+    chi = F.col("u_sum") * F.col("u_sum") / F.col("v_sum")
+    return agg.select(
+        "observed_a",
+        F.round(F.col("expected_raw"), 6).alias("expected_a"),
+        F.when(F.col("v_sum") > 0, F.round(chi, 6)).alias("chi_sq"),
+        F.when(F.col("v_sum") > 0, chi > 3.841)
+        .otherwise(F.lit(False))
+        .alias("significant_5pct"),
+    )
