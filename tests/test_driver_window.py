@@ -75,6 +75,12 @@ def test_round7_never_checked_entries_fill_the_window():
         "quality_percentile_by_source",
         "forecast_holt_linear_daily",
         "er_blocking_quality",
+        "rag_eval_ranker_shootout",
+        "changepoint_segmented_fit",
+        "k_anon_generalize_ladder",
+        "rfm_user_segments",
+        "survival_km_by_type",
+        "survival_logrank_purchase_vs_error",
     }
     # overflow entries sit immediately after the window, before any
     # re-confirm cohort — first in line for the round-8 rotation

@@ -129,11 +129,11 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: new round-7 entries, never driver-checked ------------
     # (first-half additions lead — they have waited longest; the
     # second-half wave follows after split_contamination_report.
-    # Tier 1 is now 51 names against a ~50-slot window: exactly ONE
-    # never-checked entry overflows to round 8 — deliberately
-    # attribution_time_decay, ordered last as the lowest-novelty
-    # member of its family, already covered by the first/last-touch
-    # twin's green rows.)
+    # Tier 1 finished round 7 at 64 names against a ~50-slot window:
+    # the 14 entries past slot 50 are the DELIBERATE round-8 overflow
+    # queue, ordered lowest-novelty-first-out starting with
+    # attribution_time_decay (whose first/last-touch twin is already
+    # green); the r8 rotation leads with this queue verbatim.)
     "bloom_prefilter_semi_join",
     "pearson_quantity_price",
     "bpe_merge_pairs_top",
