@@ -83,3 +83,52 @@ def test_grid_join_excludes_beyond_radius(spark):
     right = _pts(spark, [(2, 10.0, 12.0)])  # ~219 km east
     assert grid_radius_join(left, right, radius_km=100.0, max_abs_lat=15.0).count() == 0
     assert grid_radius_join(left, right, radius_km=250.0, max_abs_lat=15.0).count() == 1
+
+
+def test_heatmap_shares_sum_to_one(spark, sf_dir):
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["spatial_grid_heatmap"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.density_share for r in rows) - 1.0) < 1e-6
+    # the synthetic band is lat in [-30, 30): cells -3..2 only
+    assert all(-3 <= r.cell_lat <= 2 for r in rows)
+    assert all(-18 <= r.cell_lon <= 17 for r in rows)
+    total = sum(r.n_events for r in rows)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert total == ev.count()
+
+
+def test_dbscan_cores_match_bruteforce_counts(spark, sf_dir):
+    import math
+
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["spatial_dbscan_cores_250km"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    # brute-force recount driver-side from the same derivation
+    pts = [
+        (
+            r.event_id,
+            ((r.event_id * 2654435761) % 4294967296) / 4294967296 * 60 - 30,
+            ((r.event_id * 2246822519) % 4294967296) / 4294967296 * 360 - 180,
+        )
+        for r in rows
+    ]
+
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(
+            math.radians, (a[1], a[2], b[1], b[2])
+        )
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(h))
+
+    got = {r.event_id: (r.n_neighbors, r.is_core) for r in rows}
+    for i, a in enumerate(pts):
+        nn = sum(
+            1 for j, b in enumerate(pts) if i != j and hav(a, b) <= 250
+        )
+        assert got[a[0]] == (nn, nn >= 2), a[0]

@@ -199,6 +199,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "rfm_user_segments",
     "survival_km_by_type",
     "survival_logrank_purchase_vs_error",
+    "spatial_grid_heatmap",
+    "spatial_dbscan_cores_250km",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",
