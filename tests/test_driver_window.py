@@ -81,6 +81,8 @@ def test_round7_never_checked_entries_fill_the_window():
         "rfm_user_segments",
         "survival_km_by_type",
         "survival_logrank_purchase_vs_error",
+        "spatial_grid_heatmap",
+        "spatial_dbscan_cores_250km",
     }
     # overflow entries sit immediately after the window, before any
     # re-confirm cohort — first in line for the round-8 rotation

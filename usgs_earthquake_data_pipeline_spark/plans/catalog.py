@@ -112,10 +112,11 @@ def register(
 # `list(query_map())[:50]` / `[50:]` before planning the next
 # rotation (this comment block has gone stale twice before).
 #
-# Round-8 queue (recomputed after the second-half r7 wave grew
-# tier 1 to 51 names — one past the window): r8 tier 1 leads with
-# attribution_time_decay (the deliberate slot-51 overflow, the only
-# never-driver-checked oracle entry left), then the r3-era cohort —
+# Round-8 queue (FINAL r7 state — tier 1 closed at 66 names, i.e.
+# 16 never-driver-checked entries past the ~50-slot window): r8
+# tier 1 is exactly that overflow queue in tuple order, starting at
+# attribution_time_decay and ending at spatial_dbscan_cores_250km
+# (compute it as list(query_map())[50:66]); then the r3-era cohort —
 # dedup_jaccard_prefix, dedup_normalized_
 # text, dedup_repeated_chunks, geojson_flatten, join_salted_skew,
 # mixture_downsample_uniform, pandas_grouped_mad, percentile_
@@ -129,8 +130,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: new round-7 entries, never driver-checked ------------
     # (first-half additions lead — they have waited longest; the
     # second-half wave follows after split_contamination_report.
-    # Tier 1 finished round 7 at 64 names against a ~50-slot window:
-    # the 14 entries past slot 50 are the DELIBERATE round-8 overflow
+    # Tier 1 finished round 7 at 66 names against a ~50-slot window:
+    # the 16 entries past slot 50 are the DELIBERATE round-8 overflow
     # queue, ordered lowest-novelty-first-out starting with
     # attribution_time_decay (whose first/last-touch twin is already
     # green); the r8 rotation leads with this queue verbatim.)
