@@ -83,6 +83,7 @@ def test_round7_never_checked_entries_fill_the_window():
         "survival_logrank_purchase_vs_error",
         "spatial_grid_heatmap",
         "spatial_dbscan_cores_250km",
+        "survival_rmst_14d",
     }
     # overflow entries sit immediately after the window, before any
     # re-confirm cohort — first in line for the round-8 rotation

@@ -347,3 +347,23 @@ def test_logrank_identical_cohorts_not_significant(spark, tmp_path):
     # identical observation sets: O == E exactly, chi-square 0
     assert row.chi_sq == 0.0
     assert not row.significant_5pct
+
+
+def test_rmst_replays_from_km_curve(spark, sf_dir):
+    """RMST@14 must equal the step integral of the pooled KM entry's
+    own curve (S=1 before the first step, S(t_i) over [t_i, t_i+1))."""
+    km = {
+        r.t_days: r.survival
+        for r in CATALOG["survival_kaplan_meier_daily"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    row = CATALOG["survival_rmst_14d"].spark_fn(spark, sf_dir).collect()[0]
+    assert row.tau_days == 14
+    ts = sorted(t for t in km if t < 14)
+    area = min(14, ts[0]) if ts else 14.0
+    for i, t in enumerate(ts):
+        t_next = min(ts[i + 1], 14) if i + 1 < len(ts) else 14
+        area += round(km[t] * (t_next - t), 6)
+    assert abs(row.rmst_days - round(area, 6)) <= 1e-6
+    assert 0.0 <= row.rmst_days <= 14.0

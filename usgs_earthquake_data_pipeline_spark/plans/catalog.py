@@ -112,11 +112,11 @@ def register(
 # `list(query_map())[:50]` / `[50:]` before planning the next
 # rotation (this comment block has gone stale twice before).
 #
-# Round-8 queue (FINAL r7 state — tier 1 closed at 66 names, i.e.
-# 16 never-driver-checked entries past the ~50-slot window): r8
+# Round-8 queue (FINAL r7 state — tier 1 closed at 67 names, i.e.
+# 17 never-driver-checked entries past the ~50-slot window): r8
 # tier 1 is exactly that overflow queue in tuple order, starting at
-# attribution_time_decay and ending at spatial_dbscan_cores_250km
-# (compute it as list(query_map())[50:66]); then the r3-era cohort —
+# attribution_time_decay and ending at survival_rmst_14d
+# (compute it as list(query_map())[50:67]); then the r3-era cohort —
 # dedup_jaccard_prefix, dedup_normalized_
 # text, dedup_repeated_chunks, geojson_flatten, join_salted_skew,
 # mixture_downsample_uniform, pandas_grouped_mad, percentile_
@@ -130,8 +130,8 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # -- tier 1: new round-7 entries, never driver-checked ------------
     # (first-half additions lead — they have waited longest; the
     # second-half wave follows after split_contamination_report.
-    # Tier 1 finished round 7 at 66 names against a ~50-slot window:
-    # the 16 entries past slot 50 are the DELIBERATE round-8 overflow
+    # Tier 1 finished round 7 at 67 names against a ~50-slot window:
+    # the 17 entries past slot 50 are the DELIBERATE round-8 overflow
     # queue, ordered lowest-novelty-first-out starting with
     # attribution_time_decay (whose first/last-touch twin is already
     # green); the r8 rotation leads with this queue verbatim.)
@@ -202,6 +202,7 @@ DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "survival_logrank_purchase_vs_error",
     "spatial_grid_heatmap",
     "spatial_dbscan_cores_250km",
+    "survival_rmst_14d",
     # -- tier 2: r2-era re-confirms (pushed out of the r6 window) -----
     "dedup_ngram_jaccard",
     "dedup_resolve_clusters",

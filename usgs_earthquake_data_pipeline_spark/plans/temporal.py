@@ -1676,3 +1676,132 @@ def survival_logrank_purchase_vs_error(
         .otherwise(F.lit(False))
         .alias("significant_5pct"),
     )
+
+
+@register(
+    "survival_rmst_14d",
+    oracle=(
+        "WITH horizon AS (SELECT max(CAST(ts AS DATE)) AS w_end "
+        "FROM events), "
+        "u AS (SELECT user_id, "
+        "date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) "
+        "AS t, "
+        "CAST(max(CAST(ts AS DATE)) <= w_end - 7 AS INT) AS churned "
+        "FROM events CROSS JOIN horizon GROUP BY user_id, w_end), "
+        "cell AS (SELECT t, CAST(count(*) AS BIGINT) AS m, "
+        "CAST(SUM(churned) AS BIGINT) AS d FROM u GROUP BY 1), "
+        "tot AS (SELECT SUM(m) AS n_users FROM cell), "
+        "rk AS (SELECT t, m, d, "
+        "n_users - COALESCE(SUM(m) OVER (ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n "
+        "FROM cell CROSS JOIN tot), "
+        "km AS (SELECT t, "
+        "SUM(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeros, "
+        "SUM(CASE WHEN d < n THEN ln(1.0 - CAST(d AS DOUBLE) / n) "
+        "ELSE 0.0 END) OVER (ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum "
+        "FROM rk), "
+        "steps AS (SELECT t, CASE WHEN zeros > 0 THEN 0.0 "
+        "ELSE round(exp(lsum), 6) END AS s, "
+        "least(COALESCE(lead(t) OVER (ORDER BY t), 14), 14) AS t_next "
+        "FROM km WHERE t < 14), "
+        "area AS (SELECT CAST(SUM(CAST(round(s * (t_next - t), 6) "
+        "AS DECIMAL(18,6))) AS DOUBLE) AS tail_area FROM steps "
+        "WHERE t_next > t) "
+        "SELECT CAST(14 AS BIGINT) AS tau_days, "
+        "round(least(14.0, 1.0 * "
+        "(SELECT COALESCE(min(t), 14) FROM steps)) "
+        "+ COALESCE(tail_area, 0.0), 6) AS rmst_days FROM area"
+    ),
+    tags=("temporal", "survival", "analytics"),
+)
+def survival_rmst_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at τ=14 days — the area under
+    the KM curve up to τ, the one-number survival summary that stays
+    valid under censoring where a plain mean of observed lifetimes
+    does not ("average retained days in the first fortnight").
+    Computed as the exact step integral: S=1 from 0 to the first
+    event time, then Σ S(tᵢ)·(min(tᵢ₊₁,τ)−tᵢ) over KM steps below τ
+    — per-step areas round 6 dp and sum as DECIMAL (order-free), on
+    top of the pooled entry's exp/ln KM chain.
+
+    Scale shape identical to the pooled KM: one corpus aggregate,
+    then everything on the bounded day domain; output is a single
+    summary row."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    horizon = ev.agg(F.max(day).alias("w_end"))
+    u = (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id", "w_end")
+        .agg(
+            F.datediff(F.max(day), F.min(day)).alias("t"),
+            (F.max(day) <= F.date_sub(F.col("w_end"), 7))
+            .cast("int")
+            .alias("churned"),
+        )
+        .select("t", "churned")
+    )
+    cell = u.groupBy("t").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    tot = cell.agg(F.sum("m").alias("n_users"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = cell.crossJoin(F.broadcast(tot)).withColumn(
+        "n",
+        F.col("n_users") - F.coalesce(F.sum("m").over(w_prev), F.lit(0)),
+    )
+    km = rk.select(
+        "t",
+        F.sum(F.when(F.col("d") == F.col("n"), 1).otherwise(0))
+        .over(w_cum)
+        .alias("zeros"),
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n"),
+                F.log(
+                    F.lit(1.0) - F.col("d").cast("double") / F.col("n")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_cum)
+        .alias("lsum"),
+    )
+    w_t = Window.orderBy("t")
+    steps = km.filter(F.col("t") < 14).select(
+        "t",
+        F.when(F.col("zeros") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("lsum")), 6))
+        .alias("s"),
+        F.least(
+            F.coalesce(F.lead("t").over(w_t), F.lit(14)), F.lit(14)
+        ).alias("t_next"),
+    )
+    area = steps.filter(F.col("t_next") > F.col("t")).agg(
+        F.sum(
+            F.round(
+                F.col("s") * (F.col("t_next") - F.col("t")), 6
+            ).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("tail_area")
+    )
+    first_t = steps.agg(
+        F.coalesce(F.min("t"), F.lit(14)).alias("first_t")
+    )
+    return (
+        area.crossJoin(F.broadcast(first_t))
+        .select(
+            F.lit(14).cast("long").alias("tau_days"),
+            F.round(
+                F.least(F.lit(14.0), F.lit(1.0) * F.col("first_t"))
+                + F.coalesce(F.col("tail_area"), F.lit(0.0)),
+                6,
+            ).alias("rmst_days"),
+        )
+    )
