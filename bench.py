@@ -16,7 +16,10 @@ run-to-run (PROFILE.md's unchanged-commit re-probe), and a single
 pass cannot distinguish that from a true 15% regression. Runs are
 round-robin across queries (all queries run once, then again) rather
 than back-to-back, so a transient box stall spreads across queries
-instead of poisoning all three samples of one.
+instead of poisoning all three samples of one.  Round 8: the two
+noisiest entries get median-of-5 (``EXTRA_RUNS``), and the four heavy
+round-7 operators (BPE trainer, MaxSim, bigram perplexity, CDC
+chunking) joined the headline set so their perf is regression-visible.
 """
 
 from __future__ import annotations
@@ -27,6 +30,10 @@ import statistics
 import time
 
 RUNS = 3
+# The two shuffle-heaviest headliners showed spreads near 100% of their
+# medians at 3 samples (r7 verdict item #3): give them median-of-5 so a
+# single contended sample cannot move the reported median.
+EXTRA_RUNS = {"skew_hot_key_rollup": 5, "dedup_ngram_jaccard": 5}
 
 
 def main() -> None:
@@ -45,8 +52,11 @@ def main() -> None:
         entry.spark_fn(spark, sf_dir).count()
 
     samples: dict[str, list[float]] = {e.name: [] for e in headline}
-    for _ in range(RUNS):
+    runs_for = {e.name: EXTRA_RUNS.get(e.name, RUNS) for e in headline}
+    for i in range(max(runs_for.values())):
         for entry in headline:
+            if i >= runs_for[entry.name]:
+                continue
             df = entry.spark_fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.count()
@@ -65,6 +75,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "runs_per_query": RUNS,
+                "extra_runs": EXTRA_RUNS,
                 "aggregation": "median",
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

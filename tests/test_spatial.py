@@ -132,3 +132,73 @@ def test_dbscan_cores_match_bruteforce_counts(spark, sf_dir):
             1 for j, b in enumerate(pts) if i != j and hav(a, b) <= 250
         )
         assert got[a[0]] == (nn, nn >= 2), a[0]
+
+
+def test_dbscan_planted_clusters(spark):
+    """Two planted blobs + a border point + isolated noise: the full
+    DBSCAN operator must recover exactly the planted structure with
+    deterministic labels (min core id per component, min neighboring
+    core label for borders)."""
+    from usgs_earthquake_data_pipeline_spark.operators.spatial import (
+        dbscan_labels,
+    )
+
+    # ~0.1 deg ≈ 11 km; eps=50 km keeps each blob internally connected
+    # and the blobs ~3000 km apart. Blob A: ids 1-3, arranged so the
+    # blob extends AWAY from id 20 — 20 sits 46.7 km from id 1 but
+    # 57.8/58.9 km from ids 2/3, so it has exactly one neighbor
+    # (border, not core, with min_neighbors=2). id 99 is alone.
+    pts = _pts(
+        spark,
+        [
+            (1, 0.0, 0.0),
+            (2, -0.1, 0.0),
+            (3, -0.1, 0.1),
+            (10, 20.0, 20.0),
+            (11, 20.1, 20.0),
+            (12, 20.0, 20.1),
+            (20, 0.42, 0.0),
+            (99, -40.0, 100.0),
+        ],
+    )
+    got = {
+        r["id"]: (r["role"], r["cluster_label"])
+        for r in dbscan_labels(
+            pts, eps_km=50.0, min_neighbors=2, max_abs_lat=45.0
+        ).collect()
+    }
+    assert got == {
+        1: ("core", 1),
+        2: ("core", 1),
+        3: ("core", 1),
+        10: ("core", 10),
+        11: ("core", 10),
+        12: ("core", 10),
+        20: ("border", 1),
+        99: ("noise", None),
+    }
+
+
+def test_dbscan_singleton_core_keeps_own_label(spark):
+    """A star: center has 2 leaf neighbors (core), the leaves have 1
+    (border). No core-core edge exists, so the component machinery
+    sees an empty graph — the core must still label itself."""
+    from usgs_earthquake_data_pipeline_spark.operators.spatial import (
+        dbscan_labels,
+    )
+
+    pts = _pts(
+        spark,
+        [(5, 0.0, 0.0), (6, 0.3, 0.0), (7, -0.3, 0.0)],
+    )
+    got = {
+        r["id"]: (r["role"], r["cluster_label"])
+        for r in dbscan_labels(
+            pts, eps_km=50.0, min_neighbors=2, max_abs_lat=45.0
+        ).collect()
+    }
+    assert got == {
+        5: ("core", 5),
+        6: ("border", 5),
+        7: ("border", 5),
+    }

@@ -110,3 +110,80 @@ def grid_radius_join(
         .filter(F.col(dist_col) <= radius_km)
         .drop("jy", "jx", "l_cy", "l_cx", "r_cy", "r_cx")
     )
+
+
+def dbscan_labels(
+    pts: DataFrame,
+    *,
+    eps_km: float,
+    min_neighbors: int,
+    max_abs_lat: float,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Full DBSCAN over (id, lat, lon) points: ``(id, role,
+    cluster_label)`` with role in {core, border, noise}.
+
+    * CORE = ≥ ``min_neighbors`` other points within ``eps_km``
+      (DBSCAN's minPts counted EXCLUDING the point itself).
+    * Cluster = connected component of the core-core radius graph;
+      label = the component's minimum core id (a core with no core
+      neighbor is its own singleton cluster).  Components resolve via
+      iterative min-label propagation (``resolve_dup_clusters`` —
+      lineage-checkpointed per round; rounds = core-graph diameter).
+    * BORDER = non-core within eps of ≥ 1 core; adopts the MINIMUM
+      neighboring core's label.  Textbook DBSCAN leaves border
+      assignment scan-order-dependent — min-label is the
+      deterministic tie-break.
+    * NOISE = everything else; label NULL.
+
+    Scale shape: one grid-bucketed radius self-join feeds degree
+    counts, core edges, and border adoption (the pair list is
+    localCheckpoint-ed once); core/label tables are |cores|-sized so
+    the broadcasts are bounded by the cluster population, never the
+    input. The all-pairs fallback never exists here.
+    """
+    from .dedup import resolve_dup_clusters
+
+    pairs = grid_radius_join(
+        pts, pts, radius_km=eps_km, max_abs_lat=max_abs_lat
+    ).filter(F.col("l_id") != F.col("r_id"))
+    pairs = pairs.select("l_id", "r_id").localCheckpoint()
+
+    cores = (
+        pairs.groupBy("l_id")
+        .agg(F.count("*").alias("nn"))
+        .filter(F.col("nn") >= min_neighbors)
+        .select(F.col("l_id").alias("core_id"))
+    )
+    core_edges = (
+        pairs.join(F.broadcast(cores), pairs.l_id == cores.core_id)
+        .drop("core_id")
+        .join(
+            F.broadcast(cores.withColumnRenamed("core_id", "core_r")),
+            F.col("r_id") == F.col("core_r"),
+        )
+        .select(F.col("l_id").alias("id_a"), F.col("r_id").alias("id_b"))
+    )
+    comp = resolve_dup_clusters(core_edges, max_iterations=max_iterations)
+    core_labels = cores.join(comp, cores.core_id == comp.id, "left").select(
+        F.col("core_id").alias("id"),
+        F.coalesce("canonical_id", "core_id").alias("label"),
+    )
+    border_labels = (
+        pairs.join(
+            F.broadcast(core_labels.withColumnRenamed("id", "nbr")),
+            F.col("r_id") == F.col("nbr"),
+        )
+        .join(F.broadcast(cores), F.col("l_id") == F.col("core_id"), "left_anti")
+        .groupBy("l_id")
+        .agg(F.min("label").alias("label"))
+        .select(F.col("l_id").alias("id"), "label")
+    )
+    labels = core_labels.withColumn("role", F.lit("core")).unionByName(
+        border_labels.withColumn("role", F.lit("border"))
+    )
+    return pts.join(F.broadcast(labels), "id", "left").select(
+        F.col("id"),
+        F.coalesce("role", F.lit("noise")).alias("role"),
+        F.col("label").alias("cluster_label"),
+    )

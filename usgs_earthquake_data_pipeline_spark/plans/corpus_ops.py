@@ -597,6 +597,7 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(MAX(n_tok) AS INT) AS chunk_tokens "
         "FROM h GROUP BY 1 ORDER BY occurrences DESC, chunk_hash LIMIT 50"
     ),
+    headline=True,
     tags=("llm", "curation", "chunking", "dedup"),
 )
 def docs_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2795,6 +2795,7 @@ def _maxsim_oracle(m: int = 8, sub: int = 8, k: int = 10) -> str:
 @register(
     "rag_maxsim_topk",
     oracle=_maxsim_oracle(),
+    headline=True,
     tags=("llm", "retrieval", "ann"),
 )
 def rag_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

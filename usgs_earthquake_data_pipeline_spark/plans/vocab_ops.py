@@ -383,6 +383,7 @@ def pearson_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 "
         "AS avg_neg_logprob FROM x GROUP BY 1 ORDER BY 1"
     ),
+    headline=True,
     tags=("llm", "quality", "vocab"),
 )
 def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,6 +520,7 @@ def _bpe_encode_oracle_sql(k: int) -> str:
 @register(
     "bpe_train_merges_k4",
     oracle=_bpe_oracle_sql(4),
+    headline=True,
     tags=("llm", "vocab", "tokenizer", "iterative"),
 )
 def bpe_train_merges_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
