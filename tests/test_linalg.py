@@ -93,3 +93,34 @@ def test_projection_fold_matches_numpy(spark, emb_np):
     }
     for i in range(50):
         assert abs(got[i] - float(X[i] @ np.array(comp))) < 1e-9
+
+
+def test_power_method_int_matches_numpy_pc1(spark, sf_dir, emb_np):
+    """The integer matrix-powering eigensolve (the SQL-expressible
+    twin of eigh) must land on numpy's leading eigenvector despite
+    the corpus' tiny eigengap (λ1/λ2 ≈ 1.01-1.07), under the SAME
+    sign convention as pca_top_components."""
+    X, _ = emb_np
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov_rows = L.covariance_entries(emb, "embedding", upper_only=True).collect()
+    d = X.shape[1]
+    vint = L.power_method_int(cov_rows, d)
+    v = np.array(vint, dtype=np.float64) / 1e9
+    _, comps = L.pca_top_components(cov_rows, d)
+    cos = float(v @ comps[0]) / float(np.linalg.norm(v))
+    assert cos > 0.999999, cos  # signed: conventions must agree too
+
+
+def test_power_method_int_unit_norm_and_sign():
+    """Planted 3x3 matrix with a dominant direction: exact recovery,
+    ~unit scaled norm, and the largest-|entry| component positive."""
+    rows = [
+        {"i": 0, "j": 0, "cov": 4.0},
+        {"i": 0, "j": 1, "cov": 0.0},
+        {"i": 0, "j": 2, "cov": 0.0},
+        {"i": 1, "j": 1, "cov": 1.0},
+        {"i": 1, "j": 2, "cov": 0.0},
+        {"i": 2, "j": 2, "cov": 0.25},
+    ]
+    v = L.power_method_int(rows, 3)
+    assert v[0] == 1_000_000_000 and v[1] == 0 and v[2] == 0

@@ -162,3 +162,72 @@ def jl_sign_matrix(
         ]
         for j in range(k)
     ]
+
+
+def power_method_int(
+    cov_rows,
+    d: int,
+    *,
+    squarings: int = 9,
+    matvecs: int = 2,
+    cov_scale: int = 1_000_000,
+    vec_scale: int = 1_000_000_000,
+):
+    """Dominant-eigenvector extraction in EXACT integer arithmetic —
+    the SQL-expressible eigensolve behind the PCA ``*_checked`` twin.
+
+    Plain power iteration cannot work on this corpus (measured
+    eigengap λ1/λ2 ≈ 1.01-1.07: convergence 0.99^k); instead the
+    covariance is repeatedly SQUARED — ``squarings`` m rescaled
+    integer matrix squarings give the spectral separation of 2^m
+    power steps (m=9 → 512, gap^512 ≈ 650 even at λ1/λ2=1.0127) —
+    then ``matvecs`` final matrix-vector steps extract the direction.
+
+    Every multiply-accumulate is exact Python int (mirrored by exact
+    BIGINT/HUGEINT SQL in the DuckDB twin); floats appear only in the
+    per-step rescale round(x/scale·10^k), where both engines see the
+    same IEEE doubles: all integers crossing into float stay < 2^53
+    (max |M²| ≈ 1.1e13, max |u| ≈ 3.3e15 < 2^53 measured; n² up to
+    1.2e32 converts correctly-rounded from exact int in both
+    engines), division/sqrt are correctly-rounded IEEE, and the final
+    round is HALF_UP away-from-zero in Spark, DuckDB, and the
+    ``_halfup`` here.  Sign is pinned by the largest-|entry|
+    component (smallest index on ties) being positive — the same
+    convention as ``pca_top_components`` so the twin's direction
+    matches the numpy eigensolve (cosine ≥ 0.999999999 at sf0.001/
+    0.01/0.1, pinned in tests/test_linalg.py).
+
+    Scale shape: runs on the COLLECTED covariance — a bounded d² cell
+    table (the one deliberate driver step, same contract as
+    ``pca_top_components``); the corpus-sized work (covariance
+    accumulation, projection) stays distributed.
+    """
+    import math
+
+    def _halfup(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    m = [[0] * d for _ in range(d)]
+    for r in cov_rows:
+        c = _halfup(r["cov"] * cov_scale)
+        m[r["i"]][r["j"]] = c
+        m[r["j"]][r["i"]] = c
+    for _ in range(squarings):
+        sq = [
+            [sum(m[i][k] * m[k][j] for k in range(d)) for j in range(d)]
+            for i in range(d)
+        ]
+        mx = max(abs(sq[i][j]) for i in range(d) for j in range(d))
+        m = [
+            [_halfup(float(sq[i][j]) / float(mx) * cov_scale) for j in range(d)]
+            for i in range(d)
+        ]
+    v = [_halfup(float(vec_scale) / math.sqrt(d))] * d
+    for _ in range(matvecs):
+        u = [sum(m[i][j] * v[j] for j in range(d)) for i in range(d)]
+        norm = math.sqrt(float(sum(x * x for x in u)))
+        v = [_halfup(float(x) / norm * vec_scale) for x in u]
+    lead = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[lead] < 0:
+        v = [-x for x in v]
+    return v

@@ -1984,6 +1984,153 @@ def embedding_pca_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_power_oracle(squarings: int = 9, matvecs: int = 2) -> str:
+    """Generated chained-CTE twin of the integer matrix-powering
+    eigensolve (operators/linalg.py power_method_int): the gated 6dp
+    covariance CTEs feed an exact-BIGINT scaled matrix, m rescaled
+    integer squarings (= 2^m power steps), two exact matvecs, the
+    sign pin, then the micro-unit projection and per-label profile.
+    Same generated-SQL device as the BPE trainer's chained-CTE
+    oracle; every float step (rescale round, sqrt, final divisions)
+    is IEEE-identical to the Python/Spark side by construction.
+    Every multiply-referenced CTE is MATERIALIZED: DuckDB inlines
+    plain CTEs, and the self-joining squaring chain would otherwise
+    expand 2^m times (observed as an EMFILE from ~512 re-opens of
+    the embeddings parquet)."""
+    q = (
+        "WITH src AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "ij AS (SELECT a.i AS i, b.j AS j, "
+        "round(v[a.i + 1] * v[b.j + 1], 9) AS xy "
+        "FROM src, unnest(range(0, len(v))) a(i), "
+        "unnest(range(0, len(v))) b(j) WHERE a.i <= b.j), "
+        "sij AS (SELECT i, j, CAST(SUM(CAST(xy AS DECIMAL(38,9))) AS DOUBLE) "
+        "AS s_ij, count(*) AS n FROM ij GROUP BY 1, 2), "
+        "si AS (SELECT a.i AS i, CAST(SUM(CAST(round(v[a.i + 1], 9) "
+        "AS DECIMAL(38,9))) AS DOUBLE) AS s FROM src, "
+        "unnest(range(0, len(v))) a(i) GROUP BY 1), "
+        "cov AS MATERIALIZED (SELECT i, j, "
+        "round((s_ij - x.s * y.s / CAST(n AS DOUBLE)) / "
+        "(CAST(n AS DOUBLE) - 1), 6) + 0.0 AS cov "
+        "FROM sij JOIN si x USING (i) JOIN si y ON y.i = sij.j), "
+        "m0 AS MATERIALIZED (SELECT i, j, CAST(round(cov * 1000000) AS BIGINT) AS c "
+        "FROM cov UNION ALL SELECT j, i, "
+        "CAST(round(cov * 1000000) AS BIGINT) FROM cov WHERE i <> j), "
+    )
+    for t in range(1, squarings + 1):
+        q += (
+            f"p{t} AS MATERIALIZED (SELECT a.i AS i, b.j AS j, SUM(a.c * b.c) AS c2 "
+            f"FROM m{t - 1} a JOIN m{t - 1} b ON a.j = b.i GROUP BY 1, 2), "
+            f"mx{t} AS (SELECT MAX(ABS(c2)) AS mx FROM p{t}), "
+            f"m{t} AS MATERIALIZED (SELECT i, j, CAST(round(CAST(c2 AS DOUBLE) / "
+            f"CAST(mx AS DOUBLE) * 1000000) AS BIGINT) AS c "
+            f"FROM p{t}, mx{t}), "
+        )
+    q += (
+        "dims AS (SELECT DISTINCT i FROM m0), "
+        "dc AS (SELECT COUNT(*) AS d FROM dims), "
+        "v0 AS (SELECT i AS j, CAST(round(1000000000 / "
+        "sqrt(CAST(d AS DOUBLE))) AS BIGINT) AS v FROM dims, dc), "
+    )
+    for t in range(1, matvecs + 1):
+        q += (
+            f"u{t} AS MATERIALIZED (SELECT m.i, SUM(m.c * v.v) AS u "
+            f"FROM m{squarings} m JOIN v{t - 1} v ON v.j = m.j GROUP BY 1), "
+            f"n{t} AS (SELECT SUM(CAST(u AS HUGEINT) * u) AS n2 FROM u{t}), "
+            f"v{t} AS MATERIALIZED (SELECT i AS j, CAST(round(CAST(u AS DOUBLE) / "
+            f"sqrt(CAST(n2 AS DOUBLE)) * 1000000000) AS BIGINT) AS v "
+            f"FROM u{t}, n{t}), "
+        )
+    q += (
+        f"lead AS (SELECT v FROM v{matvecs} ORDER BY ABS(v) DESC, j ASC "
+        "LIMIT 1), "
+        "vf AS MATERIALIZED (SELECT j, CASE WHEN (SELECT v FROM lead) < 0 "
+        f"THEN -v ELSE v END AS v FROM v{matvecs}), "
+        "p AS (SELECT e.vec_id, e.label, "
+        "SUM(vf.v * CAST(round(CAST(e.embedding[vf.j + 1] AS DOUBLE) "
+        "* 1000000) AS BIGINT)) AS p_int "
+        "FROM embeddings e, vf GROUP BY 1, 2) "
+        "SELECT label, count(*) AS n_vecs, "
+        "CAST(SUM(p_int) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+        "/ 1000000000000000.0 AS pc1_mean, "
+        "CAST(MIN(p_int) AS BIGINT) AS p_min_scaled, "
+        "CAST(MAX(p_int) AS BIGINT) AS p_max_scaled "
+        "FROM p GROUP BY 1 ORDER BY 1"
+    )
+    return q
+
+
+@register(
+    "embedding_pca_power_checked",
+    oracle=_pca_power_oracle(),
+    tags=("llm", "similarity", "linalg", "iterative"),
+)
+def embedding_pca_power_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA end-to-end with the eigensolve itself hash-gated — the
+    exactness twin of ``embedding_pca_label_profile`` (whose numpy
+    eigh step is not SQL-expressible, leaving it rows-only since r7).
+
+    The device: replace eigh with the integer matrix-powering method
+    (``operators/linalg.py power_method_int`` — 9 rescaled exact-
+    BIGINT squarings = 512 power steps, then 2 exact matvecs, sign
+    pinned largest-|entry|-positive), which IS expressible as
+    generated chained-CTE SQL, and which lands within cosine ≥
+    0.999999999 of the numpy PC1 at sf0.001/0.01/0.1 despite this
+    corpus' tiny eigengap (λ1/λ2 ≈ 1.01; pinned in
+    tests/test_linalg.py).  The projection keeps every value in
+    exact integer micro-units (vec 1e9 × emb 1e6 → scale 1e15;
+    per-row dot products exact BIGINT, per-label sums exact DECIMAL/
+    HUGEINT) and emits the mean as pure IEEE division — the
+    rounding-tie-proof convention from ``quality_perplexity_bigram``.
+
+    Scale shape: the corpus-sized stages are the gated distributed
+    covariance (shuffle ∝ d², never rows·d²) and one codegen zip_with
+    projection pass; the powering runs on the COLLECTED bounded d²
+    cell table (the same driver-step contract as the numpy variant —
+    and unlike eigh, each squaring is a (i,k)(k,j) equi-join, so at
+    d where d² no longer collects, the same plan shifts back into
+    joins unchanged)."""
+    from ..operators import linalg as L
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov_rows = L.covariance_entries(
+        emb, "embedding", upper_only=True
+    ).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    v = L.power_method_int(cov_rows, d)
+    lit_v = F.array(*[F.lit(x).cast("long") for x in v])
+    e_int = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1_000_000, 0).cast("long"),
+    )
+    p_int = F.aggregate(
+        F.zip_with(e_int, lit_v, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per = emb.select("label", p_int.alias("p_int"))
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("p_int").cast("decimal(38,0)")).alias("sp"),
+            F.min("p_int").alias("p_min_scaled"),
+            F.max("p_int").alias("p_max_scaled"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            (
+                F.col("sp").cast("double")
+                / F.col("n_vecs").cast("double")
+                / F.lit(1.0e15)
+            ).alias("pc1_mean"),
+            "p_min_scaled",
+            "p_max_scaled",
+        )
+        .orderBy("label")
+    )
+
+
 @register(
     "text_compression_ratio",
     # no oracle: DEFLATE is not SQL-expressible in DuckDB; the exact
