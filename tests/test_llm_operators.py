@@ -352,3 +352,18 @@ def test_containment_direction_ties_break_to_smaller_id(spark):
     assert [(r.contained_id, r.container_id, r.containment) for r in rows] == [
         (7, 9, 1.0)
     ]
+
+
+def test_kmeans_checkpoint_invariant(spark, sf_dir):
+    """Centroid-table checkpointing is a result no-op: 12 Lloyd
+    rounds at cadence 4 == cadence None (the k-row table is cheap to
+    materialize, unlike the trainers where truncation is load-bearing)."""
+    from usgs_earthquake_data_pipeline_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+    from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_lloyd(emb, k=4, iterations=12, checkpoint_every=4).collect()
+    b = kmeans_lloyd(emb, k=4, iterations=12, checkpoint_every=None).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

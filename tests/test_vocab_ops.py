@@ -189,3 +189,51 @@ def test_blocklist_audit_hand_corpus(spark, tmp_path):
     assert got["table scan"].doc_rate == round(2 / 4, 9)
     # every blocklist phrase reports, even at zero hits
     assert len(got) == 4
+
+
+def test_bpe_train_checkpoint_invariant(spark, sf_dir):
+    """Lineage checkpointing must not change the training trajectory.
+
+    Two comparisons: (a) k=6 with and WITHOUT checkpointing — direct
+    proof truncation is a no-op on results; (b) k=12 at two different
+    cadences (every 2 vs every 5 — boundaries fall on different
+    rounds), which exercises the trainer past the gated k=4 depth.
+    k=12 UNCHECKED is deliberately absent: each merge layer re-uses
+    the split column ~5× and Catalyst's projection collapse inlines
+    the layers multiplicatively, so the unchecked 12-deep plan OOMs
+    the JVM — the measured reason the parameter exists."""
+    from usgs_earthquake_data_pipeline_spark.plans.vocab_ops import _bpe_train
+
+    m6_ck, f6_ck = _bpe_train(spark, sf_dir, 6, checkpoint_every=3)
+    m6_no, f6_no = _bpe_train(spark, sf_dir, 6, checkpoint_every=None)
+    assert m6_ck == m6_no and len(m6_ck) == 6
+    assert sorted(tuple(r) for r in f6_ck.collect()) == sorted(
+        tuple(r) for r in f6_no.collect()
+    )
+
+    m12_a, f12_a = _bpe_train(spark, sf_dir, 12, checkpoint_every=2)
+    m12_b, f12_b = _bpe_train(spark, sf_dir, 12, checkpoint_every=5)
+    assert m12_a == m12_b and len(m12_a) == 12
+    assert sorted(tuple(r) for r in f12_a.collect()) == sorted(
+        tuple(r) for r in f12_b.collect()
+    )
+
+
+def test_pagerank_checkpoint_invariant(spark):
+    """Same invariant for pagerank at 9 rounds (crosses one
+    checkpoint boundary at 8)."""
+    from usgs_earthquake_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (1, 3)],
+        "src long, dst long",
+    )
+    a = {
+        r["node"]: round(r["rank"], 9)
+        for r in pagerank(edges, iterations=9, checkpoint_every=4).collect()
+    }
+    b = {
+        r["node"]: round(r["rank"], 9)
+        for r in pagerank(edges, iterations=9, checkpoint_every=None).collect()
+    }
+    assert a == b and len(a) == 4

@@ -98,6 +98,7 @@ def kmeans_lloyd(
     iterations: int = 2,
     dim: int = 64,
     exact: bool = True,
+    checkpoint_every: int | None = 8,
 ) -> DataFrame:
     """Run ``iterations`` Lloyd rounds; return one row per surviving
     cluster: ``(list_id, n_members, centroid)`` with the centroid mean
@@ -112,6 +113,13 @@ def kmeans_lloyd(
     assignments on the bench tables, proven in
     tests/test_maintenance.py; the update step's decimal sums stay —
     they are the map-side partial aggregate, not the hot loop).
+
+    ``checkpoint_every``: eager ``localCheckpoint`` of the k-row
+    centroid table every N rounds — at the gated 2 iterations the
+    plan is shallow, but production Lloyd runs 20-100 rounds and the
+    unchecked lineage (each round embeds the previous round's
+    crossJoin+agg) makes Catalyst re-analysis quadratic in rounds.
+    k rows per checkpoint: the materialization is free.
     """
     vecs = df.select(
         F.col(id_col).alias("id"),
@@ -124,7 +132,7 @@ def kmeans_lloyd(
         .select(F.row_number().over(w).alias("list_id"), F.col("v").alias("c"))
     )
     assigned = None
-    for _ in range(iterations):
+    for it in range(iterations):
         cent_arr = F.broadcast(
             cents.agg(F.collect_list(F.struct("list_id", "c")).alias("__cents"))
         )
@@ -148,6 +156,8 @@ def kmeans_lloyd(
             ).alias("c"),
             "n",
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            cents = cents.localCheckpoint()
     return (
         cents.select(
             "list_id",

@@ -31,6 +31,7 @@ def pagerank(
     weight: str | None = None,
     damping: float = 0.85,
     iterations: int = 2,
+    checkpoint_every: int | None = 8,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns
     ``(node, rank)`` for every node appearing as source or target.
@@ -40,6 +41,11 @@ def pagerank(
     Nodes with no in-edges settle at ``1 - damping``; dangling mass is
     not redistributed (the common simplified form — the oracle encodes
     the identical rule). Ranks start at 1.0.
+
+    ``checkpoint_every``: eager ``localCheckpoint`` of the rank table
+    every N rounds.  Each round's plan embeds the previous round's
+    join+agg, so unchecked lineage depth is O(iterations) — fine at
+    the gated 2, quadratic re-analysis pain at PageRank's real 20-50.
     """
     w = F.col(weight) if weight else F.lit(1.0)
     e = edges.select(
@@ -53,7 +59,7 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     contrib_edges = e.join(outw, "src")
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             contrib_edges.join(
                 ranks.select(F.col("node").alias("src"), "rank"), "src"
@@ -70,6 +76,8 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 

@@ -549,14 +549,26 @@ def bpe_train_merges_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_train(
-    spark: SparkSession, sf_dir: str, k: int
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    *,
+    checkpoint_every: int | None = 8,
 ) -> tuple[list[tuple[int, str, int]], DataFrame]:
     """Run k BPE merge iterations; returns (merge table, final
     word-frequency DataFrame whose ``s`` column is the space-joined
     symbolization after all k merges).  The returned DataFrame is NOT
     cached (the loop's cache is released before returning — a plan
     builder must not leak cache entries); its lineage recomputes the
-    one corpus-sized aggregate when next acted on."""
+    one corpus-sized aggregate when next acted on.
+
+    Lineage growth bound: each merge wraps the symbolization in
+    another aggregate-fold projection, so the unchecked plan depth is
+    O(k) — irrelevant at the gated k=4, but a real tokenizer run is
+    k≈30k merges and Catalyst re-analysis goes quadratic long before
+    that. ``checkpoint_every`` truncates lineage with an eager
+    ``localCheckpoint`` every N merges (results identical — pinned at
+    k=12 in tests/test_vocab_ops.py); ``None`` disables."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.filter(T.tokens("text"), lambda t: t != "")).alias("word")
@@ -609,6 +621,8 @@ def _bpe_train(
                 )
             )
             cur = cur.select(merged.alias("s"), "wf")
+            if checkpoint_every and it % checkpoint_every == 0:
+                cur = cur.localCheckpoint()
     finally:
         wf.unpersist()
     return out, cur
