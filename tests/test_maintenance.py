@@ -617,3 +617,78 @@ def test_vacuum_retires_orphan_crc_sidecars(spark, tmp_path):
     open(os.path.join(path, ".._manifest_tmp_0.crc"), "wb").close()
     sinks.vacuum_versions(spark, path, keep=10, clear_uncommitted=False)
     assert os.path.exists(os.path.join(path, ".._manifest_tmp_0.crc"))
+
+
+def test_live_predecessor_tmp_fallback_interleaving(spark, tmp_path, monkeypatch):
+    """Deterministic two-writer interleaving of the ONE remaining
+    manifest-less window: predecessor A (version 2) is inside its
+    commit retry — it has retired the stale manifest (=1) but not yet
+    linked its own — when successor B (version 3) runs its ENTIRE
+    save: B's wait loop must observe A's version through the
+    ``._manifest_tmp_2`` fallback and proceed, B commits manifest=3,
+    and A's resumed no-overwrite install must TOLERATE the newer
+    manifest rather than regress it (the r7-fixed race: a clobbering
+    install here would rewind 3 → 2).
+
+    Orchestration: ``os.remove`` of the final manifest is wrapped
+    one-shot — when A retires the stale manifest we open the window,
+    park A, run B to completion on the main thread, then resume A.
+    Both writers execute the real ``save_versioned_table`` path.
+    """
+    import threading
+
+    from usgs_earthquake_data_pipeline_spark import sinks
+
+    path = str(tmp_path / "vt")
+    mk = lambda i: spark.createDataFrame([(i, f"w{i}")], "id BIGINT, v STRING")
+    assert sinks.save_versioned_table(mk(0), path) == 0
+    assert sinks.save_versioned_table(mk(1), path) == 1
+
+    window_open = threading.Event()
+    resume_a = threading.Event()
+    real_remove = os.remove
+    state = {"armed": True}
+
+    def gated_remove(p, *a, **kw):
+        is_manifest = os.path.basename(str(p)) == sinks._VERSION_MANIFEST
+        out = real_remove(p, *a, **kw)
+        if is_manifest and state["armed"]:
+            state["armed"] = False
+            window_open.set()
+            assert resume_a.wait(60), "test orchestration stalled"
+        return out
+
+    monkeypatch.setattr(sinks.os, "remove", gated_remove)
+
+    result_a: dict = {}
+
+    def writer_a():
+        try:
+            result_a["version"] = sinks.save_versioned_table(mk(2), path)
+        except BaseException as e:  # pragma: no cover - surfaced below
+            result_a["error"] = e
+
+    ta = threading.Thread(target=writer_a)
+    ta.start()
+    assert window_open.wait(60), "A never reached the manifest-less window"
+    # A is parked mid-commit: no manifest on disk, only its tmp.
+    assert not os.path.exists(os.path.join(path, sinks._VERSION_MANIFEST))
+    assert os.path.exists(os.path.join(path, "._manifest_tmp_2"))
+    # B runs START to FINISH inside the window: its wait loop may only
+    # proceed via the tmp fallback (manifest is absent).
+    vb = sinks.save_versioned_table(mk(3), path)
+    assert vb == 3
+    assert sinks._read_manifest(spark, path) == 3
+    resume_a.set()
+    ta.join(60)
+    assert not ta.is_alive()
+    assert "error" not in result_a, result_a.get("error")
+    assert result_a["version"] == 2
+    # the resumed predecessor must NOT have regressed the manifest …
+    assert sinks._read_manifest(spark, path) == 3
+    # … its tmp is retired, and every version (incl. its own 2) reads
+    assert not os.path.exists(os.path.join(path, "._manifest_tmp_2"))
+    assert sinks.list_versions(spark, path) == [0, 1, 2, 3]
+    for v in range(4):
+        got = sinks.read_versioned_table(spark, path, v).collect()
+        assert [(r.id, r.v) for r in got] == [(v, f"w{v}")]
