@@ -1,0 +1,130 @@
+"""Independent numpy cross-checks for the round-8 drift/concentration/
+sampling entries — the oracle gate proves Spark == DuckDB; these prove
+both equal a from-scratch reimplementation of the statistic."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+
+def _events(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_type", "value", "day(ts) <= 15 AS in_a")
+        .collect()
+    )
+    return rows
+
+
+def test_chi_square_matches_numpy(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    types = sorted({r.event_type for r in rows})
+    obs = np.zeros((len(types), 2))
+    for r in rows:
+        obs[types.index(r.event_type)][0 if r.in_a else 1] += 1
+    rt = obs.sum(axis=1, keepdims=True)
+    ct = obs.sum(axis=0, keepdims=True)
+    n = obs.sum()
+    exp = rt @ ct / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    got = CATALOG["drift_chi_square_type"].spark_fn(spark, sf_dir).collect()[0]
+    assert got.n_types == len(types)
+    assert got.dof == len(types) - 1
+    assert abs(got.chi2 - chi2) < 1e-5, (got.chi2, chi2)
+    assert abs(got.cramers_v - math.sqrt(chi2 / n)) < 1e-6
+    assert 0.0 <= got.cramers_v <= 1.0
+
+
+def test_mann_whitney_matches_numpy(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    a = np.array([r.value for r in rows if r.in_a])
+    b = np.array([r.value for r in rows if not r.in_a])
+    allv = np.concatenate([a, b])
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(len(allv))
+    # average ranks over ties
+    sv = allv[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n1, n2 = len(a), len(b)
+    u = float(ranks[: n1].sum()) - n1 * (n1 + 1) / 2.0
+    _, counts = np.unique(allv, return_counts=True)
+    ties = float((counts.astype(np.float64) ** 3 - counts).sum())
+    nn = n1 + n2
+    sigma = math.sqrt(n1 * n2 / 12.0 * ((nn + 1) - ties / (nn * (nn - 1))))
+    z = (u - n1 * n2 / 2.0) / sigma
+    got = (
+        CATALOG["drift_mann_whitney_value"].spark_fn(spark, sf_dir).collect()[0]
+    )
+    assert (got.n1, got.n2) == (n1, n2)
+    assert got.u_scaled2 == int(round(2 * u))
+    assert abs(got.u_stat - u) < 1e-9
+    assert abs(got.z_score - z) < 1e-9, (got.z_score, z)
+
+
+def test_gini_matches_numpy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    got = {
+        r.source: r
+        for r in CATALOG["gini_length_by_source"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_src)
+    for src, xs in by_src.items():
+        x = np.sort(np.array(xs, dtype=np.float64))
+        n = len(x)
+        gini = float(
+            (2 * (np.arange(1, n + 1) * x).sum() - (n + 1) * x.sum())
+            / (n * x.sum())
+        )
+        assert got[src].n_docs == n
+        assert abs(got[src].gini - gini) < 1e-12
+        assert 0.0 <= got[src].gini < 1.0
+
+
+def test_weighted_reservoir_matches_replication(spark, sf_dir):
+    """Replicate the A-ES draw from scratch (md5 → dyadic uniform →
+    ln(u)/w → top-50) and demand the identical sample."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keys = []
+    for r in docs:
+        h = int(
+            hashlib.md5(f"wres42:{r.doc_id}".encode()).hexdigest()[:13], 16
+        )
+        u = (h + 1) / 4503599627370496.0
+        keys.append((math.log(u) / float(r.n_chars), r.doc_id))
+    want = sorted(
+        d for _, d in sorted(keys, key=lambda t: (-t[0], t[1]))[:50]
+    )
+    got = [
+        r.doc_id
+        for r in CATALOG["sample_weighted_reservoir"].spark_fn(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_weighted_reservoir_prefers_heavy_docs(spark, sf_dir):
+    """Sanity on the weighting itself: the sampled docs' mean length
+    must exceed the corpus mean (length-proportional inclusion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg({"n_chars": "avg"}).collect()[0][0]
+    sample = CATALOG["sample_weighted_reservoir"].spark_fn(spark, sf_dir)
+    sample_mean = sample.agg({"n_chars": "avg"}).collect()[0][0]
+    assert sample_mean > corpus_mean

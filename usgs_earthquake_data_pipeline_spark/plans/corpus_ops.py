@@ -638,3 +638,59 @@ def docs_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("occurrences"), F.asc("chunk_hash"))
         .limit(50)
     )
+
+
+@register(
+    "gini_length_by_source",
+    oracle=(
+        "WITH r AS (SELECT source, n_chars, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY n_chars, doc_id) AS i FROM documents), "
+        "a AS (SELECT source, count(*) AS n, SUM(n_chars) AS s, "
+        "SUM(CAST(i AS HUGEINT) * n_chars) AS s1 FROM r GROUP BY 1) "
+        "SELECT source, CAST(n AS BIGINT) AS n_docs, "
+        "CAST(s AS BIGINT) AS total_chars, "
+        "CAST(2 * s1 - (n + 1) * s AS DOUBLE) "
+        "/ CAST(n * s AS DOUBLE) AS gini "
+        "FROM a ORDER BY source"
+    ),
+    tags=("llm", "curation", "mixture", "distribution"),
+)
+def gini_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document length — the corpus-
+    concentration diagnostic a mixture designer reads next to the JSD
+    and token-budget entries: G≈0 means the source's mass is spread
+    evenly across its documents, G→1 means a few giant documents
+    carry it (and a doc-level dedup or cap will swing that source's
+    token count wildly).
+
+    Exactness: the rank form G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    over ascending lengths is exact-integer throughout (Σ i·xᵢ in
+    HUGEINT/DECIMAL; the value is tie-permutation-invariant since
+    equal x's swap freely, but ranks still tie-break by doc_id so
+    both engines rank identically) and emerges as ONE IEEE division.
+
+    Scale shape: ranking partitions by source (hash-partitioned
+    window, never a global sort), then one map-side-combined
+    aggregate per source; output is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("i")
+    )
+    a = r.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("n_chars")).alias(
+            "s1"
+        ),
+    )
+    return a.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("s").cast("long").alias("total_chars"),
+        (
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s")).cast("double")
+        ).alias("gini"),
+    ).orderBy("source")

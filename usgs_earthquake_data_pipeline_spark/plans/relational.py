@@ -3054,3 +3054,185 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     ).orderBy("user_id")
+
+
+@register(
+    "drift_chi_square_type",
+    oracle=(
+        "WITH s AS (SELECT event_type AS t, "
+        "CAST(day(ts) <= 15 AS INT) AS in_a FROM events), "
+        "o AS (SELECT t, in_a, count(*) AS obs FROM s GROUP BY 1, 2), "
+        "rt AS (SELECT t, SUM(obs) AS r FROM o GROUP BY 1), "
+        "ct AS (SELECT in_a, SUM(obs) AS c FROM o GROUP BY 1), "
+        "n AS (SELECT SUM(obs) AS n FROM o), "
+        "cell AS (SELECT CAST(round(pow(CAST(obs * n - r * c AS DOUBLE), 2)"
+        " / CAST(n * r * c AS DOUBLE) * 1000000000) AS BIGINT) AS term "
+        "FROM o JOIN rt USING (t) JOIN ct USING (in_a) CROSS JOIN n), "
+        "k AS (SELECT count(*) AS n_types FROM rt) "
+        "SELECT CAST(n_types AS INT) AS n_types, "
+        "CAST(n_types - 1 AS BIGINT) AS dof, "
+        "CAST(SUM(term) AS DOUBLE) / 1000000000.0 AS chi2, "
+        "sqrt(CAST(SUM(term) AS DOUBLE) / 1000000000.0 "
+        "/ (SELECT CAST(n AS DOUBLE) FROM n)) AS cramers_v "
+        "FROM cell CROSS JOIN k GROUP BY 1, 2"
+    ),
+    tags=("analytics", "drift", "distribution"),
+)
+def drift_chi_square_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type × month-half — the
+    CATEGORICAL drift companion to the KS entry (which covers the
+    continuous value column): did the event-type mix shift between
+    the halves?  Cramér's V (min(r,c)-1 = 1 here, so V = √(χ²/N))
+    gives the effect size the raw statistic hides at scale.
+
+    Exactness: observed/marginal counts are exact integers; each
+    cell's term (O·N − r·c)²/(N·r·c) mixes them in one identical IEEE
+    expression per engine (the squared numerator ≤ ~1e10 stays exact
+    in double before squaring), then rounds to integer nano-units so
+    the ≤|types|×2-cell sum is order-free; χ² re-emerges as one IEEE
+    division.  Scale shape: one map-side-combined (type, half)
+    aggregate collapses the corpus; everything after runs on ≤ 2·
+    |types| rows (broadcast joins at bench scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("t"),
+        (F.dayofmonth("ts") <= 15).cast("int").alias("in_a"),
+    )
+    o = s.groupBy("t", "in_a").agg(F.count("*").alias("obs"))
+    rt = o.groupBy("t").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("in_a").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    cell = (
+        o.join(F.broadcast(rt), "t")
+        .join(F.broadcast(ct), "in_a")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                F.pow(
+                    (F.col("obs") * F.col("n") - F.col("r") * F.col("c"))
+                    .cast("double"),
+                    F.lit(2),
+                )
+                / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+                * F.lit(1_000_000_000)
+            )
+            .cast("long")
+            .alias("term")
+        )
+    )
+    k = rt.agg(F.count("*").alias("n_types"))
+    chi2 = F.sum("term").cast("double") / F.lit(1.0e9)
+    n_dbl = n.select(F.col("n").cast("double").alias("n_d"))
+    return (
+        cell.crossJoin(F.broadcast(k))
+        .groupBy(F.col("n_types").cast("int").alias("n_types"))
+        .agg(F.sum("term").alias("term_sum"))
+        .crossJoin(F.broadcast(n_dbl))
+        .select(
+            "n_types",
+            (F.col("n_types") - 1).cast("long").alias("dof"),
+            (F.col("term_sum").cast("double") / F.lit(1.0e9)).alias("chi2"),
+            F.sqrt(
+                F.col("term_sum").cast("double")
+                / F.lit(1.0e9)
+                / F.col("n_d")
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "drift_mann_whitney_value",
+    oracle=(
+        "WITH s AS (SELECT value, CAST(day(ts) <= 15 AS INT) AS in_a "
+        "FROM events), "
+        "g AS (SELECT value, SUM(in_a) AS c1, count(*) AS c FROM s "
+        "GROUP BY 1), "
+        "cum AS (SELECT c1, c, SUM(c) OVER (ORDER BY value "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_c, "
+        "CAST(c AS HUGEINT) * c * c - c AS t3t FROM g), "
+        "agg AS (SELECT SUM(c1 * (2 * COALESCE(before_c, 0) + c + 1)) "
+        "AS s2, SUM(t3t) AS ties, SUM(c1) AS n1, SUM(c - c1) AS n2 "
+        "FROM cum) "
+        "SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
+        "CAST(s2 - n1 * (n1 + 1) AS BIGINT) AS u_scaled2, "
+        "CAST(s2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat, "
+        "(CAST(s2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 "
+        "- CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) "
+        "/ sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 "
+        "* (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) "
+        "/ (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))) "
+        "AS z_score "
+        "FROM agg"
+    ),
+    tags=("analytics", "drift", "distribution"),
+)
+def drift_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the month halves on
+    the value column — the rank-based location test that completes
+    the drift suite (KS: any distributional change; chi-square:
+    categorical mix; U: does one half stochastically dominate).
+
+    Exactness: tie-averaged ranks are kept in DOUBLED integers
+    (2·rank(v) = 2·cum_before + count + 1 — exact BIGINT; no
+    fractional average-rank floats), so U×2 = Σ_A 2·rank − n₁(n₁+1)
+    is exact, and the tie-corrected normal approximation
+    z = (U − n₁n₂/2) / √(n₁n₂/12 · (n+1 − Σ(t³−t)/(n(n−1))))
+    is one identical IEEE expression per engine over exact integers
+    (Σ(t³−t) runs in HUGEINT/DECIMAL — t³ overflows BIGINT on a
+    500k-row tie group).
+
+    Scale shape: identical to the KS entry — one (value) aggregate
+    collapses the corpus, the cumulative window runs over the bounded
+    2-dp value grid (≤50k cells), the final row is a scalar fold."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "value", (F.dayofmonth("ts") <= 15).cast("int").alias("in_a")
+    )
+    g = s.groupBy("value").agg(
+        F.sum("in_a").alias("c1"), F.count("*").alias("c")
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.select(
+        "c1",
+        "c",
+        F.sum("c").over(w).alias("before_c"),
+        (
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("t3t"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("c1")
+            * (2 * F.coalesce("before_c", F.lit(0)) + F.col("c") + 1)
+        ).alias("s2"),
+        F.sum("t3t").alias("ties"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+    )
+    u2 = F.col("s2") - F.col("n1") * (F.col("n1") + 1)
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    z = (u2.cast("double") / F.lit(2.0) - n1d * n2d / F.lit(2.0)) / F.sqrt(
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * (
+            (F.col("n1") + F.col("n2") + 1).cast("double")
+            - F.col("ties").cast("double")
+            / (
+                (F.col("n1") + F.col("n2")).cast("double")
+                * (F.col("n1") + F.col("n2") - 1).cast("double")
+            )
+        )
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        u2.cast("long").alias("u_scaled2"),
+        (u2.cast("double") / F.lit(2.0)).alias("u_stat"),
+        z.alias("z_score"),
+    )

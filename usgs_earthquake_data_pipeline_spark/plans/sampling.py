@@ -668,3 +668,63 @@ def mixture_token_budget_waterfill(
         ),
         (F.col("alloc2") >= F.col("avail")).alias("exhausted"),
     ).orderBy("source")
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=(
+        # Efraimidis-Spirakis A-ES with hash-derived uniforms:
+        # u = (hex13(md5(seed:id)) + 1) / 16^13  (exact: 16^13 = 2^52)
+        # key = ln(u) / weight  — top-k largest keys win
+        "WITH k AS (SELECT doc_id, source, n_chars, "
+        "ln((list_reduce(list_transform(regexp_extract_all("
+        "substr(md5('wres42:' || CAST(doc_id AS VARCHAR)), 1, 13), '.'), "
+        "c -> strpos('0123456789abcdef', c) - 1), "
+        "(a, b) -> a * 16 + b) + 1) / 4503599627370496.0) "
+        "/ CAST(n_chars AS DOUBLE) AS key FROM documents), "
+        "r AS (SELECT doc_id, source, n_chars, "
+        "row_number() OVER (ORDER BY key DESC, doc_id) AS rk FROM k) "
+        "SELECT doc_id, source, n_chars FROM r WHERE rk <= 50 "
+        "ORDER BY doc_id"
+    ),
+    tags=("llm", "sampling"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=50, weight = document
+    length — the Efraimidis-Spirakis A-ES reservoir: each row draws a
+    reproducible uniform u from a seeded id-hash (13 md5 hex digits /
+    2^52 — exact dyadic, never 0) and the k largest ln(u)/w keys win;
+    P(doc in sample) is the weighted without-replacement probability,
+    and membership is a property of the row, not of the run — the
+    same auditability contract as the unweighted hash sample.
+
+    The driver gate hash-compares the SELECTED ROWS, not the keys, so
+    the check proves both engines draw the identical sample (the only
+    cross-engine float in play is one ln whose 1-ulp wobble could
+    flip a selection only on an exact key tie — dyadic-rational
+    inputs make that measure-zero).
+
+    Scale shape: the key is pure codegen on the scan; top-k compiles
+    to TakeOrderedAndProject (per-partition heaps + one k-row merge,
+    never a global sort) — at 100 TB this is a single scan with a
+    k-row driver merge, the textbook distributed reservoir."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wres42:"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    key = F.log((h + 1) / F.lit(4503599627370496.0)) / F.col(
+        "n_chars"
+    ).cast("double")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("key"))
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(50)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
