@@ -128,3 +128,62 @@ def test_weighted_reservoir_prefers_heavy_docs(spark, sf_dir):
     sample = CATALOG["sample_weighted_reservoir"].spark_fn(spark, sf_dir)
     sample_mean = sample.agg({"n_chars": "avg"}).collect()[0][0]
     assert sample_mean > corpus_mean
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+
+
+def _run_on(entry_name, spark, df, tmp_path):
+    path = str(tmp_path / entry_name)
+    df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return CATALOG[entry_name].spark_fn(spark, path)
+
+
+def test_dsir_prefers_target_like_docs(spark, tmp_path):
+    """A raw doc written in the target's vocabulary must out-weigh a
+    raw doc written in vocabulary the target never uses."""
+    target = [("alpha beta alpha beta gamma", "src0")] * 3
+    like = ("alpha beta gamma alpha", "srcX")
+    unlike = ("zeta eta theta iota", "srcY")
+    df = _docs(spark, target + [like, unlike])
+    got = {
+        r.source: r.dsir_logweight
+        for r in _run_on(
+            "dsir_importance_resample", spark, df, tmp_path
+        ).collect()
+    }
+    assert set(got) == {"srcX", "srcY"}
+    assert got["srcX"] > 0 > got["srcY"], got
+
+
+def test_fertility_hand_check(spark, tmp_path):
+    """'don't stop!' = 2 words, 5 BPE-ish tokens (don / ' / t / stop
+    / !) → fertility 2.5."""
+    df = _docs(spark, [("don't stop!", "s")])
+    r = _run_on("tokenizer_fertility_by_lang", spark, df, tmp_path).collect()
+    assert len(r) == 1
+    assert (r[0].total_words, r[0].total_tokens) == (2, 5)
+    assert abs(r[0].fertility - 2.5) < 1e-12
+
+
+def test_distinct2_bounds_and_hand_check(spark, tmp_path):
+    df = _docs(
+        spark,
+        [
+            ("a b a b a b", "rep"),   # bigrams: ab,ba,ab,ba,ab → 2/5
+            ("v w x y z", "div"),     # 4 distinct of 4 → 1.0
+        ],
+    )
+    got = {
+        r.source: r
+        for r in _run_on(
+            "diversity_distinct_ngrams", spark, df, tmp_path
+        ).collect()
+    }
+    assert got["rep"].n_grams == 5 and got["rep"].n_distinct == 2
+    assert abs(got["rep"].distinct_2 - 0.4) < 1e-12
+    assert got["div"].distinct_2 == 1.0

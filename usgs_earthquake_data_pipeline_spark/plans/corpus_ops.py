@@ -694,3 +694,246 @@ def gini_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("s")).cast("double")
         ).alias("gini"),
     ).orderBy("source")
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=(
+        "WITH t AS (SELECT lang, "
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "x -> x <> '')) AS n_words, "
+        "len(regexp_extract_all(text, "
+        "'[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe FROM documents) "
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(SUM(n_words) AS BIGINT) AS total_words, "
+        "CAST(SUM(n_bpe) AS BIGINT) AS total_tokens, "
+        "CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) "
+        "AS fertility FROM t GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "vocab", "tokenizer", "quality"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — tokens emitted per
+    whitespace word, the standard cross-lingual tokenizer-equity
+    metric (a language with fertility 2× the corpus mean pays twice
+    the context budget per word; the number multilingual tokenizer
+    papers fight over).  Here the BPE-ish pre-tokenizer plays the
+    tokenizer.
+
+    Exactness: both counts are exact integers (regexp counts), summed
+    exactly; fertility is ONE IEEE division of exact ints.  Scale
+    shape: pure codegen per-row counts on the scan → one map-side-
+    combined aggregate bounded by |langs|."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(F.filter(T.tokens("text"), lambda x: x != "")).alias(
+            "n_words"
+        ),
+        T.bpe_token_count("text").alias("n_bpe"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_bpe").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_tokens",
+            (
+                F.col("total_tokens").cast("double")
+                / F.col("total_words").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "diversity_distinct_ngrams",
+    oracle=(
+        "WITH tk AS (SELECT source, list_filter(regexp_split_to_array("
+        "trim(text), '\\s+'), x -> x <> '') AS t FROM documents), "
+        "g AS (SELECT source, t[i] || ' ' || t[i + 1] AS gram "
+        "FROM tk, unnest(range(1, len(t))) r(i)), "
+        "a AS (SELECT source, count(*) AS n_grams, "
+        "count(DISTINCT gram) AS n_distinct FROM g GROUP BY 1) "
+        "SELECT source, CAST(n_grams AS BIGINT) AS n_grams, "
+        "CAST(n_distinct AS BIGINT) AS n_distinct, "
+        "CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) "
+        "AS distinct_2 FROM a ORDER BY source"
+    ),
+    tags=("llm", "quality", "diversity"),
+)
+def diversity_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-2 diversity per source — the fraction of word bigrams
+    that are unique (Li et al.'s distinct-n, the standard
+    degeneration/templating signal: boilerplate-heavy sources repeat
+    bigrams and score low; diverse prose scores high).  Complements
+    the compression-ratio and Gopher-repetition gates with a
+    SOURCE-level view.
+
+    Scale shape: bigrams explode via an index-sequence transform (no
+    self-join), then ONE two-level aggregate — count + distinct-count
+    per source (the distinct is the standard two-shuffle expand;
+    swap in HLL (`sketch_hll_*`) when approximate suffices at 100 TB
+    — that identity is already gated)."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source", F.filter(T.tokens("text"), lambda x: x != "").alias("t")
+    )
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+    # being empty, so a 0/1-word doc must short-circuit explicitly
+    # (DuckDB's range(1, 1) is naturally empty)
+    g = tk.filter(F.size("t") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> "
+                "concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    a = g.groupBy("source").agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
+    )
+    return a.select(
+        "source",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (
+            F.col("n_distinct").cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("distinct_2"),
+    ).orderBy("source")
+
+
+@register(
+    "dsir_importance_resample",
+    oracle=(
+        "WITH tk AS (SELECT doc_id, source, "
+        "unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "x -> x <> '')) AS tok FROM documents), "
+        "b AS (SELECT doc_id, source, "
+        + _bucket_sql("tok", 256)
+        + " AS bkt FROM tk), "
+        "ct AS (SELECT bkt, "
+        "SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_t, "
+        "SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS c_s "
+        "FROM b GROUP BY 1), "
+        "n AS (SELECT SUM(c_t) AS n_t, SUM(c_s) AS n_s FROM ct), "
+        "lr AS (SELECT bkt, CAST(round(ln("
+        "((c_t + 1) / CAST(n_t + 256 AS DOUBLE)) / "
+        "((c_s + 1) / CAST(n_s + 256 AS DOUBLE))) * 1000000) AS BIGINT) "
+        "AS lr_int FROM ct CROSS JOIN n), "
+        "w AS (SELECT b.doc_id, b.source, "
+        "CAST(SUM(lr.lr_int) AS BIGINT) AS w_int FROM b "
+        "JOIN lr USING (bkt) WHERE b.source <> 'src0' GROUP BY 1, 2), "
+        "k AS (SELECT doc_id, source, w_int, "
+        "CAST(w_int AS DOUBLE) / 1000000.0 - ln(-ln("
+        "(list_reduce(list_transform(regexp_extract_all("
+        "substr(md5('dsir42:' || CAST(doc_id AS VARCHAR)), 1, 13), '.'), "
+        "c -> strpos('0123456789abcdef', c) - 1), "
+        "(a, b) -> a * 16 + b) + 1) / 4503599627370496.0)) AS key "
+        "FROM w), "
+        "r AS (SELECT doc_id, source, w_int, "
+        "row_number() OVER (ORDER BY key DESC, doc_id) AS rk FROM k) "
+        "SELECT doc_id, source, w_int AS w_int_scaled, "
+        "CAST(w_int AS DOUBLE) / 1000000.0 AS dsir_logweight "
+        "FROM r WHERE rk <= 50 ORDER BY doc_id"
+    ),
+    tags=("llm", "curation", "mixture", "sampling"),
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023), the named method for picking pretraining data that *looks
+    like* a target corpus: fit hashed bag-of-ngrams LMs on target
+    (here the deterministic src0 slice standing in for the
+    high-quality target) and raw (everything else), weight every raw
+    document by its log importance ratio Σ_f count_f·log(p_t(f)/
+    p_s(f)), and Gumbel-top-k resample — the Gumbel trick makes
+    "sample k docs ∝ exp(w)" a deterministic top-k once the noise
+    comes from a seeded id-hash (the same dyadic-uniform device as
+    the weighted reservoir).
+
+    Exactness: the 256-bucket feature counts and add-1-smoothed
+    probability ratios are exact-integer/rational; each bucket's log
+    ratio rounds to integer micro-units (6 dp — wide of both
+    engines' 1-ulp ln wobble), so per-doc weights are EXACT BIGINT
+    sums and the emitted logweight is one IEEE division.  The gate
+    hash-compares the selected rows and their weights.
+
+    Scale shape: token→bucket is pure codegen on the scan; the LM is
+    a 256-row broadcast; the per-doc weight is one map-side-combined
+    aggregate; selection is TakeOrderedAndProject.  Nothing but the
+    (doc, bucket-hit) stream ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.filter(T.tokens("text"), lambda x: x != "")).alias(
+            "tok"
+        ),
+    )
+    b = tk.select(
+        "doc_id", "source", hash_bucket(F.col("tok"), 256).alias("bkt")
+    )
+    ct = b.groupBy("bkt").agg(
+        F.sum((F.col("source") == "src0").cast("int")).alias("c_t"),
+        F.sum((F.col("source") != "src0").cast("int")).alias("c_s"),
+    )
+    n = ct.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_s").alias("n_s")
+    )
+    lr = ct.crossJoin(F.broadcast(n)).select(
+        "bkt",
+        F.round(
+            F.log(
+                ((F.col("c_t") + 1) / (F.col("n_t") + 256).cast("double"))
+                / ((F.col("c_s") + 1) / (F.col("n_s") + 256).cast("double"))
+            )
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("lr_int"),
+    )
+    w = (
+        b.filter(F.col("source") != "src0")
+        .join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr_int").cast("long").alias("w_int"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dsir42:"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    gumbel = -F.log(-F.log((h + 1) / F.lit(4503599627370496.0)))
+    key = F.col("w_int").cast("double") / F.lit(1.0e6) + gumbel
+    return (
+        w.select("doc_id", "source", "w_int", key.alias("key"))
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            "source",
+            F.col("w_int").alias("w_int_scaled"),
+            (F.col("w_int").cast("double") / F.lit(1.0e6)).alias(
+                "dsir_logweight"
+            ),
+        )
+        .orderBy("doc_id")
+    )
