@@ -187,3 +187,23 @@ def test_distinct2_bounds_and_hand_check(spark, tmp_path):
     assert got["rep"].n_grams == 5 and got["rep"].n_distinct == 2
     assert abs(got["rep"].distinct_2 - 0.4) < 1e-12
     assert got["div"].distinct_2 == 1.0
+
+
+def test_kn_bigram_hand_check(spark, tmp_path):
+    """Corpus 'a b a c': c(ab)=c(ba)=c(ac)=1, c(a·)=2 with 2
+    continuation types, c(b·)=1 with 1; N₁₊(·b)=N₁₊(·a)=N₁₊(·c)=1 of
+    3 bigram types.  P(b|a)=P(c|a)=0.25/2+0.75·(2/2)·(1/3)=0.375,
+    P(a|b)=0.25+0.75·(1/3)=0.5."""
+    import math
+
+    df = _docs(spark, [("a b a c", "s")])
+    r = _run_on("quality_kn_bigram_bits", spark, df, tmp_path).collect()
+    assert len(r) == 1 and r[0].n_bigrams == 3
+
+    def lg(p):
+        x = math.log2(p) * 1e6
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    want = -((lg(0.375) + lg(0.5) + lg(0.375)) / 3) / 1e6
+    assert abs(r[0].kn_bits - want) < 1e-12
+    assert abs(want - 1.2766917) < 1e-6

@@ -1147,3 +1147,97 @@ def vocab_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return p.orderBy(F.col("pmi").desc(), "gram").limit(20)
+
+
+@register(
+    "quality_kn_bigram_bits",
+    oracle=(
+        "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "trim(text), '\\s+'), x -> x <> '') AS t FROM documents), "
+        "bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 "
+        "FROM tk, unnest(range(1, len(t))) r(i)), "
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), "
+        "c1 AS (SELECT w1, SUM(c12) AS c1, count(*) AS n1p "
+        "FROM c12 GROUP BY 1), "
+        "cw2 AS (SELECT w2, count(*) AS nw2 FROM c12 GROUP BY 1), "
+        "nt AS (SELECT count(*) AS ntot FROM c12), "
+        "p AS (SELECT bg.doc_id, CAST(round(log2("
+        "(c12.c12 - 0.75) / c1.c1 + 0.75 * c1.n1p / c1.c1 "
+        "* (cw2.nw2 / CAST(ntot AS DOUBLE))) * 1000000) AS BIGINT) "
+        "AS lg FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) "
+        "JOIN cw2 USING (w2) CROSS JOIN nt) "
+        "SELECT doc_id, count(*) AS n_bigrams, "
+        "-(CAST(SUM(lg) AS DOUBLE) / count(*)) / 1000000.0 AS kn_bits "
+        "FROM p GROUP BY 1 ORDER BY doc_id"
+    ),
+    tags=("llm", "quality", "vocab"),
+)
+def quality_kn_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bits-per-bigram under a Kneser-Ney smoothed
+    bigram LM trained on the corpus — the BETTER-smoothed sibling of
+    `quality_perplexity_bigram` (add-k): absolute discount D=0.75
+    with the continuation-probability backoff
+    P(w₂|w₁) = (c(w₁w₂)−D)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··),
+    the smoothing every n-gram-LM quality filter actually ships
+    (CCNet's LM gate lineage).  Scoring on training data keeps every
+    bigram count ≥ 1, so no zero-probability branch is needed.
+
+    Exactness: every count (c₁₂, row-wise c₁, continuation type
+    counts) is an exact integer; P is one fixed-parenthesization IEEE
+    expression over them, its log2 rounds to integer micro-units per
+    bigram, the per-doc sum is exact BIGINT, and bits re-emerge as
+    two IEEE divisions (the tie-proof emission convention).
+
+    Scale shape: the LM is three vocab-/bigram-vocab-sized aggregate
+    tables met by equi-joins (broadcast at bench scale, shuffle joins
+    when the vocab outgrows broadcast — no plan change); the corpus
+    crosses the wire once as (doc, w₁, w₂) triples."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.filter(T.tokens("text"), lambda x: x != "").alias("t")
+    )
+    bg = tk.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> "
+                "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1p")
+    )
+    cw2 = c12.groupBy("w2").agg(F.count("*").alias("nw2"))
+    nt = c12.agg(F.count("*").alias("ntot"))
+    prob = (
+        (F.col("c12") - F.lit(0.75)) / F.col("c1")
+        + F.lit(0.75) * F.col("n1p") / F.col("c1")
+        * (F.col("nw2") / F.col("ntot").cast("double"))
+    )
+    p = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cw2, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "doc_id",
+            F.round(F.log2(prob) * F.lit(1_000_000))
+            .cast("long")
+            .alias("lg"),
+        )
+    )
+    return (
+        p.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lg").alias("slg"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                -(F.col("slg").cast("double") / F.col("n_bigrams"))
+                / F.lit(1.0e6)
+            ).alias("kn_bits"),
+        )
+        .orderBy("doc_id")
+    )
