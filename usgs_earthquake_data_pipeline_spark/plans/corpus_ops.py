@@ -937,3 +937,81 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_datasheet",
+    oracle=(
+        "WITH t AS (SELECT doc_id, source, lang, md5(text) AS fp, "
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "x -> x <> '')) AS n_tok FROM documents), "
+        "fps AS (SELECT fp, count(*) AS c FROM t GROUP BY 1), "
+        "dup AS (SELECT CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) "
+        "AS BIGINT) AS dup_docs FROM fps) "
+        "SELECT count(*) AS n_docs, "
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
+        "CAST(SUM(n_tok) AS DOUBLE) / count(*) AS mean_doc_tokens, "
+        "dup_docs, "
+        "CAST(dup_docs AS DOUBLE) / count(*) AS dup_fraction "
+        "FROM t CROSS JOIN dup GROUP BY dup_docs"
+    ),
+    tags=("llm", "curation", "reporting"),
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card a corpus release ships (Datasheets
+    for Datasets, Gebru et al.): document/source/language counts,
+    token budget, mean document length, and the exact-duplicate
+    footprint (documents whose content fingerprint occurs more than
+    once — BOTH copies count, since that is the mass a dedup pass
+    would touch).
+
+    Exactness: all counts are exact integers; the two rates are
+    single IEEE divisions.  Scale shape: one scan feeds a
+    fingerprint aggregate (map-side combined) and one global fold;
+    the distinct-counts run over |sources|/|langs|-bounded domains.
+    At 100 TB this is the cheap pass you run LAST, after the gates —
+    every number lands in one job."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("fp"),
+        F.size(F.filter(T.tokens("text"), lambda x: x != "")).alias(
+            "n_tok"
+        ),
+    )
+    dup = (
+        t.groupBy("fp")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("dup_docs")
+        )
+    )
+    return (
+        t.crossJoin(F.broadcast(dup))
+        .groupBy("dup_docs")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_tokens",
+            (
+                F.col("total_tokens").cast("double") / F.col("n_docs")
+            ).alias("mean_doc_tokens"),
+            "dup_docs",
+            (F.col("dup_docs").cast("double") / F.col("n_docs")).alias(
+                "dup_fraction"
+            ),
+        )
+    )
