@@ -207,3 +207,56 @@ def test_kn_bigram_hand_check(spark, tmp_path):
     want = -((lg(0.375) + lg(0.5) + lg(0.375)) / 3) / 1e6
     assert abs(r[0].kn_bits - want) < 1e-12
     assert abs(want - 1.2766917) < 1e-6
+
+
+def test_bucketed_batching_waste_invariants(spark, sf_dir):
+    """pad_bucketed ≤ pad_global per bucket (bucketing can only help),
+    both non-negative, and the bucket max bounds its members."""
+    rows = CATALOG["pack_bucketed_batching_waste"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.pad_bucketed <= r.pad_global
+        assert r.sum_tok <= r.n_docs * r.max_tok
+        assert 16 * r.bucket <= r.max_tok < 16 * (r.bucket + 1)
+
+
+def test_hill_alpha_matches_numpy(spark, sf_dir):
+    """Replicate the Hill estimator (with the micro-unit rounding)
+    from the raw lengths."""
+    import math
+
+    xs = sorted(
+        (
+            r.n_chars
+            for r in load_table(spark, sf_dir, "documents")
+            .select("n_chars")
+            .collect()
+        ),
+        reverse=True,
+    )[:100]
+    xk = min(xs)
+
+    def lg(v):
+        x = math.log(v / xk) * 1e6
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    terms = [lg(x) for x in xs if x > xk]
+    mean_log = (sum(terms) / len(terms)) / 1e6
+    got = CATALOG["tail_index_hill_length"].spark_fn(spark, sf_dir).collect()[0]
+    assert got.n_exceed == len(terms)
+    assert abs(got.hill_mean_log - mean_log) < 1e-12
+    assert abs(got.hill_alpha - 1.0 / mean_log) < 1e-9
+
+
+def test_calibration_bins_partition_evenly(spark, sf_dir):
+    rows = CATALOG["curation_calibration_bins"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert [r.bin for r in rows] == list(range(1, 11))
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # ntile's equal-population law
+    # mean_logit must be non-decreasing across bins (sorted binning)
+    ml = [r.mean_logit for r in rows]
+    assert all(a <= b for a, b in zip(ml, ml[1:]))

@@ -1015,3 +1015,134 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pack_bucketed_batching_waste",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "x -> x <> '')) AS n_tok FROM documents), "
+        "g AS (SELECT MAX(n_tok) AS gmax FROM t), "
+        "b AS (SELECT CAST(floor(n_tok / 16) AS BIGINT) AS bucket, "
+        "count(*) AS n_docs, CAST(MAX(n_tok) AS BIGINT) AS max_tok, "
+        "CAST(SUM(n_tok) AS BIGINT) AS sum_tok FROM t GROUP BY 1) "
+        "SELECT bucket, n_docs, max_tok, sum_tok, "
+        "CAST(n_docs * max_tok - sum_tok AS BIGINT) AS pad_bucketed, "
+        "CAST(n_docs * gmax - sum_tok AS BIGINT) AS pad_global "
+        "FROM b CROSS JOIN g ORDER BY bucket"
+    ),
+    tags=("llm", "curation", "packing"),
+)
+def pack_bucketed_batching_waste(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucketed-batching padding audit — the training-efficiency
+    analysis behind length-bucketed data loaders: group documents
+    into width-16 token-length buckets and compare the pad tokens a
+    per-bucket batch pays (n·max_bucket − Σlen) against padding every
+    batch to the GLOBAL max (n·max_global − Σlen).  The ratio of the
+    two columns is the throughput argument for bucketed batching;
+    the FFD packer (`pack_sequences_*`) is the zero-pad alternative
+    this report motivates.
+
+    Exactness: token counts, maxima, and both waste columns are pure
+    integer arithmetic.  Scale shape: one map-side-combined aggregate
+    over ≤ (max_len/16) buckets plus a 1-row broadcast global max."""
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(F.filter(T.tokens("text"), lambda x: x != "")).alias(
+            "n_tok"
+        )
+    )
+    g = t.agg(F.max("n_tok").alias("gmax"))
+    b = t.groupBy(
+        F.floor(F.col("n_tok") / 16).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+    )
+    return (
+        b.crossJoin(F.broadcast(g))
+        .select(
+            "bucket",
+            "n_docs",
+            "max_tok",
+            "sum_tok",
+            (F.col("n_docs") * F.col("max_tok") - F.col("sum_tok"))
+            .cast("long")
+            .alias("pad_bucketed"),
+            (F.col("n_docs") * F.col("gmax") - F.col("sum_tok"))
+            .cast("long")
+            .alias("pad_global"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "tail_index_hill_length",
+    oracle=(
+        "WITH t AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents), "
+        "top AS (SELECT x FROM t ORDER BY x DESC LIMIT 100), "
+        "kth AS (SELECT MIN(x) AS xk FROM top), "
+        "s AS (SELECT CAST(SUM(CAST(round(ln(CAST(x AS DOUBLE) / "
+        "CAST(xk AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS slg, "
+        "count(*) AS k FROM top CROSS JOIN kth WHERE x > xk) "
+        "SELECT CAST(k AS BIGINT) AS n_exceed, "
+        "CAST(slg AS DOUBLE) / k / 1000000.0 AS hill_mean_log, "
+        "1.0 / (CAST(slg AS DOUBLE) / k / 1000000.0) AS hill_alpha "
+        "FROM s"
+    ),
+    tags=("llm", "curation", "distribution"),
+)
+def tail_index_hill_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate over the top-100 document lengths —
+    how heavy the corpus' length tail is (α̂ ≈ 1: pathological
+    giants dominate the token budget and a length cap is mandatory;
+    α̂ ≫ 2: thin tail, caps barely matter).  The number a curation
+    run consults before choosing the truncation policy the datasheet
+    and Gini entries then audit.
+
+    Exactness: the order statistics are exact integers (TakeOrdered
+    top-k; the k-th value by exact MIN); per-term ln(xᵢ/x_k) rounds
+    to micro-units for an order-free integer sum (strict exceedances
+    only — ties with x_k contribute ln(1)=0 and are excluded on both
+    sides identically); the mean and its inverse are IEEE divisions.
+
+    Scale shape: one TakeOrderedAndProject over the scan (the only
+    corpus-sized work), then arithmetic on ≤ k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.col("n_chars").cast("long").alias("x"))
+        .orderBy(F.desc("x"))
+        .limit(100)
+    )
+    kth = top.agg(F.min("x").alias("xk"))
+    s = (
+        top.crossJoin(F.broadcast(kth))
+        .filter(F.col("x") > F.col("xk"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(
+                        F.col("x").cast("double")
+                        / F.col("xk").cast("double")
+                    )
+                    * F.lit(1_000_000)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("slg"),
+            F.count("*").alias("k"),
+        )
+    )
+    mean_log = F.col("slg").cast("double") / F.col("k") / F.lit(1.0e6)
+    return s.select(
+        F.col("k").cast("long").alias("n_exceed"),
+        mean_log.alias("hill_mean_log"),
+        (F.lit(1.0) / mean_log).alias("hill_alpha"),
+    )

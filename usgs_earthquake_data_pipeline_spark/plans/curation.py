@@ -999,3 +999,69 @@ def quality_percentile_by_source(
         .otherwise(F.lit(0.0))
         .alias("pct_in_source"),
     ).orderBy("source", "doc_id")
+
+
+@register(
+    "curation_calibration_bins",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        f"({T.quality_clf_logit_sql('text')}) AS logit, "
+        "CAST(lang = 'en' AS INT) AS y FROM documents), "
+        "b AS (SELECT logit, y, ntile(10) OVER "
+        "(ORDER BY logit, doc_id) AS bin FROM t) "
+        "SELECT CAST(bin AS INT) AS bin, count(*) AS n_docs, "
+        "CAST(CAST(SUM(logit) AS DOUBLE) / count(*) AS DOUBLE) "
+        "AS mean_logit, "
+        "CAST(SUM(y) AS BIGINT) AS n_pos, "
+        "CAST(SUM(y) AS DOUBLE) / count(*) AS frac_pos "
+        "FROM b GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "quality", "pipeline", "eval"),
+)
+def curation_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins for the quality classifier — the calibration
+    table ECE is read off of: documents sorted by classifier score
+    into 10 equal-population bins, each reporting its mean score and
+    the observed positive rate against a deterministic reference
+    label (lang = 'en', the stand-in gold signal this synthetic
+    corpus affords).  A classifier whose mean_logit ordering does not
+    track frac_pos is miscalibrated and its `quality_pass` threshold
+    is arbitrary — the check a score-gated curation pipeline owes its
+    threshold.
+
+    Exactness: the logit is the classifier's exact DECIMAL dot
+    product, so bin assignment (ntile over logit, doc_id) is
+    bit-identical across engines, per-bin logit sums are exact
+    decimal, and both emitted rates are IEEE divisions.  Scale shape:
+    the score pipelines with the scan; ntile costs one
+    single-partition window over (logit, doc_id) pairs — swap in the
+    two-level range-bucket rank (the spearman device) when the corpus
+    outgrows one task, the bin ids are identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        T.quality_clf_logit("text").alias("logit"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    w = Window.orderBy("logit", "doc_id")
+    b = t.select("logit", "y", F.ntile(10).over(w).alias("bin"))
+    return (
+        b.groupBy(F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("logit").alias("slogit"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            (F.col("slogit").cast("double") / F.col("n_docs")).alias(
+                "mean_logit"
+            ),
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n_docs")).alias(
+                "frac_pos"
+            ),
+        )
+        .orderBy("bin")
+    )
