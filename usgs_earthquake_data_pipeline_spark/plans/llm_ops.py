@@ -2579,8 +2579,10 @@ def _dup_span_frame(docs: DataFrame) -> DataFrame:
     evaluate interpreted with no subexpression elimination, so an
     inline tokens() re-runs the regex split once PER WINDOW (25 s →
     0.7 s for the explode). Grams travel as xxhash64 longs, not
-    strings: the dup aggregate and join-back key on 8 bytes (equality
-    over hashed grams = string equality up to xxhash64 collisions —
+    strings — hashed as multi-arg xxhash64 over the 5 tokens (round
+    8: skipping the per-window slice + string join is another 1.4x) —
+    so the dup aggregate and join-back key on 8 bytes (equality over
+    hashed grams = token-tuple equality up to xxhash64 collisions —
     the same convention as `hashed_shingle_sets`, and the oracle gate
     would surface a collision as a hash mismatch)."""
     base = docs.select("doc_id", T.tokens("text").alias("tk"))
@@ -2590,7 +2592,14 @@ def _dup_span_frame(docs: DataFrame) -> DataFrame:
         n_win > 0,
         F.transform(
             F.sequence(F.lit(0), n_win - 1),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i + 1, 5))),
+            # multi-arg xxhash64 over the 5 tokens directly: same
+            # equality classes as hashing the joined string (tokens
+            # are whitespace-free so neither form is ambiguous), but
+            # no per-window slice allocation and no string build —
+            # measured 1.37 s -> 0.96 s at sf0.1
+            lambda i: F.xxhash64(
+                *[F.element_at(tk, i + j) for j in range(1, 6)]
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     g = base.select(
