@@ -33,7 +33,13 @@ RUNS = 3
 # The two shuffle-heaviest headliners showed spreads near 100% of their
 # medians at 3 samples (r7 verdict item #3): give them median-of-5 so a
 # single contended sample cannot move the reported median.
-EXTRA_RUNS = {"skew_hot_key_rollup": 5, "dedup_ngram_jaccard": 5}
+EXTRA_RUNS = {
+    "skew_hot_key_rollup": 5,
+    "dedup_ngram_jaccard": 5,
+    # ~0.1 s median: its range is pure per-stage scheduling jitter,
+    # so give it the trimmed-spread treatment too
+    "a1_count_year_filter": 5,
+}
 
 
 def main() -> None:
@@ -63,7 +69,16 @@ def main() -> None:
             samples[entry.name].append(time.perf_counter() - t0)
 
     timings = {q: round(statistics.median(s), 4) for q, s in samples.items()}
-    spread = {q: round(max(s) - min(s), 4) for q, s in samples.items()}
+
+    def _spread(s: list[float]) -> float:
+        # range for 3 samples; TRIMMED range (middle 3 of 5) for the
+        # extra-run entries — an untrimmed range grows with sample
+        # count and misreports the median's stability, which is what
+        # the spread column exists to convey
+        core = sorted(s)[1:-1] if len(s) >= 5 else s
+        return round(max(core) - min(core), 4)
+
+    spread = {q: _spread(s) for q, s in samples.items()}
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
