@@ -3639,3 +3639,65 @@ def rag_eval_ranker_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(metrics(ms10, "maxsim"))
     )
     return out.orderBy("ranker")
+
+
+@register(
+    "lang_id_confusion_matrix",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, lang, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
+        "FROM documents), "
+        "hits AS (SELECT doc_id, lang, "
+        "len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS en, "
+        "len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS de, "
+        "len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS fr, "
+        "len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS es "
+        "FROM toks), "
+        "g AS (SELECT lang AS declared, "
+        "CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' "
+        "WHEN fr = greatest(en, de, fr, es) THEN 'fr' "
+        "WHEN es = greatest(en, de, fr, es) THEN 'es' "
+        "WHEN en = greatest(en, de, fr, es) THEN 'en' "
+        "ELSE 'de' END AS guessed FROM hits), "
+        "tot AS (SELECT declared, count(*) AS n_declared FROM g GROUP BY 1) "
+        "SELECT g.declared, g.guessed, count(*) AS n_docs, "
+        "CAST(count(*) AS DOUBLE) / CAST(n_declared AS DOUBLE) AS recall "
+        "FROM g JOIN tot USING (declared) "
+        "GROUP BY 1, 2, n_declared ORDER BY 1, 2"
+    ),
+    tags=("llm", "text", "eval"),
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against
+    the corpus' declared ``lang`` column — the eval table a
+    curation run owes any classifier it gates on (the per-doc guess
+    is already gated by `text_lang_guess`; this is its quality
+    report): one row per (declared, guessed) pair with the count and
+    the per-declared-language recall share.
+
+    Exactness: counts are exact; recall is one IEEE division of
+    exact integers.  Scale shape: the guess is pure codegen on the
+    scan (stopword-hit argmax — no model, no UDF), the matrix is one
+    map-side-combined aggregate over ≤ |langs|² cells, and the
+    per-language totals broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.col("lang").alias("declared"),
+        T.lang_id("text").alias("guessed"),
+    )
+    tot = g.groupBy("declared").agg(F.count("*").alias("n_declared"))
+    return (
+        g.groupBy("declared", "guessed")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(tot), "declared")
+        .select(
+            "declared",
+            "guessed",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("n_declared").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("declared", "guessed")
+    )
