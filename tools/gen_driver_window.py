@@ -41,16 +41,39 @@ CATALOG_PY = os.path.join(
 )
 BEGIN = "    # -- BEGIN GENERATED (tools/gen_driver_window.py) --"
 END = "    # -- END GENERATED --"
+ROUNDS_BEGIN = "DRIVER_WINDOW_ROUNDS: tuple[int, ...] = ("
+ROUNDS_END = ")  # -- GENERATED: correctness rounds the rotation was computed from --"
 
 
-def last_green_rounds(repo: str = REPO) -> dict[str, int]:
-    """name -> latest round with a fully-green driver row."""
+def recorded_rounds(repo: str = REPO) -> list[int]:
+    """Rounds with a CORRECTNESS file on disk, ascending."""
+    out = []
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(set(out))
+
+
+def last_green_rounds(
+    repo: str = REPO, only_rounds: set[int] | None = None
+) -> dict[str, int]:
+    """name -> latest round with a fully-green driver row.
+
+    ``only_rounds`` restricts to the rounds the committed tuple was
+    generated from (pinned next to it as DRIVER_WINDOW_ROUNDS): the
+    driver records a NEW correctness file at round end, after the
+    tuple was committed — an unrestricted recompute would then call
+    the committed tuple stale and fail the pinning test in the same
+    round that generated it."""
     rounds: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
         if not m:
             continue
         rnd = int(m.group(1))
+        if only_rounds is not None and rnd not in only_rounds:
+            continue
         with open(path) as f:
             data = json.load(f)
         for name, v in data.items():
@@ -64,10 +87,10 @@ def last_green_rounds(repo: str = REPO) -> dict[str, int]:
     return rounds
 
 
-def compute_rotation() -> list[str]:
+def compute_rotation(only_rounds: set[int] | None = None) -> list[str]:
     from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
 
-    rounds = last_green_rounds()
+    rounds = last_green_rounds(only_rounds=only_rounds)
     reg = {n: i for i, n in enumerate(CATALOG)}
     gated = [n for n in CATALOG if CATALOG[n].oracle is not None]
     never = [n for n in gated if n not in rounds]
@@ -77,15 +100,29 @@ def compute_rotation() -> list[str]:
     return never + stale
 
 
-def rewrite(rotation: list[str]) -> None:
+def rewrite(rotation: list[str], rounds_used: list[int]) -> None:
     with open(CATALOG_PY) as f:
         src = f.read()
+    rb = src.index(ROUNDS_BEGIN)
+    re_ = src.index(ROUNDS_END)
+    src = (
+        src[: rb + len(ROUNDS_BEGIN)]
+        + ", ".join(str(r) for r in rounds_used)
+        + ("," if len(rounds_used) == 1 else "")
+        + src[re_:]
+    )
     begin_i = src.index(BEGIN)
     end_i = src.index(END)
     body = "\n".join(f'    "{n}",' for n in rotation)
     new = src[: begin_i + len(BEGIN)] + "\n" + body + "\n" + src[end_i:]
     with open(CATALOG_PY, "w") as f:
         f.write(new)
+
+
+def committed_rounds() -> list[int]:
+    from usgs_earthquake_data_pipeline_spark.plans import catalog
+
+    return list(catalog.DRIVER_WINDOW_ROUNDS)
 
 
 def committed() -> list[str]:
@@ -96,8 +133,8 @@ def committed() -> list[str]:
 
 def main() -> int:
     sys.path.insert(0, REPO)
-    rotation = compute_rotation()
     if "--check" in sys.argv:
+        rotation = compute_rotation(only_rounds=set(committed_rounds()))
         got = committed()
         if got != rotation:
             sys.stderr.write(
@@ -112,7 +149,9 @@ def main() -> int:
             return 1
         print(f"window OK ({len(rotation)} gated entries; first 50 are the round's rows)")
         return 0
-    rewrite(rotation)
+    rounds_used = recorded_rounds()
+    rotation = compute_rotation(only_rounds=set(rounds_used))
+    rewrite(rotation, rounds_used)
     print(f"rewrote DRIVER_WINDOW_FIRST with {len(rotation)} entries")
     for n in rotation[:50]:
         print("  ", n)
