@@ -16,10 +16,12 @@ run-to-run (PROFILE.md's unchanged-commit re-probe), and a single
 pass cannot distinguish that from a true 15% regression. Runs are
 round-robin across queries (all queries run once, then again) rather
 than back-to-back, so a transient box stall spreads across queries
-instead of poisoning all three samples of one.  Round 8: the two
-noisiest entries get median-of-5 (``EXTRA_RUNS``), and the four heavy
-round-7 operators (BPE trainer, MaxSim, bigram perplexity, CDC
-chunking) joined the headline set so their perf is regression-visible.
+instead of poisoning all three samples of one.  Round 8: the noisiest
+entries get median-of-5 (``EXTRA_RUNS``) with a TRIMMED spread
+(middle-3 range — the untrimmed range grows with sample count), and
+the four heavy round-7 operators (BPE trainer, MaxSim, bigram
+perplexity, CDC chunking) joined the headline set so their perf is
+regression-visible.
 """
 
 from __future__ import annotations
