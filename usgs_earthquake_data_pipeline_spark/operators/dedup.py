@@ -584,6 +584,19 @@ def resolve_dup_clusters(
     ``max_iterations`` (a silent partial result would emit multiple
     canonical ids for one component); pathological long-chain graphs
     need a higher bound, never a quiet wrong answer.
+
+    Pointer-jumping (path halving: label(x) <- label(label(x)), one
+    extra self-join per round) was evaluated in round 8 and REJECTED:
+    on the sf0.1 DBSCAN core graph it cut the round count as expected
+    but per-round wall time grew ~2.5x per round from round ~16
+    onward — under localCheckpoint AND reliable checkpoint alike,
+    with row counts, plan size, and partitioning all measured
+    constant — an accumulating JVM pathology (codegen/broadcast/GC)
+    that ends in driver OOM at default heap. The flat one-join loop
+    holds a constant ~0.65 s/round indefinitely. At true 100 TB
+    component scale the answer is the large-star/small-star algorithm
+    (Kiveris et al.) on a GraphFrames-class runtime, not more joins
+    in this loop.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
