@@ -260,3 +260,78 @@ def test_calibration_bins_partition_evenly(spark, sf_dir):
     # mean_logit must be non-decreasing across bins (sorted binning)
     ml = [r.mean_logit for r in rows]
     assert all(a <= b for a, b in zip(ml, ml[1:]))
+
+
+def test_mann_kendall_matches_numpy(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("day(ts) AS d")
+        .groupBy("d")
+        .count()
+        .collect()
+    )
+    xs = [r["count"] for r in sorted(rows, key=lambda r: r.d)]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = sum(c * (c - 1) * (2 * c + 5) for c in Counter(xs).values())
+    import math
+
+    var = (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+    cc = 1 if s > 0 else (-1 if s < 0 else 0)
+    z = (s - cc) / math.sqrt(var)
+    got = CATALOG["trend_mann_kendall_daily"].spark_fn(spark, sf_dir).collect()[0]
+    assert got.s == s and got.n_days == n
+    assert abs(got.z_score - z) < 1e-9
+
+
+def test_cohens_kappa_identity_and_bounds(spark, sf_dir):
+    """kappa == (agree*N - pe_num)/(N^2 - pe_num) recomputed from the
+    gated confusion matrix, and bounded by (-1, 1]."""
+    cm = CATALOG["lang_id_confusion_matrix"].spark_fn(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in cm)
+    agree = sum(r.n_docs for r in cm if r.declared == r.guessed)
+    row = {}
+    col = {}
+    for r in cm:
+        row[r.declared] = row.get(r.declared, 0) + r.n_docs
+        col[r.guessed] = col.get(r.guessed, 0) + r.n_docs
+    pe_num = sum(row[k] * col.get(k, 0) for k in row)
+    got = CATALOG["lang_id_cohens_kappa"].spark_fn(spark, sf_dir).collect()[0]
+    assert (got.n, got.agree, got.pe_num) == (n, agree, pe_num)
+    want = (agree * n - pe_num) / (n * n - pe_num)
+    assert got.kappa == want  # single exact-int division: bit equality
+    assert -1.0 < got.kappa <= 1.0
+
+
+def test_centroid_dist_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", "embedding")
+        .collect()
+    )
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            np.round(np.array(r.embedding, dtype=np.float64) * 1e6)
+        )
+    cents = {
+        k: np.stack(v).sum(axis=0) / len(v) for k, v in by_label.items()
+    }
+    got = CATALOG["embedding_label_centroid_dist"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    labels = sorted(by_label)
+    assert len(got) == len(labels) * (len(labels) - 1) // 2
+    for r in got:
+        want = float(
+            np.linalg.norm(cents[r.label_a] - cents[r.label_b]) / 1e6
+        )
+        assert abs(r.centroid_dist - want) < 1e-5, (r, want)

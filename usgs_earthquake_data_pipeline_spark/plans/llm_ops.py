@@ -3701,3 +3701,188 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("declared", "guessed")
     )
+
+
+@register(
+    "lang_id_cohens_kappa",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, lang, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
+        "FROM documents), "
+        "hits AS (SELECT doc_id, lang, "
+        "len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS en, "
+        "len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS de, "
+        "len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS fr, "
+        "len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS es "
+        "FROM toks), "
+        "g AS (SELECT lang AS declared, "
+        "CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' "
+        "WHEN fr = greatest(en, de, fr, es) THEN 'fr' "
+        "WHEN es = greatest(en, de, fr, es) THEN 'es' "
+        "WHEN en = greatest(en, de, fr, es) THEN 'en' "
+        "ELSE 'de' END AS guessed FROM hits), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN declared = guessed THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS agree FROM g), "
+        "rm AS (SELECT declared AS k, count(*) AS r FROM g GROUP BY 1), "
+        "cm AS (SELECT guessed AS k, count(*) AS c FROM g GROUP BY 1), "
+        "pe AS (SELECT CAST(SUM(rm.r * cm.c) AS BIGINT) AS pe_num "
+        "FROM rm JOIN cm USING (k)) "
+        "SELECT n, agree, pe_num, "
+        "CAST(agree * n - pe_num AS DOUBLE) / "
+        "CAST(n * n - pe_num AS DOUBLE) AS kappa "
+        "FROM m CROSS JOIN pe"
+    ),
+    tags=("llm", "text", "eval"),
+)
+def lang_id_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language identifier against the declared
+    labels — the chance-corrected agreement scalar behind the
+    confusion matrix (`lang_id_confusion_matrix`): raw accuracy
+    flatters any classifier on a skewed label mix; kappa subtracts
+    what marginal-frequency guessing would score.
+
+    Exactness: the algebra collapses to ONE division of exact
+    integers — κ = (p_o − p_e)/(1 − p_e) = (agree·N − Σᵢrᵢcᵢ)/(N² −
+    Σᵢrᵢcᵢ) — so both engines emit the identical double with no
+    rounding convention at all.  Scale shape: same one-aggregate
+    profile as the confusion matrix; the marginals join on the
+    ≤|langs| key domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.col("lang").alias("declared"), T.lang_id("text").alias("guessed")
+    )
+    m = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("declared") == F.col("guessed")).cast("int"))
+        .cast("long")
+        .alias("agree"),
+    )
+    rm = g.groupBy(F.col("declared").alias("k")).agg(
+        F.count("*").alias("r")
+    )
+    cm = g.groupBy(F.col("guessed").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    pe = (
+        rm.join(cm, "k")
+        .agg(F.sum(F.col("r") * F.col("c")).cast("long").alias("pe_num"))
+    )
+    return (
+        m.crossJoin(F.broadcast(pe))
+        .select(
+            "n",
+            "agree",
+            "pe_num",
+            (
+                (F.col("agree") * F.col("n") - F.col("pe_num")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double")
+            ).alias("kappa"),
+        )
+    )
+
+
+@register(
+    "embedding_label_centroid_dist",
+    oracle=(
+        "WITH s AS (SELECT label, r.i AS dim, "
+        "CAST(SUM(CAST(round(CAST(embedding[r.i + 1] AS DOUBLE) "
+        "* 1000000) AS BIGINT)) AS BIGINT) AS s, count(*) AS n "
+        "FROM embeddings, unnest(range(0, len(embedding))) r(i) "
+        "GROUP BY 1, 2), "
+        "pair AS (SELECT a.label AS label_a, b.label AS label_b, "
+        "a.n AS na, b.n AS nb, "
+        "CAST(round(CAST((CAST(a.s AS HUGEINT) * b.n - "
+        "CAST(b.s AS HUGEINT) * a.n) * (CAST(a.s AS HUGEINT) * b.n - "
+        "CAST(b.s AS HUGEINT) * a.n) AS DOUBLE) / "
+        "CAST(a.n * b.n * a.n * b.n AS DOUBLE)) AS BIGINT) AS term "
+        "FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label) "
+        "SELECT label_a, label_b, CAST(na AS BIGINT) AS n_a, "
+        "CAST(nb AS BIGINT) AS n_b, "
+        "sqrt(CAST(SUM(term) AS DOUBLE)) / 1000000.0 AS centroid_dist "
+        "FROM pair GROUP BY 1, 2, 3, 4 ORDER BY 1, 2"
+    ),
+    tags=("llm", "similarity", "linalg", "eval"),
+)
+def embedding_label_centroid_dist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Euclidean distances between per-label embedding
+    centroids — the class-separation diagnostic read next to the PCA
+    label profile (well-separated centroids mean the labels are
+    linearly distinguishable in embedding space; collapsing distances
+    flag label noise or embedding drift between corpus versions).
+
+    Exactness: embeddings enter as exact integer micro-units; per-
+    (label, dim) sums are exact; each dimension's squared centroid
+    gap uses the all-integer identity (s_a·n_b − s_b·n_a)²/(n_a·n_b)²
+    (numerator in HUGEINT/DECIMAL — it reaches ~6e24), rounded to an
+    integer term so the 64-dim sum is order-free, and the distance is
+    sqrt + one scale division in IEEE.
+
+    Scale shape: one posexplode feeds a (label, dim)-keyed map-side-
+    combined aggregate (≤ |labels|·d rows cross the wire — the same
+    shuffle-∝-d² discipline as the covariance operator); the pair
+    join runs on that bounded table, output |labels|²/2 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e_int = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1_000_000, 0).cast("long"),
+    )
+    s = (
+        emb.select("label", F.posexplode(e_int).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").cast("long").alias("s"), F.count("*").alias("n"))
+    )
+    a = s.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = s.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    num = (
+        F.col("sa").cast("decimal(38,0)") * F.col("nb")
+        - F.col("sb").cast("decimal(38,0)") * F.col("na")
+    )
+    term = (
+        F.round(
+            (num * num).cast("double")
+            / (
+                F.col("na") * F.col("nb") * F.col("na") * F.col("nb")
+            ).cast("double")
+        )
+        .cast("long")
+        .alias("term")
+    )
+    pair = a.join(
+        b,
+        (F.col("dim") == F.col("dim_b"))
+        & (F.col("label_a") < F.col("label_b")),
+    ).select("label_a", "label_b", "na", "nb", term)
+    return (
+        pair.groupBy(
+            "label_a",
+            "label_b",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+        )
+        .agg(F.sum("term").alias("st"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            (F.sqrt(F.col("st").cast("double")) / F.lit(1.0e6)).alias(
+                "centroid_dist"
+            ),
+        )
+        .orderBy("label_a", "label_b")
+    )

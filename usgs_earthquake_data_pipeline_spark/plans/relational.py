@@ -3236,3 +3236,87 @@ def drift_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (u2.cast("double") / F.lit(2.0)).alias("u_stat"),
         z.alias("z_score"),
     )
+
+
+@register(
+    "trend_mann_kendall_daily",
+    oracle=(
+        "WITH d AS (SELECT CAST(day(ts) AS BIGINT) AS day, "
+        "count(*) AS x FROM events GROUP BY 1), "
+        "p AS (SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1 "
+        "WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s "
+        "FROM d a JOIN d b ON b.day > a.day), "
+        "t AS (SELECT SUM(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)) "
+        "AS tie_term FROM (SELECT x, count(*) AS c FROM d GROUP BY 1)), "
+        "n AS (SELECT count(*) AS n FROM d) "
+        "SELECT s, CAST(n AS BIGINT) AS n_days, "
+        "(CAST(s AS DOUBLE) - CASE WHEN s > 0 THEN 1 "
+        "WHEN s < 0 THEN -1 ELSE 0 END) / "
+        "sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) "
+        "- CAST(tie_term AS DOUBLE)) / 18.0) AS z_score "
+        "FROM p CROSS JOIN t CROSS JOIN n"
+    ),
+    tags=("analytics", "trend", "temporal"),
+)
+def trend_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test over the daily event counts — the
+    non-parametric significance companion to the Theil-Sen slope
+    entry (Theil-Sen says HOW steep, Mann-Kendall says WHETHER the
+    monotone trend is real): S = Σ_{i<j} sign(x_j − x_i), with the
+    tie-corrected variance and the standard continuity correction.
+
+    Exactness: S and the tie term are exact integers (the pair space
+    is the bounded |days|² ≈ 31² grid — a self-join of the daily
+    aggregate, NEVER the raw corpus); z is one fixed-shape IEEE
+    expression over them.  Scale shape: one map-side-combined daily
+    aggregate collapses the corpus; everything after runs on ≤ 31
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.dayofmonth("ts").cast("long").alias("day")
+    ).agg(F.count("*").alias("x"))
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    p = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    t = (
+        d.groupBy("x")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * (F.col("c") - 1)
+                * (2 * F.col("c") + 5)
+            ).alias("tie_term")
+        )
+    )
+    n = d.agg(F.count("*").alias("n"))
+    cc = F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    z = (F.col("s").cast("double") - cc) / F.sqrt(
+        (
+            F.col("n").cast("double")
+            * (F.col("n") - 1)
+            * (2 * F.col("n") + 5)
+            - F.col("tie_term").cast("double")
+        )
+        / F.lit(18.0)
+    )
+    return (
+        p.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "s",
+            F.col("n").cast("long").alias("n_days"),
+            z.alias("z_score"),
+        )
+    )
