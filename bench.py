@@ -6,22 +6,19 @@ Each query is forced with a cheap count() action (results are small
 aggregates / top-k; s6_projection is count-forced to avoid collecting
 600k rows through the driver).
 
-Noise protocol (round 7): every headliner gets THREE timed runs after
-a warm-up pass; the headline number per query is the MEDIAN (robust
+Noise protocol: every headliner gets FIVE timed runs after a
+warm-up pass; the headline number per query is the MEDIAN (robust
 to a one-off GC/scheduler stall in either direction, unlike best-of
-which systematically under-reports), and the per-query spread
-(max-min) is emitted alongside so a reader can tell a real regression
+which systematically under-reports), and the per-query TRIMMED
+spread (middle-3 range) is emitted alongside so a reader can tell a real regression
 from box noise — sub-second queries on a shared box drift 1.0-1.2x
 run-to-run (PROFILE.md's unchanged-commit re-probe), and a single
 pass cannot distinguish that from a true 15% regression. Runs are
 round-robin across queries (all queries run once, then again) rather
 than back-to-back, so a transient box stall spreads across queries
-instead of poisoning all three samples of one.  Round 8: the noisiest
-entries get median-of-5 (``EXTRA_RUNS``) with a TRIMMED spread
-(middle-3 range — the untrimmed range grows with sample count), and
-the four heavy round-7 operators (BPE trainer, MaxSim, bigram
-perplexity, CDC chunking) joined the headline set so their perf is
-regression-visible.
+instead of poisoning all samples of one.  Round 8: the four heavy
+round-7 operators (BPE trainer, MaxSim, bigram perplexity, CDC
+chunking) joined the headline set so their perf is regression-visible.
 """
 
 from __future__ import annotations
@@ -31,17 +28,13 @@ import os
 import statistics
 import time
 
-RUNS = 3
-# The two shuffle-heaviest headliners showed spreads near 100% of their
-# medians at 3 samples (r7 verdict item #3): give them median-of-5 so a
-# single contended sample cannot move the reported median.
-EXTRA_RUNS = {
-    "skew_hot_key_rollup": 5,
-    "dedup_ngram_jaccard": 5,
-    # ~0.1 s median: its range is pure per-stage scheduling jitter,
-    # so give it the trimmed-spread treatment too
-    "a1_count_year_filter": 5,
-}
+# Round-8 final protocol: median-of-5 with a TRIMMED spread for EVERY
+# headliner. Three samples left whichever sub-second query caught the
+# box's one bad scheduling beat looking 50%+ noisy — a different query
+# every run. Five samples with the extreme pair dropped makes the
+# reported spread the stability of the median itself, uniformly.
+RUNS = 5
+EXTRA_RUNS: dict[str, int] = {}
 
 
 def main() -> None:
