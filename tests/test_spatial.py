@@ -202,3 +202,15 @@ def test_dbscan_singleton_core_keeps_own_label(spark):
         6: ("border", 5),
         7: ("border", 5),
     }
+
+
+def test_grid_join_rejects_degenerate_lon_grid(spark):
+    """Fewer than 3 lon cells makes pmod-wrapped dx=-1 and dx=+1
+    coincide, so a qualifying pair would join twice and inflate
+    DBSCAN degree counts — the constructor must refuse."""
+    import pytest
+
+    left = _pts(spark, [(1, 0.0, 0.0)])
+    # radius 13000 km at lat 85: lon cell > 120 degrees -> n_lon < 3
+    with pytest.raises(ValueError, match="longitude cells"):
+        grid_radius_join(left, left, radius_km=13000.0, max_abs_lat=85.0)

@@ -76,6 +76,18 @@ def grid_radius_join(
         KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat))
     )
     n_lon = int(360.0 // min_lon_cell)
+    if n_lon < 3:
+        # With fewer than 3 lon cells the pmod-wrapped dx=-1 and dx=+1
+        # neighbors coincide, so a pair would join twice and downstream
+        # degree counts (dbscan_labels) would inflate. Such a radius
+        # covers ≥ a third of the globe at max_abs_lat — out of scope
+        # for a grid join.
+        raise ValueError(
+            f"radius_km={radius_km} at max_abs_lat={max_abs_lat} leaves "
+            f"only {n_lon} longitude cells (<3); the 3x3 neighborhood "
+            "would emit duplicate pairs. Use a smaller radius or lower "
+            "max_abs_lat."
+        )
     lon_cell = 360.0 / n_lon
 
     def cells(df: DataFrame, prefix: str) -> DataFrame:

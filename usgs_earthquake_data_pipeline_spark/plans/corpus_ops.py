@@ -685,13 +685,19 @@ def gini_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s1"
         ),
     )
+    # n and s enter the (n+1)*s / n*s products as decimal(38,0): in
+    # LongType a corpus beyond ~3e9 source-chars × docs would wrap
+    # silently while the DuckDB oracle's HUGEINT keeps going — the
+    # same treatment s1 already gets.
+    n_d = F.col("n").cast("decimal(38,0)")
+    s_d = F.col("s").cast("decimal(38,0)")
     return a.select(
         "source",
         F.col("n").cast("long").alias("n_docs"),
         F.col("s").cast("long").alias("total_chars"),
         (
-            (2 * F.col("s1") - (F.col("n") + 1) * F.col("s")).cast("double")
-            / (F.col("n") * F.col("s")).cast("double")
+            (2 * F.col("s1") - (n_d + 1) * s_d).cast("double")
+            / (n_d * s_d).cast("double")
         ).alias("gini"),
     ).orderBy("source")
 

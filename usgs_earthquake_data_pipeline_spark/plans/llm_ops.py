@@ -3852,9 +3852,25 @@ def embedding_label_centroid_dist(
         F.col("sa").cast("decimal(38,0)") * F.col("nb")
         - F.col("sb").cast("decimal(38,0)") * F.col("na")
     )
+    # Exactness bound: num = s_a*n_b - s_b*n_a, so |num| <= 2*|s|*n and
+    # num^2 must fit decimal(38,0) => |s|*n < 5e18 (embeddings in
+    # micro-units ~1e6 per dim => holds up to ~2e6 rows per label).
+    # Beyond it non-ANSI Spark would silently NULL the product (term
+    # dropped from the sum) while DuckDB HUGEINT errors — fail loudly
+    # instead of diverging.
+    num_sq = num * num
+    num_sq_checked = F.when(
+        num_sq.isNull() & num.isNotNull(),
+        F.raise_error(
+            F.lit(
+                "embedding_label_centroid_dist: num^2 overflowed "
+                "decimal(38,0); |s|*n exceeded the documented 5e18 bound"
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(num_sq)
     term = (
         F.round(
-            (num * num).cast("double")
+            num_sq_checked.cast("double")
             / (
                 F.col("na") * F.col("nb") * F.col("na") * F.col("nb")
             ).cast("double")

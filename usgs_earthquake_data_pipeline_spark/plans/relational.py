@@ -3204,16 +3204,19 @@ def drift_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("c")
         ).alias("t3t"),
     )
+    # s2 ~ n1·2n and n1·(n1+1) are O(n²): run them in decimal(38,0)
+    # like t3t so a >3e9-row corpus can't wrap LongType silently while
+    # the DuckDB oracle's HUGEINT keeps going.
     agg = cum.agg(
         F.sum(
-            F.col("c1")
+            F.col("c1").cast("decimal(38,0)")
             * (2 * F.coalesce("before_c", F.lit(0)) + F.col("c") + 1)
         ).alias("s2"),
         F.sum("t3t").alias("ties"),
         F.sum("c1").alias("n1"),
         F.sum(F.col("c") - F.col("c1")).alias("n2"),
     )
-    u2 = F.col("s2") - F.col("n1") * (F.col("n1") + 1)
+    u2 = F.col("s2") - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
     z = (u2.cast("double") / F.lit(2.0) - n1d * n2d / F.lit(2.0)) / F.sqrt(
