@@ -21,9 +21,11 @@ Spark mapping:
   a few KB) is collected to the driver: the same bounded-by-contract
   collect as a broadcast dim table.
 - **encoding** (:func:`pq_encode`) is a pure Column expression — the
-  codebook is inlined as a literal array, the per-subspace argmin is
-  an ``array_sort`` head, ties break to the lower code id. Zero
-  shuffles, zero Python rows.
+  codebook is inlined as ONE flat array<double> literal (a single
+  Literal node: the r8 per-centroid struct-literal encoding spent
+  ~85% of the entries' cold cost in codegen compilation), the
+  per-subspace argmin is ``array_position(d, array_min(d)) - 1``,
+  ties to the lower code id. Zero shuffles, zero Python rows.
 - **search** (:func:`pq_adc_topk`) builds each query's m*k lookup
   table once (again pure expressions over the literal codebook),
   broadcasts the queries, and scores code rows with m array lookups
@@ -37,6 +39,8 @@ oracle-checked).
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -56,28 +60,44 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+@lru_cache(maxsize=64)
+def _flat_lit_cached(vals: tuple[float, ...]) -> Column:
+    # lit(ndarray) converts through one Arrow-ish buffer (~4x faster
+    # than lit(list)'s per-element py4j walk), and the lru_cache makes
+    # the 2nd..nth use of the same codebook free — one entry builds
+    # the same flat literal 3-4 times (encode, LUT, reconstruct).
+    import numpy as np
+
+    return F.lit(np.asarray(vals, dtype=np.float64))
 
 
-def _argmin_code(sv: Column, codebook: list[list[float]]) -> Column:
-    """0-based index of the nearest centroid in ``codebook`` for the
-    subvector ``sv`` — ties to the lower code id."""
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist(sv, _lit_vec(cent)).alias("d"),
-                    F.lit(i).alias("code"),
-                )
-                for i, cent in enumerate(codebook)
-            ]
-        ),
-        lambda l, r: F.when(l["d"] < r["d"], F.lit(-1))
-        .when(l["d"] > r["d"], F.lit(1))
-        .otherwise((l["code"] - r["code"]).cast("int")),
+def _flat_lit(books: list[list[list[float]]]) -> Column:
+    """The whole [m][k][d_sub] codebook as ONE flat array<double>
+    literal. A single ArrayType Literal compiles to one constant
+    reference; the per-centroid ``F.array(F.lit, ...)``/struct-literal
+    encoding this replaces made the PQ plans ~85% codegen-compile time
+    (PROFILE.md r8: 20.4s/13.9s cold at sf0.01)."""
+    return _flat_lit_cached(
+        tuple(float(v) for book in books for cent in book for v in cent)
     )
-    return F.element_at(ranked, 1)["code"]
+
+
+def _sub_dists(sv: Column, flat: Column, base, k: int, d_sub: int) -> Column:
+    """array<double> of squared L2 distances from subvector ``sv`` to
+    the ``k`` centroids stored at ``flat[base : base + k*d_sub]``.
+    ``base`` may be an int or a Column (runtime subspace index)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda c: _sq_dist(sv, F.slice(flat, base + c * d_sub + 1, d_sub)),
+    )
+
+
+def _argmin_idx(dists: Column) -> Column:
+    """0-based index of the minimum — first occurrence, so ties break
+    to the lower code id (array_position returns the FIRST match, and
+    the min is bitwise-equal to some element, so exact equality is
+    safe)."""
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def train_pq_codebooks(
@@ -131,12 +151,19 @@ def train_pq_codebooks(
     ]
 
     for _ in range(iterations):
-        # assign every subvector under its own subspace's codebook
-        code = F.lit(None).cast("int")
-        for j in reversed(range(m)):
-            code = F.when(
-                F.col("sub_idx") == j, _argmin_code(F.col("sv"), books[j])
-            ).otherwise(code)
+        # assign every subvector under its own subspace's codebook —
+        # one expression indexed by sub_idx at runtime, not m chained
+        # whens over per-centroid literals
+        flat = _flat_lit(books)
+        code = _argmin_idx(
+            _sub_dists(
+                F.col("sv"),
+                flat,
+                F.col("sub_idx") * (k_codes * d_sub),
+                k_codes,
+                d_sub,
+            )
+        )
         assigned = subv.withColumn("code", code)
         # per-dimension means; a code that lost all members keeps its
         # previous centroid (same disappearing-cluster semantics as
@@ -158,11 +185,19 @@ def train_pq_codebooks(
 
 def _codes_col(vec: Column, books: list[list[list[float]]], d_sub: int) -> Column:
     """``array<int>`` of m PQ codes for a double-array vector."""
-    return F.array(
-        *[
-            _argmin_code(F.slice(vec, j * d_sub + 1, d_sub), books[j])
-            for j in range(len(books))
-        ]
+    m, k = len(books), len(books[0])
+    flat = _flat_lit(books)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: _argmin_idx(
+            _sub_dists(
+                F.slice(vec, j * d_sub + 1, d_sub),
+                flat,
+                j * (k * d_sub),
+                k,
+                d_sub,
+            )
+        ),
     )
 
 
@@ -184,15 +219,35 @@ def pq_encode(
 def pq_reconstruct(codes: Column, books: list[list[list[float]]]) -> Column:
     """Decode codes back to the centroid-concatenation vector (for
     distortion measurement)."""
-    lut = F.array(
-        *[F.array(*[_lit_vec(c) for c in book]) for book in books]
-    )
+    m, k = len(books), len(books[0])
+    d_sub = len(books[0][0])
+    flat = _flat_lit(books)
     return F.flatten(
         F.zip_with(
             codes,
-            lut,
-            lambda code, table: F.element_at(table, code + 1),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, j: F.slice(
+                flat, (j * k + code) * d_sub + 1, d_sub
+            ),
         )
+    )
+
+
+def _adc_lut(qv: Column, books: list[list[list[float]]], d_sub: int) -> Column:
+    """The query's m*k ADC lookup table — ``lut[j][c]`` is the exact
+    squared distance from the query's j-th subvector to centroid c of
+    subspace j. Pure expression over the one flat codebook literal."""
+    m, k = len(books), len(books[0])
+    flat = _flat_lit(books)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: _sub_dists(
+            F.slice(qv, j * d_sub + 1, d_sub),
+            flat,
+            j * (k * d_sub),
+            k,
+            d_sub,
+        ),
     )
 
 
@@ -221,17 +276,7 @@ def pq_adc_scores(
         F.col("id").alias("neighbor_id"), "codes"
     )
     qv = _as_double(F.col(vec_col))
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _sq_dist(F.slice(qv, j * d_sub + 1, d_sub), _lit_vec(cent))
-                    for cent in books[j]
-                ]
-            )
-            for j in range(len(books))
-        ]
-    )
+    lut = _adc_lut(qv, books, d_sub)
     q = queries.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
     pairs = enc.crossJoin(F.broadcast(q))
     if not include_self:
@@ -291,20 +336,21 @@ def _nearest_lists(
     vec: Column, centroids: list[list[float]], n: int
 ) -> Column:
     """array<int> of the n nearest coarse-centroid list ids (0-based,
-    L2, ties to the lower id) — pure expression over literal centroids."""
+    L2, ties to the lower id) — pure expression over one flat centroid
+    literal. Default struct array_sort orders by (d, list_id)
+    lexicographically, which IS the tie-break — no comparator lambda
+    to compile."""
+    n_c = len(centroids)
+    dim = len(centroids[0])
+    flat = _flat_lit_cached(tuple(float(v) for c in centroids for v in c))
     ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist(vec, _lit_vec(c)).alias("d"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        ),
-        lambda l, r: F.when(l["d"] < r["d"], F.lit(-1))
-        .when(l["d"] > r["d"], F.lit(1))
-        .otherwise((l["list_id"] - r["list_id"]).cast("int")),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_c - 1)),
+            lambda i: F.struct(
+                _sq_dist(vec, F.slice(flat, i * dim + 1, dim)).alias("d"),
+                i.cast("int").alias("list_id"),
+            ),
+        )
     )
     return F.transform(F.slice(ranked, 1, n), lambda s: s["list_id"])
 
@@ -355,21 +401,10 @@ def ivf_pq_topk(
         F.element_at(_nearest_lists(vec, centroids, 1), 1).alias("list_id"),
         _codes_col(vec, books, d_sub).alias("codes"),
     )
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _sq_dist(F.slice(vec, j * d_sub + 1, d_sub), _lit_vec(c))
-                    for c in books[j]
-                ]
-            )
-            for j in range(len(books))
-        ]
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(_nearest_lists(vec, centroids, n_probe)).alias("list_id"),
-        lut.alias("lut"),
+        _adc_lut(vec, books, d_sub).alias("lut"),
     )
     pairs = enc.join(F.broadcast(q), "list_id")
     if not include_self:
