@@ -1,0 +1,120 @@
+"""URL canonicalization / registrable-domain unit tests — edge cases
+the synthetic catalog URLs don't all reach (non-default ports kept,
+default ports stripped per scheme, root path, suffix-list domains,
+bare hosts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from usgs_earthquake_data_pipeline_spark.functions.web import (
+    canonical_host,
+    canonicalize_url,
+    registrable_domain,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r[0]
+        for r in df.select(canonicalize_url(F.col("url"))).collect()
+    ]
+
+
+def test_canonicalize_case_port_fragment(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTPS://WWW.Example.COM:443/a/b/#frag",
+            "http://example.com:80/a/b",
+            "https://example.com:8080/a/b",  # non-default: kept
+            "http://example.com:443/a/b",  # 443 NOT default for http
+        ],
+    )
+    assert got == [
+        "https://example.com/a/b",
+        "http://example.com/a/b",
+        "https://example.com:8080/a/b",
+        "http://example.com:443/a/b",
+    ]
+
+
+def test_canonicalize_path_and_query(spark):
+    got = _canon(
+        spark,
+        [
+            "https://a.com",  # empty path -> /
+            "https://a.com///",  # slashes collapse to /
+            "https://a.com/p?utm_source=x&b=2&a=1&fbclid=y#s",
+            "https://a.com/p?b=2&a=1",
+            "https://a.com/p?utm_campaign=z",  # all params tracked
+        ],
+    )
+    assert got == [
+        "https://a.com/",
+        "https://a.com/",
+        "https://a.com/p?a=1&b=2",
+        "https://a.com/p?a=1&b=2",
+        "https://a.com/p",
+    ]
+
+
+def test_canonical_host_strips_www_and_port(spark):
+    df = spark.createDataFrame(
+        [("HTTP://WWW.Sub.Site.ORG:8080/x",)], "url string"
+    )
+    assert df.select(canonical_host(F.col("url"))).collect()[0][0] == (
+        "sub.site.org"
+    )
+
+
+def test_registrable_domain_suffix_list(spark):
+    df = spark.createDataFrame(
+        [
+            ("a.b.site.co.uk",),
+            ("x.site.com",),
+            ("site.com",),
+            ("localhost",),
+            ("deep.sub.example.com.au",),
+        ],
+        "host string",
+    )
+    got = [
+        r[0]
+        for r in df.select(registrable_domain(F.col("host"))).collect()
+    ]
+    assert got == [
+        "site.co.uk",
+        "site.com",
+        "site.com",
+        "localhost",
+        "example.com.au",
+    ]
+
+
+def test_catalog_entries_zero_udf_plans(spark, sf_dir):
+    """The web entries must stay pure codegen — no BatchEvalPython /
+    ArrowEvalPython nodes in any plan."""
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    for name in (
+        "url_canonicalize_dedup",
+        "domain_doc_rollup_capped",
+        "domain_blocklist_filter",
+    ):
+        plan = CATALOG[name].spark_fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, name
+
+
+def test_blocklist_is_broadcast(spark, sf_dir):
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    plan = (
+        CATALOG["domain_blocklist_filter"]
+        .spark_fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

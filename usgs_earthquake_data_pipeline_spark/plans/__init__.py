@@ -16,3 +16,4 @@ from . import corpus_ops  # noqa: F401  (registers the corpus-curation entries)
 from . import spatial  # noqa: F401  (registers the geospatial entries)
 from . import warehouse  # noqa: F401  (registers MERGE/CDC table-maintenance entries)
 from . import vocab_ops  # noqa: F401  (registers tokenizer/mixture vocabulary statistics)
+from . import web_ops  # noqa: F401  (registers URL/domain web-curation entries)

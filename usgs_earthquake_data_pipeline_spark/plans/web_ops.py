@@ -1,0 +1,260 @@
+"""URL/domain-scale web-curation catalog entries (round-9 verdict
+item 3): URL canonicalization + dedup, registrable-domain rollup with
+a per-domain cap (Common-Crawl-style domain down-weighting), and a
+domain blocklist join.
+
+The documents table has no URL column, so each entry SYNTHESIZES a
+deterministic raw URL from ``doc_id`` — messy on purpose (mixed-case
+scheme/host, ``www.`` prefixes, default and non-default ports,
+trailing slashes, tracking params in shuffled order, fragments) so
+canonicalization has real work to do — and the DuckDB oracle
+recomputes the same synthesis + the same canonicalization contract
+(the ``multimodal_audio_stats`` pattern: the oracle re-derives the
+input from the id, so the differential proves the OPERATOR, not the
+generator).
+
+Scale shape shared by all three: URL parsing/canonicalization is pure
+codegen string work (zero UDFs, zero exchanges); the first shuffle is
+the groupBy on the canonical-URL / domain key — exactly one wide
+exchange per entry, map-side combined. The blocklist is a broadcast
+anti-join (blocklists are KBs even in production). At 100 TB the
+canonical-key groupBy is the same single exchange, and AQE's skew
+split covers the one mega-domain every crawl has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import web as W
+from ..sources.tables import load_table
+from .catalog import register
+
+# --- deterministic raw-URL synthesis (mirrored in every oracle) -----
+
+_SCHEMES = ("HTTPS", "http", "https")
+_TLDS = ("com", "co.uk")
+_PORTS = ("", ":80", ":8080", "", ":443")
+_QUERIES = (
+    "?utm_source=feed&b=2&a=1",
+    "?a=1&b=2",
+    "?b=2&a=1&fbclid=x",
+    "?ref=home",
+    "",
+    "",
+)
+
+
+def _pick(vals: tuple[str, ...], mod: int) -> Column:
+    d = F.col("doc_id")
+    return F.element_at(F.lit(list(vals)), (d % mod).cast("int") + 1)
+
+
+def _synth_url() -> Column:
+    """Raw URL as a pure function of doc_id. Canonical form depends
+    only on doc_id mod 30 (scheme%3, site%5, tld%2, port%5, path%3,
+    query-class%6 — all divide 30), so ~30 canonical groups absorb
+    the corpus; raw variants within a group differ by case, www,
+    default ports, trailing slash, tracking params, and a %7
+    fragment."""
+    d = F.col("doc_id")
+    return F.concat(
+        _pick(_SCHEMES, 3),
+        F.lit("://"),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(""),
+        F.lit("site"),
+        (d % 5).cast("string"),
+        F.lit("."),
+        _pick(_TLDS, 2),
+        _pick(_PORTS, 5),
+        F.lit("/articles/"),
+        (d % 3).cast("string"),
+        _pick(("", "/"), 2),
+        _pick(_QUERIES, 6),
+        F.when(d % 7 == 0, F.lit("#sec-2")).otherwise(""),
+    )
+
+
+# the same synthesis + canonicalization, as oracle-side SQL. The
+# canonicalization fragments restate functions/web.py's contract
+# verbatim: lowercase scheme/host, strip www. and default ports,
+# collapse trailing slashes, drop tracking params + fragment, sort
+# surviving query params.
+_SYNTH_SQL = (
+    "synth AS (SELECT doc_id, n_chars, "
+    "(['HTTPS','http','https'])[CAST(doc_id % 3 AS INT) + 1] || '://' "
+    "|| (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) "
+    "|| 'site' || CAST(doc_id % 5 AS VARCHAR) || '.' "
+    "|| (['com','co.uk'])[CAST(doc_id % 2 AS INT) + 1] "
+    "|| (['',':80',':8080','',':443'])[CAST(doc_id % 5 AS INT) + 1] "
+    "|| '/articles/' || CAST(doc_id % 3 AS VARCHAR) "
+    "|| (['','/'])[CAST(doc_id % 2 AS INT) + 1] "
+    "|| (['?utm_source=feed&b=2&a=1','?a=1&b=2','?b=2&a=1&fbclid=x',"
+    "'?ref=home','',''])[CAST(doc_id % 6 AS INT) + 1] "
+    "|| (CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END) AS url "
+    "FROM documents)"
+)
+
+_CANON_SQL = (
+    "c1 AS (SELECT doc_id, n_chars, url, "
+    "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) "
+    "AS scheme, "
+    "lower(regexp_extract(url, "
+    "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp FROM synth), "
+    "c2 AS (SELECT *, regexp_extract(hp, ':([0-9]+)$', 1) AS port, "
+    "regexp_replace(regexp_replace(hp, ':[0-9]+$', ''), '^www\\.', '') "
+    "AS host FROM c1), "
+    "c3 AS (SELECT *, "
+    "CASE WHEN regexp_replace(regexp_extract(url, "
+    "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') = '' "
+    "THEN '/' ELSE regexp_replace(regexp_extract(url, "
+    "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') END "
+    "AS path, "
+    "array_to_string(list_sort(list_filter(string_split("
+    "regexp_extract(url, '\\?([^#]*)', 1), '&'), "
+    "p -> p <> '' AND NOT regexp_matches(p, "
+    "'^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS q2, "
+    "(port <> '' AND NOT ((scheme = 'http' AND port = '80') "
+    "OR (scheme = 'https' AND port = '443'))) AS keep_port FROM c2), "
+    "canon AS (SELECT doc_id, n_chars, url AS raw_url, host, "
+    "scheme || '://' || host "
+    "|| CASE WHEN keep_port THEN ':' || port ELSE '' END || path "
+    "|| CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END "
+    "AS canonical_url FROM c3)"
+)
+
+_DOMAIN_SQL = (
+    "dom AS (SELECT doc_id, n_chars, canonical_url, "
+    "CASE WHEN len(string_split(host, '.')) <= 2 THEN host "
+    "WHEN array_to_string((string_split(host, '.'))[-2:], '.') "
+    "IN ('co.uk','com.au','co.jp') "
+    "THEN array_to_string((string_split(host, '.'))[-3:], '.') "
+    "ELSE array_to_string((string_split(host, '.'))[-2:], '.') END "
+    "AS domain FROM canon)"
+)
+
+_BLOCKLIST = ("site1.com", "site3.co.uk", "blocked.example")
+
+DOMAIN_CAP = 30
+
+
+def _canon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    url = _synth_url()
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        url.alias("raw_url"),
+        W.canonicalize_url(url).alias("canonical_url"),
+        W.canonical_host(url).alias("host"),
+    )
+
+
+@register(
+    "url_canonicalize_dedup",
+    oracle=(
+        f"WITH {_SYNTH_SQL}, {_CANON_SQL} "
+        "SELECT canonical_url, count(*) AS n_raw, "
+        "count(DISTINCT raw_url) AS n_variants FROM canon "
+        "GROUP BY 1 ORDER BY n_raw DESC, canonical_url"
+    ),
+    headline=True,
+    tags=("llm", "web", "dedup", "curation"),
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup audit: how many raw crawl records collapse
+    onto each canonical URL, and how many distinct raw spellings fed
+    each group — the first dedup a web corpus runs (syntactic URL
+    variants, BEFORE any content hashing).
+
+    Scale shape: canonicalization is row-local codegen; ONE exchange
+    on the canonical key with map-side combine (count + a distinct
+    that Spark plans as a partial-agg expand). Output is bounded by
+    the canonical-URL population."""
+    return (
+        _canon_docs(spark, sf_dir)
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.countDistinct("raw_url").alias("n_variants"),
+        )
+        .orderBy(F.desc("n_raw"), "canonical_url")
+    )
+
+
+@register(
+    "domain_doc_rollup_capped",
+    oracle=(
+        f"WITH {_SYNTH_SQL}, {_CANON_SQL}, {_DOMAIN_SQL} "
+        "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        f"CAST(least(count(*), {DOMAIN_CAP}) AS BIGINT) AS capped_docs, "
+        f"CAST(least(count(*), {DOMAIN_CAP}) AS DOUBLE) "
+        "/ CAST(count(*) AS DOUBLE) AS keep_weight "
+        "FROM dom GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "web", "curation", "mixture"),
+)
+def domain_doc_rollup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain rollup with a document cap — the
+    Common-Crawl-style domain down-weighting table: a crawl is
+    dominated by a handful of mega-domains, so the mixture keeps at
+    most ``DOMAIN_CAP`` docs per domain and ``keep_weight`` is the
+    sampling rate a downstream deterministic sampler applies.
+
+    Exactness: keep_weight = least(n, cap)/n is one IEEE division of
+    exact integers on both engines. Scale shape: registrable-domain
+    extraction is row-local; one domain-keyed exchange, map-side
+    combined; output is |domains| rows."""
+    d = _canon_docs(spark, sf_dir).select(
+        W.registrable_domain(F.col("host")).alias("domain"), "n_chars"
+    )
+    n = F.count("*")
+    capped = F.least(n, F.lit(DOMAIN_CAP))
+    return (
+        d.groupBy("domain")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            capped.cast("long").alias("capped_docs"),
+            (capped.cast("double") / n.cast("double")).alias(
+                "keep_weight"
+            ),
+        )
+        .orderBy("domain")
+    )
+
+
+@register(
+    "domain_blocklist_filter",
+    oracle=(
+        f"WITH {_SYNTH_SQL}, {_CANON_SQL}, {_DOMAIN_SQL} "
+        "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM dom WHERE domain NOT IN "
+        f"{tuple(_BLOCKLIST)!r} "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "web", "curation", "filter"),
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist join: drop every document whose registrable
+    domain is listed, report surviving per-domain counts. The Spark
+    side is a broadcast LEFT ANTI join against the blocklist table —
+    the shape that still works when the blocklist is a real table
+    instead of a literal (production lists are KBs-to-MBs: always
+    broadcastable)."""
+    d = _canon_docs(spark, sf_dir).select(
+        W.registrable_domain(F.col("host")).alias("domain")
+    )
+    block = spark.createDataFrame(
+        [(b,) for b in _BLOCKLIST], "domain string"
+    )
+    return (
+        d.join(F.broadcast(block), "domain", "left_anti")
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("domain")
+    )
