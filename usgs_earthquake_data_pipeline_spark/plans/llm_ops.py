@@ -1290,7 +1290,16 @@ def dedup_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@register("rag_index_ivf_hashed", tags=("llm", "retrieval", "ann", "text"))
+@register(
+    "rag_index_ivf_hashed",
+    oracle=(
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "TRUE AS hashed_identity_ok FROM documents "
+        "WHERE doc_id < 200 AND trim(text) <> '' "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "retrieval", "ann", "text", "checked"),
+)
 def rag_index_ivf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end retrieval-index build over raw TEXT — the pipeline
     the other ANN entries assume someone already ran: documents →
@@ -1298,49 +1307,64 @@ def rag_index_ivf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-free featurizer, not an embedding stub) → IVF top-k
     over the hashed space, self-retrieval per document.
 
-    The composite proves the pieces compose: tokenize+hash inside the
-    scan, broadcast coarse centroids, candidate generation by list
-    equi-join. Output: per-document count of retrieved neighbors and
-    the mean self-similarity sanity signal, aggregated per source.
-    Rows-only: xxhash64-derived vectors have no SQL twin (the IVF
-    candidate semantics are recall-tested in tests/test_llm_operators
-    and the exactness-bearing ANN twins carry the oracle gates)."""
+    Hash-gated since r9 via the identity-boolean device
+    (``ann_pq_adc_checked``'s pattern — the r8 verdict's last-two-
+    gateable item): xxhash64-derived VALUES have no SQL twin, so the
+    hashed machinery contributes a boolean the oracle pins to TRUE —
+    ``hashed_identity_ok`` = (IVF at n_probe == n_lists over the
+    hashed vectors equals exact cosine top-3 from the INDEPENDENT
+    ``brute_force_topk`` scorer — expression fold vs Arrow-batched
+    numpy matmul — as two empty exceptAll counts) AND (every
+    production 2-probe hit appears in the brute ALL-PAIRS score set
+    with the identical rounded score — NOT the top-3 set: pruning
+    legitimately promotes lower-scored neighbors into the 2-probe
+    top-3, but it must never invent or mis-score a pair). The hashed
+    payload columns that used to ride rows-only are replaced by the
+    SQL-expressible doc census per source; a broken hash, list
+    assignment, probe pruning, or scorer divergence flips the boolean
+    and the driver row goes red."""
     from ..functions.text import hashed_bow
-    from ..operators.similarity import ivf_topk
+    from ..operators.similarity import brute_force_topk, ivf_topk
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < 200
+        (F.col("doc_id") < 200) & (F.trim("text") != "")
     )
     vecs = docs.select(
         F.col("doc_id").alias("vec_id"),
         hashed_bow("text", dim=16).alias("embedding"),
-        "source",
     ).filter(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v) > 0)
-    hits = ivf_topk(
-        vecs.select("vec_id", "embedding"),
-        vecs.select("vec_id", "embedding"),
-        k=3,
-        n_lists=4,
-        n_probe=2,
-        include_self=True,
+    full = ivf_topk(
+        vecs, vecs, k=3, n_lists=4, n_probe=4, include_self=True
+    ).select("query_id", "neighbor_id", "score", "rank")
+    # all pairs (k = the 200-doc contract bound), exact cosine — both
+    # the top-3 equality reference and the 2-probe score universe
+    brute_all = brute_force_topk(
+        vecs, vecs, k=200, include_self=True
+    ).localCheckpoint()
+    brute3 = brute_all.filter(F.col("rank") <= 3).select(
+        "query_id", "neighbor_id", "score", "rank"
     )
-    per_doc = hits.groupBy("query_id").agg(
-        F.count("*").alias("n_hits"),
-        F.round(F.max("score"), 6).alias("best_score"),
-    )
-    return (
-        per_doc.join(
-            vecs.select(F.col("vec_id").alias("query_id"), "source"),
-            "query_id",
+    probe2 = ivf_topk(
+        vecs, vecs, k=3, n_lists=4, n_probe=2, include_self=True
+    ).select("query_id", "neighbor_id", "score")
+    ok = (
+        full.exceptAll(brute3)
+        .unionAll(brute3.exceptAll(full))
+        .select("query_id", "neighbor_id", "score")
+        .unionAll(
+            probe2.join(
+                brute_all.select("query_id", "neighbor_id", "score"),
+                ["query_id", "neighbor_id", "score"],
+                "left_anti",
+            )
         )
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_hits").alias("n_hits"),
-            F.round(F.avg("best_score"), 6).alias("avg_best_score"),
-        )
-        .orderBy("source")
+        .agg((F.count(F.lit(1)) == 0).alias("hashed_identity_ok"))
     )
+    census = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return census.crossJoin(F.broadcast(ok)).orderBy("source")
 
 
 @register(
@@ -1930,61 +1954,10 @@ def embedding_covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.covariance_entries(emb, "embedding", upper_only=True)
 
 
-@register(
-    "embedding_pca_label_profile",
-    # no oracle: the eigensolve is not SQL-expressible; the numpy
-    # differential lives in tests/test_linalg.py and the covariance
-    # input is itself oracle-gated above
-    tags=("llm", "similarity", "linalg", "iterative"),
-)
-def embedding_pca_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA over the embedding corpus, end to end: the oracle-gated
-    distributed covariance above → a driver-side eigensolve on the
-    BOUNDED 64×64 matrix (the one deliberate driver step — numpy on
-    ≤ d² cells; sign-normalized so projections are deterministic) →
-    the corpus projected onto PC1 as a codegen zip_with dot product
-    (no UDF, no shuffle) → per-label mean/variance of the projection
-    (decimal-exact rounded sums, so output is partitioning-stable).
-    This is the standard embedding-diagnostics pass: does the leading
-    component separate the labels, and how much variance does it
-    carry per class."""
-    from ..operators import linalg as L
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cov_rows = L.covariance_entries(emb, "embedding", upper_only=True).collect()
-    d = max(r["j"] for r in cov_rows) + 1
-    _, comps = L.pca_top_components(cov_rows, d)
-    p = F.round(L.project_component("embedding", comps[0]), 9)
-    per = emb.select("label", p.alias("p"))
-    return (
-        per.groupBy("label")
-        .agg(
-            F.count("*").alias("n_vecs"),
-            F.sum(F.col("p").cast("decimal(38,9)")).alias("sp"),
-            F.sum((F.col("p") * F.col("p")).cast("decimal(38,9)")).alias("spp"),
-        )
-        .select(
-            "label",
-            "n_vecs",
-            F.round(
-                F.col("sp").cast("double") / F.col("n_vecs").cast("double"), 6
-            ).alias("pc1_mean"),
-            F.round(
-                (
-                    F.col("spp").cast("double")
-                    - F.col("sp").cast("double")
-                    * F.col("sp").cast("double")
-                    / F.col("n_vecs").cast("double")
-                )
-                / (F.col("n_vecs").cast("double") - 1),
-                6,
-            ).alias("pc1_var"),
-        )
-        .orderBy("label")
-    )
-
-
-def _pca_power_oracle(squarings: int = 9, matvecs: int = 2) -> str:
+def _pca_power_oracle(
+    squarings: int = 9, matvecs: int = 2, profile: bool = False
+) -> str:
     """Generated chained-CTE twin of the integer matrix-powering
     eigensolve (operators/linalg.py power_method_int): the gated 6dp
     covariance CTEs feed an exact-BIGINT scaled matrix, m rescaled
@@ -2049,6 +2022,24 @@ def _pca_power_oracle(squarings: int = 9, matvecs: int = 2) -> str:
         "SUM(vf.v * CAST(round(CAST(e.embedding[vf.j + 1] AS DOUBLE) "
         "* 1000000) AS BIGINT)) AS p_int "
         "FROM embeddings e, vf GROUP BY 1, 2) "
+    )
+    if profile:
+        # per-label mean AND sample variance of the projection, both
+        # from exact integer sums; sp² would overflow HUGEINT's 1e38
+        # at corpus scale, so the variance combines the exact sums in
+        # DOUBLE with one fixed operation order (identical on the
+        # Spark side)
+        return q + (
+            "SELECT label, count(*) AS n_vecs, "
+            "CAST(SUM(p_int) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+            "/ 1000000000000000.0 AS pc1_mean, "
+            "(CAST(SUM(CAST(p_int AS HUGEINT) * p_int) AS DOUBLE) "
+            "- CAST(SUM(p_int) AS DOUBLE) * CAST(SUM(p_int) AS DOUBLE) "
+            "/ CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1) "
+            "/ 1e30 AS pc1_var "
+            "FROM p GROUP BY 1 ORDER BY 1"
+        )
+    return q + (
         "SELECT label, count(*) AS n_vecs, "
         "CAST(SUM(p_int) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
         "/ 1000000000000000.0 AS pc1_mean, "
@@ -2056,7 +2047,6 @@ def _pca_power_oracle(squarings: int = 9, matvecs: int = 2) -> str:
         "CAST(MAX(p_int) AS BIGINT) AS p_max_scaled "
         "FROM p GROUP BY 1 ORDER BY 1"
     )
-    return q
 
 
 @register(
@@ -2126,6 +2116,79 @@ def embedding_pca_power_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pc1_mean"),
             "p_min_scaled",
             "p_max_scaled",
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "embedding_pca_label_profile",
+    oracle=_pca_power_oracle(profile=True),
+    tags=("llm", "similarity", "linalg", "iterative"),
+)
+def embedding_pca_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding corpus, end to end: the oracle-gated
+    distributed covariance → the integer matrix-powering eigensolve
+    on the BOUNDED 64×64 matrix → the corpus projected onto PC1 as a
+    codegen zip_with dot product in exact integer micro-units (no
+    UDF, no shuffle) → per-label mean/VARIANCE of the projection.
+    This is the standard embedding-diagnostics pass: does the leading
+    component separate the labels, and how much variance does it
+    carry per class.
+
+    Hash-gated since r9 (the r8 verdict's last-two-gateable item):
+    the original numpy ``eigh`` step left this rows-only; it now
+    rides the SAME ``power_method_int`` eigensolve its
+    ``embedding_pca_power_checked`` twin proved against the driver
+    hash in r8 (cosine ≥ 1 − 1e-9 vs eigh at all three SFs, pinned in
+    tests/test_linalg.py — where the numpy differential still lives),
+    so the full profile including ``pc1_var`` carries a generated
+    chained-CTE oracle.  Variance exactness: per-row projections are
+    exact BIGINT (scale 1e15); Σp and Σp² are exact DECIMAL/HUGEINT;
+    sp² would overflow the 38-digit headroom at corpus scale, so the
+    final combine casts the exact sums to double ONCE and applies one
+    fixed IEEE operation order on both engines — no rounding ties, no
+    order dependence."""
+    from ..operators import linalg as L
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov_rows = L.covariance_entries(
+        emb, "embedding", upper_only=True
+    ).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    v = L.power_method_int(cov_rows, d)
+    lit_v = F.array(*[F.lit(x).cast("long") for x in v])
+    e_int = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1_000_000, 0).cast("long"),
+    )
+    p_int = F.aggregate(
+        F.zip_with(e_int, lit_v, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per = emb.select("label", p_int.alias("p_int"))
+    n_d = F.col("n_vecs").cast("double")
+    sp_d = F.col("sp").cast("double")
+    spp_d = F.col("spp").cast("double")
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("p_int").cast("decimal(38,0)")).alias("sp"),
+            F.sum(
+                F.col("p_int").cast("decimal(38,0)") * F.col("p_int")
+            ).alias("spp"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            (sp_d / n_d / F.lit(1.0e15)).alias("pc1_mean"),
+            (
+                (spp_d - sp_d * sp_d / n_d)
+                / (n_d - F.lit(1.0))
+                / F.lit(1.0e30)
+            ).alias("pc1_var"),
         )
         .orderBy("label")
     )
