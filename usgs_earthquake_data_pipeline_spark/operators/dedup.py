@@ -24,6 +24,8 @@ not near-duplication signal).
 
 from __future__ import annotations
 
+import time
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -569,6 +571,7 @@ def resolve_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    round_times: list[float] | None = None,
 ) -> DataFrame:
     """Near-dup pair list → connected components → (id, canonical_id).
 
@@ -612,6 +615,7 @@ def resolve_dup_clusters(
     )
     converged = False
     for _ in range(max_iterations):
+        t0 = time.perf_counter() if round_times is not None else 0.0
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -634,6 +638,10 @@ def resolve_dup_clusters(
         mat = updated.localCheckpoint()
         changed = mat.filter(F.col("__changed")).limit(1).count()
         labels = mat.drop("__changed")
+        if round_times is not None:
+            # per-round wall time, for the depth-stress test's
+            # flatness assertion (lineage blow-up shows up here)
+            round_times.append(time.perf_counter() - t0)
         if changed == 0:
             converged = True
             break

@@ -24,6 +24,8 @@ expression rounded to 6 dp.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -553,7 +555,8 @@ def _bpe_train(
     sf_dir: str,
     k: int,
     *,
-    checkpoint_every: int | None = 8,
+    checkpoint_every: int | None = 4,
+    round_times: list[float] | None = None,
 ) -> tuple[list[tuple[int, str, int]], DataFrame]:
     """Run k BPE merge iterations; returns (merge table, final
     word-frequency DataFrame whose ``s`` column is the space-joined
@@ -568,7 +571,13 @@ def _bpe_train(
     k≈30k merges and Catalyst re-analysis goes quadratic long before
     that. ``checkpoint_every`` truncates lineage with an eager
     ``localCheckpoint`` every N merges (results identical — pinned at
-    k=12 in tests/test_vocab_ops.py); ``None`` disables."""
+    k=12 in tests/test_vocab_ops.py); ``None`` disables.  Each merge
+    layer re-references the split column ~5x and Catalyst's
+    projection collapse inlines multiplicatively, so window depth w
+    costs ~5^w expression nodes PER WINDOW: the r9 k=64 depth stress
+    OOM'd the JVM at w=8 (6 MiB task binaries, heap death in
+    expression canonicalization) while w=4 stays ~250 KiB and flat —
+    hence the default of 4."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.filter(T.tokens("text"), lambda t: t != "")).alias("word")
@@ -586,6 +595,7 @@ def _bpe_train(
     try:
         cur = wf
         for it in range(1, k + 1):
+            t0 = time.perf_counter() if round_times is not None else 0.0
             l = F.split("s", " ", -1)
             pairs = (
                 cur.withColumn("l", l)
@@ -623,6 +633,11 @@ def _bpe_train(
             cur = cur.select(merged.alias("s"), "wf")
             if checkpoint_every and it % checkpoint_every == 0:
                 cur = cur.localCheckpoint()
+            if round_times is not None:
+                # per-merge wall time for the depth-stress flatness
+                # assertion (each round's one action is the best-pair
+                # collect above; un-truncated lineage shows up here)
+                round_times.append(time.perf_counter() - t0)
     finally:
         wf.unpersist()
     return out, cur
