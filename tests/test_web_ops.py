@@ -118,3 +118,35 @@ def test_blocklist_is_broadcast(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_prefix_block_partitions_and_tree_rule(spark, sf_dir):
+    """blocked + allowed must partition every domain's docs, and the
+    bare '/articles/' rule must block site2.co.uk's ENTIRE tree."""
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["url_path_prefix_block"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_blocked + r.n_allowed == r.n_docs
+    by_dom = {r.domain: r for r in rows}
+    assert by_dom["site2.co.uk"].n_allowed == 0
+    # unlisted domains fully allowed
+    assert by_dom["site1.com"].n_blocked == 0
+
+
+def test_sqrt_temperature_invariants(spark, sf_dir):
+    """Weights sum to 1 on both scales; sqrt temperature compresses
+    the distribution (boost > 1 below-average sources, < 1 above)."""
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    rows = (
+        CATALOG["mixture_sqrt_temperature"].spark_fn(spark, sf_dir).collect()
+    )
+    assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.w_sqrt for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        if r.p_raw < 1.0 / len(rows):
+            assert r.boost > 1.0
+        elif r.p_raw > 1.0 / len(rows):
+            assert r.boost < 1.0

@@ -75,10 +75,7 @@ def canonicalize_url(url: Column) -> Column:
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
     )
-    path0 = F.regexp_replace(
-        F.regexp_extract(url, _PATH_RE, 1), r"/+$", ""
-    )
-    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    path = canonical_path(url)
     q = F.regexp_extract(url, _QUERY_RE, 1)
     q2 = F.array_join(
         F.array_sort(
@@ -98,6 +95,16 @@ def canonicalize_url(url: Column) -> Column:
         path,
         F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(""),
     )
+
+
+def canonical_path(url: Column) -> Column:
+    """The canonicalized path component alone (trailing slashes
+    collapsed, empty → ``/``) — what robots-style path-prefix rules
+    match against."""
+    path0 = F.regexp_replace(
+        F.regexp_extract(url, _PATH_RE, 1), r"/+$", ""
+    )
+    return F.when(path0 == "", F.lit("/")).otherwise(path0)
 
 
 def registrable_domain(host: Column) -> Column:

@@ -1152,3 +1152,62 @@ def tail_index_hill_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_log.alias("hill_mean_log"),
         (F.lit(1.0) / mean_log).alias("hill_alpha"),
     )
+
+
+@register(
+    "mixture_sqrt_temperature",
+    oracle=(
+        "WITH a AS (SELECT source, SUM(n_chars) AS mass, "
+        "CAST(round(sqrt(CAST(SUM(n_chars) AS DOUBLE)) * 1000000000) "
+        "AS BIGINT) AS s FROM documents GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(mass) AS BIGINT) AS tm, "
+        "CAST(SUM(s) AS BIGINT) AS ts FROM a) "
+        "SELECT source, CAST(mass AS BIGINT) AS mass_chars, "
+        "CAST(mass AS DOUBLE) / CAST(tm AS DOUBLE) AS p_raw, "
+        "CAST(s AS DOUBLE) / CAST(ts AS DOUBLE) AS w_sqrt, "
+        "(CAST(s AS DOUBLE) / CAST(ts AS DOUBLE)) "
+        "/ (CAST(mass AS DOUBLE) / CAST(tm AS DOUBLE)) AS boost "
+        "FROM a, t ORDER BY 1"
+    ),
+    tags=("llm", "curation", "mixture"),
+)
+def mixture_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rescaled mixture weights at alpha = 1/2 — the
+    multilingual-sampling trick (sample source i with w_i proportional
+    to p_i^alpha so low-resource sources are up-weighted) at the one
+    exponent where the rescale is EXACTLY cross-engine reproducible:
+    p^0.5 is an IEEE correctly-rounded sqrt, whereas a general pow()
+    is libm-dependent and can differ in the last ulp between engines.
+    Per-source sqrt masses are rounded to exact nano-unit BIGINTs so
+    the normalizing sums are order-free integers; the emitted weights
+    and the boost factor w/p are pure IEEE divisions of exact values.
+
+    Scale shape: one map-side-combined aggregate collapses the corpus
+    to |sources| rows; the two scalar totals attach via the sanctioned
+    1-row broadcast cross join. Output |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("mass"),
+        F.round(F.sqrt(F.sum("n_chars").cast("double")) * 1_000_000_000)
+        .cast("long")
+        .alias("s"),
+    )
+    t = a.agg(
+        F.sum("mass").cast("long").alias("tm"),
+        F.sum("s").cast("long").alias("ts"),
+    )
+    mass_d = F.col("mass").cast("double")
+    s_d = F.col("s").cast("double")
+    tm_d = F.col("tm").cast("double")
+    ts_d = F.col("ts").cast("double")
+    return (
+        a.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.col("mass").cast("long").alias("mass_chars"),
+            (mass_d / tm_d).alias("p_raw"),
+            (s_d / ts_d).alias("w_sqrt"),
+            ((s_d / ts_d) / (mass_d / tm_d)).alias("boost"),
+        )
+        .orderBy("source")
+    )

@@ -117,7 +117,7 @@ _CANON_SQL = (
     "'^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS q2, "
     "(port <> '' AND NOT ((scheme = 'http' AND port = '80') "
     "OR (scheme = 'https' AND port = '443'))) AS keep_port FROM c2), "
-    "canon AS (SELECT doc_id, n_chars, url AS raw_url, host, "
+    "canon AS (SELECT doc_id, n_chars, url AS raw_url, host, path, "
     "scheme || '://' || host "
     "|| CASE WHEN keep_port THEN ':' || port ELSE '' END || path "
     "|| CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END "
@@ -125,7 +125,7 @@ _CANON_SQL = (
 )
 
 _DOMAIN_SQL = (
-    "dom AS (SELECT doc_id, n_chars, canonical_url, "
+    "dom AS (SELECT doc_id, n_chars, canonical_url, path, "
     "CASE WHEN len(string_split(host, '.')) <= 2 THEN host "
     "WHEN array_to_string((string_split(host, '.'))[-2:], '.') "
     "IN ('co.uk','com.au','co.jp') "
@@ -150,6 +150,7 @@ def _canon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         url.alias("raw_url"),
         W.canonicalize_url(url).alias("canonical_url"),
         W.canonical_host(url).alias("host"),
+        W.canonical_path(url).alias("path"),
     )
 
 
@@ -256,5 +257,76 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(block), "domain", "left_anti")
         .groupBy("domain")
         .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("domain")
+    )
+
+
+_PREFIX_RULES = (
+    ("site0.com", "/articles/0"),
+    ("site2.co.uk", "/articles/"),  # blocks the whole domain's tree
+    ("site4.com", "/articles/2"),
+)
+
+_PREFIX_RULES_SQL = ", ".join(
+    f"('{d}', '{p}')" for d, p in _PREFIX_RULES
+)
+
+
+@register(
+    "url_path_prefix_block",
+    oracle=(
+        f"WITH {_SYNTH_SQL}, {_CANON_SQL}, {_DOMAIN_SQL}, "
+        f"rules(r_domain, prefix) AS (VALUES {_PREFIX_RULES_SQL}), "
+        "b AS (SELECT DISTINCT doc_id FROM dom JOIN rules "
+        "ON dom.domain = rules.r_domain "
+        "AND starts_with(dom.path, rules.prefix)) "
+        "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_blocked, "
+        "CAST(SUM(CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_allowed "
+        "FROM dom LEFT JOIN b USING (doc_id) "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "web", "curation", "filter"),
+)
+def url_path_prefix_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style (domain, path-prefix) disallow rules — the other
+    half of crawl filtering next to the whole-domain blocklist: a rule
+    blocks every document whose canonical path starts with the prefix
+    on that registrable domain (one rule here disallows a domain's
+    entire tree via the bare '/articles/' prefix).
+
+    Spark shape: the rule table is a broadcast LEFT SEMI join keyed on
+    domain with the starts_with predicate riding the join (never a
+    cartesian — the equi-key is the domain); the per-domain audit is
+    one map-side-combined exchange. Production robots rule sets are
+    MBs — still broadcastable, same plan."""
+    d = _canon_docs(spark, sf_dir).select(
+        "doc_id",
+        W.registrable_domain(F.col("host")).alias("domain"),
+        "path",
+    )
+    rules = spark.createDataFrame(
+        list(_PREFIX_RULES), "r_domain string, prefix string"
+    )
+    blocked = d.join(
+        F.broadcast(rules),
+        (F.col("domain") == F.col("r_domain"))
+        & F.col("path").startswith(F.col("prefix")),
+        "left_semi",
+    ).select("doc_id", F.lit(1).alias("b"))
+    return (
+        d.join(blocked, "doc_id", "left")
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("b").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_blocked"),
+            F.sum(F.when(F.col("b").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_allowed"),
+        )
         .orderBy("domain")
     )
