@@ -1065,3 +1065,99 @@ def curation_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "conformal_quality_threshold",
+    oracle=(
+        "WITH scored AS (SELECT doc_id, "
+        f"{T.quality_clf_logit_sql('text')} AS score, "
+        "list_reduce(list_transform(regexp_extract_all("
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '.'), "
+        "c -> strpos('0123456789abcdef', c) - 1), "
+        "(a, d) -> a * 16 + d) % 100 AS bucket FROM documents), "
+        "calib AS (SELECT score, row_number() OVER "
+        "(ORDER BY score, doc_id) AS rk FROM scored WHERE bucket < 50), "
+        "nc AS (SELECT count(*) AS n_calib FROM calib), "
+        "kk AS (SELECT greatest(CAST(floor((n_calib + 1) * 0.1) AS BIGINT), 1) "
+        "AS k, CAST(n_calib AS BIGINT) AS n_calib FROM nc), "
+        "thr AS (SELECT kk.k, kk.n_calib, c.score AS threshold "
+        "FROM kk JOIN calib c ON c.rk = kk.k), "
+        "test AS (SELECT CAST(count(*) AS BIGINT) AS n_test, "
+        "CAST(SUM(CASE WHEN s.score >= t.threshold THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_kept "
+        "FROM scored s, thr t WHERE s.bucket >= 50) "
+        "SELECT n_calib, k, CAST(threshold AS DOUBLE) AS threshold, "
+        "n_test, n_kept, "
+        "CAST(n_kept AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage "
+        "FROM thr, test"
+    ),
+    tags=("llm", "curation", "quality", "eval"),
+)
+def conformal_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal quality gating at alpha = 0.1: pick the cut
+    threshold as the k-th SMALLEST calibration score with
+    k = max(floor((n_calib + 1) * alpha), 1), so a fresh exchangeable
+    document scores below the threshold with probability <= alpha —
+    the finite-sample guarantee a plain empirical quantile lacks.
+    Calibration/test split is the deterministic md5 hash bucket
+    (50/50); the score is the exact-decimal linear quality logit, so
+    the order statistic (ties broken by doc_id) is bit-identical
+    cross-engine — no quantile interpolation convention needed at all.
+    Emits the threshold plus the held-out coverage check (kept
+    fraction ~ 1 - alpha).
+
+    Scale shape: one scan scores + buckets (codegen); the calibration
+    rank is a window over the calib half (at 100 TB swap in the
+    two-level range-bucket rank from spearman — same refactor path as
+    ntile); the k-th-row pick and the two scalar aggregates are
+    1-row broadcasts."""
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.quality_clf_logit("text").alias("score"),
+        hash_bucket("doc_id").alias("bucket"),
+    )
+    calib = scored.filter(F.col("bucket") < 50)
+    w = Window.orderBy("score", "doc_id")
+    ranked = calib.select(
+        "score", F.row_number().over(w).alias("rk")
+    )
+    kk = calib.agg(
+        F.greatest(
+            F.floor((F.count("*") + 1) * 0.1).cast("long"), F.lit(1)
+        ).alias("k"),
+        F.count("*").cast("long").alias("n_calib"),
+    )
+    thr = kk.join(
+        ranked, ranked.rk == kk.k
+    ).select("n_calib", "k", F.col("score").cast("double").alias("threshold"))
+    test = scored.filter(F.col("bucket") >= 50).crossJoin(
+        F.broadcast(thr)
+    )
+    return (
+        test.agg(
+            F.first("n_calib").alias("n_calib"),
+            F.first("k").alias("k"),
+            F.first("threshold").alias("threshold"),
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("score") >= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "n_calib",
+            "k",
+            "threshold",
+            "n_test",
+            "n_kept",
+            (
+                F.col("n_kept").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
+    )

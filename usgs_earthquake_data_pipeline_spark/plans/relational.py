@@ -3323,3 +3323,145 @@ def trend_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("z_score"),
         )
     )
+
+
+# Poisson(1) CDF as exact double literals — both engines parse the
+# same decimal strings to the same doubles, and the md5-derived
+# uniform is an exact 32-bit integer / 2^32, so every weight
+# comparison is bit-identical cross-engine.
+_POIS1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+)
+_BOOT_B = 32
+
+
+def _boot_u32_sql() -> str:
+    return (
+        "list_reduce(list_transform(regexp_extract_all("
+        "substr(md5('boot:' || CAST(event_id AS VARCHAR) || ':' "
+        "|| CAST(b AS VARCHAR)), 1, 8), '.'), "
+        "c -> strpos('0123456789abcdef', c) - 1), "
+        "(a, d) -> a * 16 + d)"
+    )
+
+
+def _boot_w_sql() -> str:
+    cases = " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {cases} ELSE {len(_POIS1_CDF)} END"
+
+
+@register(
+    "bootstrap_mean_ci_value",
+    oracle=(
+        "WITH rep AS (SELECT event_id, "
+        "CAST(round(value * 1000000) AS BIGINT) AS vi, r.b AS b "
+        "FROM events, unnest(range(0, "
+        f"{_BOOT_B})) r(b)), "
+        f"uu AS (SELECT vi, b, CAST({_boot_u32_sql()} AS DOUBLE) "
+        "/ 4294967296.0 AS u FROM rep), "
+        f"ww AS (SELECT vi, b, {_boot_w_sql()} AS w FROM uu), "
+        "reps AS (SELECT b, CAST(SUM(CAST(w AS BIGINT) * vi) AS DOUBLE) "
+        "/ CAST(SUM(CAST(w AS BIGINT)) AS DOUBLE) / 1000000.0 AS m "
+        "FROM ww GROUP BY 1), "
+        "full_stats AS (SELECT CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) "
+        "/ CAST(count(*) AS DOUBLE) / 1000000.0 AS mean_value "
+        "FROM events) "
+        "SELECT n_events, mean_value, "
+        f"CAST({_BOOT_B} AS BIGINT) AS n_replicates, "
+        "round(quantile_cont(m, 0.025), 9) AS ci_lo, "
+        "round(quantile_cont(m, 0.975), 9) AS ci_hi "
+        "FROM full_stats, reps GROUP BY 1, 2, 3"
+    ),
+    tags=("analytics", "stats", "bootstrap", "eval"),
+)
+def bootstrap_mean_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean event value —
+    the uncertainty-quantification pass the stats suite lacked: every
+    drift/AB entry emits a point statistic, this one puts a
+    finite-width interval around one.
+
+    Poisson bootstrap (Chamandy et al., the map-reduce-native
+    resample): replicate b gives every row an independent
+    Poisson(1)-distributed inclusion count, so a replicate never needs
+    a global n-row sample — the weight is a pure per-(row, b)
+    expression. Determinism: u = md5('boot:'||id||':'||b) first 8 hex
+    as an exact 32-bit integer / 2^32; the Poisson inverse-CDF
+    thresholds are shared decimal literals, so weights are
+    bit-identical cross-engine (no RNG, no stddev convention — the CI
+    endpoints use the proven percentile ≡ quantile_cont pairing over
+    32 identical doubles; per-replicate means are exact-integer
+    micro-unit sums with one IEEE division).
+
+    Scale shape: explode ×B then ONE map-side-combined aggregate —
+    the exchange carries B rows per task regardless of corpus size;
+    the B-row replicate table and the 1-row full stats meet in a
+    scalar fold. At 100 TB, B=32 replicates cost one extra scan-side
+    multiply per row, not 32 shuffles."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vi"),
+    )
+    rep = ev.select(
+        "event_id",
+        "vi",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = u32.cast("double") / F.lit(4294967296.0)
+    w = F.lit(len(_POIS1_CDF))
+    for k in reversed(range(len(_POIS1_CDF))):
+        w = F.when(u < float(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        rep.select("b", "vi", w.cast("long").alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("vi")).cast("double")
+                / F.sum("w").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("m")
+        )
+    )
+    full_stats = ev.agg(
+        F.count("*").cast("long").alias("n_events"),
+        (
+            F.sum("vi").cast("double")
+            / F.count("*").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("mean_value"),
+    )
+    return (
+        reps.crossJoin(F.broadcast(full_stats))
+        .groupBy("n_events", "mean_value")
+        .agg(
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+            F.round(F.percentile("m", F.lit(0.025)), 9).alias("ci_lo"),
+            F.round(F.percentile("m", F.lit(0.975)), 9).alias("ci_hi"),
+        )
+        .select("n_events", "mean_value", "n_replicates", "ci_lo", "ci_hi")
+    )
