@@ -1107,11 +1107,15 @@ def conformal_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits the threshold plus the held-out coverage check (kept
     fraction ~ 1 - alpha).
 
-    Scale shape: one scan scores + buckets (codegen); the calibration
-    rank is a window over the calib half (at 100 TB swap in the
-    two-level range-bucket rank from spearman — same refactor path as
-    ntile); the k-th-row pick and the two scalar aggregates are
-    1-row broadcasts."""
+    Scale shape: one scan scores + buckets (codegen). The k-th order
+    statistic does NOT need the oracle's corpus-wide row_number: ties
+    by doc_id cannot change its VALUE, so the engine aggregates to
+    per-score counts first and runs the cumulative window over the
+    bounded score GRID (the logit is integer features x literal
+    weights — a finite value lattice; the drift_mann_whitney device),
+    then picks the first score whose cumulative count reaches k. The
+    single-task window sees |distinct scores| rows, never the corpus.
+    The k-th pick and the two scalar aggregates are 1-row broadcasts."""
     from .sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1121,19 +1125,22 @@ def conformal_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket("doc_id").alias("bucket"),
     )
     calib = scored.filter(F.col("bucket") < 50)
-    w = Window.orderBy("score", "doc_id")
-    ranked = calib.select(
-        "score", F.row_number().over(w).alias("rk")
+    g = calib.groupBy("score").agg(F.count("*").alias("c"))
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    cum = g.select("score", F.sum("c").over(w).alias("cum"))
     kk = calib.agg(
         F.greatest(
             F.floor((F.count("*") + 1) * 0.1).cast("long"), F.lit(1)
         ).alias("k"),
         F.count("*").cast("long").alias("n_calib"),
     )
-    thr = kk.join(
-        ranked, ranked.rk == kk.k
-    ).select("n_calib", "k", F.col("score").cast("double").alias("threshold"))
+    thr = (
+        cum.join(F.broadcast(kk), cum.cum >= kk.k)
+        .groupBy("n_calib", "k")
+        .agg(F.min("score").cast("double").alias("threshold"))
+    )
     test = scored.filter(F.col("bucket") >= 50).crossJoin(
         F.broadcast(thr)
     )
