@@ -150,3 +150,36 @@ def test_sqrt_temperature_invariants(spark, sf_dir):
             assert r.boost > 1.0
         elif r.p_raw > 1.0 / len(rows):
             assert r.boost < 1.0
+
+
+def test_canonicalize_idempotent_on_combinatorial_grid(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a nasty
+    combinatorial grid (userinfo, mixed case, default/odd ports,
+    trailing slashes, tracking params, ?-inside-fragment) — the
+    property that makes the canonical URL a stable identity key when
+    re-crawled pages arrive already canonicalized."""
+    import itertools
+
+    schemes = ["http", "HTTPS"]
+    userinfos = ["", "USER:pw@"]
+    hosts = ["WWW.Site.COM", "a.b.co.uk"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/P/q//", "/x"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?a=1&utm_b=2&fbclid=z"]
+    frags = ["", "#sec", "#f?notaquery=1"]
+    urls = [
+        "".join(parts)
+        for parts in itertools.product(
+            schemes, ["://"], userinfos, hosts, ports, paths, queries, frags
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    bad = [(r.c1, r.c2) for r in out if r.c1 != r.c2]
+    assert not bad, bad[:5]
+    # and the fragment's ? never leaks into the canonical query
+    assert all("notaquery" not in r.c1 for r in out)
+    assert all("@" not in r.c1 and "USER" not in r.c1 for r in out)

@@ -10,9 +10,10 @@ Canonicalization contract (documented so the DuckDB oracles can
 recompute it verbatim):
 
 1. scheme lowercased;
-2. host lowercased, leading ``www.`` stripped, the scheme's DEFAULT
-   port stripped (``:80`` http / ``:443`` https) — non-default ports
-   are significant and kept;
+2. host lowercased, any ``user:pass@`` userinfo dropped, leading
+   ``www.`` stripped, the scheme's DEFAULT port stripped (``:80``
+   http / ``:443`` https) — non-default ports are significant and
+   kept;
 3. path: trailing slashes collapsed away; an empty path becomes ``/``;
 4. query: tracking parameters dropped (``utm_*``, ``fbclid``,
    ``gclid``, ``ref``), the rest sorted lexicographically as
@@ -44,7 +45,7 @@ PSEUDO_SUFFIXES = ("co.uk", "com.au", "co.jp")
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+_QUERY_RE = r"^[^#]*?\?([^#]*)"  # the ? must precede any # — a ? inside the fragment is not a query
 
 
 def url_scheme(url: Column) -> Column:
@@ -52,14 +53,24 @@ def url_scheme(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
 
 
-def canonical_host(url: Column) -> Column:
-    """Lowercased host with any leading ``www.`` and any ``:port``
-    stripped (ports belong to :func:`canonicalize_url`, which keeps
-    the non-default ones in the canonical string; the HOST is
-    port-free by definition)."""
+def _host_port(url: Column) -> Column:
+    """Lowercased host[:port] — userinfo (``user:pass@``) dropped:
+    credentials never belong in a canonical identity key (and would
+    defeat the default-port strip, whose regex anchors on the
+    authority tail)."""
     hp = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    return F.regexp_replace(hp, r"^[^@]*@", "")
+
+
+def canonical_host(url: Column) -> Column:
+    """Lowercased host with any userinfo, leading ``www.`` and
+    ``:port`` stripped (ports belong to :func:`canonicalize_url`,
+    which keeps the non-default ones in the canonical string; the
+    HOST is port-free by definition)."""
     return F.regexp_replace(
-        F.regexp_replace(hp, r":[0-9]+$", ""), r"^www\.", ""
+        F.regexp_replace(_host_port(url), r":[0-9]+$", ""),
+        r"^www\.",
+        "",
     )
 
 
@@ -68,7 +79,7 @@ def canonicalize_url(url: Column) -> Column:
     string, built from regexp extractions and a sorted/filtered query
     param array. Everything stays inside whole-stage codegen."""
     scheme = url_scheme(url)
-    hp = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    hp = _host_port(url)
     port = F.regexp_extract(hp, r":([0-9]+)$", 1)
     host = canonical_host(url)
     keep_port = (port != F.lit("")) & ~(

@@ -100,8 +100,9 @@ _CANON_SQL = (
     "c1 AS (SELECT doc_id, n_chars, url, "
     "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) "
     "AS scheme, "
-    "lower(regexp_extract(url, "
-    "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp FROM synth), "
+    "regexp_replace(lower(regexp_extract(url, "
+    "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '') "
+    "AS hp FROM synth), "
     "c2 AS (SELECT *, regexp_extract(hp, ':([0-9]+)$', 1) AS port, "
     "regexp_replace(regexp_replace(hp, ':[0-9]+$', ''), '^www\\.', '') "
     "AS host FROM c1), "
@@ -112,7 +113,7 @@ _CANON_SQL = (
     "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') END "
     "AS path, "
     "array_to_string(list_sort(list_filter(string_split("
-    "regexp_extract(url, '\\?([^#]*)', 1), '&'), "
+    "regexp_extract(url, '^[^#]*?\\?([^#]*)', 1), '&'), "
     "p -> p <> '' AND NOT regexp_matches(p, "
     "'^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS q2, "
     "(port <> '' AND NOT ((scheme = 'http' AND port = '80') "
