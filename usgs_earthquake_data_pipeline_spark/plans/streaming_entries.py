@@ -575,3 +575,57 @@ def streaming_mv_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(view, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.createDataFrame(rows, schema).orderBy("day", "event_type")
+
+
+@register(
+    "streaming_url_dedup",
+    oracle=None,  # replaced below — needs web_ops' CTE strings
+    tags=("streaming", "dedup", "web"),
+)
+def streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup BY THE STREAMING ENGINE — the ingest-time
+    form of ``url_canonicalize_dedup``: raw URLs (synthesized from
+    event_id, which carries the event-time column a watermark needs)
+    canonicalize inside the stream and the first occurrence of each
+    canonical URL wins via dropDuplicatesWithinWatermark, so dedup
+    state is bounded to O(canonical keys within the 1 h delay), not
+    O(stream). On the bounded availableNow run nothing is evicted
+    mid-batch, so the result is exactly the batch DISTINCT the oracle
+    computes with the shared synthesis + canonicalization CTEs."""
+    from ..functions.web import canonicalize_url
+    from .web_ops import _synth_url
+
+    ev = _events_stream(spark, sf_dir)
+    c = ev.select(
+        "ts", canonicalize_url(_synth_url("event_id")).alias("canonical_url")
+    )
+    deduped = (
+        c.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+        .select("canonical_url")
+    )
+    name = "streaming_url_dedup_sink"
+    _run_available_now(deduped, name, "append")
+    return spark.table(name).orderBy("canonical_url")
+
+
+def _wire_streaming_url_dedup_oracle() -> None:
+    """The oracle reuses web_ops' synthesis/canonicalization CTE
+    strings; assigning post-hoc avoids importing web_ops before the
+    registry decorator runs (plans/__init__ imports this module
+    first)."""
+    from .catalog import CATALOG, CatalogEntry
+    from .web_ops import _CANON_SQL, _SYNTH_EVENTS_SQL
+
+    e = CATALOG["streaming_url_dedup"]
+    CATALOG["streaming_url_dedup"] = CatalogEntry(
+        e.name,
+        e.spark_fn,
+        f"WITH {_SYNTH_EVENTS_SQL}, {_CANON_SQL} "
+        "SELECT DISTINCT canonical_url FROM canon ORDER BY 1",
+        e.headline,
+        e.tags,
+    )
+
+
+_wire_streaming_url_dedup_oracle()

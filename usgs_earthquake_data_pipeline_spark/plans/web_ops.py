@@ -46,32 +46,34 @@ _QUERIES = (
 )
 
 
-def _pick(vals: tuple[str, ...], mod: int) -> Column:
-    d = F.col("doc_id")
+def _pick(vals: tuple[str, ...], mod: int, id_col: str = "doc_id") -> Column:
+    d = F.col(id_col)
     return F.element_at(F.lit(list(vals)), (d % mod).cast("int") + 1)
 
 
-def _synth_url() -> Column:
-    """Raw URL as a pure function of doc_id. Canonical form depends
-    only on doc_id mod 30 (scheme%3, site%5, tld%2, port%5, path%3,
-    query-class%6 — all divide 30), so ~30 canonical groups absorb
-    the corpus; raw variants within a group differ by case, www,
-    default ports, trailing slash, tracking params, and a %7
-    fragment."""
-    d = F.col("doc_id")
+def _synth_url(id_col: str = "doc_id") -> Column:
+    """Raw URL as a pure function of the id column. Canonical form
+    depends only on id mod 30 (scheme%3, site%5, tld%2, port%5,
+    path%3, query-class%6 — all divide 30), so ~30 canonical groups
+    absorb the corpus; raw variants within a group differ by case,
+    www, default ports, trailing slash, tracking params, and a %7
+    fragment. Parameterized so the streaming entry can synthesize
+    over events.event_id (events carry the event-time column a
+    watermark needs)."""
+    d = F.col(id_col)
     return F.concat(
-        _pick(_SCHEMES, 3),
+        _pick(_SCHEMES, 3, id_col),
         F.lit("://"),
         F.when(d % 2 == 0, F.lit("WWW.")).otherwise(""),
         F.lit("site"),
         (d % 5).cast("string"),
         F.lit("."),
-        _pick(_TLDS, 2),
-        _pick(_PORTS, 5),
+        _pick(_TLDS, 2, id_col),
+        _pick(_PORTS, 5, id_col),
         F.lit("/articles/"),
         (d % 3).cast("string"),
-        _pick(("", "/"), 2),
-        _pick(_QUERIES, 6),
+        _pick(("", "/"), 2, id_col),
+        _pick(_QUERIES, 6, id_col),
         F.when(d % 7 == 0, F.lit("#sec-2")).otherwise(""),
     )
 
@@ -81,19 +83,35 @@ def _synth_url() -> Column:
 # verbatim: lowercase scheme/host, strip www. and default ports,
 # collapse trailing slashes, drop tracking params + fragment, sort
 # surviving query params.
+def _synth_url_expr_sql(i: str) -> str:
+    """The raw-URL expression over id column ``i`` — the SQL twin of
+    :func:`_synth_url`."""
+    return (
+        f"(['HTTPS','http','https'])[CAST({i} % 3 AS INT) + 1] || '://' "
+        f"|| (CASE WHEN {i} % 2 = 0 THEN 'WWW.' ELSE '' END) "
+        f"|| 'site' || CAST({i} % 5 AS VARCHAR) || '.' "
+        f"|| (['com','co.uk'])[CAST({i} % 2 AS INT) + 1] "
+        f"|| (['',':80',':8080','',':443'])[CAST({i} % 5 AS INT) + 1] "
+        f"|| '/articles/' || CAST({i} % 3 AS VARCHAR) "
+        f"|| (['','/'])[CAST({i} % 2 AS INT) + 1] "
+        "|| (['?utm_source=feed&b=2&a=1','?a=1&b=2','?b=2&a=1&fbclid=x',"
+        f"'?ref=home','',''])[CAST({i} % 6 AS INT) + 1] "
+        f"|| (CASE WHEN {i} % 7 = 0 THEN '#sec-2' ELSE '' END)"
+    )
+
+
 _SYNTH_SQL = (
     "synth AS (SELECT doc_id, n_chars, "
-    "(['HTTPS','http','https'])[CAST(doc_id % 3 AS INT) + 1] || '://' "
-    "|| (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) "
-    "|| 'site' || CAST(doc_id % 5 AS VARCHAR) || '.' "
-    "|| (['com','co.uk'])[CAST(doc_id % 2 AS INT) + 1] "
-    "|| (['',':80',':8080','',':443'])[CAST(doc_id % 5 AS INT) + 1] "
-    "|| '/articles/' || CAST(doc_id % 3 AS VARCHAR) "
-    "|| (['','/'])[CAST(doc_id % 2 AS INT) + 1] "
-    "|| (['?utm_source=feed&b=2&a=1','?a=1&b=2','?b=2&a=1&fbclid=x',"
-    "'?ref=home','',''])[CAST(doc_id % 6 AS INT) + 1] "
-    "|| (CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END) AS url "
-    "FROM documents)"
+    + _synth_url_expr_sql("doc_id")
+    + " AS url FROM documents)"
+)
+
+# the events-table variant (event_id plays the id; n_chars is unused
+# by the downstream canon CTEs but kept for shape compatibility)
+_SYNTH_EVENTS_SQL = (
+    "synth AS (SELECT event_id AS doc_id, CAST(0 AS BIGINT) AS n_chars, "
+    + _synth_url_expr_sql("event_id")
+    + " AS url FROM events)"
 )
 
 _CANON_SQL = (
