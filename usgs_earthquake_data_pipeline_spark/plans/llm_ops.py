@@ -3965,3 +3965,110 @@ def embedding_label_centroid_dist(
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+        "  FROM documents), "
+        "sh AS ("
+        "  SELECT doc_id, list_distinct(list_transform("
+        "    generate_series(1, greatest(len(t) - 2, 0)),"
+        "    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams"
+        "  FROM toks), "
+        "sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh "
+        "WHERE len(grams) > 0), "
+        "posting AS (SELECT doc_id, unnest(grams) AS shingle FROM sh), "
+        "inter AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+        "  FROM posting a JOIN posting b USING (shingle)"
+        "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "jp AS (SELECT id_a, id_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5), "
+        "w8 AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "generate_series(1, greatest(len(t) - 7, 0)), "
+        "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], "
+        "t[i+5], t[i+6], t[i+7])))) AS w FROM toks), "
+        "sp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM w8 a JOIN w8 b USING (w) WHERE a.doc_id < b.doc_id), "
+        "c AS (SELECT "
+        "CAST((SELECT count(*) FROM sp) AS BIGINT) AS n_span_pairs, "
+        "CAST((SELECT count(*) FROM jp) AS BIGINT) AS n_jaccard_pairs, "
+        "CAST((SELECT count(*) FROM sp JOIN jp USING (id_a, id_b)) "
+        "AS BIGINT) AS n_both) "
+        "SELECT n_span_pairs, n_jaccard_pairs, n_both, "
+        "CASE WHEN n_span_pairs = 0 THEN NULL ELSE "
+        "CAST(n_both AS DOUBLE) / CAST(n_span_pairs AS DOUBLE) END "
+        "AS jaccard_recall_of_span, "
+        "CASE WHEN n_jaccard_pairs = 0 THEN NULL ELSE "
+        "CAST(n_both AS DOUBLE) / CAST(n_jaccard_pairs AS DOUBLE) END "
+        "AS span_share_of_jaccard FROM c"
+    ),
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup agreement audit — the comparison a pipeline
+    owner runs before swapping dedup stages: the pair sets found by
+    (a) ExactSubstr-style span sharing (docs sharing >= 1 verbatim
+    8-token window — the dup_spans family's detection signal) and
+    (b) 3-gram Jaccard >= 0.5 (global set overlap), plus the recall
+    of the span pairs under the Jaccard method and the span share of
+    the Jaccard set. The two modalities genuinely disagree: a quote
+    embedded in otherwise-different documents is a span pair with low
+    global Jaccard, and two docs built from the same token multiset
+    can clear the Jaccard bar without one shared 8-window — this
+    table quantifies that before a stage swap silently changes the
+    corpus. (Normalized-exact dedup was the first candidate for set
+    (a), but this corpus has zero exact-normalized copies at every
+    SF — vacuous recall; grep r9 notes.)
+
+    Scale shape: both pair sets are posting-index self-joins
+    (quadratic only within identical-gram groups); the span postings
+    use xxhash64 8-gram keys on the Spark side (the decontaminate
+    contract: identical pairs up to hash collisions, enforced by this
+    very oracle gate). Agreement is one equi-join of two bounded pair
+    lists and three scalar counts."""
+    from ..operators.dedup import hashed_shingle_sets, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    w8 = hashed_shingle_sets(docs, "doc_id", "text", 8)
+    pa = w8.select("id", F.explode("hs").alias("w"))
+    pb = pa.select(F.col("id").alias("id_b"), F.col("w").alias("w_b"))
+    sp = (
+        pa.join(
+            pb,
+            (F.col("w") == F.col("w_b")) & (F.col("id") < F.col("id_b")),
+        )
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    jp = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    both = sp.join(jp, ["id_a", "id_b"])
+    counts = (
+        sp.agg(F.count(F.lit(1)).alias("n_span_pairs"))
+        .crossJoin(jp.agg(F.count(F.lit(1)).alias("n_jaccard_pairs")))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
+    )
+    return counts.select(
+        F.col("n_span_pairs").cast("long").alias("n_span_pairs"),
+        F.col("n_jaccard_pairs").cast("long").alias("n_jaccard_pairs"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.when(F.col("n_span_pairs") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("n_both").cast("double")
+            / F.col("n_span_pairs").cast("double")
+        )
+        .alias("jaccard_recall_of_span"),
+        F.when(F.col("n_jaccard_pairs") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("n_both").cast("double")
+            / F.col("n_jaccard_pairs").cast("double")
+        )
+        .alias("span_share_of_jaccard"),
+    )
