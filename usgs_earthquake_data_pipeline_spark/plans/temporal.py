@@ -1805,3 +1805,74 @@ def survival_rmst_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rmst_days"),
         )
     )
+
+
+_MASE_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(floor({epoch} / 86400000000) AS BIGINT) AS d,
+         SUM(CAST(value AS DECIMAL(18,2))) AS xd
+  FROM {table} GROUP BY 1),
+idx AS (SELECT d, CAST(xd AS DOUBLE) AS x,
+        row_number() OVER (ORDER BY d) AS i FROM daily),
+nt AS (SELECT CAST(count(*) - 6 AS BIGINT) AS n_train FROM idx),
+train AS (SELECT idx.* FROM idx, nt WHERE idx.i <= nt.n_train),
+h(i, d, x, l, b) AS (
+  SELECT i, d, x, x, CAST(0.0 AS DOUBLE) FROM train WHERE i = 1
+  UNION ALL
+  SELECT train.i, train.d, train.x,
+         (train.x + (h.l + h.b)) / 2,
+         (((train.x + (h.l + h.b)) / 2 - h.l) + h.b) / 2
+  FROM train JOIN h ON train.i = h.i + 1
+),
+last_state AS (SELECT h.l, h.b FROM h, nt WHERE h.i = nt.n_train),
+fc AS (SELECT idx.i, idx.x,
+       last_state.l + (idx.i - nt.n_train) * last_state.b AS f
+       FROM idx, last_state, nt WHERE idx.i > nt.n_train),
+num AS (SELECT CAST(count(*) AS BIGINT) AS h_steps,
+        CAST(SUM(CAST(round(ABS(x - f), 6) AS DECIMAL(18,6)))
+             AS DOUBLE) AS sae_fc FROM fc),
+den AS (SELECT CAST(count(*) AS BIGINT) AS n_naive,
+        CAST(SUM(CAST(round(ABS(a.x - b.x), 6) AS DECIMAL(18,6)))
+             AS DOUBLE) AS sae_naive
+        FROM idx a JOIN idx b ON a.i = b.i + 7, nt
+        WHERE a.i <= nt.n_train)
+SELECT nt.n_train, num.h_steps,
+       num.sae_fc / num.h_steps AS mae_forecast,
+       den.sae_naive / den.n_naive AS mae_seasonal_naive,
+       (num.sae_fc / num.h_steps) / (den.sae_naive / den.n_naive)
+         AS mase
+FROM nt, num, den
+"""
+
+
+@register(
+    "forecast_mase_holdout",
+    oracle=_MASE_SQL.format(epoch="epoch_us(ts)", table="events"),
+    tags=("temporal", "timeseries", "recursive", "forecast", "eval"),
+)
+def forecast_mase_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the Holt forecaster on a 6-day holdout — the accuracy
+    gate the forecasting family lacked: every forecast entry emits
+    predictions, none scored them. Train = all but the last 6 days;
+    the Holt recursion (same α=β=1/2 exact-halving chain as
+    `forecast_holt_linear_daily`) runs on train only, h-step-ahead
+    forecasts l + k·b score the holdout, and the scale-free
+    denominator is the in-sample SEASONAL-NAIVE (lag-7) MAE —
+    Hyndman & Koehler's MASE, the metric that survives zero-valued
+    and multi-scale series where MAPE breaks. MASE < 1 means the
+    forecaster beats naive seasonality out of sample.
+
+    Exactness: daily sums are exact DECIMAL→double, the recursion is
+    exact halvings, per-term absolute errors round to 6 dp and sum as
+    DECIMAL (order-free — the 6/18-term double sums would otherwise
+    be partial-aggregation-order sensitive), and the three emitted
+    ratios are pure IEEE divisions. Identical WITH RECURSIVE text on
+    both engines (the EWMA/CUSUM/Holt convention).
+
+    Scale: corpus collapses in the daily aggregate; recursion depth =
+    |train days|, the scoring joins run on the |days| grid."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__mase_events")
+    return spark.sql(
+        _MASE_SQL.format(epoch="unix_micros(ts)", table="__mase_events")
+    )
