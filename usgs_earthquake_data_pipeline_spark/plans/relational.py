@@ -3382,6 +3382,7 @@ def _boot_w_sql() -> str:
         "round(quantile_cont(m, 0.975), 9) AS ci_hi "
         "FROM full_stats, reps GROUP BY 1, 2, 3"
     ),
+    headline=True,  # the explode-x32 scan-heavy shape the bench lacked
     tags=("analytics", "stats", "bootstrap", "eval"),
 )
 def bootstrap_mean_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
