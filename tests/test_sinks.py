@@ -298,3 +298,39 @@ def test_permissive_json_read_quarantines_corrupt_records(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert good == {1: 5.1, 3: 6.2}
     assert len(bad) == 1 and '"mag": ' in bad[0]._corrupt_record
+
+
+def test_partitioned_roundtrip_orc(spark, sf_dir, tmp_path):
+    """K3/K6 format pluggability beyond parquet: the same partitioned
+    sink writes/reads ORC (bundled in spark-sql — the other columnar
+    format a warehouse migration meets), with identical rows and
+    working predicate pushdown on the read."""
+    from usgs_earthquake_data_pipeline_spark.sinks import (
+        read_partitioned_table,
+        save_partitioned_table,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_id", "user_id", "event_type", "value")
+        .filter("event_id < 200")
+    )
+    path = str(tmp_path / "events_orc")
+    assert save_partitioned_table(
+        ev, path, mode="overwrite", partition_cols=["event_type"],
+        table_format="orc",
+    )
+    back = read_partitioned_table(spark, path, table_format="orc")
+    assert sorted(map(tuple, back.select(*ev.columns).collect())) == sorted(
+        map(tuple, ev.collect())
+    )
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.filter("user_id < 3")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "user_id" in plan.split(
+        "PushedFilters:"
+    )[1].split("]")[0]
