@@ -124,9 +124,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     gate_path = None
     argv = sys.argv[1:]
-    if argv and argv[0] == "--gate":
-        if len(argv) < 2:
-            print("usage: bench.py [--gate BENCH_rN.json]", file=sys.stderr)
+    # Strict argv: the ONLY accepted form is `--gate FILE` (exactly).
+    # Anything else — `--gate=FILE`, a typo'd flag, trailing tokens —
+    # is a usage error, never silently ignored: an ungated bench that
+    # exits 0 would let a round-close CI gate pass vacuously.
+    if argv:
+        if argv[0] != "--gate" or len(argv) != 2:
+            print(
+                f"unrecognized arguments: {' '.join(argv)}\n"
+                "usage: bench.py [--gate BENCH_rN.json]",
+                file=sys.stderr,
+            )
             raise SystemExit(2)
         gate_path = argv[1]
 

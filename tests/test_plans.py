@@ -44,9 +44,57 @@ def test_q1_filter_pushed_and_columns_pruned(spark, sf_dir):
 
 
 def test_q5_dims_broadcast(spark, sf_dir):
-    plan = _plan(CATALOG["q5_region_revenue"].spark_fn(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan  # nothing falls back at test scale
+    """nation/region broadcast statically (hinted, fixed-size); the
+    unhinted customer-scaled side converts to a runtime broadcast via
+    AQE at this scale — assert on the FINAL adaptive plan, post-run."""
+    df = CATALOG["q5_region_revenue"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region hints
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final
+    # the adaptive toString appends the initial plan; judge the final only
+    final = final.split("== Initial Plan ==", 1)[0]
+    assert final.count("BroadcastHashJoin") >= 3  # AQE converted custkey
+    assert "SortMergeJoin" not in final  # nothing stays shuffled at test scale
+
+
+def test_q5_customer_join_degrades_without_broadcast(spark, sf_dir):
+    """The customer-scaled (c_custkey, r_name) side must NOT be
+    broadcast-hinted: |customer| grows with SF, so at 100 TB a forced
+    broadcast OOMs. With the auto-broadcast threshold forced to -1
+    (simulating 'too big to broadcast'), the custkey join has to
+    degrade to a shuffle join; only the hinted fixed-size nation and
+    region dims may still broadcast. A reintroduced F.broadcast(dims)
+    would keep a BroadcastHashJoin on c_custkey here and fail."""
+    keys_ = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {}
+    for key in keys_:
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, "-1")
+    try:
+        plan = _plan(CATALOG["q5_region_revenue"].spark_fn(spark, sf_dir))
+    finally:
+        for key, value in old.items():
+            if value is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, value)
+    # custkey join must fall back to a shuffle strategy…
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # …and no BroadcastHashJoin may key on the customer join column.
+    import re
+
+    for m in re.finditer(r"BroadcastHashJoin \[([^\]]*)\]", plan):
+        assert "c_custkey" not in m.group(1), (
+            f"customer-scaled side still force-broadcast: {m.group(0)}"
+        )
 
 
 def test_s6_reads_exactly_three_columns(spark, sf_dir):

@@ -93,6 +93,25 @@ def test_registrable_domain_suffix_list(spark):
     ]
 
 
+def test_registrable_domain_fqdn_trailing_dot(spark):
+    """DNS FQDN form ('example.com.') must resolve like the dotless
+    host — the empty last label used to make last2 'com.' and return
+    the wrong eTLD+1."""
+    df = spark.createDataFrame(
+        [
+            ("example.com.",),
+            ("a.b.site.co.uk.",),
+            ("localhost.",),
+        ],
+        "host string",
+    )
+    got = [
+        r[0]
+        for r in df.select(registrable_domain(F.col("host"))).collect()
+    ]
+    assert got == ["example.com", "site.co.uk", "localhost"]
+
+
 def test_catalog_entries_zero_udf_plans(spark, sf_dir):
     """The web entries must stay pure codegen — no BatchEvalPython /
     ArrowEvalPython nodes in any plan."""

@@ -121,7 +121,10 @@ def canonical_path(url: Column) -> Column:
 def registrable_domain(host: Column) -> Column:
     """eTLD+1 against :data:`PSEUDO_SUFFIXES`: the last two labels,
     or three when the last two are a listed suffix; hosts of <= 2
-    labels pass through unchanged."""
+    labels pass through unchanged. A trailing dot (DNS FQDN form,
+    ``example.com.``) is stripped first — its empty last label would
+    otherwise shift the slice and return the wrong eTLD+1."""
+    host = F.regexp_replace(host, r"\.$", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.array_join(F.slice(labels, -2, 2), ".")

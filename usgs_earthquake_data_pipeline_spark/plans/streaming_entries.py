@@ -246,11 +246,12 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     table" shape.
 
     The stream-static inner join is stateless (no watermark, no join
-    state): each micro-batch hash-joins against the broadcast static
-    side, so at scale state size is zero and the static table is
-    re-broadcast only when refreshed. Aggregation runs complete-mode
-    into the bounded memory sink, same harness as the other streaming
-    entries.
+    state): each micro-batch re-plans the join against the static
+    side, so at scale state size is zero. The projected customer dim
+    carries no broadcast hint — |customer| scales with SF, so AQE
+    broadcasts it per-batch while it fits and degrades to a key
+    shuffle when it doesn't. Aggregation runs complete-mode into the
+    bounded memory sink, same harness as the other streaming entries.
     """
     from ..sources.tables import load_table
 
@@ -259,7 +260,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     enriched = ev.join(
-        F.broadcast(cust), ev.user_id == cust.c_custkey
+        cust, ev.user_id == cust.c_custkey
     )
     agg = (
         enriched.groupBy("c_mktsegment")

@@ -244,7 +244,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(big_orders), li.l_orderkey == F.col("__big_key"), "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF — no broadcast hint; AQE decides.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "c_custkey",
             "c_name",
@@ -419,9 +420,12 @@ def window_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q8-shaped market share: among sales to ASIA customers,
-    NATION_0 suppliers' revenue share per year. Both dimension chains
-    broadcast; the conditional and total sums are decimal-exact so the
-    final share division is engine-stable."""
+    NATION_0 suppliers' revenue share per year. Only the fixed-size
+    nation/region frames carry broadcast hints; the supplier- and
+    customer-scaled dimension chains are left to AQE (broadcast at
+    bench scale, key shuffle at 100 TB). The conditional and total
+    sums are decimal-exact so the final share division is
+    engine-stable."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
@@ -447,9 +451,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(supp_dim), li.l_suppkey == F.col("s_suppkey"))
+        li.join(supp_dim, li.l_suppkey == F.col("s_suppkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_dim), orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(cust_dim, orders.o_custkey == F.col("c_custkey"), "left_semi")
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (

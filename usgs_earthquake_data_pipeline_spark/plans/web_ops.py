@@ -143,14 +143,18 @@ _CANON_SQL = (
     "AS canonical_url FROM c3)"
 )
 
+# Trailing-dot strip (FQDN form "example.com.") mirrors
+# functions.web.registrable_domain: the empty last label would
+# otherwise shift the [-2:]/[-3:] slices to the wrong eTLD+1.
 _DOMAIN_SQL = (
     "dom AS (SELECT doc_id, n_chars, canonical_url, path, "
-    "CASE WHEN len(string_split(host, '.')) <= 2 THEN host "
-    "WHEN array_to_string((string_split(host, '.'))[-2:], '.') "
+    "CASE WHEN len(string_split(h, '.')) <= 2 THEN h "
+    "WHEN array_to_string((string_split(h, '.'))[-2:], '.') "
     "IN ('co.uk','com.au','co.jp') "
-    "THEN array_to_string((string_split(host, '.'))[-3:], '.') "
-    "ELSE array_to_string((string_split(host, '.'))[-2:], '.') END "
-    "AS domain FROM canon)"
+    "THEN array_to_string((string_split(h, '.'))[-3:], '.') "
+    "ELSE array_to_string((string_split(h, '.'))[-2:], '.') END "
+    "AS domain FROM (SELECT *, regexp_replace(host, '\\.$', '') AS h "
+    "FROM canon) canon_h)"
 )
 
 _BLOCKLIST = ("site1.com", "site3.co.uk", "blocked.example")

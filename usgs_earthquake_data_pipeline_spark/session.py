@@ -65,6 +65,35 @@ _RUNTIME_CONF = {
 }
 
 
+def _ensure_driver_memory() -> None:
+    """Pin the driver heap for fresh in-process local sessions.
+
+    pyspark-as-a-library launches the JVM via ``launch_gateway`` reading
+    ``PYSPARK_SUBMIT_ARGS``; builder conf arrives *after* ``-Xmx`` is
+    fixed, so ``spark.driver.memory`` on the builder is a no-op for a
+    local gateway. The full test suite (1000+ queries against one
+    session-scoped session) accumulates enough JVM-side state —
+    broadcast blocks, codegen classes, UI-less listener queues — that
+    Spark's default 1g driver heap OOMs mid-suite. Inject
+    ``--driver-memory`` (default 6g, override via
+    ``SPARK_GRAFT_DRIVER_MEM``) before the gateway starts; a no-op when
+    the JVM is already up or the caller set their own value (explicit
+    ``PYSPARK_SUBMIT_ARGS`` or spark-submit owns the heap there).
+    """
+    from pyspark import SparkContext
+
+    if SparkContext._gateway is not None or SparkContext._active_spark_context:
+        return  # JVM already launched; heap is fixed.
+    args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    if "--driver-memory" in args or "spark.driver.memory" in args:
+        return
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g")
+    body = args.replace("pyspark-shell", "").strip()
+    os.environ["PYSPARK_SUBMIT_ARGS"] = (
+        f"--driver-memory {mem} {body} pyspark-shell".replace("  ", " ")
+    )
+
+
 def get_spark(
     app_name: str = "usgs_earthquake_data_pipeline_spark",
     master: str | None = None,
@@ -78,9 +107,11 @@ def get_spark(
     Note: when a SparkSession already exists in the process,
     ``getOrCreate`` ignores builder config — so the runtime-settable
     subset is re-applied via :func:`configure_runtime` afterwards.
-    JVM-startup-only options (driver memory, etc.) belong on
-    ``spark-submit`` and are intentionally not set here.
+    Driver heap is the one JVM-startup option handled here (see
+    :func:`_ensure_driver_memory`); everything else startup-only
+    belongs on ``spark-submit``.
     """
+    _ensure_driver_memory()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_MASTER" not in os.environ:
