@@ -3369,8 +3369,10 @@ def _boot_w_sql() -> str:
         f"uu AS (SELECT vi, b, CAST({_boot_u32_sql()} AS DOUBLE) "
         "/ 4294967296.0 AS u FROM rep), "
         f"ww AS (SELECT vi, b, {_boot_w_sql()} AS w FROM uu), "
-        "reps AS (SELECT b, CAST(SUM(CAST(w AS BIGINT) * vi) AS DOUBLE) "
-        "/ CAST(SUM(CAST(w AS BIGINT)) AS DOUBLE) / 1000000.0 AS m "
+        "reps AS (SELECT b, "
+        "CAST(SUM(CAST(w AS DECIMAL(19,0)) * CAST(vi AS DECIMAL(19,0))) "
+        "AS DOUBLE) "
+        "/ CAST(SUM(CAST(w AS DECIMAL(19,0))) AS DOUBLE) / 1000000.0 AS m "
         "FROM ww GROUP BY 1), "
         "full_stats AS (SELECT CAST(count(*) AS BIGINT) AS n_events, "
         "CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) "
@@ -3437,13 +3439,20 @@ def bootstrap_mean_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(len(_POIS1_CDF))
     for k in reversed(range(len(_POIS1_CDF))):
         w = F.when(u < float(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    # w*vi and the weight/value sums accumulate in decimal(38,0), not
+    # LongType: at the ~1e9+-row scale this plan targets, a bigint sum
+    # of micro-unit values wraps silently under non-ANSI Spark while
+    # DuckDB (HUGEINT) keeps going — the same divergence mode fixed in
+    # gini_length_by_source / drift_mann_whitney_value. The oracle
+    # mirrors with DECIMAL(19,0) operands -> DECIMAL(38,0) products.
+    w_dec = F.col("w").cast("decimal(19,0)")
     reps = (
         rep.select("b", "vi", w.cast("long").alias("w"))
         .groupBy("b")
         .agg(
             (
-                F.sum(F.col("w") * F.col("vi")).cast("double")
-                / F.sum("w").cast("double")
+                F.sum(w_dec * F.col("vi").cast("decimal(19,0)")).cast("double")
+                / F.sum(w_dec).cast("double")
                 / F.lit(1_000_000.0)
             ).alias("m")
         )
@@ -3451,7 +3460,7 @@ def bootstrap_mean_ci_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_stats = ev.agg(
         F.count("*").cast("long").alias("n_events"),
         (
-            F.sum("vi").cast("double")
+            F.sum(F.col("vi").cast("decimal(38,0)")).cast("double")
             / F.count("*").cast("double")
             / F.lit(1_000_000.0)
         ).alias("mean_value"),

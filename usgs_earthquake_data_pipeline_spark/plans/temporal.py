@@ -451,6 +451,36 @@ ew(i, d, ewma) AS (
 SELECT d, round(ewma, 6) AS ewma FROM ew ORDER BY d
 """
 
+# Spark side of the daily-series recursions: ONE array fold instead of
+# |days| recursive 1-row-join steps. The WITH RECURSIVE form is kept
+# verbatim as the DuckDB oracle (it states the semantics), but running
+# it through Spark's iterative union executor costs ~9-10 s of pure
+# per-step scheduling at EVERY scale factor (round-9 verdict item 4).
+# aggregate() over the array_sort(collect_list(...))-ordered daily
+# array computes the same chain JVM-side in one stage: identical IEEE
+# operations in identical order, so the doubles stay bit-identical to
+# the recursive form. Scale shape: the corpus collapses in the daily
+# aggregate; the fold runs on one |days|-element array on one task.
+_EWMA_FOLD_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(unix_micros(ts) / 86400000000) AS BIGINT) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM {table} GROUP BY 1),
+arr AS (SELECT array_sort(collect_list(struct(d, v))) AS xs FROM daily),
+folded AS (
+  SELECT aggregate(
+    xs,
+    CAST(array() AS ARRAY<STRUCT<d: BIGINT, ewma: DOUBLE>>),
+    (acc, e) -> array_append(acc, struct(
+        e.d AS d,
+        IF(size(acc) = 0, e.v,
+           (e.v + element_at(acc, -1).ewma) / 2) AS ewma))
+  ) AS out FROM arr)
+SELECT r.d AS d, round(r.ewma, 6) AS ewma
+FROM folded LATERAL VIEW explode(out) t AS r
+ORDER BY d
+"""
+
 
 @register(
     "ewma_daily_value_recursive",
@@ -460,24 +490,24 @@ SELECT d, round(ewma, 6) AS ewma FROM ew ORDER BY d
 def ewma_daily_value_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA (α=1/2) of the daily value sum — the inherently recursive
     timeseries smoother (each output depends on the previous output,
-    which no window frame expresses) stated with WITH RECURSIVE,
-    identical SQL in both engines. α is deliberately 1/2: each step
-    is then one IEEE addition and one exact halving, so the whole
-    chain is bit-identical across engines with NO intermediate
-    rounding. The two tempting alternatives both diverge and were
-    ruled out by measurement: rounding doubles at each step flips at
-    half boundaries (independently computed doubles one ulp apart
-    round apart and the offset persists), and decimal casts disagree
-    between engines (Spark narrows HALF_UP, DuckDB truncates —
-    0.0000025 → 0.000003 vs 0.000002). The recursion runs over the 30-row daily
-    aggregate, not raw events — depth = days, work per step = one
-    1-row join, trivially within Spark's recursion limit at any data
-    scale."""
+    which no window frame expresses). The oracle states it as WITH
+    RECURSIVE; the Spark side computes the identical chain as one
+    JVM-side array fold (see ``_EWMA_FOLD_SQL``) — same additions and
+    exact halvings in the same order, so the doubles are bit-identical
+    to the recursive form at a fraction of the scheduling cost. α is
+    deliberately 1/2: each step is then one IEEE addition and one
+    exact halving, so the whole chain is bit-identical across engines
+    with NO intermediate rounding. The two tempting alternatives both
+    diverge and were ruled out by measurement: rounding doubles at
+    each step flips at half boundaries (independently computed doubles
+    one ulp apart round apart and the offset persists), and decimal
+    casts disagree between engines (Spark narrows HALF_UP, DuckDB
+    truncates — 0.0000025 → 0.000003 vs 0.000002). The fold runs over
+    the ~30-row daily aggregate, not raw events — array length = days,
+    one task, any data scale."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__ewma_events")
-    return spark.sql(
-        _EWMA_SQL.format(epoch="unix_micros(ts)", table="__ewma_events")
-    )
+    return spark.sql(_EWMA_FOLD_SQL.format(table="__ewma_events"))
 
 
 @register(
@@ -1038,6 +1068,36 @@ SELECT d, round(x, 6) AS daily_value, round(s, 6) AS cusum,
 FROM cu ORDER BY d
 """
 
+# Spark side: array fold, same chain (see _EWMA_FOLD_SQL note). The
+# seed case greatest(0, x_1 - k) is the general step with prev = 0.0
+# (0.0 + x is IEEE-exact x), so the fold needs no first-row special.
+_CUSUM_FOLD_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(unix_micros(ts) / 86400000000) AS BIGINT) AS d,
+         SUM(CAST(value AS DECIMAL(18,2))) AS xd
+  FROM {table} GROUP BY 1),
+arr AS (
+  SELECT array_sort(collect_list(struct(d, CAST(xd AS DOUBLE) AS x))) AS xs,
+         CAST(SUM(xd) AS DOUBLE) / count(*) AS mu
+  FROM daily),
+folded AS (
+  SELECT mu * 0.5 AS h,
+         aggregate(
+           xs,
+           CAST(array() AS ARRAY<STRUCT<d: BIGINT, x: DOUBLE, s: DOUBLE>>),
+           (acc, e) -> array_append(acc, struct(
+               e.d AS d, e.x AS x,
+               greatest(0.0,
+                        IF(size(acc) = 0, CAST(0.0 AS DOUBLE),
+                           element_at(acc, -1).s) + e.x - mu * 1.05) AS s))
+         ) AS out
+  FROM arr)
+SELECT r.d AS d, round(r.x, 6) AS daily_value, round(r.s, 6) AS cusum,
+       r.s > h AS alarm
+FROM folded LATERAL VIEW explode(out) t AS r
+ORDER BY d
+"""
+
 
 @register(
     "anomaly_cusum_daily",
@@ -1050,22 +1110,20 @@ def anomaly_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     persistent shifts a per-day z-score never sees: S_t =
     max(0, S_{t−1} + x_t − k) with allowance k = 1.05·mean and alarm
     threshold h = 0.5·mean.  Inherently recursive (the max-reset
-    makes it non-linear, unlike EWMA's convolution form), so it runs
-    as WITH RECURSIVE — identical SQL text on both engines, the
-    `ewma_daily_value_recursive` convention.
+    makes it non-linear, unlike EWMA's convolution form); the oracle
+    states it as WITH RECURSIVE, the Spark side computes the identical
+    chain as one array fold (``_CUSUM_FOLD_SQL`` — the
+    `ewma_daily_value_recursive` convention).
 
     Float discipline: daily sums are exact decimals; the mean is one
-    division of an exact decimal total; each recursion step is an
-    add, a subtract, and a max on doubles in identical order — no
+    division of an exact decimal total; each fold step is an add, a
+    subtract, and a max on doubles in identical order — no
     intermediate rounding, bit-identical chains (the EWMA entry's
-    measured result).  Recursion depth = |days|, work per step one
-    1-row join: scale-independent, the corpus collapses in the first
-    aggregate."""
+    measured result).  Array length = |days|, one task: the corpus
+    collapses in the first aggregate at any scale."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__cusum_events")
-    return spark.sql(
-        _CUSUM_SQL.format(epoch="unix_micros(ts)", table="__cusum_events")
-    )
+    return spark.sql(_CUSUM_FOLD_SQL.format(table="__cusum_events"))
 
 
 @register(
@@ -1259,6 +1317,37 @@ SELECT d, round(x, 6) AS daily_value, round(l, 6) AS level,
 FROM h ORDER BY d
 """
 
+# Spark side: array fold of the two-state (level, trend) chain (see
+# _EWMA_FOLD_SQL note). The level expression is repeated inside the
+# trend formula — the same computation on the same operands, so the
+# doubles match the recursive form's l_t exactly (codegen CSEs it).
+_HOLT_FOLD_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(unix_micros(ts) / 86400000000) AS BIGINT) AS d,
+         SUM(CAST(value AS DECIMAL(18,2))) AS xd
+  FROM {table} GROUP BY 1),
+arr AS (
+  SELECT array_sort(collect_list(struct(d, CAST(xd AS DOUBLE) AS x))) AS xs
+  FROM daily),
+folded AS (
+  SELECT aggregate(
+    xs,
+    CAST(array() AS ARRAY<STRUCT<d: BIGINT, x: DOUBLE, l: DOUBLE, b: DOUBLE>>),
+    (acc, e) -> array_append(acc, IF(size(acc) = 0,
+        struct(e.d AS d, e.x AS x, e.x AS l, CAST(0.0 AS DOUBLE) AS b),
+        struct(e.d AS d, e.x AS x,
+               (e.x + (element_at(acc, -1).l + element_at(acc, -1).b)) / 2
+                 AS l,
+               (((e.x + (element_at(acc, -1).l + element_at(acc, -1).b)) / 2
+                 - element_at(acc, -1).l) + element_at(acc, -1).b) / 2
+                 AS b)))
+  ) AS out FROM arr)
+SELECT r.d AS d, round(r.x, 6) AS daily_value, round(r.l, 6) AS level,
+       round(r.b, 6) AS trend, round(r.l + 7 * r.b, 6) AS forecast_7d
+FROM folded LATERAL VIEW explode(out) t AS r
+ORDER BY d
+"""
+
 
 @register(
     "forecast_holt_linear_daily",
@@ -1281,15 +1370,15 @@ def forecast_holt_linear_daily(
     engines with NO intermediate rounding (a 2-state chain is exactly
     where per-step rounding would compound divergence).  Inherently
     recursive — two coupled states, no window frame expresses it —
-    so WITH RECURSIVE, identical SQL text on both engines.
+    stated WITH RECURSIVE in the oracle; the Spark side folds the
+    identical chain over the sorted daily array
+    (``_HOLT_FOLD_SQL``, the EWMA convention).
 
-    Scale: corpus collapses in the daily aggregate; recursion depth =
-    |days|, one 1-row join per step."""
+    Scale: corpus collapses in the daily aggregate; array length =
+    |days|, one task."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__holt_events")
-    return spark.sql(
-        _HOLT_SQL.format(epoch="unix_micros(ts)", table="__holt_events")
-    )
+    return spark.sql(_HOLT_FOLD_SQL.format(table="__holt_events"))
 
 
 @register(
@@ -1844,6 +1933,62 @@ SELECT nt.n_train, num.h_steps,
 FROM nt, num, den
 """
 
+# Spark side: one array pipeline (see _EWMA_FOLD_SQL note). The Holt
+# train fold keeps only the final (l, b) state; holdout forecasts are
+# zip_with over the last 6 elements; the seasonal-naive denominator is
+# zip_with of the train array against its lag-7 shift. Per-term
+# absolute errors round to 6 dp and fold into a DECIMAL(38,6)
+# accumulator — exact micro-unit integers, matching the oracle's
+# DECIMAL sum bit-for-bit after the final double cast.
+_MASE_FOLD_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(unix_micros(ts) / 86400000000) AS BIGINT) AS d,
+         SUM(CAST(value AS DECIMAL(18,2))) AS xd
+  FROM {table} GROUP BY 1),
+arr AS (
+  SELECT transform(
+           array_sort(collect_list(struct(d, CAST(xd AS DOUBLE) AS x))),
+           e -> e.x) AS xs
+  FROM daily),
+dims AS (SELECT xs, CAST(size(xs) - 6 AS BIGINT) AS n_train FROM arr),
+st AS (
+  SELECT xs, n_train,
+         aggregate(
+           slice(xs, 1, CAST(n_train AS INT)),
+           struct(CAST(0.0 AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+                  false AS started),
+           (acc, x) -> IF(NOT acc.started,
+               struct(x AS l, CAST(0.0 AS DOUBLE) AS b, true AS started),
+               struct((x + (acc.l + acc.b)) / 2 AS l,
+                      (((x + (acc.l + acc.b)) / 2 - acc.l) + acc.b) / 2
+                        AS b,
+                      true AS started))) AS hs
+  FROM dims),
+scored AS (
+  SELECT n_train,
+         CAST(size(xs) - n_train AS BIGINT) AS h_steps,
+         aggregate(
+           zip_with(slice(xs, CAST(n_train AS INT) + 1, 6),
+                    sequence(1, 6),
+                    (x, k) -> round(abs(x - (hs.l + k * hs.b)), 6)),
+           CAST(0 AS DECIMAL(38,6)),
+           (acc, e) -> acc + CAST(e AS DECIMAL(18,6))) AS sae_fc_dec,
+         CAST(n_train - 7 AS BIGINT) AS n_naive,
+         aggregate(
+           zip_with(slice(xs, 8, CAST(n_train AS INT) - 7),
+                    slice(xs, 1, CAST(n_train AS INT) - 7),
+                    (a, b) -> round(abs(a - b), 6)),
+           CAST(0 AS DECIMAL(38,6)),
+           (acc, e) -> acc + CAST(e AS DECIMAL(18,6))) AS sae_naive_dec
+  FROM st)
+SELECT n_train, h_steps,
+       CAST(sae_fc_dec AS DOUBLE) / h_steps AS mae_forecast,
+       CAST(sae_naive_dec AS DOUBLE) / n_naive AS mae_seasonal_naive,
+       (CAST(sae_fc_dec AS DOUBLE) / h_steps)
+         / (CAST(sae_naive_dec AS DOUBLE) / n_naive) AS mase
+FROM scored
+"""
+
 
 @register(
     "forecast_mase_holdout",
@@ -1866,13 +2011,13 @@ def forecast_mase_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact halvings, per-term absolute errors round to 6 dp and sum as
     DECIMAL (order-free — the 6/18-term double sums would otherwise
     be partial-aggregation-order sensitive), and the three emitted
-    ratios are pure IEEE divisions. Identical WITH RECURSIVE text on
-    both engines (the EWMA/CUSUM/Holt convention).
+    ratios are pure IEEE divisions. The oracle keeps the WITH
+    RECURSIVE statement; the Spark side runs the identical chain as
+    one array pipeline (``_MASE_FOLD_SQL``, the EWMA/CUSUM/Holt
+    convention).
 
-    Scale: corpus collapses in the daily aggregate; recursion depth =
-    |train days|, the scoring joins run on the |days| grid."""
+    Scale: corpus collapses in the daily aggregate; the fold and both
+    scoring zips run on one |days|-element array on one task."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__mase_events")
-    return spark.sql(
-        _MASE_SQL.format(epoch="unix_micros(ts)", table="__mase_events")
-    )
+    return spark.sql(_MASE_FOLD_SQL.format(table="__mase_events"))
