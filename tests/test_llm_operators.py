@@ -123,11 +123,47 @@ def test_multimodal_decode_invalid_and_empty(spark):
     assert out == {1: "invalid", 2: "invalid"}
 
 
-def test_multimodal_real_format_raises(spark):
-    png_header = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 24)
-    df = spark.createDataFrame([(1, png_header)], "media_id long, content binary")
-    with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
+def test_multimodal_compressed_format_raises(spark):
+    # JPEG (SOI + APP0) still needs PIL — must raise, not guess
+    jpeg = bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 28)
+    df = spark.createDataFrame([(1, jpeg)], "media_id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|compressed image"):
         M.decode_image_meta(df).collect()
+
+
+def _png_bytes(width: int, height: int, bit_depth: int) -> bytearray:
+    """Hand-built minimal PNG: signature + IHDR (length, tag, w, h,
+    bit depth, color type, compression, filter, interlace) — exactly
+    the 33 bytes the header decoder reads (CRC left zeroed; the
+    parser must not require chunks past IHDR)."""
+    import struct as _s
+
+    ihdr = _s.pack(">II", width, height) + bytes([bit_depth, 2, 0, 0, 0])
+    return bytearray(
+        b"\x89PNG\r\n\x1a\n"
+        + _s.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def test_multimodal_png_ihdr_byte_exact(spark):
+    rows = [
+        (1, _png_bytes(640, 480, 8)),
+        (2, _png_bytes(3_840, 2_160, 16)),
+        (3, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in M.decode_image_meta(df).collect()}
+    assert (out[1].width, out[1].height, out[1].bit_depth, out[1].format) == (
+        640, 480, 8, "png",
+    )
+    assert (out[2].width, out[2].height, out[2].bit_depth, out[2].format) == (
+        3_840, 2_160, 16, "png",
+    )
+    assert out[1].n_bytes == len(rows[0][1])
+    assert out[3].format == "invalid" and out[3].width is None
 
 
 def test_text_functions_edge_cases(spark):
@@ -231,15 +267,65 @@ def test_audio_decode_roundtrip_matches_python_encoder(spark):
         assert r.rms == round(math.sqrt(sum(x * x for x in v) / n), 6)
 
 
-def test_audio_decode_invalid_and_real_format(spark):
+def test_audio_decode_invalid_and_compressed_format(spark):
     rows = [(1, bytearray(b"short")), (2, None)]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     out = {r.media_id: r.sample_rate for r in M.decode_audio_stats(df).collect()}
     assert out == {1: None, 2: None}
+    # RIFF/WAVE container missing its fmt/data chunks: header stats null
     wav = bytearray(b"RIFFxxxxWAVE" + b"\x00" * 16)
     df2 = spark.createDataFrame([(3, wav)], "media_id long, content binary")
-    with pytest.raises(Exception, match="NotImplementedError|real audio decoding"):
-        M.decode_audio_stats(df2).collect()
+    got = M.decode_audio_stats(df2).collect()[0]
+    assert (got.sample_rate, got.channels, got.rms) == (None, None, None)
+    # compressed audio (MP3 ID3 tag) still needs a codec — must raise
+    mp3 = bytearray(b"ID3\x04\x00\x00" + b"\x00" * 26)
+    df3 = spark.createDataFrame([(4, mp3)], "media_id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|compressed audio"):
+        M.decode_audio_stats(df3).collect()
+
+
+def _wav_bytes(sample_rate: int, channels: int, samples: list[int]) -> bytearray:
+    """Hand-built canonical PCM16 WAV: RIFF size header, fmt chunk
+    (format 1, block align = 2*channels), data chunk of little-endian
+    int16 interleaved samples."""
+    import struct as _s
+
+    data = b"".join(_s.pack("<h", s) for s in samples)
+    block_align = 2 * channels
+    fmt = _s.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+    return bytearray(b"RIFF" + _s.pack("<I", len(body)) + body)
+
+
+def test_audio_decode_wav_byte_exact(spark):
+    import math
+
+    mono = [100, -200, 300, -400]
+    stereo = [1000, -1000, 2000, -2000, 3000, -3000]  # 3 frames x 2ch
+    rows = [
+        (1, _wav_bytes(8000, 1, mono)),
+        (2, _wav_bytes(44100, 2, stereo)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in M.decode_audio_stats(df).collect()}
+    r1 = out[1]
+    assert (r1.sample_rate, r1.channels, r1.n_samples) == (8000, 1, 4)
+    assert r1.duration_ms == 4 * 1000.0 / 8000
+    assert r1.peak == 300
+    assert r1.rms == round(
+        math.sqrt(sum(x * x for x in mono) / len(mono)), 6
+    )
+    r2 = out[2]
+    assert (r2.sample_rate, r2.channels, r2.n_samples) == (44100, 2, 3)
+    assert r2.duration_ms == 3 * 1000.0 / 44100
+    assert r2.peak == 3000
 
 
 def test_semantic_dedup_drops_planted_duplicates(spark):

@@ -4,10 +4,15 @@ iterators (``mapInPandas``).
 
 The Spark-side architecture here is real and tested — schemas,
 partition-preserving batch iteration, UDF signatures, output shapes.
-The actual codec work is stubbed: this container has no image/audio
-libraries, so ``decode_image_meta`` parses a deterministic fake
-header (see ``FAKE_MAGIC``) and raises ``NotImplementedError`` for
-real formats, with the PIL/libav integration point clearly marked.
+Codecs: the two universal container formats whose headers need only
+``struct`` are parsed for real — PNG (signature + IHDR:
+width/height/bit-depth) and WAV (RIFF chunk walk: fmt/data →
+channels/sample-rate/duration, PCM16 waveform stats). Compressed
+formats (JPEG/MP4/MP3/...) would need real image/audio libraries this
+container doesn't ship, so they raise ``NotImplementedError`` at the
+clearly-marked PIL/libav integration points rather than being
+silently wrong. ``decode_image_meta`` additionally parses the
+deterministic fake test container (see ``FAKE_MAGIC``).
 
 At 100 TB: media bytes never leave the executors, cross to Python
 once per Arrow batch (not per row), and every transform is a narrow
@@ -52,10 +57,17 @@ IMAGE_META_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("bit_depth", IntegerType(), True),
         StructField("n_bytes", LongType(), True),
         StructField("format", StringType(), True),
     ]
 )
+
+# PNG: 8-byte signature, then the IHDR chunk (must be first per the
+# spec): 4-byte length + 'IHDR' + 13-byte body (width u32be, height
+# u32be, bit depth u8, color type u8, ...). Everything needed lives in
+# the first 33 bytes — no image library required.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def encode_fake_image(media_id: int, width: int, height: int) -> bytes:
@@ -90,16 +102,29 @@ def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
 
 def _decode_one(media_id: int, content: bytes | None):
     if content is None or len(content) < _HEADER_SIZE:
-        return media_id, None, None, (len(content) if content else 0), "invalid"
+        return (
+            media_id, None, None, None,
+            (len(content) if content else 0), "invalid",
+        )
+    content = bytes(content)
+    if content[:8] == _PNG_SIG:
+        # IHDR is mandatory-first: bytes 12-15 name it, 16-24 carry
+        # width/height (u32be), 24 the bit depth.
+        if len(content) >= 33 and content[12:16] == b"IHDR":
+            width, height = struct.unpack(">II", content[16:24])
+            return media_id, width, height, content[24], len(content), "png"
+        return media_id, None, None, None, len(content), "invalid"
     magic, width, height = struct.unpack(_HEADER_FMT, content[:_HEADER_SIZE])
     if magic == FAKE_MAGIC:
-        return media_id, width, height, len(content), "fake"
+        # fake payload is 1 byte/px — report it as 8-bit
+        return media_id, width, height, 8, len(content), "fake"
     # REAL-CODEC INTEGRATION POINT: PIL.Image.open(io.BytesIO(content))
-    # goes here; the container ships no image libs, so real formats are
-    # explicitly unsupported rather than silently wrong.
+    # goes here for compressed formats (JPEG, WebP, ...); the container
+    # ships no image libs, so those are explicitly unsupported rather
+    # than silently wrong.
     raise NotImplementedError(
-        "real image decoding requires PIL/pillow; only FAKEIMG1 test "
-        "containers are decodable in this environment"
+        "decoding compressed image formats requires PIL/pillow; PNG and "
+        "FAKEIMG1 containers decode header-only in this environment"
     )
 
 
@@ -117,12 +142,17 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
                 for mid, content in zip(pdf["media_id"], pdf["content"])
             ]
             yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "n_bytes", "format"]
+                rows,
+                columns=[
+                    "media_id", "width", "height", "bit_depth",
+                    "n_bytes", "format",
+                ],
             ).astype(
                 {
                     "media_id": "int64",
                     "width": "Int32",
                     "height": "Int32",
+                    "bit_depth": "Int32",
                     "n_bytes": "int64",
                     "format": "object",
                 }
@@ -251,12 +281,48 @@ AUDIO_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
         StructField("n_samples", IntegerType(), True),
         StructField("duration_ms", DoubleType(), True),
         StructField("rms", DoubleType(), True),
         StructField("peak", IntegerType(), True),
     ]
 )
+
+
+def _parse_wav(content: bytes):
+    """Header-only WAV/RIFF parse with stdlib ``struct``: walk the
+    word-aligned chunk list for ``fmt `` (format/channels/rate/
+    block-align/bit-depth) and ``data`` (payload). Returns
+    ``(channels, sample_rate, n_frames, samples-or-None)`` — samples
+    (a numpy int16 view of the interleaved PCM) only for the
+    uncompressed PCM16 encoding; other encodings still yield their
+    header stats. None when a mandatory chunk is missing."""
+    import numpy as np
+
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (csize,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if channels == 0 or block_align == 0 or sample_rate == 0:
+        return None
+    n_frames = len(data) // block_align
+    samples = None
+    if audio_fmt == 1 and bits == 16:  # uncompressed PCM16 (LE)
+        usable = (len(data) // 2) * 2
+        samples = np.frombuffer(data[:usable], dtype="<i2")
+    return channels, sample_rate, n_frames, samples
 
 
 def attach_fake_audio(df: DataFrame, id_col: str) -> DataFrame:
@@ -291,11 +357,13 @@ def attach_fake_audio(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def decode_audio_stats(df: DataFrame) -> DataFrame:
-    """Waveform statistics via mapInPandas: sample rate and count from
-    the header, duration / RMS / peak from the vectorized numpy view
-    of the PCM payload. One Python crossing per Arrow batch; real
-    codecs (libav/soundfile) would slot in at the marked point exactly
-    like the image decoder's."""
+    """Waveform statistics via mapInPandas: sample rate / channels /
+    frame count from the header (real WAV/RIFF containers parse with
+    stdlib struct — see :func:`_parse_wav` — alongside the FAKEAUD1
+    test container), duration / RMS / peak from the vectorized numpy
+    view of the PCM payload. One Python crossing per Arrow batch;
+    compressed codecs (libav/soundfile) would slot in at the marked
+    point exactly like the image decoder's."""
     import math
 
     import numpy as np
@@ -305,16 +373,44 @@ def decode_audio_stats(df: DataFrame) -> DataFrame:
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None or len(content) < _AUDIO_HEADER_SIZE:
-                    out.append((media_id, None, None, None, None, None))
+                    out.append((media_id, None, None, None, None, None, None))
+                    continue
+                content = bytes(content)
+                if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+                    parsed = _parse_wav(content)
+                    if parsed is None:  # RIFF/WAVE but fmt/data missing
+                        out.append(
+                            (media_id, None, None, None, None, None, None)
+                        )
+                        continue
+                    channels, sr, n_frames, samples = parsed
+                    rms = peak = None
+                    if samples is not None and samples.size:
+                        sf64 = samples.astype(np.float64)
+                        rms = round(math.sqrt(float((sf64**2).mean())), 6)
+                        peak = int(samples.max())
+                    out.append(
+                        (
+                            media_id,
+                            sr,
+                            channels,
+                            n_frames,
+                            n_frames * 1000.0 / sr,
+                            rms,
+                            peak,
+                        )
+                    )
                     continue
                 magic, sr, n = struct.unpack(
                     _AUDIO_HEADER_FMT, content[:_AUDIO_HEADER_SIZE]
                 )
                 if magic != FAKE_AUDIO_MAGIC:
-                    # REAL-CODEC INTEGRATION POINT (soundfile/libav)
+                    # REAL-CODEC INTEGRATION POINT (soundfile/libav) for
+                    # compressed audio (MP3/AAC/...); WAV and FAKEAUD1
+                    # decode above without any library.
                     raise NotImplementedError(
-                        "real audio decoding requires an audio library; "
-                        "only FAKEAUD1 containers decode here"
+                        "decoding compressed audio requires an audio "
+                        "library; WAV and FAKEAUD1 containers decode here"
                     )
                 samples = np.frombuffer(
                     content[_AUDIO_HEADER_SIZE:], dtype=">i2"
@@ -324,6 +420,7 @@ def decode_audio_stats(df: DataFrame) -> DataFrame:
                     (
                         media_id,
                         sr,
+                        1,  # the fake PCM stream is single-channel
                         n,
                         n * 1000.0 / sr,
                         rms,
@@ -335,6 +432,7 @@ def decode_audio_stats(df: DataFrame) -> DataFrame:
                 columns=[
                     "media_id",
                     "sample_rate",
+                    "channels",
                     "n_samples",
                     "duration_ms",
                     "rms",

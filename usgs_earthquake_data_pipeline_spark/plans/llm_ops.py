@@ -524,6 +524,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id AS media_id, "
         "CAST(doc_id % 64 + 16 AS INT) AS width, "
         "CAST(doc_id % 48 + 16 AS INT) AS height, "
+        "CAST(8 AS INT) AS bit_depth, "
         "16 + ((doc_id % 64 + 16) * (doc_id % 48 + 16)) % 256 + 16 AS n_bytes, "
         "'fake' AS format FROM documents"
     ),
@@ -1201,7 +1202,8 @@ def ann_ivf_pq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "list_transform(range(0, doc_id % 32 + 16), "
         "i -> CAST((doc_id * 7 + i * 13) % 256 AS DOUBLE)) AS v "
         "FROM documents) "
-        "SELECT media_id, sample_rate, n_samples, "
+        "SELECT media_id, sample_rate, CAST(1 AS INT) AS channels, "
+        "n_samples, "
         "n_samples * 1000.0 / sample_rate AS duration_ms, "
         "round(sqrt(list_avg(list_transform(v, x -> x * x))), 6) AS rms, "
         "CAST(list_max(v) AS INT) AS peak "
