@@ -4028,13 +4028,21 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a), but this corpus has zero exact-normalized copies at every
     SF — vacuous recall; grep r9 notes.)
 
-    Scale shape: both pair sets are posting-index self-joins
-    (quadratic only within identical-gram groups); the span postings
-    use xxhash64 8-gram keys on the Spark side (the decontaminate
-    contract: identical pairs up to hash collisions, enforced by this
-    very oracle gate). Agreement is one equi-join of two bounded pair
-    lists and three scalar counts."""
-    from ..operators.dedup import hashed_shingle_sets, ngram_jaccard_pairs
+    Scale shape: the span side is a posting-index self-join
+    (quadratic only within identical-8-gram groups, xxhash64 keys —
+    the decontaminate contract: identical pairs up to hash collisions,
+    enforced by this very oracle gate); the Jaccard side runs through
+    the prefix-filtered PPJoin plan (``ngram_jaccard_prefix_pairs``)
+    like the headliner — at threshold 0.5 the posting join indexes
+    only ~half of each doc's shingles and the length/positional
+    filters prune candidates before any shuffle, which is what keeps
+    the 0.01→0.1 growth linear (the plain posting join here was the
+    one super-linear r9 entry). Agreement is one equi-join of two
+    bounded pair lists and three scalar counts."""
+    from ..operators.dedup import (
+        hashed_shingle_sets,
+        ngram_jaccard_prefix_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     w8 = hashed_shingle_sets(docs, "doc_id", "text", 8)
@@ -4048,9 +4056,9 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("id_a"), "id_b")
         .distinct()
     )
-    jp = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    jp = ngram_jaccard_prefix_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b")
     both = sp.join(jp, ["id_a", "id_b"])
     counts = (
         sp.agg(F.count(F.lit(1)).alias("n_span_pairs"))
