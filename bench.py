@@ -79,7 +79,13 @@ def run_bench(sf_dir: str) -> dict:
             samples[entry.name].append(time.perf_counter() - t0)
 
     timings = {q: round(statistics.median(s), 4) for q, s in samples.items()}
-    spread = {q: _spread(s) for q, s in samples.items()}
+    # 3 dp spreads: the driver records the LAST 2000 CHARS of bench
+    # output and json-parses the final line from it — round 9's line
+    # grew past 2000 chars (26 headliners x timing+spread+runs dicts)
+    # and the recorded BENCH_r09.json ended up parsed: null. Keep the
+    # line compact: scalar run count + overrides instead of a
+    # per-query dict, 3-dp spreads, and a hard self-check in main().
+    spread = {q: round(_spread(s), 3) for q, s in samples.items()}
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -88,11 +94,12 @@ def run_bench(sf_dir: str) -> dict:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
-        # actual per-query sample counts (EXTRA_RUNS overrides included)
-        "runs_per_query": {q: len(s) for q, s in samples.items()},
+        "runs": RUNS,
         "aggregation": "median",
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    if EXTRA_RUNS:
+        result["extra_runs"] = EXTRA_RUNS
     spark.stop()
     return result
 
@@ -120,32 +127,66 @@ def gate(result: dict, prior: dict) -> list[str]:
     return failures
 
 
+def parse_args(argv: list[str]) -> str | None:
+    """Strict argv: the ONLY accepted form is ``--gate FILE``
+    (exactly). Anything else — ``--gate=FILE``, a typo'd flag,
+    trailing tokens — is a usage error, never silently ignored: an
+    ungated bench that exits 0 would let a round-close CI gate pass
+    vacuously."""
+    if not argv:
+        return None
+    if argv[0] != "--gate" or len(argv) != 2:
+        print(
+            f"unrecognized arguments: {' '.join(argv)}\n"
+            "usage: bench.py [--gate BENCH_rN.json]",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    return argv[1]
+
+
+def resolve_prior(raw: dict, gate_path: str) -> dict:
+    """Unwrap a driver-recorded BENCH_rN.json (bench line under
+    "parsed") or accept a bare bench line; refuse a prior with no
+    per-query timings — e.g. a recording whose line overflowed the
+    driver's 2000-char tail (BENCH_r09's parsed: null) — because
+    gating against it would pass vacuously with 0 shared headliners,
+    exactly the failure mode --gate exists to prevent."""
+    parsed = raw.get("parsed")
+    prior = parsed if isinstance(parsed, dict) else raw
+    if not isinstance(prior.get("queries"), dict):
+        print(
+            f"GATE ERROR: {gate_path} carries no per-query timings "
+            "(parsed: null?); gate against the newest recording "
+            "that has them",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    return prior
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    gate_path = None
-    argv = sys.argv[1:]
-    # Strict argv: the ONLY accepted form is `--gate FILE` (exactly).
-    # Anything else — `--gate=FILE`, a typo'd flag, trailing tokens —
-    # is a usage error, never silently ignored: an ungated bench that
-    # exits 0 would let a round-close CI gate pass vacuously.
-    if argv:
-        if argv[0] != "--gate" or len(argv) != 2:
-            print(
-                f"unrecognized arguments: {' '.join(argv)}\n"
-                "usage: bench.py [--gate BENCH_rN.json]",
-                file=sys.stderr,
-            )
-            raise SystemExit(2)
-        gate_path = argv[1]
+    gate_path = parse_args(sys.argv[1:])
 
     result = run_bench(sf_dir)
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) > 1900:
+        # the driver's recorder keeps only the last 2000 chars of
+        # output — a longer line records as parsed: null (BENCH_r09).
+        # Degrade by dropping the spread dict rather than the record.
+        print(
+            f"bench line {len(line)} chars > 1900: dropping spread to "
+            "stay inside the recorder's 2000-char tail",
+            file=sys.stderr,
+        )
+        result.pop("spread", None)
+        line = json.dumps(result)
+    print(line)
 
     if gate_path is not None:
         with open(gate_path) as f:
-            prior = json.load(f)
-        # driver-recorded BENCH_rN.json wraps the bench line in "parsed"
-        prior = prior.get("parsed", prior)
+            prior = resolve_prior(json.load(f), gate_path)
         failures = gate(result, prior)
         shared = [q for q in result["queries"] if q in prior.get("queries", {})]
         if failures:

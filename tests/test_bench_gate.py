@@ -54,3 +54,67 @@ def test_gate_missing_spread_defaults_to_zero():
         "q1: median 1.0001s > allowed 1.0000s (prior 1.0000s, "
         "combined spread 0.0000s)"
     ]
+
+
+def test_parse_args_strict():
+    import pytest
+
+    from bench import parse_args
+
+    assert parse_args([]) is None
+    assert parse_args(["--gate", "B.json"]) == "B.json"
+    for bad in (
+        ["--gate=B.json"],          # equals form
+        ["--gate"],                 # missing file
+        ["--gate", "B.json", "x"],  # trailing token
+        ["--gat", "B.json"],        # typo
+        ["B.json"],                 # bare positional
+    ):
+        with pytest.raises(SystemExit) as exc:
+            parse_args(bad)
+        assert exc.value.code == 2
+
+
+def test_resolve_prior_unwraps_and_refuses_null_parsed():
+    import pytest
+
+    from bench import resolve_prior
+
+    line = {"queries": {"q": 1.0}, "spread": {"q": 0.1}}
+    # driver-recorded wrapper
+    assert resolve_prior({"parsed": line, "tail": "..."}, "f")["queries"] == {
+        "q": 1.0
+    }
+    # bare bench line
+    assert resolve_prior(line, "f") is line
+    # parsed: null (the BENCH_r09 overflow) must hard-error, not
+    # gate vacuously
+    with pytest.raises(SystemExit) as exc:
+        resolve_prior({"parsed": None, "tail": "trunc"}, "f")
+    assert exc.value.code == 2
+
+
+def test_bench_line_fits_driver_tail():
+    """The driver records only the last 2000 chars of bench output; the
+    serialized result line for the CURRENT headline set must leave
+    headroom (run_bench's shape simulated with 4-dp medians / 3-dp
+    spreads — the real guard in main() drops spread past 1900)."""
+    import json
+
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    names = [e.name for e in CATALOG.values() if e.headline]
+    simulated = {
+        "metric": "headline_queries_total",
+        "value": 12.3456,
+        "unit": "sec",
+        "queries": {n: 12.3456 for n in names},
+        "spread": {n: 0.123 for n in names},
+        "runs": 5,
+        "aggregation": "median",
+        "sf": 0.1,
+    }
+    assert len(json.dumps(simulated)) <= 1900, (
+        f"{len(names)} headliners overflow the driver tail; trim the "
+        "emitted keys or the headline set"
+    )
