@@ -1211,3 +1211,125 @@ def mixture_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "token_budget_selection",
+    oracle=(
+        "WITH scored AS (SELECT doc_id, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok, "
+        "CAST((" + T.quality_clf_logit_sql("text") + ") * 1000000 "
+        "AS BIGINT) AS q FROM documents), "
+        "budget AS (SELECT CAST(floor(SUM(n_tok) * 0.5) AS BIGINT) AS b "
+        "FROM scored), "
+        "cum AS (SELECT doc_id, n_tok, q, "
+        "SUM(n_tok) OVER (ORDER BY q DESC, doc_id) AS c FROM scored), "
+        "kept AS (SELECT cum.* FROM cum, budget WHERE c <= b) "
+        "SELECT (SELECT b FROM budget) AS token_budget, "
+        "CAST(count(*) AS BIGINT) AS n_docs_kept, "
+        "CAST(SUM(n_tok) AS BIGINT) AS tokens_kept, "
+        "CAST(min(q) AS BIGINT) AS min_q_kept FROM kept"
+    ),
+    tags=("llm", "curation", "sampling", "selection"),
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first data selection under a global token budget —
+    the "keep the highest-quality half of the corpus" pass every
+    pretraining mix runs: rank documents by the exact-decimal quality
+    logit (``functions.text.quality_clf_logit``; micro-unit integer,
+    ties broken by doc_id) and keep the maximal prefix whose token sum
+    fits the budget (here 50% of corpus tokens, so the entry is
+    meaningful at every SF).
+
+    The oracle is the obvious single-node spec — one global window
+    cumsum over (q DESC, doc_id). That plan is a scale-killer (a
+    corpus-wide single-partition sort), so the Spark side is the
+    two-phase decomposition a 100 TB selection actually runs:
+
+    1. aggregate tokens per quality micro-bucket (one key-bounded
+       exchange; |buckets| <= |distinct logits|, a few hundred here);
+    2. fold the DESC-sorted bucket array on one row to find the
+       boundary bucket and its residual budget (the EWMA array-fold
+       convention — no iterative driver loop);
+    3. broadcast the (cutoff, rem) verdict back: buckets above the
+       cutoff keep every doc with a pure filter (no sort, no window);
+       ONLY the boundary bucket — ~1/|buckets| of the corpus — pays a
+       doc_id-ordered cumsum window, partitioned on its single bucket
+       key.
+
+    The differential proves the decomposition reproduces the global
+    greedy prefix exactly: same kept-set count, token total, and
+    minimum admitted quality."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tok"),
+        (T.quality_clf_logit("text") * 1_000_000).cast("long").alias("q"),
+    )
+    btot = docs.agg(
+        F.floor(F.sum("n_tok") * F.lit(0.5)).cast("long").alias("b")
+    )
+    buckets = docs.groupBy("q").agg(F.sum("n_tok").alias("bt"))
+    barr = buckets.agg(
+        F.reverse(F.sort_array(F.collect_list(F.struct("q", "bt")))).alias(
+            "xs"
+        )
+    )
+    sentinel = -(2**63)
+    st = (
+        barr.crossJoin(F.broadcast(btot))
+        .select(
+            "b",
+            F.aggregate(
+                "xs",
+                F.expr(
+                    f"named_struct('used', CAST(0 AS BIGINT), "
+                    f"'cutoff', CAST({sentinel} AS BIGINT), "
+                    f"'rem', CAST(0 AS BIGINT), 'done', false)"
+                ),
+                lambda acc, e: F.when(acc["done"], acc).otherwise(
+                    F.when(
+                        acc["used"] + e["bt"] <= F.col("b"),
+                        F.struct(
+                            (acc["used"] + e["bt"]).alias("used"),
+                            acc["cutoff"].alias("cutoff"),
+                            acc["rem"].alias("rem"),
+                            F.lit(False).alias("done"),
+                        ),
+                    ).otherwise(
+                        F.struct(
+                            acc["used"].alias("used"),
+                            e["q"].alias("cutoff"),
+                            (F.col("b") - acc["used"]).alias("rem"),
+                            F.lit(True).alias("done"),
+                        )
+                    )
+                ),
+            ).alias("s"),
+        )
+        .select(
+            "b",
+            F.col("s.cutoff").alias("cutoff"),
+            F.col("s.rem").alias("rem"),
+            F.col("s.done").alias("done"),
+        )
+    )
+    d = docs.crossJoin(F.broadcast(st))
+    kept_full = d.filter((~F.col("done")) | (F.col("q") > F.col("cutoff")))
+    boundary = (
+        d.filter(F.col("done") & (F.col("q") == F.col("cutoff")))
+        .withColumn(
+            "c",
+            F.sum("n_tok").over(
+                Window.partitionBy("q").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("c") <= F.col("rem"))
+        .drop("c")
+    )
+    kept = kept_full.unionByName(boundary)
+    return kept.agg(
+        F.first("b").alias("token_budget"),
+        F.count("*").cast("long").alias("n_docs_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+        F.min("q").cast("long").alias("min_q_kept"),
+    )

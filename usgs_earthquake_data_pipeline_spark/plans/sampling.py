@@ -728,3 +728,98 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --- differentially-private release (deterministic mechanism) --------
+
+# Two-sided geometric (discrete Laplace) with alpha = exp(-eps),
+# eps = 0.5 — the integer-valued DP noise mechanism (Ghosh et al.,
+# "Universally Utility-Maximizing Privacy Mechanisms"): P(Z = k) is
+# proportional to alpha^|k|. The inverse CDF is evaluated against
+# literal double thresholds computed ONCE here and shared verbatim by
+# both engines (the bootstrap_mean_ci_value convention), with the
+# uniform drawn from md5 — so the "noise" is deterministic,
+# hash-gateable, and bit-identical cross-engine. Tails clamp at +-12
+# (P(|Z| > 12) ~ 2e-3 at eps=0.5; a clamped geometric is itself a
+# standard bounded-noise variant). A production release would key the
+# md5 on a secret salt per release; the mechanism and plan shape are
+# identical.
+import math as _math
+
+_DP_EPS = 0.5
+_DP_ALPHA = _math.exp(-_DP_EPS)
+_DP_K_MAX = 12
+#: (k, P(Z <= k)) for k in [-K, K); u >= last threshold clamps to +K.
+_DP_CDF: tuple[tuple[int, str], ...] = tuple(
+    (
+        k,
+        repr(
+            _DP_ALPHA ** (-k) / (1 + _DP_ALPHA)
+            if k < 0
+            else 1 - _DP_ALPHA ** (k + 1) / (1 + _DP_ALPHA)
+        ),
+    )
+    for k in range(-_DP_K_MAX, _DP_K_MAX)
+)
+
+_DP_U32_SQL = (
+    "list_reduce(list_transform(regexp_extract_all("
+    "substr(md5('dp:' || event_type), 1, 8), '.'), "
+    "c -> strpos('0123456789abcdef', c) - 1), "
+    "(a, d) -> a * 16 + d)"
+)
+
+_DP_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN u < {t} THEN ({k})" for k, t in _DP_CDF)
+    + f" ELSE {_DP_K_MAX} END"
+)
+
+
+@register(
+    "dp_noisy_type_counts",
+    oracle=(
+        "WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM events GROUP BY 1), "
+        f"u AS (SELECT event_type, n, CAST({_DP_U32_SQL} AS DOUBLE) "
+        "/ 4294967296.0 AS u FROM c) "
+        f"SELECT event_type, CAST(n + {_DP_CASE_SQL} AS BIGINT) "
+        "AS noisy_count FROM u ORDER BY 1"
+    ),
+    tags=("llm", "privacy", "release"),
+)
+def dp_noisy_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release: per-event-type counts
+    plus two-sided-geometric noise — the standard integer mechanism
+    for releasing counts from a sensitive corpus (each user
+    contributes to one type bucket, so per-bucket sensitivity 1 and
+    the release is eps=0.5 DP up to the documented +-12 tail clamp).
+    Pairs with k_anonymity_audit: that entry finds what is unsafe to
+    release raw, this one is the safe release path.
+
+    Determinism: the uniform is md5-derived per bucket key and the
+    inverse CDF compares against shared literal thresholds — the
+    bootstrap/Poisson convention — so both engines add the IDENTICAL
+    noise and the driver hash gates the whole mechanism, not just the
+    counts. Scale shape: one map-side-combined count aggregate; the
+    noise is pure post-aggregation expression work on |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = u32.cast("double") / F.lit(4294967296.0)
+    noise = F.lit(_DP_K_MAX)
+    for k, t in reversed(_DP_CDF):
+        noise = F.when(u < float(t), F.lit(k)).otherwise(noise)
+    return (
+        counts.select(
+            "event_type",
+            (F.col("n") + noise).cast("long").alias("noisy_count"),
+        )
+        .orderBy("event_type")
+    )

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..functions import web as W
 from ..sources.tables import load_table
 from .catalog import register
+from .sampling import _bucket_sql, hash_bucket
 
 # --- deterministic raw-URL synthesis (mirrored in every oracle) -----
 
@@ -352,4 +353,58 @@ def url_path_prefix_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_allowed"),
         )
         .orderBy("domain")
+    )
+
+
+@register(
+    "split_leakage_safe_by_domain",
+    oracle=(
+        f"WITH {_SYNTH_SQL}, {_CANON_SQL}, {_DOMAIN_SQL}, "
+        "b AS (SELECT doc_id, n_chars, domain, "
+        + _bucket_sql("domain")
+        + " AS bucket FROM dom) "
+        "SELECT CASE WHEN bucket < 80 THEN 'train' "
+        "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT domain) AS BIGINT) AS n_domains, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+        "FROM b GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "web", "sampling", "curation"),
+)
+def split_leakage_safe_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split keyed by REGISTRABLE DOMAIN,
+    not by document: near-duplicate pages overwhelmingly share a
+    domain (templates, mirrors, pagination), so hashing the doc id —
+    `split_train_val_test` — lets one site's near-dups straddle
+    train and test and inflate eval. Bucketing the eTLD+1 instead puts
+    every page of a site on the same side; the audit emits per-split
+    doc/domain/char counts (doc-level splits show ~all domains in
+    every split, this one shows disjoint domain sets by
+    construction).
+
+    Scale shape: domain + bucket are pure codegen string work on the
+    scan (no join against a domain table — the split is a property of
+    the row); the only exchange is the audit's (split, domain)
+    two-phase distinct-count, bounded by |domains|. Assignment is
+    stable under corpus growth: new pages of a known site inherit its
+    side, new domains hash independently."""
+    d = _canon_docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        W.registrable_domain(F.col("host")).alias("domain"),
+    )
+    bucket = hash_bucket("domain")
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "domain", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("domain").cast("long").alias("n_domains"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
     )
