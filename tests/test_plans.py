@@ -650,3 +650,19 @@ def test_kaplan_meier_window_on_day_domain(spark, sf_dir):
     )
     assert plan.count("Window") >= 1
     assert "hashpartitioning(user_id" in plan  # corpus collapse first
+
+
+def test_token_budget_window_is_bucket_partitioned(spark, sf_dir):
+    """The selection's only window must run partitioned on the
+    boundary-bucket key — a regression to the oracle's global ordered
+    window (empty partition spec = whole corpus on one reducer) is the
+    scale-killer this entry exists to avoid."""
+    import re
+
+    plan = _plan(CATALOG["token_budget_selection"].spark_fn(spark, sf_dir))
+    windows = re.findall(
+        r"Window \[[^\]]*\], \[([^\]]*)\], \[[^\]]*\]", plan
+    )
+    assert windows, "expected the boundary-bucket window in the plan"
+    for part in windows:
+        assert "q#" in part, f"window not partitioned on the bucket key: [{part}]"

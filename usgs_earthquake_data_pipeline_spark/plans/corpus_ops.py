@@ -1333,3 +1333,81 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("tokens_kept"),
         F.min("q").cast("long").alias("min_q_kept"),
     )
+
+
+@register(
+    "vocab_js_divergence_terms",
+    oracle=(
+        "WITH tok AS (SELECT doc_id % 2 AS half, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS t "
+        "FROM documents), "
+        "c AS (SELECT t, "
+        "CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+        "CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b "
+        "FROM tok GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, "
+        "CAST(SUM(n_b) AS DOUBLE) AS tb FROM c), "
+        "top AS (SELECT t, n_a, n_b FROM c "
+        "ORDER BY n_a + n_b DESC, t LIMIT 50) "
+        "SELECT t AS token, n_a, n_b, "
+        "n_a / ta AS p_a, n_b / tb AS p_b, "
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN "
+        "0.5 * (n_a / ta) * ln((n_a / ta) / ((n_a / ta + n_b / tb) / 2)) "
+        "+ 0.5 * (n_b / tb) * ln((n_b / tb) / ((n_a / ta + n_b / tb) / 2)) "
+        "END AS js_term "
+        "FROM top CROSS JOIN tot ORDER BY n_a + n_b DESC, token"
+    ),
+    tags=("llm", "corpus", "drift", "stats"),
+)
+def vocab_js_divergence_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-drift report: per-token Jensen-Shannon divergence
+    terms between two corpus halves (doc_id parity stands in for the
+    before/after snapshot a re-crawl comparison uses) over the 50
+    highest-frequency tokens — the token-level companion to the
+    distribution-level drift entries (PSI on values, Mann-Whitney on
+    lengths). Per-term rows rather than the summed scalar, the
+    drift_psi convention: each emitted double is one deterministic
+    expression over exact integer counts (a cross-engine sum of 50
+    ln-terms is not order-stable; the 50-row report is, and it is
+    what an operator actually reads — which tokens moved). A token
+    absent from either half yields NULL (the new/vanished-vocabulary
+    signal) instead of ln(0).
+
+    Scale shape: one token-keyed exchange with map-side combine (the
+    unigram aggregate — AQE skew split covers stopword keys), a 1-row
+    totals broadcast, and a TakeOrderedAndProject top-50 (per-partition
+    heaps, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(T.tokens("text")).alias("t"),
+    )
+    c = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = c.agg(
+        F.sum("n_a").cast("double").alias("ta"),
+        F.sum("n_b").cast("double").alias("tb"),
+    )
+    top = c.orderBy(
+        (F.col("n_a") + F.col("n_b")).desc(), "t"
+    ).limit(50)
+    p_a = F.col("n_a") / F.col("ta")
+    p_b = F.col("n_b") / F.col("tb")
+    m = (p_a + p_b) / 2
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("token"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            p_a.alias("p_a"),
+            p_b.alias("p_b"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                0.5 * p_a * F.log(p_a / m) + 0.5 * p_b * F.log(p_b / m),
+            ).alias("js_term"),
+        )
+        .orderBy((F.col("n_a") + F.col("n_b")).desc(), "token")
+    )

@@ -45,6 +45,48 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_size_histogram",
+    oracle=(
+        "WITH g AS (SELECT md5(array_to_string("
+        "(regexp_split_to_array(trim(text), '\\s+'))[1:8], ' ')) AS fp, "
+        "CAST(count(*) AS BIGINT) AS sz "
+        "FROM documents GROUP BY 1) "
+        "SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, "
+        "CAST(sz * count(*) AS BIGINT) AS n_docs "
+        "FROM g GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-cluster size distribution — the audit a pipeline owner
+    reads before choosing a dedup policy: cluster documents by the
+    fingerprint of their first 8 tokens (shared openings = boilerplate
+    templates, mirrors, paginated series — the coarse signal crawl
+    triage uses; full-content md5 is vacuous on this corpus, which has
+    zero exact copies at every SF) and report how many clusters exist
+    at each size and how many documents they hold (size-1 rows =
+    unique openings; the tail is the boilerplate mass). Two
+    key-bounded exchanges: the prefix-fingerprint aggregate (one row
+    per distinct opening survives map-side combine) and a
+    |distinct sizes|-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(T.tokens("text"), 1, 8)))
+    g = docs.groupBy(fp.alias("fp")).agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        g.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
     "dedup_latest_per_user",
     oracle=(
         "SELECT user_id, event_id FROM ("
