@@ -1411,3 +1411,84 @@ def vocab_js_divergence_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy((F.col("n_a") + F.col("n_b")).desc(), "token")
     )
+
+
+@register(
+    "quality_quantile_normalize_by_source",
+    oracle=(
+        "WITH s AS (SELECT doc_id, source, "
+        "CAST((" + T.quality_clf_logit_sql("text") + ") * 1000000 "
+        "AS BIGINT) AS q FROM documents), "
+        "r AS (SELECT source, q, doc_id, "
+        "row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY source) AS cnt FROM s), "
+        "g AS (SELECT source, ((rn - 1) * 10) // cnt AS decile, rn, cnt "
+        "FROM r) "
+        "SELECT source, CAST(decile AS BIGINT) AS decile, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(rn - 1) AS BIGINT) AS sum_rank0, "
+        "CASE WHEN max(cnt) > 1 THEN CAST(SUM(rn - 1) AS DOUBLE) "
+        "/ (count(*) * (max(cnt) - 1)) END AS mean_unit_rank "
+        "FROM g GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("llm", "curation", "stats", "calibration"),
+)
+def quality_quantile_normalize_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source quantile normalization of the quality score — the
+    calibration step before mixing heterogeneous sources: raw
+    classifier scores are not comparable across sources (each has its
+    own scale drift), so each document is mapped to its unit-interval
+    rank WITHIN its source ((rn-1)/(cnt-1), ties broken by doc_id)
+    and downstream mixing/selection operates on calibrated quantiles.
+    Emitted as the per-(source, decile) audit table: doc counts, the
+    exact integer rank sum, and the mean unit rank (one IEEE division
+    over exact integers — no order-sensitive double sums).
+
+    Scale shape: ONE exchange on the source key serves both window
+    functions (rank and per-source count share the partitioning);
+    decile arithmetic is exact integer DIV on both engines. Sources
+    are bounded-cardinality categorical keys with comparable mass
+    here; for a mega-source that outgrows one partition, rank
+    decomposes like token_budget_selection (per-score-bucket counts +
+    a fold for bucket rank offsets) — documented, not needed at this
+    key distribution."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (T.quality_clf_logit("text") * 1_000_000).cast("long").alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    wc = Window.partitionBy("source")
+    r = docs.select(
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    g = r.select(
+        "source",
+        F.expr("((rn - 1) * 10) DIV cnt").alias("decile"),
+        "rn",
+        "cnt",
+    )
+    return (
+        g.groupBy("source", "decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("rn") - 1).cast("long").alias("sum_rank0"),
+            F.when(
+                F.max("cnt") > 1,
+                F.sum(F.col("rn") - 1).cast("double")
+                / (F.count("*") * (F.max("cnt") - 1)),
+            ).alias("mean_unit_rank"),
+        )
+        .select(
+            "source",
+            F.col("decile").cast("long").alias("decile"),
+            "n_docs",
+            "sum_rank0",
+            "mean_unit_rank",
+        )
+        .orderBy("source", "decile")
+    )

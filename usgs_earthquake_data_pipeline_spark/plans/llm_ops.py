@@ -971,6 +971,54 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_l2_normalize_arrow",
+    oracle=(
+        "WITH n AS (SELECT vec_id, "
+        "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> x * x))) AS norm_before FROM embeddings) "
+        "SELECT vec_id, norm_before, "
+        "CASE WHEN norm_before > 0 THEN 1.0 ELSE 0.0 END AS norm_after "
+        "FROM n ORDER BY vec_id"
+    ),
+    tags=("llm", "similarity", "arrow"),
+)
+def embedding_l2_normalize_arrow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L2 normalization through the Arrow-NATIVE batch path
+    (``mapInArrow`` — zero pandas materialization, numpy over the flat
+    Arrow value buffer; see ``operators.similarity.l2_normalize_arrow``)
+    with the audit both sides can verify exactly: norm_before is the
+    JVM-side sequential fold over the ORIGINAL vector (bit-identical
+    to the oracle's list fold — raw doubles, no rounding), and
+    norm_after re-measures the Arrow-normalized vector JVM-side,
+    rounding to 6 dp so the kernel's ulp-level summation differences
+    collapse onto the oracle's exact 1.0 (0.0 for the zero vector,
+    which passes through unscaled). The driver hash therefore gates
+    the Arrow kernel's OUTPUT, not just its plumbing.
+
+    Scale shape: narrow map end-to-end — one Arrow crossing per batch,
+    partitioning preserved, no exchange before the final sort of the
+    bounded report."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    pre = emb.select(
+        "vec_id",
+        S.l2_norm(F.col("embedding").cast("array<double>")).alias(
+            "norm_before"
+        ),
+        "embedding",
+    )
+    post = S.l2_normalize_arrow(pre, id_col="vec_id", vec_col="embedding")
+    return post.select(
+        "vec_id",
+        "norm_before",
+        F.round(S.l2_norm(F.col("embedding")), 6).alias("norm_after"),
+    ).orderBy("vec_id")
+
+
+@register(
     "embedding_norm_stats",
     oracle=(
         "WITH n AS (SELECT vec_id, label, "
