@@ -1239,7 +1239,10 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     logit (``functions.text.quality_clf_logit``; micro-unit integer,
     ties broken by doc_id) and keep the maximal prefix whose token sum
     fits the budget (here 50% of corpus tokens, so the entry is
-    meaningful at every SF).
+    meaningful at every SF). Complements
+    `mixture_token_budget_waterfill`: that entry ALLOCATES a budget
+    across sources by weight, this one SELECTS documents by quality
+    within one global budget.
 
     The oracle is the obvious single-node spec — one global window
     cumsum over (q DESC, doc_id). That plan is a scale-killer (a

@@ -2520,7 +2520,9 @@ def dp_noisy_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     what an auditable release pipeline wants anyway: re-running the
     release must not leak a fresh noise draw per run (the
     averaging-attack the DP literature warns about) — fixing the
-    draw per (release, key) is the standard mitigation.
+    draw per (release, key) is the standard mitigation. See
+    `dp_discrete_geometric_counts` for the integer (two-sided
+    geometric) mechanism that keeps the release in the count domain.
 
     Scale shape: one map-side-combined count aggregate (output
     bounded by the key domain), noise is per-GROUP codegen arithmetic

@@ -777,7 +777,7 @@ _DP_CASE_SQL = (
 
 
 @register(
-    "dp_noisy_type_counts",
+    "dp_discrete_geometric_counts",
     oracle=(
         "WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n "
         "FROM events GROUP BY 1), "
@@ -788,14 +788,19 @@ _DP_CASE_SQL = (
     ),
     tags=("llm", "privacy", "release"),
 )
-def dp_noisy_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private histogram release: per-event-type counts
-    plus two-sided-geometric noise — the standard integer mechanism
+def dp_discrete_geometric_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release, INTEGER mechanism:
+    per-event-type counts plus two-sided-geometric noise — the standard integer mechanism
     for releasing counts from a sensitive corpus (each user
     contributes to one type bucket, so per-bucket sensitivity 1 and
     the release is eps=0.5 DP up to the documented +-12 tail clamp).
-    Pairs with k_anonymity_audit: that entry finds what is unsafe to
-    release raw, this one is the safe release path.
+    The discrete counterpart to `dp_noisy_counts_by_type` (continuous
+    Laplace, eps=0.1): integer-valued counts get integer-valued noise
+    — no post-hoc rounding step to reason about, the release stays in
+    the count domain, and the utility-optimality result (Ghosh et
+    al.) holds only for this mechanism. Pairs with k_anonymity_audit:
+    that entry finds what is unsafe to release raw, these are the safe
+    release paths.
 
     Determinism: the uniform is md5-derived per bucket key and the
     inverse CDF compares against shared literal thresholds — the
