@@ -24,7 +24,16 @@ _QUERIES = ["q3_top_orders", "q5_region_revenue", "q12_status_priority",
             # round 6: the 50%-hot-key salted join+rollup — with
             # broadcasts off the salted (hk, __salt) join runs as SMJ
             # and must still equal the plain-join oracle path
-            "skew_hot_key_rollup"]
+            "skew_hot_key_rollup",
+            # round 10: every entry whose customer/supplier-scaled
+            # broadcast hint was dropped (r9 verdict item 2) — the
+            # 100 TB shuffle path must reproduce the broadcast path
+            "q7_volume_shipping", "q10_returned_revenue",
+            "q18_large_volume_orders", "q8_market_share"]
+            # (token_budget_selection is deliberately absent: its only
+            # joins are the hinted 1-row verdict broadcasts, so no SMJ
+            # exists to flip to — broadcast-independence is covered by
+            # the oracle differential at adversarial shuffle counts)
 
 
 _THRESHOLD_KEYS = (
