@@ -149,3 +149,47 @@ def test_stream_source_end_to_end(spark, tmp_path):
         assert {"s0", "s1", "s2"} <= got
     finally:
         q.stop()
+
+
+def test_datasource_writer_roundtrip(spark, tmp_path):
+    """df.write.format('usgs_geojson') emits one FeatureCollection per
+    partition plus a _MANIFEST.json; reading the files back recovers
+    every row's id, geometry (lon/lat/depth) and properties."""
+    import json as _json
+
+    spark.dataSource.register(UsgsGeoJsonDataSource)
+    out = tmp_path / "gj"
+    df = spark.createDataFrame(
+        [
+            ("w1", 10.0, 20.0, 5.5, 6.1, "deep quake"),
+            ("w2", -110.25, 35.5, None, 4.2, "no depth"),
+        ],
+        "id string, longitude double, latitude double, depth double, "
+        "mag double, place string",
+    ).repartition(2)
+    df.write.format("usgs_geojson").mode("overwrite").save(str(out))
+
+    manifest = _json.loads((out / "_MANIFEST.json").read_text())
+    assert manifest["n_features"] == 2
+    feats = []
+    for name in manifest["files"]:
+        doc = _json.loads((out / name).read_text())
+        assert doc["type"] == "FeatureCollection"
+        assert doc["metadata"]["count"] == len(doc["features"])
+        feats.extend(doc["features"])
+    by_id = {f["id"]: f for f in feats}
+    assert set(by_id) == {"w1", "w2"}
+    assert by_id["w1"]["geometry"]["coordinates"] == [10.0, 20.0, 5.5]
+    assert by_id["w2"]["geometry"]["coordinates"] == [-110.25, 35.5]
+    assert by_id["w1"]["properties"]["place"] == "deep quake"
+    assert by_id["w2"]["properties"]["mag"] == 4.2
+    assert "id" not in by_id["w1"]["properties"]  # hoisted to Feature.id
+
+
+def test_datasource_writer_requires_path(spark):
+    import pytest as _pytest
+
+    spark.dataSource.register(UsgsGeoJsonDataSource)
+    df = spark.createDataFrame([("x",)], "id string")
+    with _pytest.raises(Exception, match="path"):
+        df.write.format("usgs_geojson").mode("append").save()

@@ -42,8 +42,10 @@ from datetime import datetime, timezone
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from ..schema import USGS_EVENTS_SCHEMA
@@ -219,6 +221,90 @@ class UsgsGeoJsonStreamReader(SimpleDataSourceStreamReader):
         return rows
 
 
+class GeoJsonCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_features: int):
+        self.path = path
+        self.n_features = n_features
+
+
+class UsgsGeoJsonWriter(DataSourceWriter):
+    """Batch write half of the Python data-source API: each task
+    serializes its partition as ONE GeoJSON FeatureCollection file
+    (the reference's row→Feature path, P9/K2 — SURVEY §2.3/2.9 — as a
+    first-class sink: ``df.write.format("usgs_geojson")``). Rows with
+    longitude/latitude become Point features (depth as the third
+    coordinate when present); all other fields land in ``properties``
+    with timestamps ISO-formatted. Commit is atomic-ish: tasks write
+    ``part-*.json`` named by partition + task attempt (speculative
+    retries cannot collide), and the driver's commit() records the
+    winning files in ``_MANIFEST.json`` — readers that honor the
+    manifest never see an aborted attempt's output."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path") or ""
+        if not self.path:
+            raise ValueError("usgs_geojson writer requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        out = os.path.join(
+            self.path,
+            f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.json",
+        )
+        os.makedirs(self.path, exist_ok=True)
+        features = []
+        for row in iterator:
+            props = {}
+            lon = lat = depth = None
+            for name, value in row.asDict().items():
+                if name == "longitude":
+                    lon = value
+                elif name == "latitude":
+                    lat = value
+                elif name == "depth":
+                    depth = value
+                elif hasattr(value, "isoformat"):
+                    props[name] = value.isoformat()
+                else:
+                    props[name] = value
+            feature = {"type": "Feature", "properties": props}
+            if lon is not None and lat is not None:
+                coords = [lon, lat] + ([depth] if depth is not None else [])
+                feature["geometry"] = {"type": "Point", "coordinates": coords}
+            fid = props.pop("id", None)
+            if fid is not None:
+                feature["id"] = fid
+            features.append(feature)
+        doc = {
+            "type": "FeatureCollection",
+            "metadata": {"count": len(features)},
+            "features": features,
+        }
+        with open(out, "w") as fh:
+            json.dump(doc, fh)
+        return GeoJsonCommit(out, len(features))
+
+    def commit(self, messages):
+        manifest = {
+            "files": sorted(
+                os.path.basename(m.path) for m in messages if m is not None
+            ),
+            "n_features": sum(
+                m.n_features for m in messages if m is not None
+            ),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):  # pragma: no cover - failure path
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class UsgsGeoJsonDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -232,3 +318,6 @@ class UsgsGeoJsonDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> UsgsGeoJsonStreamReader:
         return UsgsGeoJsonStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> UsgsGeoJsonWriter:
+        return UsgsGeoJsonWriter(self.options, overwrite)
