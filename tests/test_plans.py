@@ -104,7 +104,16 @@ def test_s6_reads_exactly_three_columns(spark, sf_dir):
 
 
 def test_lsh_join_is_hash_not_cartesian(spark, sf_dir):
-    plan = _plan(CATALOG["dedup_minhash_lsh"].spark_fn(spark, sf_dir))
+    # the raw production operator: since round 11 the CATALOG entry
+    # bundles its accuracy-contract verification joins (the exact-pair
+    # anti-join), so plan-shape assertions target the operator itself
+    from usgs_earthquake_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -127,7 +136,17 @@ def test_ivf_corpus_assignment_does_not_shuffle(spark, sf_dir):
     never hash-partitioned on its own id (round-2 review finding); the
     only hash exchange in the whole plan is the final top-k window on
     query_id."""
-    plan = _plan(CATALOG["ann_ivf"].spark_fn(spark, sf_dir))
+    # raw operator (the round-11 CATALOG entry adds verification joins)
+    from pyspark.sql import functions as F
+
+    from usgs_earthquake_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    plan = _plan(ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4))
     assert "hashpartitioning(vec_id" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
 
@@ -316,7 +335,16 @@ def test_pq_adc_corpus_never_hash_partitioned_on_id(spark, sf_dir):
     """PQ encode + ADC scoring are pure projections over the broadcast
     query side: the only hash exchange is the final top-k window on
     query_id."""
-    plan = _plan(CATALOG["ann_pq_adc"].spark_fn(spark, sf_dir))
+    # raw operator (the round-11 CATALOG entry adds verification joins)
+    from pyspark.sql import functions as F
+
+    from usgs_earthquake_data_pipeline_spark.operators import pq as PQ
+    from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    plan = _plan(PQ.pq_adc_topk(emb, queries, books, k=5))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(vec_id" not in plan
 

@@ -14,13 +14,19 @@ Rotation policy (pinned by ``tests/test_driver_window.py``):
    mid-round are automatically "never checked" and therefore slot in
    right after the standing backlog — they get a driver row the same
    round they land instead of silently falling past slot 50.
-2. Then every other oracle-gated entry, stalest first: ascending by the
+2. Then rows-only entries that have NEVER had ANY driver row
+   (``spark_rows`` non-null in some CORRECTNESS file) — a one-time
+   cohort (round-10 verdict item 2): ten rows-only entries had sorted
+   last forever and carried zero driver-side evidence of even running
+   under the harness.  After their first recorded row they drop out of
+   the tuple again (tier 3 below never includes rows-only names).
+3. Then every other oracle-gated entry, stalest first: ascending by the
    last round that recorded a green (rows+schema+hash) row, ties broken
    by registration order.
 
-Rows-only entries are never listed — ``_driver_order`` already sorts
-them last, and a rows-only check must not displace a hash-checked one
-from the window.
+Rows-only entries WITH a recorded driver row are never listed —
+``_driver_order`` already sorts them last, and a rows-only check must
+not displace a hash-checked one from the window.
 
 Usage: ``python tools/gen_driver_window.py [--check]``
 ``--check`` exits non-zero if the committed tuple differs from the
@@ -87,17 +93,41 @@ def last_green_rounds(
     return rounds
 
 
+def ever_ran(
+    repo: str = REPO, only_rounds: set[int] | None = None
+) -> set[str]:
+    """Names with ANY recorded driver row — ``spark_rows`` non-null —
+    regardless of hash outcome (rows-only rows qualify)."""
+    ran: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        if only_rounds is not None and int(m.group(1)) not in only_rounds:
+            continue
+        with open(path) as f:
+            data = json.load(f)
+        for name, v in data.items():
+            if isinstance(v, dict) and v.get("spark_rows") is not None:
+                ran.add(name)
+    return ran
+
+
 def compute_rotation(only_rounds: set[int] | None = None) -> list[str]:
     from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
 
     rounds = last_green_rounds(only_rounds=only_rounds)
+    ran = ever_ran(only_rounds=only_rounds)
     reg = {n: i for i, n in enumerate(CATALOG)}
     gated = [n for n in CATALOG if CATALOG[n].oracle is not None]
     never = [n for n in gated if n not in rounds]
+    rows_only_cohort = [
+        n for n in CATALOG if CATALOG[n].oracle is None and n not in ran
+    ]
     stale = sorted(
         (n for n in gated if n in rounds), key=lambda n: (rounds[n], reg[n])
     )
-    return never + stale
+    return never + rows_only_cohort + stale
 
 
 def rewrite(rotation: list[str], rounds_used: list[int]) -> None:

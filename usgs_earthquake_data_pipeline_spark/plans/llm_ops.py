@@ -227,32 +227,207 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.resolve_dup_clusters(pairs)
 
 
-@register("ann_ivf", tags=("llm", "ann", "approx"))
+def _cosine_topk_oracle(k: int, extra: str) -> str:
+    """Exact cosine top-k SQL for queries vec_id < 10 (the ANN-family
+    truth), with ``extra`` appended as pinned contract columns."""
+    return (
+        f"SELECT query_id, neighbor_id, score, rnk AS rank, {extra} FROM ("
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        "  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "                               CAST(c.embedding AS DOUBLE[])), 6) AS score,"
+        "  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+        "    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "                           CAST(c.embedding AS DOUBLE[])) DESC,"
+        "    c.vec_id) AS INT) AS rnk"
+        "  FROM embeddings q CROSS JOIN embeddings c"
+        "  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t "
+        f"WHERE rnk <= {k} ORDER BY query_id, rank"
+    )
+
+
+def _recall_at_k(approx: DataFrame, exact: DataFrame, floor: float, name: str):
+    """Boolean aggregate: |approx ∩ exact| / |exact| >= floor over
+    (query_id, neighbor_id) pairs — the identity-boolean device's
+    recall leg, computed distributed (one semi-join + one agg)."""
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            hits.withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left_outer",
+        )
+        .agg((F.count("_hit") >= F.lit(floor) * F.count(F.lit(1))).alias(name))
+    )
+
+
+@register(
+    "ann_ivf",
+    oracle=_cosine_topk_oracle(
+        5, "TRUE AS ivf_scores_exact_ok, TRUE AS ivf_recall_ok"
+    ),
+    tags=("llm", "ann", "approx", "checked"),
+)
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-5 (coarse quantizer → probe n_probe
-    lists → exact rank). Rows-only; recall vs brute force asserted in
-    tests."""
+    """IVF approximate top-5 at its PRODUCTION configuration (n_probe=4
+    of 16 lists) under the driver hash gate — the round-10 verdict's
+    recall-gate device: the pruned result itself has no SQL twin, so
+    the entry emits the exact cosine top-5 (SQL truth) plus two
+    booleans the oracle pins TRUE, both computed distributed over the
+    production output:
+
+    - ``ivf_scores_exact_ok`` — every IVF-emitted (query, neighbor,
+      score) appears in the brute-force ALL-PAIRS score set with the
+      identical 6-dp score. Pruning may drop true neighbors but must
+      never invent or mis-score a pair; this must ALWAYS hold (the
+      re-rank inside the probed lists is exact).
+    - ``ivf_recall_ok`` — recall@5 against the exact top-5 >= 0.8.
+      Measured floor: 0.94 / 0.92 / 1.00 at sf0.001/0.01/0.1
+      (tools/measure_recall.py round 11); deterministic per corpus —
+      centroids are the first n_lists vectors by id, no RNG.
+
+    A broken list assignment, probe selection, candidate join, or
+    scorer flips a boolean and the driver row goes red. The exactness
+    configuration (n_probe == n_lists) is gated separately by
+    ann_ivf_fullprobe."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+    ivf = S.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+    # k larger than any corpus bound => per-batch top-k keeps every
+    # pair: the all-pairs exact score universe + the exact top-5
+    brute_all = S.brute_force_topk(
+        emb, queries, k=2_000_000_000
+    ).localCheckpoint()
+    exact5 = brute_all.filter(F.col("rank") <= 5).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+    scores_ok = (
+        ivf.select("query_id", "neighbor_id", "score")
+        .join(
+            brute_all.select("query_id", "neighbor_id", "score"),
+            ["query_id", "neighbor_id", "score"],
+            "left_anti",
+        )
+        .agg((F.count(F.lit(1)) == 0).alias("ivf_scores_exact_ok"))
+    )
+    recall_ok = _recall_at_k(ivf, exact5, 0.8, "ivf_recall_ok")
+    return (
+        exact5.crossJoin(F.broadcast(scores_ok))
+        .crossJoin(F.broadcast(recall_ok))
+        .orderBy("query_id", "rank")
+    )
 
 
-@register("dedup_minhash_lsh", tags=("llm", "dedup", "approx"))
+@register(
+    "dedup_minhash_lsh",
+    oracle=(
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "TRUE AS lsh_precision_ok, TRUE AS lsh_strong_recall_ok "
+        "FROM documents GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "dedup", "approx", "checked"),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (approximate candidate generation,
-    exact Jaccard verify). Rows-only check: LSH recall is validated
-    against the exact ngram_jaccard oracle in tests."""
+    """MinHash-LSH near-dup detection at its production configuration
+    (32 hashes, 8 bands of 4, exact-Jaccard verify) under the driver
+    hash gate. The banded pair set has no SQL twin, so the payload is
+    the per-source doc census and the accuracy contract rides as
+    booleans the oracle pins TRUE, both computed over the PRODUCTION
+    `minhash_lsh_pairs` output:
+
+    - ``lsh_precision_ok`` — every emitted pair really has exact
+      3-gram Jaccard >= 0.3 (anti-join vs the exact inverted-index
+      pairs). Must ALWAYS hold: candidates are verified with exact
+      Jaccard before emission.
+    - ``lsh_strong_recall_ok`` — recall over STRONG pairs (exact
+      Jaccard >= 0.9) >= 0.95. The banding S-curve bounds per-pair
+      miss probability at J=0.9 below 2e-4; measured recall is 1.0 at
+      every SF (tools/measure_recall.py round 11).
+
+    The sibling `dedup_minhash_checked` hashes the exact pair set
+    itself; this entry puts the production entry NAME under a hash
+    gate (round-10 verdict item 1) so the driver history shows the
+    approximation contract holding round over round."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+    lsh = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.3
+    ).select("id_a", "id_b").localCheckpoint()
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    prec = lsh.join(
+        exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("lsh_precision_ok"))
+    strong = exact.filter(F.col("jaccard") >= 0.9).select("id_a", "id_b")
+    rec = (
+        strong.join(
+            lsh.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left_outer"
+        )
+        .agg(
+            (F.count("_hit") >= F.lit(0.95) * F.count(F.lit(1)))
+            .alias("lsh_strong_recall_ok")
+        )
+    )
+    census = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return (
+        census.crossJoin(F.broadcast(prec))
+        .crossJoin(F.broadcast(rec))
+        .orderBy("source")
+    )
 
 
-@register("dedup_simhash", tags=("llm", "dedup", "approx"))
+@register(
+    "dedup_simhash",
+    oracle=(
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "TRUE AS banding_complete FROM documents GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "dedup", "approx", "checked"),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit fingerprint, banded Hamming
-    blocking). Rows-only: the fingerprint itself is deterministic but
-    has no SQL twin."""
+    """SimHash near-dup detection at its production configuration
+    (64-bit fingerprint, 4 disjoint 16-bit bands, max_hamming=3) under
+    the driver hash gate. The fingerprint has no SQL twin, so the
+    payload is the per-source census plus ``banding_complete``, which
+    the oracle pins TRUE: with 4 bands and radius 3, any pair within 3
+    bit flips shares at least one exact band (pigeonhole), so the
+    banded join must equal a brute-force all-pairs Hamming scan —
+    completeness is a THEOREM, and the boolean makes the driver hash
+    depend on the implementation honoring it (symmetric exceptAll
+    difference empty; the brute side is a broadcast nested-loop over
+    the (id, fingerprint) projection, bounded and deliberate — the
+    production path stays banded). Distinct payload from
+    `dedup_simhash_checked` (total count), so the two entries hash
+    different rows."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    banded = D.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3
+    ).select("id_a", "id_b", "hamming")
+    fp = D.simhash_col(
+        docs.select(F.col("doc_id").alias("id"), "text"), "text"
+    ).select("id", "simhash")
+    a = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("fb"))
+    brute = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", D.hamming64(F.col("fa"), F.col("fb")))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+    ok = (
+        banded.exceptAll(brute)
+        .unionAll(brute.exceptAll(banded))
+        .agg((F.count(F.lit(1)) == 0).alias("banding_complete"))
+    )
+    census = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return census.crossJoin(F.broadcast(ok)).orderBy("source")
 
 
 @register(
@@ -377,17 +552,98 @@ def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.crossJoin(F.broadcast(ok))
 
 
-@register("dedup_embedding_cosine", tags=("llm", "dedup", "approx"))
+@register(
+    "dedup_embedding_cosine",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, "
+        "TRUE AS bucket_precision_ok, TRUE AS planted_recall_ok, "
+        "TRUE AS organic_recall_floor_ok "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+        "                             CAST(b.embedding AS DOUBLE[])) >= 0.3"
+    ),
+    tags=("llm", "dedup", "approx", "checked"),
+)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs over LSH buckets (rows-only;
-    the exact cosine math is oracle-checked by ann_brute_force).
+    """Embedding-cosine near-dup over LSH buckets at its production
+    configuration (8 hyperplanes) under the driver hash gate. Payload:
+    the exact all-pairs count at threshold 0.3 (SQL truth) plus three
+    contract booleans over the PRODUCTION bucketed output:
 
-    Threshold note: production near-dup uses ~0.95+; the driver's
-    synthetic random embeddings max out near cosine 0.4, so 0.3 here
-    demonstrates a non-degenerate result set on the test tables.
-    """
+    - ``bucket_precision_ok`` — every emitted pair really has exact
+      cosine >= threshold (anti-join vs the n_planes=0 exact path).
+      Must ALWAYS hold: candidates are scored with the full vectors
+      after the bucket join.
+    - ``planted_recall_ok`` — EVERY planted duplicate is recovered:
+      the corpus unioned with verbatim copies (vec_id + 10^6) must
+      yield all (id, id+10^6) pairs. Identical vectors produce
+      identical signatures, so same-bucket collision — and recovery —
+      is deterministic, the contract LSH dedup actually sells.
+    - ``organic_recall_floor_ok`` — recall over the organic exact
+      pairs >= 0.01. Honest floor, not a brag: at threshold 0.3 with
+      8 planes the collision probability per pair is (1-θ/π)^8 ≈ 1.6%
+      for cosine exactly 0.3 — the driver's near-orthogonal synthetic
+      corpus has only boundary pairs (max cosine ~0.48, no true
+      near-dups), so organic recall is measured 1.6-2.2% across SFs
+      (tools/measure_recall.py round 11). Production thresholds
+      (0.95+) sit where the same S-curve gives high recall — which is
+      what ``planted_recall_ok`` certifies.
+
+    Threshold note: production near-dup uses ~0.95+; 0.3 here keeps a
+    non-degenerate result set on the synthetic tables."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(emb, threshold=0.3)
+    lsh_pairs = S.embedding_near_dup_pairs(
+        emb, threshold=0.3
+    ).localCheckpoint()
+    exact_pairs = S.embedding_near_dup_pairs(
+        emb, threshold=0.3, n_planes=0
+    ).localCheckpoint()
+    prec = lsh_pairs.select("id_a", "id_b").join(
+        exact_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("bucket_precision_ok"))
+    floor = (
+        exact_pairs.select("id_a", "id_b")
+        .join(
+            lsh_pairs.select("id_a", "id_b").withColumn("_hit", F.lit(1)),
+            ["id_a", "id_b"],
+            "left_outer",
+        )
+        .agg(
+            (F.count("_hit") >= F.lit(0.01) * F.count(F.lit(1)))
+            .alias("organic_recall_floor_ok")
+        )
+    )
+    offset = 1_000_000
+    planted = emb.select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+    )
+    aug_pairs = S.embedding_near_dup_pairs(
+        emb.select("vec_id", "embedding").unionByName(planted),
+        threshold=0.3,
+    )
+    # zero-norm vectors cosine to 0.0 by convention, so their planted
+    # copy legitimately never pairs — exclude them from the expectation
+    expected = emb.filter(
+        S.l2_norm(F.col("embedding").cast("array<double>")) > 0
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + offset).alias("id_b"),
+    )
+    planted_ok = expected.join(
+        aug_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("planted_recall_ok"))
+    n = exact_pairs.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    return (
+        n.crossJoin(F.broadcast(prec))
+        .crossJoin(F.broadcast(planted_ok))
+        .crossJoin(F.broadcast(floor))
+        .select(
+            "n_exact_pairs",
+            "bucket_precision_ok",
+            "planted_recall_ok",
+            "organic_recall_floor_ok",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -456,14 +712,61 @@ def ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@register("ann_lsh_bucketed", tags=("llm", "ann", "approx"))
+@register(
+    "ann_lsh_bucketed",
+    oracle=_cosine_topk_oracle(
+        5, "TRUE AS lsh_scores_exact_ok, TRUE AS lsh_recall_floor_ok"
+    ),
+    tags=("llm", "ann", "approx", "checked"),
+)
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 (the 100 TB scale path: the
-    full scan becomes a bucket equi-join). Rows-only; recall vs the
-    brute-force oracle is asserted in tests."""
+    """Hyperplane-LSH approximate top-5 at its production
+    configuration (8 planes, single-bit multi-probe — the 100 TB
+    scale path: the full scan becomes a bucket equi-join) under the
+    driver hash gate. Payload: the exact cosine top-5 (SQL truth) plus
+    two booleans the oracle pins TRUE, computed over the PRODUCTION
+    `lsh_topk` output:
+
+    - ``lsh_scores_exact_ok`` — every LSH-emitted (query, neighbor,
+      score) appears in the brute-force ALL-PAIRS score set with the
+      identical 6-dp score: bucketing may prune true neighbors but
+      must never invent or mis-score a candidate (post-bucket scoring
+      uses the full vectors). Must ALWAYS hold.
+    - ``lsh_recall_floor_ok`` — recall@5 vs exact top-5 >= 0.1.
+      Honest floor: on the driver's near-orthogonal random corpus the
+      true top-5 are themselves low-cosine (~0.3-0.4), exactly the
+      regime hyperplane buckets prune hardest — measured 0.20 / 0.16 /
+      0.20 at sf0.001/0.01/0.1 (tools/measure_recall.py round 11,
+      deterministic — hyperplanes are counter-hashed, no RNG).
+      Production embedding spaces are anisotropic with true near
+      neighbors at cosine 0.9+, where the same S-curve concentrates;
+      the machinery's exactness is gated by `ann_lsh_fullprobe`."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.lsh_topk(emb, queries, k=5)
+    lsh = S.lsh_topk(emb, queries, k=5)
+    # k larger than any corpus bound => per-batch top-k keeps every
+    # pair: the all-pairs exact score universe + the exact top-5
+    brute_all = S.brute_force_topk(
+        emb, queries, k=2_000_000_000
+    ).localCheckpoint()
+    exact5 = brute_all.filter(F.col("rank") <= 5).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+    scores_ok = (
+        lsh.select("query_id", "neighbor_id", "score")
+        .join(
+            brute_all.select("query_id", "neighbor_id", "score"),
+            ["query_id", "neighbor_id", "score"],
+            "left_anti",
+        )
+        .agg((F.count(F.lit(1)) == 0).alias("lsh_scores_exact_ok"))
+    )
+    recall_ok = _recall_at_k(lsh, exact5, 0.1, "lsh_recall_floor_ok")
+    return (
+        exact5.crossJoin(F.broadcast(scores_ok))
+        .crossJoin(F.broadcast(recall_ok))
+        .orderBy("query_id", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1087,40 +1390,6 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_pq_adc", tags=("llm", "ann", "approx"))
-def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou et al. 2011): train m=8
-    per-subspace codebooks (one exploded Lloyd pass, codebook-bounded
-    shuffles), encode the corpus to 8 small codes per vector (pure
-    expression — a 32x state compression at serving time), then
-    asymmetric-distance top-5 where each query scores a vector with 8
-    table lookups instead of a 64-wide dot product. Rows-only:
-    PQ distances are approximations with no SQL twin; recall,
-    distortion, and determinism are asserted in tests/test_pq.py
-    (the exact baseline, ann_brute_force, is oracle-checked)."""
-    from ..operators import pq as PQ
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
-    queries = emb.filter(F.col("vec_id") < 10)
-    return PQ.pq_adc_topk(emb, queries, books, k=5)
-
-
-@register("ann_ivf_pq", tags=("llm", "ann", "approx"))
-def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-5 (the FAISS IVFADC serving shape): coarse lists
-    bound the candidate join to ~n_probe/n_lists of the corpus, PQ
-    codes bound per-candidate cost to m lookups over 8 bytes of state.
-    Rows-only; the full-probe == plain-ADC exactness property and
-    planted-cluster recall are asserted in tests/test_pq.py."""
-    from ..operators import pq as PQ
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
-    queries = emb.filter(F.col("vec_id") < 10)
-    return PQ.ivf_pq_topk(emb, queries, books, k=5, n_lists=16, n_probe=4)
-
-
 def _l2_sq(a, b):
     """Squared L2 distance as the sequential JVM fold — the same
     left-to-right association DuckDB's list_distance uses, so the
@@ -1178,6 +1447,99 @@ def _l2_oracle(lo: int, hi: int, k: int) -> str:
         f"  WHERE q.vec_id >= {lo} AND q.vec_id < {hi}"
         f"    AND c.vec_id <> q.vec_id) t "
         f"WHERE rnk <= {k} ORDER BY query_id, rank"
+    )
+
+
+@register(
+    "ann_pq_adc",
+    oracle=_l2_oracle(0, 10, 5).format(extra="TRUE AS adc_recall_ok"),
+    tags=("llm", "ann", "approx", "checked"),
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) at its production
+    configuration under the driver hash gate: train m=8 per-subspace
+    codebooks (one exploded Lloyd pass, codebook-bounded shuffles),
+    encode the corpus to 8 small codes per vector (pure expression — a
+    32x state compression at serving time), then asymmetric-distance
+    top-5 where each query scores a vector with 8 table lookups
+    instead of a 64-wide dot product. PQ distances have no SQL twin,
+    so the payload is the EXACT L2 top-5 (DuckDB list_distance) plus
+    ``adc_recall_ok``, pinned TRUE by the oracle: recall@5 of the
+    production ADC result against the exact top-5 >= 0.1. Honest
+    floor for 1-iteration 16-code codebooks over isotropic random
+    64-d vectors (quantization error swamps the tiny true-neighbor
+    margin): measured 0.22 / 0.32 / 0.20 at sf0.001/0.01/0.1
+    (tools/measure_recall.py round 11; deterministic — codebook
+    training seeds from data order, no RNG). The ADC arithmetic
+    itself is ZERO-tolerance gated by `ann_pq_adc_checked`'s
+    reconstruction identity; this entry adds the round-over-round
+    driver row for the production NAME (round-10 verdict item 1)."""
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    adc = PQ.pq_adc_topk(emb, queries, books, k=5)
+    exact5 = _exact_l2_topk(emb, 0, 10, 5).localCheckpoint()
+    recall_ok = _recall_at_k(adc, exact5, 0.1, "adc_recall_ok")
+    return exact5.crossJoin(F.broadcast(recall_ok)).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "ann_ivf_pq",
+    oracle=_l2_oracle(0, 10, 5).format(
+        extra="TRUE AS ivfpq_scores_consistent_ok, TRUE AS ivfpq_recall_ok"
+    ),
+    tags=("llm", "ann", "approx", "checked"),
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 (the FAISS IVFADC serving shape) at its production
+    configuration (n_probe=4 of 16 lists) under the driver hash gate:
+    coarse lists bound the candidate join to ~n_probe/n_lists of the
+    corpus, PQ codes bound per-candidate cost to m lookups over 8
+    bytes of state. Payload: the exact L2 top-5 plus two pinned
+    booleans over the PRODUCTION output:
+
+    - ``ivfpq_scores_consistent_ok`` — every IVF-PQ-emitted (query,
+      neighbor, est_dist) appears in the plain-ADC ALL-PAIRS estimate
+      set with the identical 6-dp estimate: list pruning must only
+      REMOVE candidates, never change a surviving candidate's ADC
+      distance (same codebooks, same LUT). Must ALWAYS hold.
+    - ``ivfpq_recall_ok`` — recall@5 vs the exact top-5 >= 0.1
+      (measured 0.30 / 0.34 / 0.22 at sf0.001/0.01/0.1,
+      tools/measure_recall.py round 11; the floor reflects 1-iteration
+      codebooks over isotropic random vectors, see `ann_pq_adc`).
+
+    The pruning-is-the-only-approximation property is separately
+    zero-tolerance gated by `ann_ivf_pq_fullprobe`."""
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    ivfpq = PQ.ivf_pq_topk(
+        emb, queries, books, k=5, n_lists=16, n_probe=4
+    ).localCheckpoint()
+    adc_all = PQ.pq_adc_scores(emb, queries, books).select(
+        "query_id", "neighbor_id", F.round("est_dist", 6).alias("est_dist")
+    )
+    scores_ok = (
+        ivfpq.select(
+            "query_id",
+            "neighbor_id",
+            F.round("est_dist", 6).alias("est_dist"),
+        )
+        .join(adc_all, ["query_id", "neighbor_id", "est_dist"], "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("ivfpq_scores_consistent_ok"))
+    )
+    exact5 = _exact_l2_topk(emb, 0, 10, 5).localCheckpoint()
+    recall_ok = _recall_at_k(ivfpq, exact5, 0.1, "ivfpq_recall_ok")
+    return (
+        exact5.crossJoin(F.broadcast(scores_ok))
+        .crossJoin(F.broadcast(recall_ok))
+        .orderBy("query_id", "rank")
     )
 
 
@@ -1314,30 +1676,81 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_stats(audio).orderBy("media_id")
 
 
-@register("dedup_semantic_semdedup", tags=("llm", "dedup", "semantic"))
+@register(
+    "dedup_semantic_semdedup",
+    oracle=(
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) "
+        "  AS n_total, "
+        "CAST(count(*) AS BIGINT) AS n_kept_exact, "
+        "TRUE AS no_false_drops, TRUE AS drop_recall_ok "
+        "FROM embeddings e WHERE NOT EXISTS ("
+        "  SELECT 1 FROM embeddings p "
+        "  WHERE p.vec_id < e.vec_id "
+        "    AND list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),"
+        "                               CAST(e.embedding AS DOUBLE[])) >= 0.3)"
+    ),
+    tags=("llm", "dedup", "semantic", "checked"),
+)
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: cluster-then-compare
-    semantic dedup (operators/similarity.py:semantic_dedup),
-    summarized per cluster as kept/dropped counts. The driver's
-    synthetic embeddings are near-orthogonal (max pairwise cosine
-    0.48, measured), so zero organic drops — the drop logic is proven
-    by planted-duplicate tests (tests/test_llm_operators.py); this
-    entry pins the end-to-end pipeline shape and its determinism.
-    Rows-only: the k-means + cosine composition has no tractable SQL
-    twin (its pieces do — kmeans_refine_centroids and the ANN
-    entries carry those gates)."""
+    """SemDeDup (Abbas et al. 2023) at its PRODUCTION configuration —
+    k=8 clusters, intra-cluster comparisons only, the Arrow grouped-
+    matmul comparator — under the driver hash gate. The k-means +
+    cosine composition has no tractable SQL twin, so the payload is
+    the corpus total and the EXACT keep-min survivor count (the
+    NOT-EXISTS rule DuckDB runs verbatim), with the approximation
+    contract as two pinned booleans over the production output:
+
+    - ``no_false_drops`` — every exact-rule survivor also survives
+      the clustered run. A THEOREM for this algorithm: clustering
+      only removes comparisons, so the clustered drop set is a subset
+      of the global keep-min drop set; a violation means the drop
+      mask, assignment, or comparator regressed.
+    - ``drop_recall_ok`` — the clustered run achieves >= 0.4 of the
+      exact rule's drops (deduplication effectiveness). Measured
+      0.51 / 0.57 / 0.80 at sf0.001/0.01/0.1 (tools/measure_recall.py
+      round 11; deterministic — Lloyd init and assignment are
+      RNG-free). Production dials k up with corpus size; recall
+      stays high because true near-dups co-cluster — the SemDeDup
+      premise.
+
+    Threshold 0.3 (not production's 0.9+) so organic drops exist on
+    the near-orthogonal synthetic corpus — same decision-boundary
+    rationale as `dedup_semdedup_exact`, whose k=1 entry gates the
+    exactness configuration. The exact side runs the bit-stable
+    ``"expr"`` comparator; arrow==expr on these corpora is asserted
+    in tests, so a boundary pair cannot flip the subset theorem
+    between comparators."""
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    survivors = semantic_dedup(
-        emb, "vec_id", "embedding", k=8, dim=64, threshold=0.9
+    prod = semantic_dedup(
+        emb, "vec_id", "embedding", k=8, dim=64, threshold=0.3
+    ).select("vec_id").localCheckpoint()
+    exact = semantic_dedup(
+        emb, "vec_id", "embedding", k=1, dim=64, threshold=0.3,
+        comparator="expr",
+    ).select("vec_id").localCheckpoint()
+    no_false = exact.join(prod, "vec_id", "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("no_false_drops")
     )
-    total = emb.groupBy().agg(F.count("*").alias("n_total"))
+    counts = (
+        emb.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(F.broadcast(prod.agg(F.count(F.lit(1)).alias("n_prod"))))
+        .crossJoin(
+            F.broadcast(exact.agg(F.count(F.lit(1)).alias("n_kept_exact")))
+        )
+    )
     return (
-        survivors.groupBy("list_id")
-        .agg(F.count("*").alias("n_kept"), F.min("vec_id").alias("min_vec_id"))
-        .crossJoin(F.broadcast(total))
-        .orderBy("list_id")
+        counts.crossJoin(F.broadcast(no_false))
+        .select(
+            "n_total",
+            "n_kept_exact",
+            "no_false_drops",
+            (
+                (F.col("n_total") - F.col("n_prod"))
+                >= F.lit(0.4) * (F.col("n_total") - F.col("n_kept_exact"))
+            ).alias("drop_recall_ok"),
+        )
     )
 
 
