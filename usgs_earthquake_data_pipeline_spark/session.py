@@ -26,6 +26,7 @@ implies:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -94,6 +95,27 @@ def _ensure_driver_memory() -> None:
     )
 
 
+# Per-process scratch root for managed tables and streaming
+# checkpoints. Two concurrent runs sharing a cwd-relative
+# ``spark-warehouse/`` corrupted each other's managed tables (round-9's
+# 178-entry mass failure, EXPLAIN.md); a per-process mkdtemp removes the
+# collision outright instead of demanding exclusive runs. One dir per
+# PROCESS (not per session): ``getOrCreate`` reuses the first session
+# anyway, and a stable dir keeps saveAsTable/readTable pairs within a
+# process coherent. Override with ``SPARK_GRAFT_SCRATCH_DIR`` to pin a
+# location (e.g. a fast local disk on a real cluster's driver).
+_SCRATCH_DIR: str | None = None
+
+
+def _scratch_dir() -> str:
+    global _SCRATCH_DIR
+    if _SCRATCH_DIR is None:
+        _SCRATCH_DIR = os.environ.get(
+            "SPARK_GRAFT_SCRATCH_DIR"
+        ) or tempfile.mkdtemp(prefix="usgs-spark-scratch-")
+    return _SCRATCH_DIR
+
+
 def get_spark(
     app_name: str = "usgs_earthquake_data_pipeline_spark",
     master: str | None = None,
@@ -122,6 +144,21 @@ def get_spark(
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.ui.enabled", "false")
+    # Concurrency safety (see _scratch_dir): managed tables and default
+    # streaming checkpoints live in a per-process temp dir, never a
+    # shared cwd-relative path. warehouse.dir is STATIC conf — builder-
+    # time only — so an externally created session (the driver's) keeps
+    # its own; every entry that writes a managed table goes through
+    # get_spark-owned sessions in tests, which is where the collisions
+    # lived.
+    scratch = _scratch_dir()
+    builder = builder.config(
+        "spark.sql.warehouse.dir", os.path.join(scratch, "warehouse")
+    )
+    builder = builder.config(
+        "spark.sql.streaming.checkpointLocation",
+        os.path.join(scratch, "checkpoints"),
+    )
     if DELTA_AVAILABLE:
         # Builder-time only (extensions cannot be injected post-startup):
         # when delta-spark is importable, TABLE_FORMAT flips to "delta"
