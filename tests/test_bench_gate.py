@@ -56,6 +56,18 @@ def test_gate_missing_spread_defaults_to_zero():
     ]
 
 
+def test_gate_survives_popped_spread_dict():
+    """main() pops the whole "spread" key when the line overflows the
+    recorder tail; gate() must still produce a verdict in that degraded
+    path (round-10 advice: was result["spread"] → KeyError)."""
+    prior = _result({"q1": 1.0}, {"q1": 0.05})
+    cur = {"queries": {"q1": 1.05}}  # no "spread" key at all
+    assert gate(cur, prior) == []
+    cur_bad = {"queries": {"q1": 1.25}}
+    fails = gate(cur_bad, prior)
+    assert len(fails) == 1 and fails[0].startswith("q1:")
+
+
 def test_parse_args_strict():
     import pytest
 
@@ -113,6 +125,7 @@ def test_bench_line_fits_driver_tail():
         "runs": 5,
         "aggregation": "median",
         "sf": 0.1,
+        "load": [32.12, 32.12],
     }
     assert len(json.dumps(simulated)) <= 1900, (
         f"{len(names)} headliners overflow the driver tail; trim the "
