@@ -123,12 +123,52 @@ def test_multimodal_decode_invalid_and_empty(spark):
     assert out == {1: "invalid", 2: "invalid"}
 
 
-def test_multimodal_compressed_format_raises(spark):
-    # JPEG (SOI + APP0) still needs PIL — must raise, not guess
-    jpeg = bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 28)
-    df = spark.createDataFrame([(1, jpeg)], "media_id long, content binary")
-    with pytest.raises(Exception, match="NotImplementedError|compressed image"):
+def test_multimodal_unsupported_format_raises(spark):
+    # WebP still needs PIL — must raise, not guess
+    webp = bytearray(b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
+    df = spark.createDataFrame([(1, webp)], "media_id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|image format"):
         M.decode_image_meta(df).collect()
+
+
+def _jpeg_bytes(width: int, height: int, precision: int = 8) -> bytearray:
+    """Hand-built minimal JPEG header stream: SOI, APP0 (JFIF), a
+    COM segment (so the walk must SKIP a non-SOF segment), then SOF0
+    with the frame header. Entropy data / EOI omitted — dimensions
+    must come from the marker walk alone."""
+    import struct as _s
+
+    app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    com = b"\xff\xfe" + _s.pack(">H", 7) + b"hello"
+    sof0 = (
+        b"\xff\xc0"
+        + _s.pack(">H", 11)
+        + _s.pack(">BHH", precision, height, width)
+        + b"\x01\x11\x00"  # 1 component, sampling, quant table
+    )
+    return bytearray(b"\xff\xd8" + app0 + com + sof0)
+
+
+def test_multimodal_jpeg_sof_dimensions(spark):
+    """Round-10 verdict item 6: JPEG width/height/precision from a
+    stdlib SOF marker walk, byte-exact on hand-built streams; progressive
+    (SOF2) parses too; a stream with no SOF before EOI is invalid."""
+    rows = [
+        (1, _jpeg_bytes(640, 480)),
+        (2, _jpeg_bytes(31, 17, precision=12)),
+        # progressive: swap the SOF0 marker for SOF2
+        (3, bytearray(bytes(_jpeg_bytes(100, 50)).replace(b"\xff\xc0", b"\xff\xc2"))),
+        # DHT (0xC4) must NOT be mistaken for an SOF; no SOF -> invalid
+        (4, bytearray(b"\xff\xd8\xff\xc4\x00\x05\x00\x01\x02\xff\xd9")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in M.decode_image_meta(df).collect()}
+    assert (out[1].width, out[1].height, out[1].bit_depth, out[1].format) == (
+        640, 480, 8, "jpeg",
+    )
+    assert (out[2].width, out[2].height, out[2].bit_depth) == (31, 17, 12)
+    assert (out[3].width, out[3].height, out[3].format) == (100, 50, "jpeg")
+    assert out[4].format == "invalid" and out[4].width is None
 
 
 def _png_bytes(width: int, height: int, bit_depth: int) -> bytearray:
@@ -261,7 +301,7 @@ def test_audio_decode_roundtrip_matches_python_encoder(spark):
         sr = 8000 + (mid % 3) * 4000
         v = [(mid * 7 + i * 13) % 256 for i in range(n)]
         r = out[mid]
-        assert (r.sample_rate, r.n_samples) == (sr, n)
+        assert (r.sample_rate, r.n_frames) == (sr, n)
         assert r.duration_ms == n * 1000.0 / sr
         assert r.peak == max(v)
         assert r.rms == round(math.sqrt(sum(x * x for x in v) / n), 6)
@@ -316,14 +356,14 @@ def test_audio_decode_wav_byte_exact(spark):
     df = spark.createDataFrame(rows, "media_id long, content binary")
     out = {r.media_id: r for r in M.decode_audio_stats(df).collect()}
     r1 = out[1]
-    assert (r1.sample_rate, r1.channels, r1.n_samples) == (8000, 1, 4)
+    assert (r1.sample_rate, r1.channels, r1.n_frames) == (8000, 1, 4)
     assert r1.duration_ms == 4 * 1000.0 / 8000
     assert r1.peak == 300
     assert r1.rms == round(
         math.sqrt(sum(x * x for x in mono) / len(mono)), 6
     )
     r2 = out[2]
-    assert (r2.sample_rate, r2.channels, r2.n_samples) == (44100, 2, 3)
+    assert (r2.sample_rate, r2.channels, r2.n_frames) == (44100, 2, 3)
     assert r2.duration_ms == 3 * 1000.0 / 44100
     assert r2.peak == 3000
 

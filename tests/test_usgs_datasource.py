@@ -186,6 +186,65 @@ def test_datasource_writer_roundtrip(spark, tmp_path):
     assert "id" not in by_id["w1"]["properties"]  # hoisted to Feature.id
 
 
+def test_datasource_writer_overwrite_removes_stale_parts(spark, tmp_path):
+    """mode('overwrite') into a non-empty directory must leave ONLY the
+    new files (round-10 advice: stale part-*.json survived, so naive
+    part-file globbers saw mixed old+new data)."""
+    import json as _json
+
+    spark.dataSource.register(UsgsGeoJsonDataSource)
+    out = tmp_path / "gj"
+
+    def write(rows, mode):
+        df = spark.createDataFrame(
+            rows, "id string, longitude double, latitude double, mag double"
+        ).repartition(2)
+        df.write.format("usgs_geojson").mode(mode).save(str(out))
+
+    write([("old1", 1.0, 2.0, 3.0), ("old2", 4.0, 5.0, 6.0)], "overwrite")
+    first_parts = {p.name for p in out.glob("part-*.json")}
+    assert first_parts
+
+    write([("new1", 7.0, 8.0, 9.0)], "overwrite")
+    manifest = _json.loads((out / "_MANIFEST.json").read_text())
+    on_disk = {p.name for p in out.glob("part-*.json")}
+    assert on_disk == set(manifest["files"]), "stale part files survive"
+    ids = {
+        f["id"]
+        for name in on_disk
+        for f in _json.loads((out / name).read_text())["features"]
+    }
+    assert ids == {"new1"}
+    assert manifest["n_features"] == 1
+
+
+def test_datasource_writer_append_merges_manifest(spark, tmp_path):
+    """mode('append') must keep earlier appends visible to
+    manifest-honoring readers: the committed manifest carries the union
+    of prior + new files and the cumulative feature count."""
+    import json as _json
+
+    spark.dataSource.register(UsgsGeoJsonDataSource)
+    out = tmp_path / "gj"
+
+    def write(rows, mode):
+        df = spark.createDataFrame(
+            rows, "id string, longitude double, latitude double, mag double"
+        ).coalesce(1)
+        df.write.format("usgs_geojson").mode(mode).save(str(out))
+
+    write([("a1", 1.0, 2.0, 3.0), ("a2", 4.0, 5.0, 6.0)], "append")
+    write([("b1", 7.0, 8.0, 9.0)], "append")
+    manifest = _json.loads((out / "_MANIFEST.json").read_text())
+    assert manifest["n_features"] == 3
+    ids = {
+        f["id"]
+        for name in manifest["files"]
+        for f in _json.loads((out / name).read_text())["features"]
+    }
+    assert ids == {"a1", "a2", "b1"}
+
+
 def test_datasource_writer_requires_path(spark):
     import pytest as _pytest
 

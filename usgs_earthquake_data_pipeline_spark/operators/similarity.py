@@ -615,19 +615,40 @@ def l2_normalize_arrow(
             offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(
                 np.int64
             )
+            # slice-safe: offsets are PHYSICAL indices into the
+            # unsliced child buffer; rebase to the window they span
+            base, stop = offsets[0], offsets[-1]
             values = lst.values.to_numpy(zero_copy_only=False).astype(
                 np.float64
-            )
-            if len(values):
+            )[base:stop]
+            starts = offsets[:-1] - base
+            ends = offsets[1:] - base
+            norms = np.ones(len(starts))
+            # reduceat only over NON-EMPTY rows: an empty/null row's
+            # start can equal len(values) (trailing empties blew the
+            # old unconditional reduceat out of bounds — round-10
+            # advice), and zero-width rows need no norm anyway. With
+            # empty rows excluded, consecutive selected starts are
+            # exactly each non-empty row's [start, end) — empty rows
+            # in between contribute zero width.
+            nz = ends > starts
+            if nz.any():
                 sq = values * values
-                norms = np.sqrt(np.add.reduceat(sq, offsets[:-1]))
-                norms = np.where(norms == 0.0, 1.0, norms)
-                normalized = values / np.repeat(norms, np.diff(offsets))
-            else:  # empty batch
-                normalized = values
+                norms[nz] = np.sqrt(np.add.reduceat(sq, starts[nz]))
+            norms = np.where(norms == 0.0, 1.0, norms)
+            normalized = (
+                values / np.repeat(norms, ends - starts)
+                if len(values)
+                else values
+            )
+            # re-attach the validity bitmap: from_arrays without a mask
+            # re-emits null rows as empty lists (round-10 advice)
+            mask = lst.is_null() if lst.null_count else None
             out_vec = pa.ListArray.from_arrays(
-                pa.array(offsets, type=pa.int32()),
+                pa.array(starts.tolist() + [int(stop - base)],
+                         type=pa.int32()),
                 pa.array(normalized, type=pa.float64()),
+                mask=mask,
             )
             arrays = [
                 out_vec if i == vec_idx else batch.column(i)

@@ -1650,13 +1650,13 @@ def ann_ivf_pq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # v_i = (doc_id*7 + i*13) % 256, n = doc_id % 32 + 16
         "WITH a AS (SELECT doc_id AS media_id, "
         "CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate, "
-        "CAST(doc_id % 32 + 16 AS INT) AS n_samples, "
+        "CAST(doc_id % 32 + 16 AS INT) AS n_frames, "
         "list_transform(range(0, doc_id % 32 + 16), "
         "i -> CAST((doc_id * 7 + i * 13) % 256 AS DOUBLE)) AS v "
         "FROM documents) "
         "SELECT media_id, sample_rate, CAST(1 AS INT) AS channels, "
-        "n_samples, "
-        "n_samples * 1000.0 / sample_rate AS duration_ms, "
+        "n_frames, "
+        "n_frames * 1000.0 / sample_rate AS duration_ms, "
         "round(sqrt(list_avg(list_transform(v, x -> x * x))), 6) AS rms, "
         "CAST(list_max(v) AS INT) AS peak "
         "FROM a ORDER BY media_id"

@@ -2520,7 +2520,11 @@ def dp_noisy_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     what an auditable release pipeline wants anyway: re-running the
     release must not leak a fresh noise draw per run (the
     averaging-attack the DP literature warns about) — fixing the
-    draw per (release, key) is the standard mitigation. See
+    draw per (release, key) is the standard mitigation. As SHIPPED
+    (unsalted key hash) the noise is a public function of the key, so
+    this demonstrates the mechanism's plan shape, not a privacy
+    guarantee: a real release keys a per-release SECRET salt into the
+    hash, at which point the ε=0.1 bound applies. See
     `dp_discrete_geometric_counts` for the integer (two-sided
     geometric) mechanism that keeps the release in the count domain.
 

@@ -789,25 +789,29 @@ _DP_CASE_SQL = (
     tags=("llm", "privacy", "release"),
 )
 def dp_discrete_geometric_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private histogram release, INTEGER mechanism:
-    per-event-type counts plus two-sided-geometric noise — the standard integer mechanism
-    for releasing counts from a sensitive corpus (each user
-    contributes to one type bucket, so per-bucket sensitivity 1 and
-    the release is eps=0.5 DP up to the documented +-12 tail clamp).
-    The discrete counterpart to `dp_noisy_counts_by_type` (continuous
-    Laplace, eps=0.1): integer-valued counts get integer-valued noise
-    — no post-hoc rounding step to reason about, the release stays in
-    the count domain, and the utility-optimality result (Ghosh et
-    al.) holds only for this mechanism. Pairs with k_anonymity_audit:
-    that entry finds what is unsafe to release raw, these are the safe
-    release paths.
+    """Two-sided discrete-geometric (integer Laplace) noise over
+    per-event-type counts — the MECHANISM behind eps=0.5 DP count
+    release, demonstrated for its plan shape and cross-engine
+    determinism. NOT a DP release as shipped (round-10 advice): the
+    noise here is a deterministic public function of the bucket key
+    (unsalted md5), which provides zero privacy by construction — a
+    real release must key a per-release SECRET salt into the md5 (and
+    keep it secret), at which point the noise distribution is the
+    calibrated geometric and the eps=0.5 guarantee applies (per-bucket
+    sensitivity 1, up to the +-12 tail clamp). The determinism is the
+    point of the ENTRY, not of the mechanism: it is what lets the
+    DuckDB oracle reproduce the identical noise and hash-gate the
+    inverse-CDF sampling, tail clamp, and count-domain arithmetic.
 
-    Determinism: the uniform is md5-derived per bucket key and the
-    inverse CDF compares against shared literal thresholds — the
-    bootstrap/Poisson convention — so both engines add the IDENTICAL
-    noise and the driver hash gates the whole mechanism, not just the
-    counts. Scale shape: one map-side-combined count aggregate; the
-    noise is pure post-aggregation expression work on |types| rows."""
+    The discrete counterpart to `dp_noisy_counts_by_type` (continuous
+    Laplace, eps=0.1, same salt caveat): integer-valued counts get
+    integer-valued noise — no post-hoc rounding step to reason about,
+    the release stays in the count domain, and the utility-optimality
+    result (Ghosh et al.) holds only for this mechanism. Pairs with
+    k_anonymity_audit: that entry finds what is unsafe to release raw.
+
+    Scale shape: one map-side-combined count aggregate; the noise is
+    pure post-aggregation expression work on |types| rows."""
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
     u32 = F.conv(

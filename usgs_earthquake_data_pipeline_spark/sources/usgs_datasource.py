@@ -238,7 +238,16 @@ class UsgsGeoJsonWriter(DataSourceWriter):
     ``part-*.json`` named by partition + task attempt (speculative
     retries cannot collide), and the driver's commit() records the
     winning files in ``_MANIFEST.json`` — readers that honor the
-    manifest never see an aborted attempt's output."""
+    manifest never see an aborted attempt's output.
+
+    Mode semantics (round-10 advice — overwrite previously behaved as
+    append for part-file globbers): ``overwrite`` deletes, AT COMMIT,
+    every pre-existing ``part-*.json`` that is not in the winning set —
+    old data stays intact if the job dies mid-write, and after commit
+    both manifest-honoring readers AND naive globbers see exactly the
+    new data. ``append`` MERGES the prior manifest's file list into the
+    new one (name-keyed, new wins), so manifest readers keep seeing
+    earlier appends instead of silently losing them."""
 
     def __init__(self, options: dict, overwrite: bool):
         self.path = options.get("path") or ""
@@ -288,15 +297,44 @@ class UsgsGeoJsonWriter(DataSourceWriter):
         return GeoJsonCommit(out, len(features))
 
     def commit(self, messages):
-        manifest = {
-            "files": sorted(
-                os.path.basename(m.path) for m in messages if m is not None
-            ),
-            "n_features": sum(
-                m.n_features for m in messages if m is not None
-            ),
+        new_files = {
+            os.path.basename(m.path): m.n_features
+            for m in messages
+            if m is not None
         }
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if (
+                    name.startswith("part-")
+                    and name.endswith(".json")
+                    and name not in new_files
+                ):
+                    os.remove(os.path.join(self.path, name))
+            files = new_files
+        else:
+            # append: carry forward the previously committed file list
+            files = {}
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as fh:
+                    prior = json.load(fh)
+                prior_counts = prior.get("file_counts") or dict.fromkeys(
+                    prior.get("files", []), 0
+                )
+                files.update(
+                    {
+                        n: c
+                        for n, c in prior_counts.items()
+                        if os.path.exists(os.path.join(self.path, n))
+                    }
+                )
+            files.update(new_files)
+        manifest = {
+            "files": sorted(files),
+            "file_counts": files,
+            "n_features": sum(files.values()),
+        }
+        with open(manifest_path, "w") as fh:
             json.dump(manifest, fh)
 
     def abort(self, messages):  # pragma: no cover - failure path
