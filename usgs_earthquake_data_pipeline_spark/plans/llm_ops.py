@@ -323,6 +323,83 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_probe_sweep",
+    oracle=(
+        "SELECT CAST(n_probe AS INT) AS n_probe, "
+        "TRUE AS recall_monotone_ok, TRUE AS fullprobe_recall_one_ok "
+        "FROM (VALUES (1), (2), (4), (8), (16)) t(n_probe) ORDER BY 1"
+    ),
+    tags=("llm", "ann", "approx", "checked"),
+)
+def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/latency dial under the driver hash gate: sweep
+    ``n_probe`` over 1..n_lists and verify the two properties an ANN
+    serving tier actually tunes against, both THEOREMS for this
+    implementation and both emitted as oracle-pinned booleans:
+
+    - ``recall_monotone_ok`` — recall@5 vs the exact top-5 is
+      non-decreasing in n_probe. Probed lists are prefixes of one
+      ranked centroid ordering, so candidate sets are NESTED; scoring
+      is exact, and a true top-5 neighbor admitted at probe p can
+      never be displaced from the top-5 at probe p' > p (at most 4
+      corpus vectors outscore it, by definition of the exact top-5).
+      A violation means the candidate join or re-rank regressed.
+    - ``fullprobe_recall_one_ok`` — recall@5 at n_probe == n_lists is
+      exactly 1.0 (full probe IS brute force, the ann_ivf_fullprobe
+      identity restated as a recall fact).
+
+    Payload rows are the sweep's n_probe values (SQL VALUES); the hit
+    counts feeding the booleans are computed distributed — one
+    semi-join + count per probe setting against a checkpointed exact
+    top-5, folded through an array_sort aggregate for the adjacency
+    check. Complements `ann_ivf` (which pins the single production
+    point n_probe=4): this entry pins the SHAPE of the dial."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact5 = (
+        S.brute_force_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    probes = [1, 2, 4, 8, 16]
+    hits = None
+    for p in probes:
+        h = (
+            S.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=p)
+            .select("query_id", "neighbor_id")
+            .join(exact5, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(p).alias("n_probe"), "hits")
+        )
+        hits = h if hits is None else hits.unionAll(h)
+    n_exact = exact5.agg(F.count(F.lit(1)).alias("n_exact"))
+    arr = F.array_sort(F.collect_list(F.struct("n_probe", "hits")))
+    fold = F.aggregate(
+        arr,
+        F.struct(
+            F.lit(True).alias("ok"), F.lit(-1).cast("long").alias("prev")
+        ),
+        lambda acc, x: F.struct(
+            (acc["ok"] & (x["hits"] >= acc["prev"])).alias("ok"),
+            x["hits"].cast("long").alias("prev"),
+        ),
+    )
+    bools = (
+        hits.crossJoin(F.broadcast(n_exact))
+        .agg(
+            fold["ok"].alias("recall_monotone_ok"),
+            (
+                F.max(
+                    F.when(F.col("n_probe") == 16, F.col("hits"))
+                ) == F.first("n_exact")
+            ).alias("fullprobe_recall_one_ok"),
+        )
+    )
+    payload = hits.select(F.col("n_probe").cast("int").alias("n_probe"))
+    return payload.crossJoin(F.broadcast(bools)).orderBy("n_probe")
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=(
         "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
