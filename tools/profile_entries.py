@@ -35,9 +35,17 @@ a CI-style regression gate. Two subcommands:
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 import time
+
+# importable regardless of the caller's cwd/PYTHONPATH (python puts
+# tools/ on sys.path, not the repo root — same fix gen_driver_window
+# carries)
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 _ROW_RE = re.compile(r"^\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|")
 
