@@ -245,6 +245,51 @@ def test_datasource_writer_append_merges_manifest(spark, tmp_path):
     assert ids == {"a1", "a2", "b1"}
 
 
+def test_datasource_writer_part_names_unique_across_jobs():
+    """Two writer JOBS get distinct per-job tokens embedded in their
+    part names, so a second application whose task lands on the same
+    (partition, attempt) pair can never truncate a committed file
+    (round-11 review: taskAttemptId restarts with each SparkContext)."""
+    from usgs_earthquake_data_pipeline_spark.sources.usgs_datasource import (
+        UsgsGeoJsonWriter,
+    )
+
+    a = UsgsGeoJsonWriter({"path": "/tmp/x"}, overwrite=False)
+    b = UsgsGeoJsonWriter({"path": "/tmp/x"}, overwrite=False)
+    assert a.job_token != b.job_token
+    assert len(a.job_token) == 12
+
+
+def test_datasource_writer_append_recovers_legacy_manifest_counts(
+    spark, tmp_path
+):
+    """Appending onto a pre-file_counts manifest must recover each
+    prior file's feature count from its own metadata instead of
+    zeroing it (round-11 review: n_features undercounted forever)."""
+    import json as _json
+
+    spark.dataSource.register(UsgsGeoJsonDataSource)
+    out = tmp_path / "gj"
+    df = spark.createDataFrame(
+        [("a1", 1.0, 2.0, 3.0), ("a2", 4.0, 5.0, 6.0)],
+        "id string, longitude double, latitude double, mag double",
+    ).coalesce(1)
+    df.write.format("usgs_geojson").mode("append").save(str(out))
+    # rewrite the manifest in the legacy shape (files list only)
+    mpath = out / "_MANIFEST.json"
+    m = _json.loads(mpath.read_text())
+    mpath.write_text(
+        _json.dumps({"files": m["files"], "n_features": m["n_features"]})
+    )
+    df2 = spark.createDataFrame(
+        [("b1", 7.0, 8.0, 9.0)],
+        "id string, longitude double, latitude double, mag double",
+    ).coalesce(1)
+    df2.write.format("usgs_geojson").mode("append").save(str(out))
+    merged = _json.loads(mpath.read_text())
+    assert merged["n_features"] == 3, merged
+
+
 def test_datasource_writer_requires_path(spark):
     import pytest as _pytest
 

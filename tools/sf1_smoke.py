@@ -25,8 +25,15 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> None:
-    small = sys.argv[1] if len(sys.argv) > 2 else "/root/repo/tmp_scale/sf0.1g"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/tmp_scale/sf1"
+    if len(sys.argv) == 3:
+        small, big = sys.argv[1], sys.argv[2]
+    elif len(sys.argv) == 1:
+        small = "/root/repo/tmp_scale/sf0.1g"
+        big = "/root/repo/tmp_scale/sf1"
+    else:
+        # one stray operand would silently measure the DEFAULT dirs —
+        # fail loud instead (round-11 review)
+        raise SystemExit("usage: sf1_smoke.py [SMALL_DIR BIG_DIR]")
 
     from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
     from usgs_earthquake_data_pipeline_spark.session import get_spark

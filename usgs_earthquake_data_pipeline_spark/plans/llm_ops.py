@@ -245,23 +245,100 @@ def _cosine_topk_oracle(k: int, extra: str) -> str:
     )
 
 
-def _recall_at_k(approx: DataFrame, exact: DataFrame, floor: float, name: str):
+def _recall_floor_agg(
+    approx: DataFrame,
+    exact: DataFrame,
+    keys: tuple[str, ...],
+    floor: float,
+    name: str,
+):
     """Boolean aggregate: |approx ∩ exact| / |exact| >= floor over
-    (query_id, neighbor_id) pairs — the identity-boolean device's
-    recall leg, computed distributed (one semi-join + one agg)."""
-    hits = exact.select("query_id", "neighbor_id").join(
-        approx.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
+    ``keys`` — the identity-boolean device's recall leg. ONE
+    left-outer join + one agg (the round-11 review dropped a redundant
+    semi-join stage); both sides are distinct on ``keys`` by the
+    emitting operators' contracts, so the outer join cannot fan out."""
+    marked = approx.select(*keys).withColumn("_hit", F.lit(1))
+    return (
+        exact.select(*keys)
+        .join(marked, list(keys), "left_outer")
+        .agg((F.count("_hit") >= F.lit(floor) * F.count(F.lit(1))).alias(name))
+    )
+
+
+def _cosine_exact_all_pairs(emb: DataFrame) -> DataFrame:
+    """Every (query vec_id < 10, corpus) exact cosine pair, ranked —
+    computed with the JVM sequential-fold `cosine` expression, the
+    SAME doubles the IVF/LSH operators score candidates with AND the
+    same left-to-right association DuckDB's list_cosine_similarity
+    uses. That bit-identity is what makes the `*_scores_exact_ok`
+    booleans THEOREMS rather than corpus-dependent facts: the round-11
+    review flagged that the previous numpy-scored universe
+    (brute_force_topk's pairwise-summed matmul) could round a
+    boundary pair to a different 6th decimal than the operators' fold
+    and flip a pinned-TRUE boolean with no code change. Broadcast
+    nested-loop over the 10-query contract bound; rank ties broken by
+    neighbor_id on the UNROUNDED score, exactly like the SQL oracle."""
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_raw"), F.asc("neighbor_id")
     )
     return (
-        exact.select("query_id", "neighbor_id")
-        .join(
-            hits.withColumn("_hit", F.lit(1)),
-            ["query_id", "neighbor_id"],
-            "left_outer",
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            S.cosine(F.col("qv"), F.col("cv")).alias("score_raw"),
         )
-        .agg((F.count("_hit") >= F.lit(floor) * F.count(F.lit(1))).alias(name))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score_raw", 6).alias("score"),
+            "rank",
+        )
+    )
+
+
+def _ann_cosine_gate(
+    emb: DataFrame,
+    approx: DataFrame,
+    *,
+    floor: float,
+    scores_name: str,
+    recall_name: str,
+) -> DataFrame:
+    """Shared body of the ann_ivf / ann_lsh_bucketed gates (the
+    round-11 review's dedup): exact cosine top-5 payload + the
+    scores-exact theorem + the recall floor, over any approximate
+    (query_id, neighbor_id, score) result."""
+    all_pairs = _cosine_exact_all_pairs(emb).localCheckpoint()
+    exact5 = all_pairs.filter(F.col("rank") <= 5).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+    scores_ok = (
+        approx.select("query_id", "neighbor_id", "score")
+        .join(
+            all_pairs.select("query_id", "neighbor_id", "score"),
+            ["query_id", "neighbor_id", "score"],
+            "left_anti",
+        )
+        .agg((F.count(F.lit(1)) == 0).alias(scores_name))
+    )
+    recall_ok = _recall_floor_agg(
+        approx, exact5, ("query_id", "neighbor_id"), floor, recall_name
+    )
+    return (
+        exact5.crossJoin(F.broadcast(scores_ok))
+        .crossJoin(F.broadcast(recall_ok))
+        .orderBy("query_id", "rank")
     )
 
 
@@ -281,10 +358,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     production output:
 
     - ``ivf_scores_exact_ok`` — every IVF-emitted (query, neighbor,
-      score) appears in the brute-force ALL-PAIRS score set with the
+      score) appears in the exact ALL-PAIRS score set with the
       identical 6-dp score. Pruning may drop true neighbors but must
-      never invent or mis-score a pair; this must ALWAYS hold (the
-      re-rank inside the probed lists is exact).
+      never invent or mis-score a pair; a THEOREM here because the
+      universe is scored with the same JVM fold the operator uses
+      (see _cosine_exact_all_pairs).
     - ``ivf_recall_ok`` — recall@5 against the exact top-5 >= 0.8.
       Measured floor: 0.94 / 0.92 / 1.00 at sf0.001/0.01/0.1
       (tools/measure_recall.py round 11); deterministic per corpus —
@@ -297,28 +375,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     ivf = S.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
-    # k larger than any corpus bound => per-batch top-k keeps every
-    # pair: the all-pairs exact score universe + the exact top-5
-    brute_all = S.brute_force_topk(
-        emb, queries, k=2_000_000_000
-    ).localCheckpoint()
-    exact5 = brute_all.filter(F.col("rank") <= 5).select(
-        "query_id", "neighbor_id", "score", "rank"
-    )
-    scores_ok = (
-        ivf.select("query_id", "neighbor_id", "score")
-        .join(
-            brute_all.select("query_id", "neighbor_id", "score"),
-            ["query_id", "neighbor_id", "score"],
-            "left_anti",
-        )
-        .agg((F.count(F.lit(1)) == 0).alias("ivf_scores_exact_ok"))
-    )
-    recall_ok = _recall_at_k(ivf, exact5, 0.8, "ivf_recall_ok")
-    return (
-        exact5.crossJoin(F.broadcast(scores_ok))
-        .crossJoin(F.broadcast(recall_ok))
-        .orderBy("query_id", "rank")
+    return _ann_cosine_gate(
+        emb,
+        ivf,
+        floor=0.8,
+        scores_name="ivf_scores_exact_ok",
+        recall_name="ivf_recall_ok",
     )
 
 
@@ -437,15 +499,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prec = lsh.join(
         exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     ).agg((F.count(F.lit(1)) == 0).alias("lsh_precision_ok"))
-    strong = exact.filter(F.col("jaccard") >= 0.9).select("id_a", "id_b")
-    rec = (
-        strong.join(
-            lsh.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left_outer"
-        )
-        .agg(
-            (F.count("_hit") >= F.lit(0.95) * F.count(F.lit(1)))
-            .alias("lsh_strong_recall_ok")
-        )
+    strong = exact.filter(F.col("jaccard") >= 0.9)
+    rec = _recall_floor_agg(
+        lsh, strong, ("id_a", "id_b"), 0.95, "lsh_strong_recall_ok"
     )
     census = docs.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs")
@@ -678,17 +734,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     prec = lsh_pairs.select("id_a", "id_b").join(
         exact_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     ).agg((F.count(F.lit(1)) == 0).alias("bucket_precision_ok"))
-    floor = (
-        exact_pairs.select("id_a", "id_b")
-        .join(
-            lsh_pairs.select("id_a", "id_b").withColumn("_hit", F.lit(1)),
-            ["id_a", "id_b"],
-            "left_outer",
-        )
-        .agg(
-            (F.count("_hit") >= F.lit(0.01) * F.count(F.lit(1)))
-            .alias("organic_recall_floor_ok")
-        )
+    floor = _recall_floor_agg(
+        lsh_pairs,
+        exact_pairs,
+        ("id_a", "id_b"),
+        0.01,
+        "organic_recall_floor_ok",
     )
     offset = 1_000_000
     planted = emb.select(
@@ -805,10 +856,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     `lsh_topk` output:
 
     - ``lsh_scores_exact_ok`` — every LSH-emitted (query, neighbor,
-      score) appears in the brute-force ALL-PAIRS score set with the
+      score) appears in the exact ALL-PAIRS score set with the
       identical 6-dp score: bucketing may prune true neighbors but
       must never invent or mis-score a candidate (post-bucket scoring
-      uses the full vectors). Must ALWAYS hold.
+      uses the full vectors). A THEOREM — the universe is scored with
+      the operator's own JVM fold (see _cosine_exact_all_pairs).
     - ``lsh_recall_floor_ok`` — recall@5 vs exact top-5 >= 0.1.
       Honest floor: on the driver's near-orthogonal random corpus the
       true top-5 are themselves low-cosine (~0.3-0.4), exactly the
@@ -821,28 +873,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     lsh = S.lsh_topk(emb, queries, k=5)
-    # k larger than any corpus bound => per-batch top-k keeps every
-    # pair: the all-pairs exact score universe + the exact top-5
-    brute_all = S.brute_force_topk(
-        emb, queries, k=2_000_000_000
-    ).localCheckpoint()
-    exact5 = brute_all.filter(F.col("rank") <= 5).select(
-        "query_id", "neighbor_id", "score", "rank"
-    )
-    scores_ok = (
-        lsh.select("query_id", "neighbor_id", "score")
-        .join(
-            brute_all.select("query_id", "neighbor_id", "score"),
-            ["query_id", "neighbor_id", "score"],
-            "left_anti",
-        )
-        .agg((F.count(F.lit(1)) == 0).alias("lsh_scores_exact_ok"))
-    )
-    recall_ok = _recall_at_k(lsh, exact5, 0.1, "lsh_recall_floor_ok")
-    return (
-        exact5.crossJoin(F.broadcast(scores_ok))
-        .crossJoin(F.broadcast(recall_ok))
-        .orderBy("query_id", "rank")
+    return _ann_cosine_gate(
+        emb,
+        lsh,
+        floor=0.1,
+        scores_name="lsh_scores_exact_ok",
+        recall_name="lsh_recall_floor_ok",
     )
 
 
@@ -1558,7 +1594,9 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     adc = PQ.pq_adc_topk(emb, queries, books, k=5)
     exact5 = _exact_l2_topk(emb, 0, 10, 5).localCheckpoint()
-    recall_ok = _recall_at_k(adc, exact5, 0.1, "adc_recall_ok")
+    recall_ok = _recall_floor_agg(
+        adc, exact5, ("query_id", "neighbor_id"), 0.1, "adc_recall_ok"
+    )
     return exact5.crossJoin(F.broadcast(recall_ok)).orderBy(
         "query_id", "rank"
     )
@@ -1612,7 +1650,9 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count(F.lit(1)) == 0).alias("ivfpq_scores_consistent_ok"))
     )
     exact5 = _exact_l2_topk(emb, 0, 10, 5).localCheckpoint()
-    recall_ok = _recall_at_k(ivfpq, exact5, 0.1, "ivfpq_recall_ok")
+    recall_ok = _recall_floor_agg(
+        ivfpq, exact5, ("query_id", "neighbor_id"), 0.1, "ivfpq_recall_ok"
+    )
     return (
         exact5.crossJoin(F.broadcast(scores_ok))
         .crossJoin(F.broadcast(recall_ok))

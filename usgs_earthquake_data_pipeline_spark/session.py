@@ -110,9 +110,21 @@ _SCRATCH_DIR: str | None = None
 def _scratch_dir() -> str:
     global _SCRATCH_DIR
     if _SCRATCH_DIR is None:
-        _SCRATCH_DIR = os.environ.get(
-            "SPARK_GRAFT_SCRATCH_DIR"
-        ) or tempfile.mkdtemp(prefix="usgs-spark-scratch-")
+        override = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+        if override:
+            _SCRATCH_DIR = override
+        else:
+            _SCRATCH_DIR = tempfile.mkdtemp(prefix="usgs-spark-scratch-")
+            # we created it, we remove it: without this every test /
+            # bench / tool process would leak a dir of managed tables
+            # into the temp root (round-11 review). Interpreter exit
+            # only — a caller-provided dir is never touched.
+            import atexit
+            import shutil
+
+            atexit.register(
+                shutil.rmtree, _SCRATCH_DIR, ignore_errors=True
+            )
     return _SCRATCH_DIR
 
 

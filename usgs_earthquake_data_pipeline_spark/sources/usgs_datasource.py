@@ -254,6 +254,15 @@ class UsgsGeoJsonWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("usgs_geojson writer requires a path")
         self.overwrite = overwrite
+        # per-JOB uniqueness token for part names (round-11 review):
+        # taskAttemptId alone is only unique within one SparkContext,
+        # so a second application appending to the same directory with
+        # a deterministic DAG could reuse (partition, attempt) and
+        # truncate a previously COMMITTED file. Drawn once on the
+        # driver, serialized to every write task.
+        import uuid
+
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -261,7 +270,8 @@ class UsgsGeoJsonWriter(DataSourceWriter):
         ctx = TaskContext.get()
         out = os.path.join(
             self.path,
-            f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.json",
+            f"part-{self.job_token}-{ctx.partitionId():05d}"
+            f"-{ctx.taskAttemptId()}.json",
         )
         os.makedirs(self.path, exist_ok=True)
         features = []
@@ -318,9 +328,22 @@ class UsgsGeoJsonWriter(DataSourceWriter):
             if os.path.exists(manifest_path):
                 with open(manifest_path) as fh:
                     prior = json.load(fh)
-                prior_counts = prior.get("file_counts") or dict.fromkeys(
-                    prior.get("files", []), 0
-                )
+                prior_counts = prior.get("file_counts")
+                if prior_counts is None:
+                    # pre-file_counts manifest: recover each file's
+                    # count from its own metadata rather than zeroing
+                    # it (round-11 review — a zero would undercount
+                    # n_features forever after)
+                    prior_counts = {}
+                    for n in prior.get("files", []):
+                        fp = os.path.join(self.path, n)
+                        if os.path.exists(fp):
+                            with open(fp) as pfh:
+                                prior_counts[n] = (
+                                    json.load(pfh)
+                                    .get("metadata", {})
+                                    .get("count", 0)
+                                )
                 files.update(
                     {
                         n: c
