@@ -434,21 +434,33 @@ def semantic_dedup(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    cents = kmeans_lloyd(
-        df,
-        id_col=id_col,
-        vec_col=vec_col,
-        k=k,
-        iterations=iterations,
-        dim=dim,
-        exact=exact,
-    ).select("list_id", F.col("centroid").alias("c"))
-    cent_arr = F.broadcast(
-        cents.agg(F.collect_list(F.struct("list_id", "c")).alias("__cents"))
-    )
-    assigned = vecs.crossJoin(cent_arr).select(
-        "id", "v", _nearest_list_id(F.col("v"), exact=exact).alias("list_id")
-    )
+    if k == 1:
+        # single cluster: Lloyd refinement cannot change a k=1
+        # assignment, so skip the iterative job entirely (the exact-
+        # rule configuration the hash-gated entries run — ~2-3 s off
+        # every dedup_semdedup_exact / dedup_semantic_semdedup pass).
+        # Constant 1 matches kmeans_lloyd's 1-based row_number ids.
+        assigned = vecs.withColumn("list_id", F.lit(1).cast("int"))
+    else:
+        cents = kmeans_lloyd(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            iterations=iterations,
+            dim=dim,
+            exact=exact,
+        ).select("list_id", F.col("centroid").alias("c"))
+        cent_arr = F.broadcast(
+            cents.agg(
+                F.collect_list(F.struct("list_id", "c")).alias("__cents")
+            )
+        )
+        assigned = vecs.crossJoin(cent_arr).select(
+            "id",
+            "v",
+            _nearest_list_id(F.col("v"), exact=exact).alias("list_id"),
+        )
     if comparator == "expr":
         # expression-form keep-min: a vector drops iff some LOWER-id
         # same-cluster vector has fold-cosine >= threshold — the
