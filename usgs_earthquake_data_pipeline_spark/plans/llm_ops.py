@@ -182,33 +182,41 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared recursive-CTE transitive closure over the exact 3-gram
+# Jaccard pairs at t=0.3 — the SQL truth for cluster resolution,
+# consumed by dedup_resolve_clusters and dedup_keep_best_in_cluster
+_CLUSTER_CTE = (
+    "WITH RECURSIVE toks AS ("
+    "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+    "  FROM documents), "
+    "sh AS ("
+    "  SELECT doc_id, list_distinct(list_transform("
+    "    generate_series(1, greatest(len(t) - 2, 0)),"
+    "    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams"
+    "  FROM toks), "
+    "sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh WHERE len(grams) > 0), "
+    "posting AS (SELECT doc_id, unnest(grams) AS shingle FROM sh), "
+    "inter AS ("
+    "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+    "  FROM posting a JOIN posting b USING (shingle)"
+    "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS ("
+    "  SELECT id_a, id_b FROM inter "
+    "  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "  UNION SELECT id_b, id_a FROM pairs), "
+    "reach(id, r) AS ("
+    "  SELECT src, src FROM edges "
+    "  UNION SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)"
+)
+
+
 @register(
     "dedup_resolve_clusters",
     oracle=(
-        "WITH RECURSIVE toks AS ("
-        "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
-        "  FROM documents), "
-        "sh AS ("
-        "  SELECT doc_id, list_distinct(list_transform("
-        "    generate_series(1, greatest(len(t) - 2, 0)),"
-        "    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams"
-        "  FROM toks), "
-        "sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh WHERE len(grams) > 0), "
-        "posting AS (SELECT doc_id, unnest(grams) AS shingle FROM sh), "
-        "inter AS ("
-        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
-        "  FROM posting a JOIN posting b USING (shingle)"
-        "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
-        "pairs AS ("
-        "  SELECT id_a, id_b FROM inter "
-        "  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
-        "  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3), "
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
-        "  UNION SELECT id_b, id_a FROM pairs), "
-        "reach(id, r) AS ("
-        "  SELECT src, src FROM edges "
-        "  UNION SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id) "
-        "SELECT id, min(r) AS canonical_id FROM reach GROUP BY id"
+        _CLUSTER_CTE
+        + " SELECT id, min(r) AS canonical_id FROM reach GROUP BY id"
     ),
     tags=("llm", "dedup", "graph"),
 )
@@ -225,6 +233,66 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.3)
     return D.resolve_dup_clusters(pairs)
+
+
+@register(
+    "dedup_keep_best_in_cluster",
+    oracle=(
+        _CLUSTER_CTE
+        + ", clusters AS ("
+        "  SELECT id, min(r) AS canonical_id FROM reach GROUP BY id), "
+        "ranked AS ("
+        "  SELECT c.canonical_id, c.id, d.n_chars, "
+        "  row_number() OVER (PARTITION BY c.canonical_id"
+        "    ORDER BY d.n_chars DESC, c.id) AS rn, "
+        "  count(*) OVER (PARTITION BY c.canonical_id) AS n_members "
+        "  FROM clusters c JOIN documents d ON d.doc_id = c.id) "
+        "SELECT canonical_id, id AS kept_id, "
+        "CAST(n_chars AS BIGINT) AS kept_n_chars, "
+        "CAST(n_members AS BIGINT) AS n_members "
+        "FROM ranked WHERE rn = 1 ORDER BY 1"
+    ),
+    tags=("llm", "dedup", "graph", "curation"),
+)
+def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — what production dedup
+    actually ships: within each resolved near-dup cluster keep the
+    BEST document (here: longest, ties to the lower id), not the
+    arbitrary min-id member. Training-data pipelines keep the most
+    complete variant of a duplicated page (the truncated mirror is the
+    one to drop), so the keep rule is a ranking over the cluster, and
+    this entry gates that ranking end-to-end: prefix-filtered exact
+    Jaccard pairs → iterative min-label connected components → one
+    window over canonical_id choosing the keeper + member count.
+
+    Scale shape: the pair generator is the PPJoin plan, components
+    are diameter-bounded label propagation, and the final selection
+    adds exactly ONE canonical_id-keyed exchange shared by both
+    window functions — never a corpus-wide sort. The quality key is
+    pluggable (any per-doc score column joins in the same way);
+    n_chars is used here because the oracle can re-derive it."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.3)
+    clusters = D.resolve_dup_clusters(pairs)
+    joined = clusters.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("n_chars"), F.asc("id")
+    )
+    wc = Window.partitionBy("canonical_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "canonical_id",
+            F.col("id").alias("kept_id"),
+            F.col("n_chars").cast("long").alias("kept_n_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("canonical_id")
+    )
 
 
 def _cosine_topk_oracle(k: int, extra: str) -> str:
