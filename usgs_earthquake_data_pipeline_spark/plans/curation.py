@@ -1168,3 +1168,110 @@ def conformal_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+def _hll_pair_overlap(ev, type_a: str, type_b: str):
+    """One (type_a, type_b) row of sketch_join_cardinality_checked:
+    exact distinct-key cardinalities + the HLL inclusion-exclusion
+    intersection estimate's error bound as a boolean."""
+    from pyspark.sql import functions as F
+
+    def side(t, suffix):
+        return ev.filter(F.col("event_type") == t).agg(
+            F.hll_sketch_agg("user_id").alias(f"sk_{suffix}"),
+            F.countDistinct("user_id").alias(f"exact_{suffix}"),
+        )
+
+    both = side(type_a, "a").crossJoin(F.broadcast(side(type_b, "b")))
+    exact_union = (
+        ev.filter(F.col("event_type").isin(type_a, type_b))
+        .agg(F.countDistinct("user_id").alias("exact_union"))
+    )
+    exact_inter = (
+        ev.filter(F.col("event_type") == type_a)
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == type_b).select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est_inter = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    )
+    return (
+        both.crossJoin(F.broadcast(exact_union))
+        .crossJoin(F.broadcast(exact_inter))
+        .select(
+            F.lit(type_a).alias("type_a"),
+            F.lit(type_b).alias("type_b"),
+            F.col("exact_a").cast("long").alias("exact_a"),
+            F.col("exact_b").cast("long").alias("exact_b"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            (
+                F.abs(est_inter - F.col("exact_inter"))
+                <= F.greatest(
+                    F.lit(10.0), F.col("exact_union") * F.lit(0.05)
+                )
+            ).alias("hll_inter_ok"),
+        )
+    )
+
+
+def _overlap_oracle_row(a: str, b: str) -> str:
+    def d(t):
+        return (
+            "SELECT DISTINCT user_id FROM events "
+            f"WHERE event_type = '{t}'"
+        )
+
+    return (
+        f"SELECT '{a}' AS type_a, '{b}' AS type_b, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ({d(a)})) AS exact_a, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ({d(b)})) AS exact_b, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ({d(a)} INTERSECT {d(b)}))"
+        "  AS exact_inter, "
+        "(SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events "
+        f" WHERE event_type IN ('{a}', '{b}')) AS exact_union, "
+        "TRUE AS hll_inter_ok"
+    )
+
+
+@register(
+    "sketch_join_cardinality_checked",
+    oracle=(
+        _overlap_oracle_row("click", "purchase")
+        + " UNION ALL "
+        + _overlap_oracle_row("error", "signup")
+        + " ORDER BY type_a"
+    ),
+    tags=("sketch", "approx", "join", "checked"),
+)
+def sketch_join_cardinality_checked(spark, sf_dir: str):
+    """Distinct-key JOIN-SIZE estimation from mergeable sketches — the
+    planner question ("how many keys do these two sides share?") that
+    decides broadcast vs shuffle and sizes runtime bloom filters,
+    answered WITHOUT rescanning either side: |A ∩ B| = est(A) +
+    est(B) − est(A ∪ B), where the union sketch is a register-max
+    merge of the two sides' persisted HLLs (the sketch-warehouse
+    pattern `sketch_hll_union_checked` certifies). Payload: the exact
+    cardinalities (DuckDB INTERSECT recomputes them) for two
+    event-type key-set pairs, plus ``hll_inter_ok`` pinned TRUE:
+    inclusion-exclusion error stays within max(10, 5% of the exact
+    UNION size) — the union-relative bound is the honest one, since
+    subtracting three estimates amplifies relative error on a small
+    intersection (the reason planners treat sketch intersections as
+    union-scale bounded, Datasketches' own guidance). lgK is Spark's
+    default 12 (~1.6% per-sketch RSE), so the 5% union bound holds
+    with wide margin on every SF; deterministic — Datasketches HLL is
+    insertion-order independent."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        _hll_pair_overlap(ev, "click", "purchase")
+        .unionByName(_hll_pair_overlap(ev, "error", "signup"))
+        .orderBy("type_a")
+    )
