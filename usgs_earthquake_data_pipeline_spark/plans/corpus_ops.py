@@ -1495,3 +1495,75 @@ def quality_quantile_normalize_by_source(
         )
         .orderBy("source", "decile")
     )
+
+
+@register(
+    "sample_nucleus_by_source",
+    oracle=(
+        "WITH ranked AS ("
+        "  SELECT source, doc_id, n_chars, "
+        "  COALESCE(SUM(n_chars) OVER (PARTITION BY source "
+        "    ORDER BY n_chars DESC, doc_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "    AS mass_before, "
+        "  SUM(n_chars) OVER (PARTITION BY source) AS total_chars "
+        "  FROM documents) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN 5 * mass_before < 4 * total_chars "
+        "  THEN 1 END) AS BIGINT) AS n_kept, "
+        "CAST(SUM(CASE WHEN 5 * mass_before < 4 * total_chars "
+        "  THEN n_chars END) AS BIGINT) AS kept_chars, "
+        "CAST(MAX(total_chars) AS BIGINT) AS total_chars "
+        "FROM ranked GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "curation", "sampling", "mixture"),
+)
+def sample_nucleus_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p ("nucleus") retention per source: keep, within each
+    source, the MINIMAL highest-quality prefix holding >= 80% of the
+    source's quality mass — the mixture-curation move between a count
+    cap (`cap_docs_per_source`, blind to how value concentrates) and a
+    fixed quantile cut (`quality_percentile_by_source`, blind to mass):
+    a source where value concentrates in a few docs keeps few, a flat
+    source keeps most, and every source retains the same SHARE of its
+    mass. Quality here is n_chars so the oracle can re-derive it; any
+    per-doc score column slots into the same two windows.
+
+    Exactness: the cutoff test is pure INTEGER arithmetic —
+    ``5 * mass_before < 4 * total`` instead of
+    ``mass_before < 0.8 * total`` — so a doc landing exactly on the
+    boundary cannot flip between engines on a float ulp (the catalog's
+    rounding-ties rule). Scale shape: ONE source-keyed exchange shared
+    by the running-mass and total-mass windows plus the final rollup;
+    no corpus-wide sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w_run), F.lit(0)).alias(
+            "mass_before"
+        ),
+        F.sum("n_chars").over(w_all).alias("total_chars"),
+    )
+    keep = (F.lit(5) * F.col("mass_before")) < (
+        F.lit(4) * F.col("total_chars")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")))
+            .cast("long")
+            .alias("kept_chars"),
+            F.max("total_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
