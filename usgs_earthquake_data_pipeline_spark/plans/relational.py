@@ -1654,6 +1654,50 @@ def format_roundtrip_xml_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "format_roundtrip_orc",
+    oracle=(
+        "SELECT event_id, event_type, epoch_us(ts) AS ts_us, value "
+        "FROM events WHERE user_id < 5 ORDER BY event_id"
+    ),
+    tags=("orc", "format", "sink"),
+)
+def format_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read round trip (the columnar format family member
+    next to the parquet everything else exercises — ORC ships in
+    Spark core, no extra jar): a typed slice of events is written as
+    ORC into the per-process scratch dir and read back, and the
+    RE-READ columns are the output. The oracle is the plain projection
+    of the original parquet columns, so the hash match proves the
+    bigint/string/timestamp/double round trip is lossless through
+    ORC's writer+reader — the same proof pattern as the XML/CSV and
+    AES entries. Timestamps compare as epoch_us per the catalog
+    convention (ORC stores local-TZ-semantics timestamps; the session
+    is UTC-pinned on both write and read, so microseconds survive
+    exactly)."""
+    import os
+
+    from ..session import _scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    out = os.path.join(
+        _scratch_dir(), f"orc_roundtrip_{os.path.basename(sf_dir)}"
+    )
+    ev.select("event_id", "event_type", "ts", "value").write.mode(
+        "overwrite"
+    ).orc(out)
+    return (
+        spark.read.orc(out)
+        .select(
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "crypto_roundtrip_aes",
     oracle=(
         "SELECT doc_id, substr(text, 1, 24) AS text_head, "
