@@ -669,6 +669,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_estimate_checked",
+    oracle=(
+        # the exact 3-gram Jaccard pairs at t=0.3 (same truth as
+        # dedup_minhash_checked) with a PER-PAIR estimator-accuracy
+        # boolean pinned TRUE
+        "WITH toks AS ("
+        "  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t"
+        "  FROM documents), "
+        "sh AS ("
+        "  SELECT doc_id, list_distinct(list_transform("
+        "    generate_series(1, greatest(len(t) - 2, 0)),"
+        "    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS grams"
+        "  FROM toks), "
+        "sizes AS (SELECT doc_id, len(grams) AS n_sh FROM sh WHERE len(grams) > 0), "
+        "posting AS (SELECT doc_id, unnest(grams) AS shingle FROM sh), "
+        "inter AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+        "  FROM posting a JOIN posting b USING (shingle)"
+        "  WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, "
+        "round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard, "
+        "TRUE AS minhash_estimate_ok "
+        "FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3 "
+        "ORDER BY id_a, id_b"
+    ),
+    tags=("llm", "dedup", "approx", "checked"),
+)
+def dedup_minhash_estimate_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash Jaccard ESTIMATOR under the driver hash gate — a
+    different contract facet from `dedup_minhash_checked` (which gates
+    the banded pair GENERATOR's precision/recall): the fraction of
+    agreeing signature coordinates is itself an unbiased estimate of
+    Jaccard, and it is what production uses to triage candidates
+    before the exact verify. Payload: the exact 3-gram Jaccard pairs
+    at t=0.3; ``minhash_estimate_ok`` is PER PAIR, pinned TRUE by the
+    oracle: |agreement/32 − exact J| <= 0.2 for every true pair.
+    Binomial bound: per-coordinate agreement is Bernoulli(J), so at
+    n=32 the estimator's σ = sqrt(J(1−J)/32) <= 0.088, and the pair
+    population here sits at J >= 0.3 (mostly near 1, where σ shrinks);
+    measured max deviation is 0.080/0.080/0.091 at sf0.001/0.01/0.1
+    (round-11 probe) — deterministic, the signature families are
+    counter-seeded xxhash64, no RNG. One estimator regression —
+    mis-seeded family, broken min-fold, signature truncation — flips
+    some pair's boolean and the driver row goes red."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    sigs = D.hashed_shingle_sets(docs, "doc_id", "text").select(
+        "id", D.minhash_signature(F.col("hs"), 32).alias("sig")
+    )
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return (
+        exact.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (
+                F.abs(agree / F.lit(32.0) - F.col("jaccard")) <= 0.2
+            ).alias("minhash_estimate_ok"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=(
         "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
