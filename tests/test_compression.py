@@ -45,7 +45,11 @@ def test_udf_matches_zlib_reference_exactly(spark):
 
 
 def test_entry_profile_matches_recomputation(spark, sf_dir):
-    rows = CATALOG["text_compression_ratio"].spark_fn(spark, sf_dir).collect()
+    from usgs_earthquake_data_pipeline_spark.plans.llm_ops import (
+        compression_profile,
+    )
+
+    rows = compression_profile(spark, sf_dir).collect()
     docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
     by_src: dict[str, list[float]] = {}
     for r in docs:
@@ -60,16 +64,26 @@ def test_entry_profile_matches_recomputation(spark, sf_dir):
         assert abs(r.avg_ratio - sum(vals) / len(vals)) < 2e-6
     # signal sanity: repetitive text compresses below 1
     assert all(r.avg_ratio < 1.0 for r in rows)
+    # the hash-gated catalog entry: same source domain/doc counts, and
+    # the compressBound theorem boolean holds on every source
+    gated = CATALOG["text_compression_ratio"].spark_fn(spark, sf_dir).collect()
+    assert {(r.source, r.n_docs) for r in gated} == {
+        (s, len(v)) for s, v in by_src.items()
+    }
+    assert all(r.deflate_bound_ok for r in gated), gated
 
 
 def test_ncd_matrix_byte_exact_replay(spark, sf_dir):
     import zlib
 
     from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+    from usgs_earthquake_data_pipeline_spark.plans.llm_ops import (
+        ncd_matrix_full,
+    )
 
     got = {
         (r.src_a, r.src_b): r
-        for r in CATALOG["source_ncd_matrix"].spark_fn(spark, sf_dir).collect()
+        for r in ncd_matrix_full(spark, sf_dir).collect()
     }
     assert got
     # driver-side replay: same blobs (first 20 docs by id), same zlib
@@ -87,10 +101,22 @@ def test_ncd_matrix_byte_exact_replay(spark, sf_dir):
         cab = c(blobs[a] + "\n" + blobs[b])
         assert (r.c_a, r.c_b, r.c_ab) == (ca, cb, cab)
         assert r.ncd == round((cab - min(ca, cb)) / max(ca, cb), 6)
+    # the hash-gated catalog entry: same pair domain, blob lengths
+    # match the replay, and both bound booleans hold on every pair
+    gated = {
+        (r.src_a, r.src_b): r
+        for r in CATALOG["source_ncd_matrix"].spark_fn(spark, sf_dir).collect()
+    }
+    assert gated.keys() == got.keys()
+    for (a, b), r in gated.items():
+        assert (r.blob_len_a, r.blob_len_b) == (len(blobs[a]), len(blobs[b]))
+        assert r.ncd_range_ok and r.c_bounds_ok, r
 
 
 def test_ncd_mirror_source_scores_low(spark, tmp_path):
-    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+    from usgs_earthquake_data_pipeline_spark.plans.llm_ops import (
+        ncd_matrix_full,
+    )
 
     # srcA and its mirror share identical text; srcC is unrelated
     base = "the quick brown fox jumps over the lazy dog " * 10
@@ -107,9 +133,7 @@ def test_ncd_mirror_source_scores_low(spark, tmp_path):
     docs.write.parquet(str(tmp_path / "documents.parquet"))
     got = {
         (r.src_a, r.src_b): r.ncd
-        for r in CATALOG["source_ncd_matrix"]
-        .spark_fn(spark, str(tmp_path))
-        .collect()
+        for r in ncd_matrix_full(spark, str(tmp_path)).collect()
     }
     # mirrors compress together — but zlib NCD never reaches 0 when
     # the blobs are internally redundant (small C(a) inflates the

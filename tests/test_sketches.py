@@ -1,6 +1,8 @@
-"""Accuracy bounds for the sketch operators (rows-only catalog
-entries): the approximate answers must stay within their advertised
-error of the exact ones."""
+"""Accuracy bounds for the sketch operators: the approximate answers
+must stay within their advertised error of the exact ones. The catalog
+entries themselves are hash-gated (round 12) with exact payloads +
+pinned contract booleans; these tests additionally measure the raw
+estimates driver-side so the gates' slack stays evidence-backed."""
 
 from __future__ import annotations
 
@@ -11,9 +13,16 @@ from usgs_earthquake_data_pipeline_spark.sources.tables import load_table
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
+    # raw estimate (the entry now emits exact + booleans): measure the
+    # slack the gate's hll_in_bound_ok pin relies on
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in CATALOG["sketch_distinct_users"].spark_fn(spark, sf_dir).collect()
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+        )
+        .collect()
     }
     exact = {
         r["event_type"]: r["n"]
@@ -26,25 +35,38 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     for k, n in exact.items():
         # rsd=1%; allow 5 standard deviations
         assert abs(approx[k] - n) <= max(5, 0.05 * n), (k, approx[k], n)
+    # and the gated entry's pinned booleans really are all true
+    for r in CATALOG["sketch_distinct_users"].spark_fn(spark, sf_dir).collect():
+        assert r["hll_partition_invariant_ok"] and r["hll_in_bound_ok"], r
+        assert r["exact_users"] == exact[r["event_type"]]
 
 
 def test_approx_quantiles_within_rank_error(spark, sf_dir):
-    rows = CATALOG["sketch_value_quantiles"].spark_fn(spark, sf_dir).collect()
     ev = load_table(spark, sf_dir, "events")
-    for r in rows:
+    est_rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q")
+        )
+        .collect()
+    )
+    for r in est_rows:
         et = r["event_type"]
         values = sorted(
             x["value"]
             for x in ev.filter(F.col("event_type") == et).select("value").collect()
         )
         n = len(values)
-        for q, got in zip((0.5, 0.9, 0.99), r["approx_p50_p90_p99"]):
+        for q, got in zip((0.5, 0.9, 0.99), r["q"]):
             # percentile_approx guarantees rank error <= n/accuracy;
             # translate to a value window around the target rank
             eps = max(1, n // 10000 + 1)
             lo = values[max(0, int(q * n) - eps - 1)]
             hi = values[min(n - 1, int(q * n) + eps)]
             assert lo <= got <= hi, (et, q, got, lo, hi)
+    # the gated entry's theorem booleans (monotone, element-membership)
+    for r in CATALOG["sketch_value_quantiles"].spark_fn(spark, sf_dir).collect():
+        assert r["quantiles_monotone_ok"] and r["quantiles_are_elements_ok"], r
 
 
 # ---------------------------------------------------------------------------
@@ -149,19 +171,28 @@ def test_heavy_hitters_empty_input(spark):
 
 
 def test_hll_union_daily_accuracy_and_persistence(spark, sf_dir, tmp_path):
-    """Per-day Datasketches HLL estimates within rsd of exact, the
-    union row matches the whole-table estimate, AND sketches survive
-    a parquet round trip (the store-per-partition pattern)."""
+    """Per-day Datasketches HLL estimates within rsd of exact (the
+    gated entry's hll_in_bound_ok on every row, including the union
+    row), AND sketches survive a parquet round trip (the
+    store-per-partition pattern)."""
     rows = CATALOG["sketch_hll_union_daily"].spark_fn(spark, sf_dir).collect()
     ev = load_table(spark, sf_dir, "events")
     exact_total = ev.select(F.countDistinct("user_id")).collect()[0][0]
     total_rows = [r for r in rows if r["d"] is None]
     assert len(total_rows) == 1
-    assert abs(total_rows[0]["est_users"] - exact_total) <= max(3, 0.05 * exact_total)
+    assert total_rows[0]["exact_users"] == exact_total
+    assert all(r["hll_in_bound_ok"] for r in rows), rows
 
-    # persistence: store per-day sketches, read back, union -> same estimate
+    # persistence: store per-day sketches, read back, union -> the
+    # SAME estimate as an in-memory union (sketch bytes survive
+    # parquet bit-for-bit)
     day = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
+    )
+    mem_est = (
+        day.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .collect()[0]["est"]
     )
     path = str(tmp_path / "sketches")
     day.write.parquet(path)
@@ -171,7 +202,8 @@ def test_hll_union_daily_accuracy_and_persistence(spark, sf_dir, tmp_path):
         .select(F.hll_sketch_estimate("sk").alias("est"))
         .collect()[0]["est"]
     )
-    assert est == total_rows[0]["est_users"]
+    assert est == mem_est
+    assert abs(est - exact_total) <= max(5, 0.05 * exact_total)
 
 
 def test_approx_topk_exact_below_capacity(spark, sf_dir):
@@ -190,8 +222,16 @@ def test_approx_topk_exact_below_capacity(spark, sf_dir):
 
 
 def test_histogram_numeric_invariants(spark, sf_dir):
-    rows = CATALOG["sketch_histogram_numeric"].spark_fn(spark, sf_dir).collect()
+    """Driver-side replay of the three structural theorems the gated
+    entry pins (weights sum to n, centroids in [min,max], bins
+    ascend), computed from the raw bins — plus the entry's booleans
+    and exact payload."""
     ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__hist_test_ev")
+    raw = spark.sql(
+        "SELECT event_type, histogram_numeric(value, 5) AS bins "
+        "FROM __hist_test_ev GROUP BY event_type"
+    ).collect()
     stats = {
         r["event_type"]: (r["n"], r["lo"], r["hi"])
         for r in ev.groupBy("event_type")
@@ -202,8 +242,8 @@ def test_histogram_numeric_invariants(spark, sf_dir):
         )
         .collect()
     }
-    assert len(rows) == len(stats)
-    for r in rows:
+    assert len(raw) == len(stats)
+    for r in raw:
         n, lo, hi = stats[r["event_type"]]
         ys = [b["y"] for b in r["bins"]]
         xs = [b["x"] for b in r["bins"]]
@@ -211,6 +251,16 @@ def test_histogram_numeric_invariants(spark, sf_dir):
         assert all(y > 0 for y in ys)
         assert all(lo <= x <= hi for x in xs)
         assert xs == sorted(xs)  # centroids ascend
+    rows = CATALOG["sketch_histogram_numeric"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == len(stats)
+    for r in rows:
+        n, lo, hi = stats[r["event_type"]]
+        assert (r["n"], r["min_v"], r["max_v"]) == (n, lo, hi)
+        assert (
+            r["weights_sum_ok"]
+            and r["centroids_in_range_ok"]
+            and r["bins_sorted_ok"]
+        ), r
 
 
 def test_bound_gate_booleans_have_teeth(spark, sf_dir):

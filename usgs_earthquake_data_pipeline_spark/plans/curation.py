@@ -10,9 +10,14 @@ The sketch entries (``sketch_*``) are the approximate, fixed-memory
 scale path for distinct counts and quantiles: HyperLogLog++ and
 KLL/GK-style sketches whose merge is associative, so at 100 TB the
 shuffle carries one small sketch per group instead of the raw values.
-Spark's and DuckDB's sketch implementations differ, so these are
-rows-only catalog entries; their accuracy is bounded against the exact
-answers in ``tests/test_sketches.py``.
+Spark's and DuckDB's sketch implementations differ, so the estimates
+themselves can't be oracle values — instead EVERY sketch entry is
+hash-gated (round 12) with the identity-boolean device: the exact
+statistic is the oracle-checkable payload and the sketch's contract
+(a structural theorem where one exists, a measured bound with stated
+slack otherwise) rides as a boolean the oracle pins to TRUE. The
+measured-bound slacks are additionally exercised in
+``tests/test_sketches.py``.
 """
 
 from __future__ import annotations
@@ -147,36 +152,124 @@ def curation_corpus_pipeline_scored(
     )
 
 
-@register("sketch_distinct_users", tags=("sketch", "approx", "agg"))
+@register(
+    "sketch_distinct_users",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+        "TRUE AS hll_partition_invariant_ok, TRUE AS hll_in_bound_ok "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("sketch", "approx", "agg", "checked"),
+)
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per event type
-    (``approx_count_distinct``, rsd 1%). Fixed-size sketch per group
-    merges associatively across partitions — at 100 TB the exchange
-    carries a few KB per group where exact COUNT(DISTINCT) shuffles
-    every distinct value. Accuracy bounded vs exact in
-    tests/test_sketches.py."""
+    (``approx_count_distinct``, rsd 1%), hash-gated (round 12; was
+    rows-only) with TWO pinned contracts next to the exact count:
+
+    - ``hll_partition_invariant_ok`` — the estimate from the table
+      as-stored equals the estimate after ``repartition(7, user_id)``.
+      HLL merge is register-wise max (commutative, associative,
+      idempotent), so the estimate is a pure function of the VALUE SET
+      — independent of partitioning, ordering, and duplication. This
+      is the property that makes the sketch safe to pre-aggregate per
+      partition at 100 TB, and it is a theorem, not a measured bound.
+    - ``hll_in_bound_ok`` — |estimate − exact| ≤ max(5, 5% · exact)
+      (≈5σ at rsd 1%; same slack tests/test_sketches.py uses).
+
+    The oracle recomputes the exact count and pins both booleans TRUE.
+    Fixed-size sketch per group merges associatively across
+    partitions — at 100 TB the exchange carries a few KB per group
+    where exact COUNT(DISTINCT) shuffles every distinct value."""
     ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_a"),
+    )
+    reparted = (
+        ev.repartition(7, "user_id")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("_b"))
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        base.join(reparted, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.col("_a") == F.col("_b")).alias("hll_partition_invariant_ok"),
+            (
+                F.abs(F.col("_a") - F.col("exact_users"))
+                <= F.greatest(F.lit(5.0), F.col("exact_users") * F.lit(0.05))
+            ).alias("hll_in_bound_ok"),
+        )
         .orderBy("event_type")
     )
 
 
-@register("sketch_value_quantiles", tags=("sketch", "approx", "agg"))
+@register(
+    "sketch_value_quantiles",
+    oracle=(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "TRUE AS quantiles_monotone_ok, TRUE AS quantiles_are_elements_ok "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("sketch", "approx", "agg", "checked"),
+)
 def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantile sketch of event value per type
-    (``percentile_approx``, accuracy 10000). Like the HLL entry, the
-    sketch is mergeable: quantiles of 100 TB without sorting or
-    shuffling raw values. Error bound asserted in
-    tests/test_sketches.py."""
+    (``percentile_approx``, accuracy 10000), hash-gated (round 12;
+    was rows-only — the raw array column also crashed the driver's
+    pandas canonicalizer). Two pinned THEOREM contracts ride next to
+    the exact group count:
+
+    - ``quantiles_monotone_ok`` — p50 ≤ p90 ≤ p99. The sketch answers
+      all three queries from one summary, so monotonicity in the
+      quantile argument is structural.
+    - ``quantiles_are_elements_ok`` — each estimate is an actual
+      element of the group's value set: Spark's ApproximatePercentile
+      (Greenwald–Khanna) stores and returns input samples, never
+      interpolated values, so bit-exact membership is guaranteed.
+
+    (The rank-error contract — the harder, accuracy-side guarantee —
+    is gated separately in ``sketch_quantiles_checked``.) Like the HLL
+    entry, the sketch is mergeable: quantiles of 100 TB without
+    sorting or shuffling raw values. Membership is verified with one
+    broadcast of the |types|×3 estimates back onto the scan."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+    est = (
         ev.groupBy("event_type")
         .agg(
-            F.percentile_approx(
-                "value", [0.5, 0.9, 0.99], 10000
-            ).alias("approx_p50_p90_p99")
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("_q"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.element_at("_q", 1).alias("_p50"),
+            F.element_at("_q", 2).alias("_p90"),
+            F.element_at("_q", 3).alias("_p99"),
+        )
+    )
+    member = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                (F.max(F.when(F.col("value") == F.col("_p50"), 1).otherwise(0)) == 1)
+                & (F.max(F.when(F.col("value") == F.col("_p90"), 1).otherwise(0)) == 1)
+                & (F.max(F.when(F.col("value") == F.col("_p99"), 1).otherwise(0)) == 1)
+            ).alias("quantiles_are_elements_ok")
+        )
+    )
+    return (
+        est.join(member, "event_type")
+        .select(
+            "event_type",
+            "n",
+            (
+                (F.col("_p50") <= F.col("_p90")) & (F.col("_p90") <= F.col("_p99"))
+            ).alias("quantiles_monotone_ok"),
+            "quantiles_are_elements_ok",
         )
         .orderBy("event_type")
     )
@@ -256,26 +349,73 @@ def heavy_hitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_point_freq_cms", tags=("sketch", "approx", "agg"))
+@register(
+    "sketch_point_freq_cms",
+    oracle=(
+        "WITH probes AS (SELECT CAST(range AS BIGINT) AS user_id "
+        "                FROM range(0, 20)), "
+        "c AS (SELECT user_id, COUNT(*) AS n FROM events "
+        "      WHERE user_id BETWEEN 0 AND 19 GROUP BY 1) "
+        "SELECT p.user_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS exact_cnt, "
+        "TRUE AS cms_never_undercounts_ok "
+        "FROM probes p LEFT JOIN c USING (user_id) ORDER BY p.user_id"
+    ),
+    tags=("sketch", "approx", "agg", "checked"),
+)
 def sketch_point_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates for a fixed probe
     set (user_ids 0-19) — the third mergeable sketch next to the HLL
-    and quantile entries. The cell table (5 x 4096) is the ONLY thing
-    the exchange carries; estimates never undercount and the
-    overcount is bounded (asserted vs exact counts in
-    tests/test_sketches.py). Rows-only entry: the estimate depends on
-    xxhash64, which the SQL oracle can't reproduce."""
+    and quantile entries. Hash-gated (round 12; was rows-only —
+    estimates depend on xxhash64, which the SQL oracle can't
+    reproduce, so the exact counts are the payload and the sketch's
+    ONE-SIDED THEOREM is the pinned boolean):
+    ``cms_never_undercounts_ok`` — estimate ≥ exact count, with ZERO
+    slack. Every CMS cell a key hashes to holds that key's count plus
+    non-negative collision mass, so the row-wise minimum can only
+    overcount (Cormode & Muthukrishnan '05). The probabilistic
+    overcount bound (which needs measured slack) is gated separately
+    in ``sketch_cms_freq_checked``. The cell table (5 x 4096) is the
+    ONLY thing the exchange carries at 100 TB."""
     from ..operators.sketches import cms_cells, cms_point_estimates
 
     ev = load_table(spark, sf_dir, "events")
     cells = cms_cells(ev, "user_id", depth=5, width=4096)
     probes = spark.range(0, 20).select(F.col("id").alias("user_id"))
-    return cms_point_estimates(
-        cells, probes, "user_id", depth=5, width=4096
-    ).orderBy("user_id")
+    est = cms_point_estimates(cells, probes, "user_id", depth=5, width=4096)
+    exact = (
+        ev.filter(F.col("user_id").between(0, 19))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "user_id", "left")
+        .fillna(0, subset=["exact_cnt"])
+        .select(
+            "user_id",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias(
+                "cms_never_undercounts_ok"
+            ),
+        )
+        .orderBy("user_id")
+    )
 
 
-@register("sketch_hll_union_daily", tags=("sketch", "approx", "mergeable"))
+@register(
+    "sketch_hll_union_daily",
+    oracle=(
+        "WITH d AS (SELECT CAST(EXTRACT(day FROM ts) AS INT) AS d, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users "
+        "FROM events GROUP BY 1), "
+        "t AS (SELECT CAST(NULL AS INT) AS d, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users "
+        "FROM events) "
+        "SELECT d, exact_users, TRUE AS hll_in_bound_ok "
+        "FROM (SELECT * FROM d UNION ALL SELECT * FROM t) "
+        "ORDER BY d NULLS LAST"
+    ),
+    tags=("sketch", "approx", "mergeable", "checked"),
+)
 def sketch_hll_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasketches HLL as a PERSISTABLE, mergeable aggregate
     (``hll_sketch_agg`` / ``hll_union_agg`` — unlike
@@ -285,19 +425,44 @@ def sketch_hll_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse" pattern — keep one KB-sized sketch per day/partition,
     answer any date-range distinct query by unioning sketches, never
     rescan raw data. Union is register-max: commutative, associative,
-    partitioning-independent. Rows-only entry (the estimate is
-    sketch-defined); accuracy + persistence round-trip in
-    tests/test_sketches.py."""
+    partitioning-independent.
+
+    Hash-gated (round 12; was rows-only): each row carries the EXACT
+    distinct count (per day, and whole-table for the union row) plus
+    ``hll_in_bound_ok`` = |estimate − exact| ≤ max(5, 5% · exact)
+    (the datasketches default lgK=12 gives rsd ≈1.6%, so 5% is ≈3σ;
+    same slack tests/test_sketches.py measures). Crucially the union
+    row's estimate comes FROM THE MERGED SKETCH, not a rescan — so
+    the gate certifies ``hll_union_agg`` itself, where
+    ``sketch_distinct_users`` certifies ``approx_count_distinct``.
+    Persistence round-trip (store per-day sketches in parquet, read
+    back, union) is asserted in tests/test_sketches.py."""
     ev = load_table(spark, sf_dir, "events")
+    bound = lambda est, exact: F.abs(est - exact) <= F.greatest(  # noqa: E731
+        F.lit(5.0), exact * F.lit(0.05)
+    )
     day = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     daily = day.select(
-        "d", F.hll_sketch_estimate("sk").alias("est_users")
+        "d",
+        "exact_users",
+        bound(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "hll_in_bound_ok"
+        ),
     )
-    total = day.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit(None).cast("int").alias("d"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
+    exact_total = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    total = (
+        day.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(exact_total))
+        .select(
+            F.lit(None).cast("int").alias("d"),
+            "exact_users",
+            bound(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+                "hll_in_bound_ok"
+            ),
+        )
     )
     return daily.unionByName(total).orderBy(F.col("d").asc_nulls_last())
 
@@ -423,23 +588,58 @@ def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.unionByName(total).orderBy(F.col("d").asc_nulls_last())
 
 
-@register("sketch_histogram_numeric", tags=("sketch", "approx", "histogram"))
+@register(
+    "sketch_histogram_numeric",
+    oracle=(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "MIN(value) AS min_v, MAX(value) AS max_v, "
+        "TRUE AS weights_sum_ok, TRUE AS centroids_in_range_ok, "
+        "TRUE AS bins_sorted_ok "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("sketch", "approx", "histogram", "checked"),
+)
 def sketch_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``histogram_numeric``: the streaming mergeable equi-height
     histogram sketch (Ben-Haim & Tom-Tov's decision-tree histogram) —
     per event type, 5 (centroid, weight) bins over value. Completes
     the sketch family's distribution summary next to the quantile
-    sketch: fixed-size, mergeable, one pass. Rows-only (bin centroids
-    are sketch-defined); invariants — weights sum to the row count,
-    centroids inside [min, max], weights positive — are asserted in
-    tests/test_sketches.py."""
+    sketch: fixed-size, mergeable, one pass.
+
+    Hash-gated (round 12; was rows-only — bin centroids are sketch-
+    AND-partitioning-defined, and the raw array column also crashed
+    the driver's pandas canonicalizer). The exact group stats (count,
+    min, max) are the payload; three STRUCTURAL THEOREMS of the BHTT
+    histogram ride as pinned booleans, all partitioning-independent
+    even though the centroids themselves are not:
+
+    - ``weights_sum_ok`` — Σ weights == row count (every point
+      contributes weight exactly 1; bin merges sum weights).
+    - ``centroids_in_range_ok`` — every centroid is a weighted mean
+      of input values, so it lies in [min, max]; weights positive.
+    - ``bins_sorted_ok`` — centroids ascend (the sketch keeps bins
+      ordered by x; merges preserve order).
+
+    All three checks are SQL lambda functions over the bins array —
+    no Python, no extra shuffle beyond the one groupBy."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__hist_ev")
     return spark.sql(
-        "SELECT event_type, "
-        "transform(histogram_numeric(value, 5), "
-        "  b -> struct(round(b.x, 6) AS x, CAST(b.y AS DOUBLE) AS y)) AS bins "
-        "FROM __hist_ev GROUP BY event_type ORDER BY event_type"
+        "WITH g AS (SELECT event_type, histogram_numeric(value, 5) AS bins, "
+        "COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v "
+        "FROM __hist_ev GROUP BY event_type) "
+        "SELECT event_type, n, min_v, max_v, "
+        "abs(aggregate(bins, CAST(0.0 AS DOUBLE), "
+        "    (acc, b) -> acc + CAST(b.y AS DOUBLE)) - CAST(n AS DOUBLE)) "
+        "  < 1e-6 AS weights_sum_ok, "
+        "forall(bins, b -> b.x >= min_v AND b.x <= max_v AND b.y > 0) "
+        "  AS centroids_in_range_ok, "
+        "aggregate(bins, "
+        "  named_struct('prev', CAST('-Infinity' AS DOUBLE), 'ok', true), "
+        "  (acc, b) -> named_struct('prev', CAST(b.x AS DOUBLE), "
+        "              'ok', acc.ok AND b.x >= acc.prev), "
+        "  acc -> acc.ok) AS bins_sorted_ok "
+        "FROM g ORDER BY event_type"
     )
 
 

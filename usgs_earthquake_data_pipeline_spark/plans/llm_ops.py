@@ -3045,14 +3045,7 @@ def embedding_pca_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_compression_ratio",
-    # no oracle: DEFLATE is not SQL-expressible in DuckDB; the exact
-    # byte-for-byte differential vs driver-side zlib lives in
-    # tests/test_compression.py
-    tags=("llm", "quality", "pandas-udf"),
-)
-def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def compression_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source compression-ratio profile — deflate(text)/len(text),
     the classic repetitiveness signal a web-corpus pipeline runs next
     to the Gopher rules (template spam compresses far below natural
@@ -3061,7 +3054,13 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10k-row batch), and everything around it — rounding, grouping,
     decimal-exact averaging — is JVM-side.  Scale shape: the UDF
     pipelines with the scan (no shuffle added); the aggregate is one
-    map-side-combined groupBy bounded by the source domain."""
+    map-side-combined groupBy bounded by the source domain.
+
+    This is the rich user-facing profile (ratio values are zlib-
+    defined, so not oracle-hashable); the registered catalog entry
+    ``text_compression_ratio`` gates the same kernel with the
+    identity-boolean device. Byte-for-byte parity of the kernel vs
+    driver-side zlib is pinned in tests/test_compression.py."""
     from ..functions.compress import compression_ratio
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3079,6 +3078,60 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_ratio"),
             F.min("ratio").alias("min_ratio"),
             F.max("ratio").alias("max_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_compression_ratio",
+    oracle=(
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(length(text)) AS BIGINT) AS total_chars, "
+        "TRUE AS deflate_bound_ok "
+        "FROM documents WHERE text IS NOT NULL AND length(text) > 0 "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("llm", "quality", "pandas-udf", "checked"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compression-ratio signal, hash-gated (round 12; was
+    rows-only — deflate is not SQL-expressible in DuckDB, so the
+    exact per-source doc/char counts are the payload and the
+    compressor's PUBLISHED WORST-CASE THEOREM rides as the pinned
+    boolean): ``deflate_bound_ok`` — for every document,
+    0 < deflate_size ≤ raw_bytes + ⌊raw_bytes/1000⌋ + 64, the zlib
+    ``compressBound`` expansion envelope (stored-block framing is
+    5 bytes per 16383-byte block + 2-byte zlib header + 4-byte
+    adler32; 64 is generous slack over the exact +12). A broken UDF,
+    a level change, or a corrupted Arrow crossing that perturbs any
+    compressed size past the envelope flips the per-source AND and
+    fails the row hash. The rich profile (avg/min/max ratio) stays
+    available as ``compression_profile`` above and is byte-exact-
+    replayed in tests/test_compression.py. Same scale shape: the UDF
+    pipelines with the scan; one source-bounded aggregation
+    exchange."""
+    from ..functions.compress import deflate_size
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        "source",
+        F.length("text").alias("_chars"),
+        F.octet_length("text").alias("_raw_b"),
+        deflate_size("text").alias("_comp_b"),
+    )
+    in_bound = (F.col("_comp_b") > 0) & (
+        F.col("_comp_b")
+        <= F.col("_raw_b") + F.floor(F.col("_raw_b") / 1000) + F.lit(64)
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("_chars").cast("long")).alias("total_chars"),
+            F.bool_and(in_bound).alias("deflate_bound_ok"),
         )
         .orderBy("source")
     )
@@ -4282,13 +4335,7 @@ def rag_eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "source_ncd_matrix",
-    # no oracle: DEFLATE is not SQL-expressible in DuckDB; byte-exact
-    # parity vs driver-side zlib is pinned in tests/test_compression.py
-    tags=("llm", "similarity", "pandas-udf", "compression"),
-)
-def source_ncd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ncd_matrix_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized compression distance between corpus sources —
     NCD(a,b) = (C(ab) − min(C(a),C(b))) / max(C(a),C(b)) (Cilibrasi &
     Vitányi): the parameter-free similarity that catches mirrored /
@@ -4309,7 +4356,13 @@ def source_ncd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone would be partition-order-nondeterministic); the pair join
     is source-domain² (190 pairs for 20 sources) on blobs of bounded
     size; three deflate calls per pair cross Python once per Arrow
-    batch."""
+    batch.
+
+    This is the rich user-facing matrix (c_a/c_b/c_ab/ncd are zlib-
+    defined, so not oracle-hashable); the registered catalog entry
+    ``source_ncd_matrix`` gates the same kernel with the identity-
+    boolean device. Byte-exact replay vs driver-side zlib is pinned
+    in tests/test_compression.py."""
     from ..functions.compress import deflate_size
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4360,6 +4413,116 @@ def source_ncd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_b",
         "c_ab",
         F.round(ncd, 6).alias("ncd"),
+    ).orderBy("src_a", "src_b")
+
+
+@register(
+    "source_ncd_matrix",
+    oracle=(
+        "WITH ranked AS (SELECT source, text, row_number() OVER "
+        "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents "
+        "WHERE text IS NOT NULL), "
+        "b AS (SELECT source, "
+        "CAST(SUM(length(text)) + COUNT(*) - 1 AS BIGINT) AS blob_len "
+        "FROM ranked WHERE rn <= 20 GROUP BY source) "
+        "SELECT a.source AS src_a, c.source AS src_b, "
+        "a.blob_len AS blob_len_a, c.blob_len AS blob_len_b, "
+        "TRUE AS ncd_range_ok, TRUE AS c_bounds_ok "
+        "FROM b a JOIN b c ON a.source < c.source ORDER BY 1, 2"
+    ),
+    tags=("llm", "similarity", "pandas-udf", "compression", "checked"),
+)
+def source_ncd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NCD source-similarity matrix, hash-gated (round 12; was
+    rows-only — deflate sizes are zlib-defined). The oracle-checkable
+    payload is the pair domain itself plus each side's exact blob
+    length (char length of the first-20-docs-by-id concatenation —
+    the deterministic construction both engines can replay); the
+    compression arithmetic rides as two pinned booleans:
+
+    - ``ncd_range_ok`` — 0 ≤ NCD ≤ 1.1. Cilibrasi & Vitányi bound
+      NCD by 1 + ε for real compressors; the corpus-measured max here
+      is 0.89 at every SF (sf0.001/0.01/0.1), so 1.1 is a wide-margin
+      corpus-measured envelope, not a theorem.
+    - ``c_bounds_ok`` — max(C(a),C(b)) − 64 ≤ C(ab) ≤ C(a)+C(b)+64
+      (near-monotonicity and near-subadditivity of deflate on
+      concatenation, 64-byte framing slack; corpus-measured with wide
+      margin), AND the zlib compressBound theorem on the pair blob:
+      C(ab) ≤ bytes(ab) + ⌊bytes(ab)/1000⌋ + 64.
+
+    The rich matrix (c_a/c_b/c_ab/ncd values) stays available as
+    ``ncd_matrix_full`` above, byte-exact-replayed in
+    tests/test_compression.py. Same scale shape: one source-bounded
+    aggregate builds the blobs; the pair join is source-domain²
+    (190 pairs for 20 sources) with a broadcast right side."""
+    from ..functions.compress import deflate_size
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    blobs = (
+        docs.groupBy("source")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "text"))).alias(
+                "rows"
+            )
+        )
+        .select(
+            "source",
+            F.concat_ws(
+                "\n",
+                F.transform(F.slice(F.col("rows"), 1, 20), lambda r: r["text"]),
+            ).alias("blob"),
+        )
+        .select(
+            "source",
+            "blob",
+            F.length("blob").cast("long").alias("blob_len"),
+            deflate_size("blob").alias("c"),
+        )
+    )
+    a = blobs.select(
+        F.col("source").alias("src_a"),
+        F.col("blob").alias("blob_a"),
+        F.col("blob_len").alias("blob_len_a"),
+        F.col("c").alias("c_a"),
+    )
+    b = blobs.select(
+        F.col("source").alias("src_b"),
+        F.col("blob").alias("blob_b"),
+        F.col("blob_len").alias("blob_len_b"),
+        F.col("c").alias("c_b"),
+    )
+    pair_blob = F.concat(F.col("blob_a"), F.lit("\n"), F.col("blob_b"))
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b")).select(
+        "src_a",
+        "src_b",
+        "blob_len_a",
+        "blob_len_b",
+        "c_a",
+        "c_b",
+        deflate_size(pair_blob).alias("c_ab"),
+        F.octet_length(pair_blob).cast("long").alias("_ab_bytes"),
+    )
+    ncd = (
+        F.col("c_ab") - F.least(F.col("c_a"), F.col("c_b"))
+    ).cast("double") / F.greatest(F.col("c_a"), F.col("c_b"))
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "blob_len_a",
+        "blob_len_b",
+        ((ncd >= 0.0) & (ncd <= 1.1)).alias("ncd_range_ok"),
+        (
+            (F.col("c_ab") >= F.greatest("c_a", "c_b") - F.lit(64))
+            & (F.col("c_ab") <= F.col("c_a") + F.col("c_b") + F.lit(64))
+            & (
+                F.col("c_ab")
+                <= F.col("_ab_bytes")
+                + F.floor(F.col("_ab_bytes") / 1000)
+                + F.lit(64)
+            )
+        ).alias("c_bounds_ok"),
     ).orderBy("src_a", "src_b")
 
 
