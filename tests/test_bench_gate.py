@@ -131,3 +131,67 @@ def test_bench_line_fits_driver_tail():
         f"{len(names)} headliners overflow the driver tail; trim the "
         "emitted keys or the headline set"
     )
+
+
+def test_gate_retry_settles_one_noisy_sample(monkeypatch):
+    """The one-retry protocol (round 12): inject one 3x timing into the
+    first pass; the retry returns a clean measurement and the gate must
+    pass, with the settled median recorded on the line."""
+    import bench
+
+    prior = _result({"q1": 1.0, "q2": 2.0}, {"q1": 0.05, "q2": 0.05})
+    cur = {
+        "queries": {"q1": 3.0, "q2": 2.02},  # q1 caught a box stall
+        "spread": {"q1": 0.05, "q2": 0.05},
+        "value": 5.02,
+        "load": [0.1, 9.0],  # load rose: the draining-box signature
+    }
+    calls = []
+
+    def fake_run_bench(sf_dir, only=None):
+        calls.append(only)
+        assert only == {"q1"}  # only the flagged query re-measures
+        return {"queries": {"q1": 0.98}, "spread": {"q1": 0.03}}
+
+    monkeypatch.setattr(bench, "run_bench", fake_run_bench)
+    failures = bench.gate_with_retry(cur, prior, "/ignored")
+    assert failures == []
+    assert calls == [{"q1"}]
+    assert cur["queries"]["q1"] == 0.98 and cur["spread"]["q1"] == 0.03
+    assert cur["retried"] == ["q1"]
+    assert cur["value"] == 3.0  # total recomputed from settled medians
+
+
+def test_gate_retry_fails_only_on_second_flag(monkeypatch):
+    """A query that regresses on BOTH passes is a real regression."""
+    import bench
+
+    prior = _result({"q1": 1.0}, {"q1": 0.05})
+    cur = {"queries": {"q1": 3.0}, "spread": {"q1": 0.05}, "value": 3.0}
+
+    monkeypatch.setattr(
+        bench,
+        "run_bench",
+        lambda sf_dir, only=None: {
+            "queries": {"q1": 2.9},
+            "spread": {"q1": 0.04},
+        },
+    )
+    failures = bench.gate_with_retry(cur, prior, "/ignored")
+    assert len(failures) == 1 and failures[0].startswith("q1:")
+    assert cur["retried"] == ["q1"]  # the settled (still-bad) number
+
+
+def test_gate_retry_skipped_when_clean(monkeypatch):
+    """No first-pass flag -> no second bench run at all."""
+    import bench
+
+    prior = _result({"q1": 1.0}, {"q1": 0.05})
+    cur = {"queries": {"q1": 1.05}, "spread": {"q1": 0.05}, "value": 1.05}
+
+    def boom(sf_dir, only=None):
+        raise AssertionError("retry must not run on a clean pass")
+
+    monkeypatch.setattr(bench, "run_bench", boom)
+    assert bench.gate_with_retry(cur, prior, "/ignored") == []
+    assert "retried" not in cur
