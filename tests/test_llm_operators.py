@@ -493,3 +493,111 @@ def test_kmeans_checkpoint_invariant(spark, sf_dir):
     a = kmeans_lloyd(emb, k=4, iterations=12, checkpoint_every=4).collect()
     b = kmeans_lloyd(emb, k=4, iterations=12, checkpoint_every=None).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def _mp4_bytes(
+    timescale: int,
+    duration: int,
+    handlers: list[bytes],
+    version: int = 0,
+    brand: bytes = b"isom",
+) -> bytearray:
+    """Hand-built minimal ISO BMFF file: ftyp(major brand) +
+    moov[mvhd(v0|v1 timescale/duration) + trak(mdia/hdlr)...] — the
+    byte-exact fixture the stdlib box walk must parse."""
+    import struct as _s
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return _s.pack(">I4s", 8 + len(body), btype) + body
+
+    if version == 1:
+        mvhd_body = b"\x01\x00\x00\x00" + b"\x00" * 16 + _s.pack(
+            ">IQ", timescale, duration
+        ) + b"\x00" * 80
+    else:
+        mvhd_body = b"\x00" * 12 + _s.pack(">II", timescale, duration) + (
+            b"\x00" * 80
+        )
+    traks = b"".join(
+        box(
+            b"trak",
+            box(b"mdia", box(b"hdlr", b"\x00" * 8 + h + b"\x00" * 13)),
+        )
+        for h in handlers
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd_body) + traks)
+    ftyp = box(b"ftyp", brand + b"\x00\x00\x00\x00")
+    return bytearray(ftyp + moov)
+
+
+def test_video_decode_mp4_byte_exact(spark):
+    """Hand-built minimal MP4s (mvhd v0 AND v1, 1-3 tracks) decode to
+    exactly the planted metadata via the stdlib box walk."""
+    rows = [
+        (1, _mp4_bytes(1000, 5000, [b"vide"])),
+        (2, _mp4_bytes(90000, 123456, [b"vide", b"soun"], version=1)),
+        (3, _mp4_bytes(600, 60, [b"vide", b"soun", b"text"], brand=b"mp42")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in M.decode_video_meta(df).collect()}
+    r1 = out[1]
+    assert (r1.major_brand, r1.timescale, r1.duration_units) == (
+        "isom", 1000, 5000,
+    )
+    assert r1.duration_ms == 5000.0 and (r1.n_tracks, r1.track_types) == (
+        1, "vide",
+    )
+    r2 = out[2]
+    assert (r2.timescale, r2.duration_units) == (90000, 123456)
+    assert r2.duration_ms == 123456 * 1000.0 / 90000
+    assert (r2.n_tracks, r2.track_types) == (2, "vide,soun")
+    r3 = out[3]
+    assert r3.major_brand == "mp42"
+    assert (r3.n_tracks, r3.track_types) == (3, "vide,soun,text")
+    assert r3.duration_ms == 100.0
+
+
+def test_video_decode_invalid_and_foreign_container(spark):
+    import struct as _s
+
+    # missing mvhd (moov holds only a trak): NULL metadata, no error
+    def box(btype, body):
+        return _s.pack(">I4s", 8 + len(body), btype) + body
+
+    no_mvhd = bytearray(
+        box(b"ftyp", b"isom\x00\x00\x00\x00")
+        + box(b"moov", box(b"trak", b""))
+    )
+    # zero timescale: also NULL (guards the division)
+    zero_ts = _mp4_bytes(0, 100, [b"vide"])
+    rows = [(1, no_mvhd), (2, zero_ts), (3, None), (4, bytearray(b"shrt"))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r.timescale for r in M.decode_video_meta(df).collect()}
+    assert out == {1: None, 2: None, 3: None, 4: None}
+    # a non-ISO-BMFF container (MKV EBML magic) needs libav — must raise
+    mkv = bytearray(b"\x1aE\xdf\xa3" + b"\x00" * 32)
+    df2 = spark.createDataFrame([(5, mkv)], "media_id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|ISO-BMFF"):
+        M.decode_video_meta(df2).collect()
+
+
+def test_video_encoder_decoder_roundtrip_matches_formula(spark):
+    """attach_fake_video -> decode_video_meta reproduces the id
+    formulas exactly (the catalog oracle's contract), and the JVM
+    bytes are a well-formed file the Python fixture builder agrees
+    with structurally (same parse)."""
+    from usgs_earthquake_data_pipeline_spark.functions.multimodal import (
+        _parse_mp4,
+    )
+
+    df = spark.createDataFrame([(i,) for i in (0, 1, 2, 7, 96)], "doc_id long")
+    enc = M.attach_fake_video(df, "doc_id")
+    for r in enc.select("media_id", "content").collect():
+        i = r.media_id
+        parsed = _parse_mp4(bytes(r.content))
+        assert parsed is not None
+        major, ts, dur, tracks = parsed
+        assert major == "isom"
+        assert ts == 1000 * (1 << (i % 3))
+        assert dur == (i % 100 + 1) * 500
+        assert tracks == (["vide", "soun"] if i % 2 else ["vide"])

@@ -7,11 +7,13 @@ partition-preserving batch iteration, UDF signatures, output shapes.
 Codecs: the container formats whose headers need only ``struct`` are
 parsed for real — PNG (signature + IHDR: width/height/bit-depth),
 JPEG (marker-segment walk to the SOFn frame header:
-width/height/precision — dimensions need no entropy decoding), and
-WAV (RIFF chunk walk: fmt/data → channels/sample-rate/duration, PCM16
-waveform stats). Full pixel/sample DECODING of compressed formats
-(JPEG pixels, MP4, MP3, ...) would need real image/audio libraries
-this container doesn't ship, so those paths raise
+width/height/precision — dimensions need no entropy decoding), WAV
+(RIFF chunk walk: fmt/data → channels/sample-rate/duration, PCM16
+waveform stats), and MP4/ISO BMFF (box walk: ftyp brand, moov/mvhd
+timescale+duration, per-trak mdia/hdlr stream types). Full
+pixel/sample/frame DECODING of compressed codecs (JPEG pixels, H.264
+frames, MP3, ...) would need real image/audio libraries this
+container doesn't ship, so those paths raise
 ``NotImplementedError`` at the clearly-marked PIL/libav integration
 points rather than being silently wrong. ``decode_image_meta``
 additionally parses the deterministic fake test container (see
@@ -497,4 +499,236 @@ def decode_audio_stats(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "content").mapInPandas(
         stats, AUDIO_STATS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video: ISO BMFF (MP4) metadata with a stdlib box walk — the same
+# header-only treatment PNG/JPEG/WAV get above. moov/mvhd carries the
+# presentation timescale + duration; each trak's mdia/hdlr names its
+# stream type (vide/soun/...). No libav needed for any of this;
+# DECODING frames would need one and raises at the marked point.
+# ---------------------------------------------------------------------------
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("major_brand", StringType(), True),
+        StructField("timescale", IntegerType(), True),
+        StructField("duration_units", LongType(), True),
+        StructField("duration_ms", DoubleType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("track_types", StringType(), True),
+    ]
+)
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for each ISO BMFF box in
+    ``buf[start:end]``. Handles the 64-bit largesize escape (size==1)
+    and the to-end-of-file escape (size==0); stops at the first
+    malformed box rather than guessing."""
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack(">I4s", buf[pos : pos + 8])
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _parse_mp4(content: bytes):
+    """Header-only MP4/ISO-BMFF parse with stdlib ``struct``: the
+    top-level box walk finds ``ftyp`` (major brand) and ``moov``;
+    inside moov, ``mvhd`` (version 0 or 1) yields (timescale,
+    duration) and each ``trak``'s ``mdia/hdlr`` yields its
+    handler type. Returns ``(major_brand, timescale, duration,
+    [track_types])`` or None when the file is not ISO BMFF / the
+    mandatory mvhd is missing or zero-timescale."""
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        return None
+    major = content[8:12].decode("ascii", "replace")
+    timescale = duration = None
+    tracks: list[str] = []
+    for btype, s, e in _walk_boxes(content, 0, len(content)):
+        if btype != b"moov":
+            continue
+        for t2, s2, e2 in _walk_boxes(content, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                ver = content[s2]
+                if ver == 1 and e2 - s2 >= 32:
+                    # v1: ver/flags 4 + creation 8 + modification 8,
+                    # then timescale u32 + duration u64
+                    timescale, duration = struct.unpack(
+                        ">IQ", content[s2 + 20 : s2 + 32]
+                    )
+                else:
+                    # v0: ver/flags 4 + creation 4 + modification 4,
+                    # then timescale u32 + duration u32
+                    timescale, duration = struct.unpack(
+                        ">II", content[s2 + 12 : s2 + 20]
+                    )
+            elif t2 == b"trak":
+                handler = None
+                for t3, s3, e3 in _walk_boxes(content, s2, e2):
+                    if t3 != b"mdia":
+                        continue
+                    for t4, s4, e4 in _walk_boxes(content, s3, e3):
+                        if t4 == b"hdlr" and e4 - s4 >= 12:
+                            # hdlr body: ver/flags 4 + pre_defined 4 +
+                            # handler_type 4
+                            handler = content[s4 + 8 : s4 + 12].decode(
+                                "ascii", "replace"
+                            )
+                tracks.append(handler or "unkn")
+    if not timescale:  # missing mvhd or zero timescale
+        return None
+    return major, timescale, duration, tracks
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(body), btype) + body
+
+
+def _mp4_hdlr_trak(handler: bytes) -> bytes:
+    """A minimal spec-shaped trak: trak > mdia > hdlr with the given
+    handler type (body: ver/flags + pre_defined + handler_type + 12
+    reserved bytes + empty NUL-terminated name)."""
+    hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12 + b"\x00")
+    return _mp4_box(b"trak", _mp4_box(b"mdia", hdlr))
+
+
+# Constant fragments of the fake MP4 (everything except timescale,
+# duration and the optional second track varies nothing):
+_MP4_FTYP = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0))
+# mvhd v0 body BEFORE timescale: ver/flags + creation + modification
+_MP4_MVHD_PRE = b"\x00" * 12
+# mvhd v0 body AFTER duration: rate(4) volume(2) reserved(10)
+# matrix(36, unity) pre_defined(24) next_track_ID(4)
+_MP4_MVHD_POST = (
+    struct.pack(">I", 0x00010000)  # rate 1.0
+    + struct.pack(">H", 0x0100)  # volume 1.0
+    + b"\x00" * 10
+    + struct.pack(
+        ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )  # unity matrix
+    + b"\x00" * 24
+    + struct.pack(">I", 2)
+)
+_MP4_TRAK_VIDE = _mp4_hdlr_trak(b"vide")
+_MP4_TRAK_SOUN = _mp4_hdlr_trak(b"soun")
+_MP4_MVHD_SIZE = 8 + len(_MP4_MVHD_PRE) + 8 + len(_MP4_MVHD_POST)
+
+
+def attach_fake_video(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL-container MP4 column derived from an id —
+    the video sibling of :func:`attach_fake_media` /
+    :func:`attach_fake_audio`, except the container is spec-shaped
+    ISO BMFF (ftyp + moov[mvhd + trak(mdia/hdlr)...]) that any MP4
+    tool can walk, not a private magic. Only three things vary with
+    the id — timescale 1000·2^(id%3), duration (id%100+1)·500 units,
+    and 1 or 2 tracks (vide, +soun when id is odd) — so an oracle can
+    predict the decoded metadata exactly. Built JVM-side: constant
+    fragments are binary literals, the varying u32s are hex/unhex
+    expressions; the encode half never leaves codegen."""
+    mid = F.col(id_col).cast("long")
+    # 1000 * 2^(id%3): pow is exact for these tiny exponents
+    ts = (F.lit(1000) * F.pow(F.lit(2.0), (mid % 3).cast("double"))).cast(
+        "long"
+    )
+    dur = (mid % 100 + 1) * F.lit(500)
+
+    def u32(c):
+        return F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))
+
+    mvhd = F.concat(
+        F.lit(struct.pack(">I4s", _MP4_MVHD_SIZE, b"mvhd")),
+        F.lit(_MP4_MVHD_PRE),
+        u32(ts),
+        u32(dur),
+        F.lit(_MP4_MVHD_POST),
+    )
+    two_tracks = (mid % 2) == 1
+    moov_body_len = F.lit(_MP4_MVHD_SIZE + len(_MP4_TRAK_VIDE)) + F.when(
+        two_tracks, F.lit(len(_MP4_TRAK_SOUN))
+    ).otherwise(F.lit(0))
+    content = F.concat(
+        F.lit(_MP4_FTYP),
+        u32(moov_body_len + 8),
+        F.lit(b"moov"),
+        mvhd,
+        F.lit(_MP4_TRAK_VIDE),
+        F.when(two_tracks, F.lit(_MP4_TRAK_SOUN)).otherwise(F.lit(b"")),
+    )
+    return (
+        df.withColumn("media_id", mid)
+        .withColumn("content", content.cast("binary"))
+        .withColumn("media_type", F.lit("video"))
+    )
+
+
+def decode_video_meta(df: DataFrame) -> DataFrame:
+    """MP4 metadata via mapInPandas: major brand, mvhd timescale /
+    duration (+ms), track count and handler types (comma-joined in
+    mdia order — scalar, so the output stays driver-hashable). One
+    Python crossing per Arrow batch, narrow map, partitioning
+    preserved — the same discipline as the image/audio decoders.
+    Non-ISO-BMFF video (MKV/AVI/WebM) raises at the marked libav
+    integration point; malformed MP4 (missing mvhd) yields NULL
+    metadata rather than an error, mirroring the image decoder's
+    'invalid' rows."""
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = [
+            "media_id",
+            "major_brand",
+            "timescale",
+            "duration_units",
+            "duration_ms",
+            "n_tracks",
+            "track_types",
+        ]
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) < 12:
+                    out.append((media_id, None, None, None, None, None, None))
+                    continue
+                content = bytes(content)
+                if content[4:8] != b"ftyp":
+                    # REAL-CODEC INTEGRATION POINT (libav/PyAV) for
+                    # non-ISO-BMFF containers (MKV, AVI, WebM, ...);
+                    # MP4/MOV walk above with stdlib struct.
+                    raise NotImplementedError(
+                        "decoding non-ISO-BMFF video requires libav; "
+                        "MP4/MOV containers parse header-only here"
+                    )
+                parsed = _parse_mp4(content)
+                if parsed is None:
+                    out.append((media_id, None, None, None, None, None, None))
+                    continue
+                major, ts, dur, tracks = parsed
+                out.append(
+                    (
+                        media_id,
+                        major,
+                        ts,
+                        dur,
+                        dur * 1000.0 / ts,
+                        len(tracks),
+                        ",".join(tracks),
+                    )
+                )
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        meta, VIDEO_META_SCHEMA
     )

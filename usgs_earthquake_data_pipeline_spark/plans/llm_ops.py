@@ -1272,6 +1272,37 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_meta",
+    oracle=(
+        "SELECT doc_id AS media_id, 'isom' AS major_brand, "
+        "CAST(1000 * (1 << CAST(doc_id % 3 AS INT)) AS INT) AS timescale, "
+        "CAST((doc_id % 100 + 1) * 500 AS BIGINT) AS duration_units, "
+        "CAST((doc_id % 100 + 1) * 500 * 1000.0 "
+        "  / (1000 * (1 << CAST(doc_id % 3 AS INT))) AS DOUBLE) "
+        "  AS duration_ms, "
+        "CAST(doc_id % 2 + 1 AS INT) AS n_tracks, "
+        "CASE WHEN doc_id % 2 = 1 THEN 'vide,soun' ELSE 'vide' END "
+        "  AS track_types "
+        "FROM documents"
+    ),
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 container metadata via the stdlib ISO-BMFF box walk
+    (functions/multimodal.py:_parse_mp4, round 12 — the same
+    header-only de-guarding PNG/JPEG/WAV got in r10/r11): JVM-built
+    spec-shaped MP4s (ftyp + moov[mvhd + trak(mdia/hdlr)…]) decode to
+    brand / timescale / duration / track inventory through one
+    Arrow-batched mapInPandas crossing. The oracle predicts every
+    field from the id formulas, validating the full encode→box-walk
+    path; duration_ms is units·1000/timescale with power-of-two
+    timescales, so the division is IEEE-exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_fake_video(docs, "doc_id")
+    return M.decode_video_meta(media)
+
+
+@register(
     "multimodal_image_features",
     oracle=(
         "SELECT doc_id AS media_id, "
