@@ -692,3 +692,66 @@ def test_live_predecessor_tmp_fallback_interleaving(spark, tmp_path, monkeypatch
     for v in range(4):
         got = sinks.read_versioned_table(spark, path, v).collect()
         assert [(r.id, r.v) for r in got] == [(v, f"w{v}")]
+
+
+def test_ivf_assign_search_seam_matches_topk(spark, sf_dir):
+    """The round-12 split (ivf_assign + ivf_search_assigned) must be
+    result-identical to the one-shot ivf_topk composition, and a
+    MATERIALIZED old index + appended fresh batch must equal a full
+    rebuild (the incremental-maintenance contract the catalog entry
+    gates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = S.default_ivf_centroids(emb, n_lists=8).localCheckpoint()
+
+    one_shot = {
+        tuple(r)
+        for r in S.ivf_topk(
+            emb, queries, k=5, n_lists=8, n_probe=3, centroids=cents
+        ).collect()
+    }
+    assigned = S.ivf_assign(emb, cents)
+    via_seam = {
+        tuple(r)
+        for r in S.ivf_search_assigned(
+            assigned, queries, cents, k=5, n_probe=3
+        ).collect()
+    }
+    assert via_seam == one_shot
+
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    old_index = S.ivf_assign(old, cents).localCheckpoint()
+    appended = old_index.unionByName(S.ivf_assign(new, cents))
+    incremental = {
+        tuple(r)
+        for r in S.ivf_search_assigned(
+            appended, queries, cents, k=5, n_probe=3
+        ).collect()
+    }
+    assert incremental == one_shot
+
+
+def test_ivf_seam_boolean_has_teeth(spark, sf_dir):
+    """A corrupted persisted assignment (every old row shoved into
+    list 1) must change the search result — i.e. the catalog entry's
+    incremental_matches_rebuild_ok boolean can actually catch an
+    index-maintenance bug, it doesn't compare a plan to itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = S.default_ivf_centroids(emb, n_lists=8).localCheckpoint()
+    good = S.ivf_assign(emb, cents).localCheckpoint()
+    bad = good.withColumn("list_id", F.lit(1))
+    good_res = {
+        tuple(r)
+        for r in S.ivf_search_assigned(
+            good, queries, cents, k=5, n_probe=2
+        ).collect()
+    }
+    bad_res = {
+        tuple(r)
+        for r in S.ivf_search_assigned(
+            bad, queries, cents, k=5, n_probe=2
+        ).collect()
+    }
+    assert bad_res != good_res

@@ -297,3 +297,61 @@ def test_datasource_writer_requires_path(spark):
     df = spark.createDataFrame([("x",)], "id string")
     with _pytest.raises(Exception, match="path"):
         df.write.format("usgs_geojson").mode("append").save()
+
+
+def test_datasource_writer_commit_publishes_manifest_before_deletes(
+    tmp_path, monkeypatch
+):
+    """Crash-safety ordering (round-12 advice): if the process dies
+    between the manifest publish and the stale-part deletes, readers
+    must see a CONSISTENT manifest (new files, all present) — never
+    one referencing removed files. Simulated by making os.remove blow
+    up: the manifest on disk must already be the new one, with no
+    .tmp debris."""
+    import json as _json
+    import os as _os
+
+    from usgs_earthquake_data_pipeline_spark.sources.usgs_datasource import (
+        GeoJsonCommit,
+        UsgsGeoJsonWriter,
+    )
+
+    out = tmp_path / "gj"
+    out.mkdir()
+    stale = out / "part-oldjob-00000-1.json"
+    stale.write_text(
+        _json.dumps(
+            {"type": "FeatureCollection", "metadata": {"count": 1},
+             "features": [{}]}
+        )
+    )
+    new = out / "part-newjob-00000-2.json"
+    new.write_text(
+        _json.dumps(
+            {"type": "FeatureCollection", "metadata": {"count": 2},
+             "features": [{}, {}]}
+        )
+    )
+    writer = UsgsGeoJsonWriter({"path": str(out)}, overwrite=True)
+
+    real_remove = _os.remove
+
+    def exploding_remove(p):
+        raise OSError("simulated crash during stale-part cleanup")
+
+    monkeypatch.setattr(_os, "remove", exploding_remove)
+    try:
+        with __import__("pytest").raises(OSError):
+            writer.commit([GeoJsonCommit(str(new), 2)])
+    finally:
+        monkeypatch.setattr(_os, "remove", real_remove)
+
+    manifest = _json.loads((out / "_MANIFEST.json").read_text())
+    assert manifest["files"] == [new.name]  # new manifest already live
+    assert manifest["n_features"] == 2
+    for name in manifest["files"]:  # every referenced file exists
+        assert (out / name).exists()
+    assert not list(out.glob("_MANIFEST.json.*.tmp"))  # replaced, no debris
+    # the stale part survived the simulated crash — unreferenced, which
+    # manifest-honoring readers ignore
+    assert stale.exists()

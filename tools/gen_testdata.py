@@ -10,7 +10,8 @@ ratios can be measured locally (tools/sf1_smoke.py) on data whose
 schema, key relationships (FKs, fixed dims), and rough distributions
 match the real test tables.
 
-Usage: python tools/gen_testdata.py SF OUT_DIR   (e.g. 1 /tmp/sf1)
+Usage: python tools/gen_testdata.py SF OUT_DIR [TABLE ...]
+(e.g. 1 /tmp/sf1; or 10 /tmp/sf10 documents for a docs-only dir)
 """
 
 from __future__ import annotations
@@ -51,9 +52,23 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def generate(sf: float, out_dir: str, seed: int = 42) -> None:
+def generate(
+    sf: float,
+    out_dir: str,
+    seed: int = 42,
+    only: set[str] | None = None,
+) -> None:
+    """``only`` (round-12): generate just the named tables — the sf10
+    smoke needs only `documents`, and drawing 60M lineitem rows to
+    throw them away would dominate the run. Skipped tables' random
+    draws are skipped too, so an `only` run is NOT stream-identical
+    to the same tables out of a full run — fine for timing smokes
+    (the distribution family is what matters), do not mix dirs."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
+
+    def want(name: str) -> bool:
+        return only is None or name in only
 
     n_cust = max(1, int(150_000 * sf))
     n_supp = max(1, int(10_000 * sf))
@@ -65,151 +80,162 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
     n_emb = max(1, int(20_000 * sf))
     n_users = max(1, int(15_000 * sf))
 
-    _write(out_dir, "region", pa.table({
-        "r_regionkey": pa.array(range(5), pa.int32()),
-        "r_name": REGIONS,
-    }))
-    _write(out_dir, "nation", pa.table({
-        "n_nationkey": pa.array(range(25), pa.int32()),
-        "n_name": [f"NATION_{i}" for i in range(25)],
-        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
-    }))
+    if want("region") or want("nation"):
+        _write(out_dir, "region", pa.table({
+            "r_regionkey": pa.array(range(5), pa.int32()),
+            "r_name": REGIONS,
+        }))
+        _write(out_dir, "nation", pa.table({
+            "n_nationkey": pa.array(range(25), pa.int32()),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+        }))
 
-    _write(out_dir, "customer", pa.table({
-        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
-        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
-        "c_nationkey": pa.array(
-            rng.integers(0, 25, n_cust, dtype=np.int32), pa.int32()
-        ),
-        "c_acctbal": np.round(rng.uniform(-1000, 10_000, n_cust), 2),
-        "c_mktsegment": pa.array(
-            np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]
-        ),
-    }))
-    _write(out_dir, "supplier", pa.table({
-        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
-        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
-        "s_nationkey": pa.array(
-            rng.integers(0, 25, n_supp, dtype=np.int32), pa.int32()
-        ),
-        "s_acctbal": np.round(rng.uniform(-1000, 10_000, n_supp), 2),
-    }))
-    _write(out_dir, "part", pa.table({
-        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
-        "p_name": [
-            f"{PART_ADJ[i % 8]} {PART_NOUN[(i // 8) % 8]}"
-            for i in range(n_part)
-        ],
-        "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n_part)],
-        "p_type": pa.array(np.array(PART_TYPES)[rng.integers(0, 6, n_part)]),
-        "p_size": pa.array(
-            rng.integers(1, 51, n_part, dtype=np.int32), pa.int32()
-        ),
-        "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 2),
-    }))
+    if want("customer"):
+        _write(out_dir, "customer", pa.table({
+            "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, n_cust, dtype=np.int32), pa.int32()
+            ),
+            "c_acctbal": np.round(rng.uniform(-1000, 10_000, n_cust), 2),
+            "c_mktsegment": pa.array(
+                np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]
+            ),
+        }))
+    if want("supplier"):
+        _write(out_dir, "supplier", pa.table({
+            "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": pa.array(
+                rng.integers(0, 25, n_supp, dtype=np.int32), pa.int32()
+            ),
+            "s_acctbal": np.round(rng.uniform(-1000, 10_000, n_supp), 2),
+        }))
+    if want("part"):
+        _write(out_dir, "part", pa.table({
+            "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+            "p_name": [
+                f"{PART_ADJ[i % 8]} {PART_NOUN[(i // 8) % 8]}"
+                for i in range(n_part)
+            ],
+            "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n_part)],
+            "p_type": pa.array(np.array(PART_TYPES)[rng.integers(0, 6, n_part)]),
+            "p_size": pa.array(
+                rng.integers(1, 51, n_part, dtype=np.int32), pa.int32()
+            ),
+            "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 2),
+        }))
 
     base95 = np.datetime64("1995-01-01", "us").astype("int64")
     span_days = int((np.datetime64("2001-08-01") - np.datetime64("1995-01-01"))
                     / np.timedelta64(1, "D"))
-    o_date_day = rng.integers(0, span_days + 1, n_ord)
-    _write(out_dir, "orders", pa.table({
-        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
-        "o_custkey": pa.array(
-            rng.integers(0, n_cust, n_ord, dtype=np.int64), pa.int64()
-        ),
-        "o_orderstatus": pa.array(
-            np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)]
-        ),
-        "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
-        "o_orderdate": _ts_array(base95 + o_date_day * US_DAY),
-        "o_orderpriority": pa.array(
-            np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]
-        ),
-    }))
+    if want("orders") or want("lineitem"):
+        o_date_day = rng.integers(0, span_days + 1, n_ord)
+        _write(out_dir, "orders", pa.table({
+            "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+            "o_custkey": pa.array(
+                rng.integers(0, n_cust, n_ord, dtype=np.int64), pa.int64()
+            ),
+            "o_orderstatus": pa.array(
+                np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)]
+            ),
+            "o_totalprice": np.round(rng.uniform(1000, 500_000, n_ord), 2),
+            "o_orderdate": _ts_array(base95 + o_date_day * US_DAY),
+            "o_orderpriority": pa.array(
+                np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]
+            ),
+        }))
 
-    li_order = rng.integers(0, n_ord, n_li, dtype=np.int64)
-    ship_day = o_date_day[li_order] + rng.integers(1, 95, n_li)
-    _write(out_dir, "lineitem", pa.table({
-        "l_orderkey": pa.array(li_order, pa.int64()),
-        "l_partkey": pa.array(
-            rng.integers(0, n_part, n_li, dtype=np.int64), pa.int64()
-        ),
-        "l_suppkey": pa.array(
-            rng.integers(0, n_supp, n_li, dtype=np.int64), pa.int64()
-        ),
-        "l_linenumber": pa.array(
-            rng.integers(1, 8, n_li, dtype=np.int32), pa.int32()
-        ),
-        "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
-        "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
-        "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
-        "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
-        "l_returnflag": pa.array(
-            np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]
-        ),
-        "l_linestatus": pa.array(
-            np.array(["O", "F"])[rng.integers(0, 2, n_li)]
-        ),
-        "l_shipdate": _ts_array(base95 + ship_day * US_DAY),
-    }))
+    if want("lineitem"):
+        li_order = rng.integers(0, n_ord, n_li, dtype=np.int64)
+        ship_day = o_date_day[li_order] + rng.integers(1, 95, n_li)
+        _write(out_dir, "lineitem", pa.table({
+            "l_orderkey": pa.array(li_order, pa.int64()),
+            "l_partkey": pa.array(
+                rng.integers(0, n_part, n_li, dtype=np.int64), pa.int64()
+            ),
+            "l_suppkey": pa.array(
+                rng.integers(0, n_supp, n_li, dtype=np.int64), pa.int64()
+            ),
+            "l_linenumber": pa.array(
+                rng.integers(1, 8, n_li, dtype=np.int32), pa.int32()
+            ),
+            "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
+            "l_extendedprice": np.round(rng.uniform(900, 105_000, n_li), 2),
+            "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+            "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+            "l_returnflag": pa.array(
+                np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]
+            ),
+            "l_linestatus": pa.array(
+                np.array(["O", "F"])[rng.integers(0, 2, n_li)]
+            ),
+            "l_shipdate": _ts_array(base95 + ship_day * US_DAY),
+        }))
 
     base24 = np.datetime64("2024-01-01", "us").astype("int64")
-    ev_us = np.sort(rng.integers(0, 30 * US_DAY, n_ev))
-    _write(out_dir, "events", pa.table({
-        "event_id": pa.array(np.arange(n_ev), pa.int64()),
-        "ts": _ts_array(base24 + ev_us),
-        "user_id": pa.array(
-            rng.integers(0, n_users, n_ev, dtype=np.int64), pa.int64()
-        ),
-        "event_type": pa.array(
-            np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)]
-        ),
-        "value": np.round(
-            np.minimum(rng.exponential(50.0, n_ev), 560.0), 2
-        ),
-        "props": [
-            json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)
-        ],
-    }))
+    if want("events"):
+        ev_us = np.sort(rng.integers(0, 30 * US_DAY, n_ev))
+        _write(out_dir, "events", pa.table({
+            "event_id": pa.array(np.arange(n_ev), pa.int64()),
+            "ts": _ts_array(base24 + ev_us),
+            "user_id": pa.array(
+                rng.integers(0, n_users, n_ev, dtype=np.int64), pa.int64()
+            ),
+            "event_type": pa.array(
+                np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)]
+            ),
+            "value": np.round(
+                np.minimum(rng.exponential(50.0, n_ev), 560.0), 2
+            ),
+            "props": [
+                json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)
+            ],
+        }))
 
-    # documents: word salad over a 30-word vocab (high organic shingle
-    # overlap, like the driver corpus) + ~1.5% near-dup copies so the
-    # dedup headliners see true pairs at every SF
-    lens = rng.integers(8, 100, n_doc)
-    texts: list[str] = []
-    for i in range(n_doc):
-        words = np.array(VOCAB)[rng.integers(0, len(VOCAB), lens[i])]
-        texts.append(" ".join(words))
-    n_dup = max(1, n_doc // 64)
-    dup_src = rng.integers(0, n_doc, n_dup)
-    for j, s in enumerate(dup_src):
-        # copy an earlier doc verbatim (half) or with one word changed
-        t = texts[s]
-        if j % 2:
-            parts = t.split()
-            parts[rng.integers(0, len(parts))] = VOCAB[j % len(VOCAB)]
-            t = " ".join(parts)
-        texts[n_doc - n_dup + j] = t
-    _write(out_dir, "documents", pa.table({
-        "doc_id": pa.array(np.arange(n_doc), pa.int64()),
-        "text": texts,
-        "lang": pa.array(np.array(LANGS)[rng.integers(0, len(LANGS), n_doc)]),
-        "source": [f"src{i}" for i in rng.integers(0, 20, n_doc)],
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-    }))
+    if want("documents"):
+        # documents: word salad over a 30-word vocab (high organic shingle
+        # overlap, like the driver corpus) + ~1.5% near-dup copies so the
+        # dedup headliners see true pairs at every SF
+        lens = rng.integers(8, 100, n_doc)
+        texts: list[str] = []
+        for i in range(n_doc):
+            words = np.array(VOCAB)[rng.integers(0, len(VOCAB), lens[i])]
+            texts.append(" ".join(words))
+        n_dup = max(1, n_doc // 64)
+        dup_src = rng.integers(0, n_doc, n_dup)
+        for j, s in enumerate(dup_src):
+            # copy an earlier doc verbatim (half) or with one word changed
+            t = texts[s]
+            if j % 2:
+                parts = t.split()
+                parts[rng.integers(0, len(parts))] = VOCAB[j % len(VOCAB)]
+                t = " ".join(parts)
+            texts[n_doc - n_dup + j] = t
+        _write(out_dir, "documents", pa.table({
+            "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+            "text": texts,
+            "lang": pa.array(np.array(LANGS)[rng.integers(0, len(LANGS), n_doc)]),
+            "source": [f"src{i}" for i in rng.integers(0, 20, n_doc)],
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }))
 
-    emb = rng.normal(0.0, 0.125, (n_emb, 64)).astype(np.float32)
-    _write(out_dir, "embeddings", pa.table({
-        "vec_id": pa.array(np.arange(n_emb), pa.int64()),
-        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
-        "label": pa.array(
-            rng.integers(0, 10, n_emb, dtype=np.int32), pa.int32()
-        ),
-    }))
+    if want("embeddings"):
+        emb = rng.normal(0.0, 0.125, (n_emb, 64)).astype(np.float32)
+        _write(out_dir, "embeddings", pa.table({
+            "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            "label": pa.array(
+                rng.integers(0, 10, n_emb, dtype=np.int32), pa.int32()
+            ),
+        }))
 
 
 if __name__ == "__main__":
     sf = float(sys.argv[1])
     out = sys.argv[2]
-    generate(sf, out)
-    print(f"wrote sf{sf} to {out}")
+    # optional trailing args: table names to generate (e.g. documents)
+    only = set(sys.argv[3:]) or None
+    generate(sf, out, only=only)
+    print(f"wrote sf{sf} to {out}" + (f" (only {sorted(only)})" if only else ""))

@@ -11,8 +11,11 @@ warm), then per entry: time at sf0.1, then at sf1, interleaved so
 box drift spreads evenly. One pass each — this is a ratio smoke, not
 a latency record (bench.py owns those).
 
-Usage: python tools/sf1_smoke.py [SMALL_DIR BIG_DIR]
-Defaults: /root/repo/tmp_scale/{sf0.1g,sf1}
+Usage: python tools/sf1_smoke.py [SMALL_DIR BIG_DIR] [--entries a,b,c]
+Defaults: /root/repo/tmp_scale/{sf0.1g,sf1}; --entries restricts the
+run to the named catalog entries (round-12: the sf1->sf10 rung runs
+the 5 heaviest document-table headliners only — the docs-only sf10
+dir has no other tables).
 """
 
 from __future__ import annotations
@@ -25,21 +28,35 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> None:
-    if len(sys.argv) == 3:
-        small, big = sys.argv[1], sys.argv[2]
-    elif len(sys.argv) == 1:
+    argv = list(sys.argv[1:])
+    names = None
+    if "--entries" in argv:
+        i = argv.index("--entries")
+        try:
+            names = set(argv[i + 1].split(","))
+        except IndexError:
+            raise SystemExit("--entries needs a comma-separated list")
+        del argv[i : i + 2]
+    if len(argv) == 2:
+        small, big = argv
+    elif not argv:
         small = "/root/repo/tmp_scale/sf0.1g"
         big = "/root/repo/tmp_scale/sf1"
     else:
         # one stray operand would silently measure the DEFAULT dirs —
         # fail loud instead (round-11 review)
-        raise SystemExit("usage: sf1_smoke.py [SMALL_DIR BIG_DIR]")
+        raise SystemExit("usage: sf1_smoke.py [SMALL_DIR BIG_DIR] [--entries a,b,c]")
 
     from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
     from usgs_earthquake_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="sf1_smoke")
     headline = [e for e in CATALOG.values() if e.headline]
+    if names is not None:
+        unknown = names - {e.name for e in headline}
+        if unknown:
+            raise SystemExit(f"not headline entries: {sorted(unknown)}")
+        headline = [e for e in headline if e.name in names]
     spark.range(1000).count()
     for e in headline:
         e.spark_fn(spark, small).count()

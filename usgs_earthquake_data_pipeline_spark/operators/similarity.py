@@ -231,6 +231,150 @@ def lsh_topk(
     )
 
 
+def default_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+) -> DataFrame:
+    """The deterministic default coarse quantizer: the first
+    ``n_lists`` corpus vectors by id as ``(list_id, centroid)`` rows —
+    no RNG, no iterative training (``clustering.kmeans_lloyd`` output
+    plugs into the same seam for trained lists)."""
+    w_c = Window.orderBy(F.asc(id_col))
+    return (
+        corpus.orderBy(F.asc(id_col))
+        .limit(n_lists)
+        .select(
+            F.row_number().over(w_c).alias("list_id"),
+            _as_double(F.col(vec_col)).alias("centroid"),
+        )
+    )
+
+
+def _centroid_array(centroid_src: DataFrame):
+    """Collapse the centroid rows to a ONE-ROW array a broadcast
+    nested-loop join attaches to every input row — list assignment
+    then stays a pure per-row expression (no explode/window/shuffle
+    of the corpus on its own id)."""
+    return F.broadcast(
+        centroid_src.agg(
+            F.collect_list(F.struct("list_id", "centroid")).alias("__cents")
+        )
+    )
+
+
+def _ranked_lists(vec: str) -> Column:
+    # array<struct<sim,list_id>> sorted desc by sim, asc by list_id
+    return F.array_sort(
+        F.transform(
+            "__cents",
+            lambda c: F.struct(
+                cosine(F.col(vec), c["centroid"]).alias("sim"),
+                c["list_id"].alias("list_id"),
+            ),
+        ),
+        lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
+        .when(l["sim"] < r["sim"], F.lit(1))
+        .otherwise(l["list_id"] - r["list_id"]),
+    )
+
+
+def _nearest_lists(df: DataFrame, vec: str, n: int, centroid_array) -> DataFrame:
+    scored = df.crossJoin(centroid_array)
+    if n == 1:
+        # scalar argmax — a straight projection, no row multiplication
+        out = scored.withColumn(
+            "list_id", F.element_at(_ranked_lists(vec), 1)["list_id"]
+        )
+    else:
+        out = scored.withColumn(
+            "list_id",
+            F.explode(
+                F.transform(
+                    F.slice(_ranked_lists(vec), 1, n),
+                    lambda s: s["list_id"],
+                )
+            ),
+        )
+    return out.drop("__cents")
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each corpus row to its nearest inverted list:
+    ``(id_col, vec, list_id)`` rows — THE persistable index. This is
+    the append seam an IVF deployment maintains: assignment is a pure
+    per-row function of (row, centroid set), so a new batch is indexed
+    by running ``ivf_assign`` on the batch alone and appending the
+    rows, never touching (or recomputing) the already-indexed corpus.
+    ``ivf_search_assigned`` consumes the table; ``ivf_topk`` is the
+    one-shot assign+search composition."""
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    )
+    return _nearest_lists(c, "vec", 1, _centroid_array(centroids)).select(
+        F.col(id_col), "vec", "list_id"
+    )
+
+
+def ivf_search_assigned(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """Search a PRE-ASSIGNED inverted-list table (``ivf_assign``
+    output — possibly read back from storage, possibly the union of
+    an old index and freshly-assigned appends): each query probes its
+    ``n_probe`` nearest lists and exact-ranks only those candidates.
+    The corpus side's only wide exchange is the candidate equi-join
+    on ``list_id``."""
+    c_assigned = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        "list_id",
+    ).withColumn("c_norm", l2_norm(F.col("c_vec")))
+
+    q = queries.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    q_probes = _nearest_lists(
+        q, "q_vec", n_probe, _centroid_array(centroids)
+    ).select(
+        F.col(id_col).alias("query_id"), "q_vec", "list_id"
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
+
+    pairs = c_assigned.join(F.broadcast(q_probes), "list_id")
+    if not include_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    denom = F.col("q_norm") * F.col("c_norm")
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.when(denom > 0, dot(F.col("q_vec"), F.col("c_vec")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -264,89 +408,31 @@ def ivf_topk(
     wide exchange is the final candidate equi-join on ``list_id``.
     (Round-2 review: the previous crossJoin+row_number assignment
     shuffled n_lists× the corpus.)
+
+    Round 12 split this into the ``ivf_assign`` / ``ivf_search_assigned``
+    seam (index maintenance needs the assigned table as a first-class
+    object); this composition is plan-identical to the old monolith.
     """
     if centroids is None:
-        w_c = Window.orderBy(F.asc(id_col))
-        centroid_src = (
-            corpus.orderBy(F.asc(id_col))
-            .limit(n_lists)
-            .select(
-                F.row_number().over(w_c).alias("list_id"),
-                _as_double(F.col(vec_col)).alias("centroid"),
-            )
+        centroid_src = default_ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists
         )
     else:
         centroid_src = centroids.select(
             "list_id", _as_double(F.col("centroid")).alias("centroid")
         )
-    centroid_array = F.broadcast(
-        centroid_src.agg(
-            F.collect_list(F.struct("list_id", "centroid")).alias("__cents")
-        )
+    assigned = ivf_assign(
+        corpus, centroid_src, id_col=id_col, vec_col=vec_col
     )
-
-    def _ranked_lists(vec: str) -> Column:
-        # array<struct<sim,list_id>> sorted desc by sim, asc by list_id
-        return F.array_sort(
-            F.transform(
-                "__cents",
-                lambda c: F.struct(
-                    cosine(F.col(vec), c["centroid"]).alias("sim"),
-                    c["list_id"].alias("list_id"),
-                ),
-            ),
-            lambda l, r: F.when(l["sim"] > r["sim"], F.lit(-1))
-            .when(l["sim"] < r["sim"], F.lit(1))
-            .otherwise(l["list_id"] - r["list_id"]),
-        )
-
-    def nearest_lists(df: DataFrame, vec: str, n: int) -> DataFrame:
-        scored = df.crossJoin(centroid_array)
-        if n == 1:
-            # scalar argmax — a straight projection, no row multiplication
-            out = scored.withColumn(
-                "list_id", F.element_at(_ranked_lists(vec), 1)["list_id"]
-            )
-        else:
-            out = scored.withColumn(
-                "list_id",
-                F.explode(
-                    F.transform(
-                        F.slice(_ranked_lists(vec), 1, n),
-                        lambda s: s["list_id"],
-                    )
-                ),
-            )
-        return out.drop("__cents")
-
-    c = corpus.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")
-    )
-    c_assigned = nearest_lists(c, "c_vec", 1).select(
-        F.col(id_col).alias("neighbor_id"), "c_vec", "list_id"
-    ).withColumn("c_norm", l2_norm(F.col("c_vec")))
-
-    q = queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias("q_vec"))
-    q_probes = nearest_lists(q, "q_vec", n_probe).select(
-        F.col(id_col).alias("query_id"), "q_vec", "list_id"
-    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
-
-    pairs = c_assigned.join(F.broadcast(q_probes), "list_id")
-    if not include_self:
-        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    denom = F.col("q_norm") * F.col("c_norm")
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.when(denom > 0, dot(F.col("q_vec"), F.col("c_vec")) / denom)
-        .otherwise(F.lit(0.0))
-        .alias("score"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    return ivf_search_assigned(
+        assigned,
+        queries,
+        centroid_src,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_probe=n_probe,
+        include_self=include_self,
     )
 
 

@@ -2,13 +2,17 @@
 dedup family, similarity search, text analysis, multimodal plumbing.
 
 SQL-expressible entries carry DuckDB oracles; approximation-bearing
-entries (MinHash-LSH, hyperplane-LSH, SimHash banding) are rows-only
-by nature — their exact twins (ngram_jaccard, brute-force ANN) ARE
-oracle-checked, so the approximate variants are validated by recall
-tests in tests/ instead.
+entries (MinHash-LSH, hyperplane-LSH, SimHash banding, IVF) are
+hash-gated too (round 11): the exact statistic is the oracle payload
+and the approximation's accuracy contract — scores-exact, recall
+floor, estimator bound — rides as booleans the oracle pins TRUE,
+computed distributed over the production output.
 """
 
 from __future__ import annotations
+
+import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -375,8 +379,33 @@ def _cosine_exact_all_pairs(emb: DataFrame) -> DataFrame:
     )
 
 
+# Per-(session, sf_dir) memo of the checkpointed exact all-pairs
+# cosine universe: four gate entries (ann_ivf, ann_lsh_bucketed,
+# ann_ivf_probe_sweep, ann_ivf_incremental_append) verify against the
+# SAME truth, and each used to recompute + re-checkpoint it (round-11
+# verdict item 6 measured the family's profile cost at ~2x what the
+# shared universe needs). WeakKeyDictionary: a stopped session's
+# checkpoint blocks are gone, so its cache entry must die with it.
+_EXACT_PAIRS_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _exact_all_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed exact cosine all-pairs universe for this
+    (session, sf_dir), computed once and shared across the ANN gate
+    family. Safe to share: every consumer treats it as an immutable
+    (query_id, neighbor_id, score, rank) relation."""
+    per = _EXACT_PAIRS_MEMO.setdefault(spark, {})
+    key = os.path.normpath(sf_dir)
+    if key not in per:
+        emb = load_table(spark, sf_dir, "embeddings")
+        per[key] = _cosine_exact_all_pairs(emb).localCheckpoint()
+    return per[key]
+
+
 def _ann_cosine_gate(
-    emb: DataFrame,
+    all_pairs: DataFrame,
     approx: DataFrame,
     *,
     floor: float,
@@ -386,8 +415,8 @@ def _ann_cosine_gate(
     """Shared body of the ann_ivf / ann_lsh_bucketed gates (the
     round-11 review's dedup): exact cosine top-5 payload + the
     scores-exact theorem + the recall floor, over any approximate
-    (query_id, neighbor_id, score) result."""
-    all_pairs = _cosine_exact_all_pairs(emb).localCheckpoint()
+    (query_id, neighbor_id, score) result. ``all_pairs`` is the
+    (already-checkpointed) _exact_all_pairs_cached universe."""
     exact5 = all_pairs.filter(F.col("rank") <= 5).select(
         "query_id", "neighbor_id", "score", "rank"
     )
@@ -444,7 +473,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     ivf = S.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
     return _ann_cosine_gate(
-        emb,
+        _exact_all_pairs_cached(spark, sf_dir),
         ivf,
         floor=0.8,
         scores_name="ivf_scores_exact_ok",
@@ -480,16 +509,22 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Payload rows are the sweep's n_probe values (SQL VALUES); the hit
     counts feeding the booleans are computed distributed — one
-    semi-join + count per probe setting against a checkpointed exact
-    top-5, folded through an array_sort aggregate for the adjacency
-    check. Complements `ann_ivf` (which pins the single production
-    point n_probe=4): this entry pins the SHAPE of the dial."""
+    semi-join + count per probe setting against the shared
+    checkpointed exact top-5, folded through an array_sort aggregate
+    for the adjacency check. Complements `ann_ivf` (which pins the
+    single production point n_probe=4): this entry pins the SHAPE of
+    the dial. The truth set comes from _exact_all_pairs_cached — the
+    SAME JVM-fold-scored universe the other gates use (round-12
+    advice: the previous brute_force_topk truth was numpy-scored, so
+    a rank-5/6 near-tie could diverge from the operators' fold at the
+    6th decimal and flip fullprobe_recall_one_ok with no code
+    change)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact5 = (
-        S.brute_force_topk(emb, queries, k=5)
+        _exact_all_pairs_cached(spark, sf_dir)
+        .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id")
-        .localCheckpoint()
     )
     probes = [1, 2, 4, 8, 16]
     hits = None
@@ -546,14 +581,19 @@ def ann_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-indexed corpus). Two theorems ride as pinned booleans:
 
     - ``incremental_matches_rebuild_ok`` — searching the incremental
-      index (old assignments ∪ new batch assigned against the same
-      stale centroids) returns EXACTLY what a one-shot index build
-      over the full corpus with those centroids returns. Holds
-      because list assignment is a pure per-row function of the
-      centroid set — the property that makes append-without-retrain
-      sound, and the property a cached/stateful assignment bug would
-      break. Verified as an empty symmetric exceptAll over the two
-      n_probe=4 searches.
+      index returns EXACTLY what a one-shot index build over the full
+      corpus with those centroids returns. The incremental side is a
+      REAL append path (round-12 advice: the previous form unioned
+      raw rows into the same one-shot ivf_topk call, so the boolean
+      could only distinguish plan shapes): the old corpus is assigned
+      via ``ivf_assign`` and MATERIALIZED (localCheckpoint — the
+      stand-in for the stored index table), the arriving batch is
+      assigned ALONE, and ``ivf_search_assigned`` searches the
+      appended table — old assignments are physically reused, never
+      recomputed, so a stateful/cached-assignment bug or a
+      search-path dependence on how the index was built would flip
+      the boolean. Verified as an empty symmetric exceptAll over the
+      two n_probe=4 searches.
     - ``stale_fullprobe_exact_ok`` — full probe over the stale-
       centroid index still equals the exact cosine top-5 over the
       WHOLE corpus (payload): centroid staleness degrades pruning
@@ -561,32 +601,24 @@ def ann_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The split is 4:1 by id hash (vec_id % 5 == 0 is the arriving
     batch); centroids are derived from the OLD corpus only, passed
-    explicitly through ivf_topk's ``centroids=`` seam — the same seam
-    a production deployment feeds kmeans_lloyd output through."""
+    explicitly through the ``centroids=`` seam — the same seam a
+    production deployment feeds kmeans_lloyd output through."""
     emb = load_table(spark, sf_dir, "embeddings")
     old = emb.filter(F.col("vec_id") % 5 != 0)
     new = emb.filter(F.col("vec_id") % 5 == 0)
     queries = emb.filter(F.col("vec_id") < 10)
-    # stale centroids: first 16 OLD vectors by id (ivf_topk's default
+    # stale centroids: first 16 OLD vectors by id (the default
     # convention, materialized explicitly so both searches share them)
-    w_c = Window.orderBy(F.asc("vec_id"))
-    centroids = (
-        old.orderBy(F.asc("vec_id"))
-        .limit(16)
-        .select(
-            F.row_number().over(w_c).alias("list_id"),
-            F.col("embedding").cast("array<double>").alias("centroid"),
-        )
-        .localCheckpoint()
+    centroids = S.default_ivf_centroids(old, n_lists=16).localCheckpoint()
+    # THE PERSISTED INDEX: old corpus assigned once and materialized
+    # (localCheckpoint stands in for the stored index table); the
+    # arriving batch is assigned ALONE and appended — old assignments
+    # are physically reused, never recomputed.
+    old_index = S.ivf_assign(old, centroids).localCheckpoint()
+    new_rows = S.ivf_assign(new, centroids)
+    incremental = S.ivf_search_assigned(
+        old_index.unionByName(new_rows), queries, centroids, k=5, n_probe=4
     )
-    incremental = S.ivf_topk(
-        old.unionByName(new), queries, k=5, n_lists=16, n_probe=4,
-        centroids=centroids,
-    )
-    # the union above models the incremental path faithfully: each
-    # row's list assignment depends only on (row, centroids), so
-    # assigning old and new separately then unioning is definitionally
-    # the same plan — the boolean catches any stateful deviation
     rebuild = S.ivf_topk(
         emb, queries, k=5, n_lists=16, n_probe=4, centroids=centroids
     )
@@ -597,7 +629,7 @@ def ann_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) == 0).alias("incremental_matches_rebuild_ok")
         )
     )
-    all_pairs = _cosine_exact_all_pairs(emb).localCheckpoint()
+    all_pairs = _exact_all_pairs_cached(spark, sf_dir)
     exact5 = all_pairs.filter(F.col("rank") <= 5).select(
         "query_id", "neighbor_id", "score", "rank"
     )
@@ -707,14 +739,22 @@ def dedup_minhash_estimate_checked(spark: SparkSession, sf_dir: str) -> DataFram
     before the exact verify. Payload: the exact 3-gram Jaccard pairs
     at t=0.3; ``minhash_estimate_ok`` is PER PAIR, pinned TRUE by the
     oracle: |agreement/32 − exact J| <= 0.2 for every true pair.
-    Binomial bound: per-coordinate agreement is Bernoulli(J), so at
-    n=32 the estimator's σ = sqrt(J(1−J)/32) <= 0.088, and the pair
-    population here sits at J >= 0.3 (mostly near 1, where σ shrinks);
-    measured max deviation is 0.080/0.080/0.091 at sf0.001/0.01/0.1
-    (round-11 probe) — deterministic, the signature families are
-    counter-seeded xxhash64, no RNG. One estimator regression —
-    mis-seeded family, broken min-fold, signature truncation — flips
-    some pair's boolean and the driver row goes red."""
+
+    The 0.2 bound is CORPUS-MEASURED, not a theorem (round-12 advice —
+    the binomial analogy only says σ = sqrt(J(1−J)/32) <= 0.088, i.e.
+    0.2 ≈ 2.3σ at the worst J; a per-pair pin at ~2.3σ of a random
+    family WOULD be a coin flip eventually). What makes the pin safe
+    here is determinism, not probability: the signature family is
+    counter-seeded xxhash64 — no RNG, no reseeding — so each pair's
+    deviation is a FIXED number per corpus, and the measured max is
+    0.080/0.080/0.091 at sf0.001/0.01/0.1 (round-11 probe), a >2x
+    margin under the bound at every SF the driver runs. ACCEPTED RISK:
+    a brand-new corpus could legitimately place one pair past 0.2
+    without a code regression — if that ever fires, re-measure and
+    either widen the bound or reseed, don't trust the red row blindly.
+    One estimator regression — mis-seeded family, broken min-fold,
+    signature truncation — flips some pair's boolean and the driver
+    row goes red."""
     docs = load_table(spark, sf_dir, "documents")
     exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
     sigs = D.hashed_shingle_sets(docs, "doc_id", "text").select(
@@ -1103,7 +1143,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     lsh = S.lsh_topk(emb, queries, k=5)
     return _ann_cosine_gate(
-        emb,
+        _exact_all_pairs_cached(spark, sf_dir),
         lsh,
         floor=0.1,
         scores_name="lsh_scores_exact_ok",

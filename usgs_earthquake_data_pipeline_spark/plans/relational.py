@@ -1679,8 +1679,12 @@ def format_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import _scratch_dir
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    # normpath first: a trailing-slash sf_dir would basename to '' and
+    # make different SFs share (and clobber) one scratch dir while
+    # earlier-returned DataFrames still lazily read it (round-12 advice)
     out = os.path.join(
-        _scratch_dir(), f"orc_roundtrip_{os.path.basename(sf_dir)}"
+        _scratch_dir(),
+        f"orc_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     ev.select("event_id", "event_type", "ts", "value").write.mode(
         "overwrite"

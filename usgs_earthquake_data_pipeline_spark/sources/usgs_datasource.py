@@ -245,9 +245,13 @@ class UsgsGeoJsonWriter(DataSourceWriter):
     every pre-existing ``part-*.json`` that is not in the winning set —
     old data stays intact if the job dies mid-write, and after commit
     both manifest-honoring readers AND naive globbers see exactly the
-    new data. ``append`` MERGES the prior manifest's file list into the
-    new one (name-keyed, new wins), so manifest readers keep seeing
-    earlier appends instead of silently losing them."""
+    new data. Commit ordering (round-12 advice): the new manifest is
+    published FIRST (temp file + ``os.replace``, so it is never torn),
+    THEN stale parts are deleted — a crash mid-commit leaves extra
+    unreferenced files, never a manifest pointing at removed ones.
+    ``append`` MERGES the prior manifest's file list into the new one
+    (name-keyed, new wins), so manifest readers keep seeing earlier
+    appends instead of silently losing them."""
 
     def __init__(self, options: dict, overwrite: bool):
         self.path = options.get("path") or ""
@@ -314,13 +318,6 @@ class UsgsGeoJsonWriter(DataSourceWriter):
         }
         manifest_path = os.path.join(self.path, "_MANIFEST.json")
         if self.overwrite:
-            for name in os.listdir(self.path):
-                if (
-                    name.startswith("part-")
-                    and name.endswith(".json")
-                    and name not in new_files
-                ):
-                    os.remove(os.path.join(self.path, name))
             files = new_files
         else:
             # append: carry forward the previously committed file list
@@ -357,8 +354,24 @@ class UsgsGeoJsonWriter(DataSourceWriter):
             "file_counts": files,
             "n_features": sum(files.values()),
         }
-        with open(manifest_path, "w") as fh:
+        # commit order (round-12 advice): publish the new manifest
+        # FIRST — written to a temp file and os.replace'd so readers
+        # never see a torn manifest — THEN delete stale parts. A crash
+        # between the two steps leaves extra unreferenced files (which
+        # manifest-honoring readers ignore), never a manifest that
+        # references removed files.
+        tmp = f"{manifest_path}.{self.job_token}.tmp"
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+        os.replace(tmp, manifest_path)
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if (
+                    name.startswith("part-")
+                    and name.endswith(".json")
+                    and name not in new_files
+                ):
+                    os.remove(os.path.join(self.path, name))
 
     def abort(self, messages):  # pragma: no cover - failure path
         for m in messages:
