@@ -164,3 +164,54 @@ def test_stream_stream_join_state_is_watermark_bounded(spark, sf_dir):
     # join state holds only the filtered click/purchase slices inside
     # the watermark horizon — a constant fraction, never the stream
     assert 0 < state < n_events, (state, n_events)
+
+
+def test_stream_events_to_geojson_sink(spark, tmp_path):
+    """The usgs_geojson STREAM-write leg: a file stream of events
+    lands one GeoJSON batch=<id> directory per micro-batch (own
+    manifest), features round-trip, and replaying the same batch
+    (fresh checkpoint, worst case) overwrites itself — no duplicate
+    features."""
+    from usgs_earthquake_data_pipeline_spark.streaming.ingest import (
+        stream_events_to_geojson,
+    )
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    out = tmp_path / "gj_out"
+    (src / "a.json").write_text(
+        '{"id": "q1", "longitude": 10.0, "latitude": 20.0, "mag": 5.0}\n'
+        '{"id": "q2", "longitude": -30.0, "latitude": 40.0, "mag": 3.2}\n'
+    )
+    events = spark.readStream.schema(
+        "id string, longitude double, latitude double, mag double"
+    ).json(str(src))
+    q = stream_events_to_geojson(
+        events, str(out), str(tmp_path / "ck1")
+    )
+    q.awaitTermination(180)
+
+    batch_dirs = sorted(out.glob("batch=*"))
+    assert len(batch_dirs) == 1
+    manifest = json.loads((batch_dirs[0] / "_MANIFEST.json").read_text())
+    assert manifest["n_features"] == 2
+    feats = {
+        f["id"]: f
+        for name in manifest["files"]
+        for f in json.loads((batch_dirs[0] / name).read_text())["features"]
+    }
+    assert set(feats) == {"q1", "q2"}
+    assert feats["q1"]["geometry"]["coordinates"] == [10.0, 20.0]
+
+    # worst-case replay: fresh checkpoint re-runs batch 0 onto itself
+    events2 = spark.readStream.schema(
+        "id string, longitude double, latitude double, mag double"
+    ).json(str(src))
+    q2 = stream_events_to_geojson(
+        events2, str(out), str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(180)
+    manifest2 = json.loads((batch_dirs[0] / "_MANIFEST.json").read_text())
+    assert manifest2["n_features"] == 2  # overwrote itself
+    on_disk = {p.name for p in batch_dirs[0].glob("part-*.json")}
+    assert on_disk == set(manifest2["files"])  # no stale parts either

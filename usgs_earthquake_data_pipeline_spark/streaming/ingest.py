@@ -152,3 +152,49 @@ def stream_silver_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_events_to_geojson(
+    events_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming leg of the ``usgs_geojson`` SINK — completes the
+    custom DataSource's matrix (batch read + stream read + batch
+    write + STREAM write; reference parity P9/K2 as a continuous
+    export): every micro-batch lands as GeoJSON FeatureCollection
+    files through the batch writer, one ``batch=<id>`` directory per
+    micro-batch in OVERWRITE mode. The directory name is a
+    deterministic function of batchId, so foreachBatch's
+    at-least-once replay overwrites ITSELF instead of duplicating
+    features — the same idempotence recipe as
+    ``stream_geojson_to_bronze(replay_idempotent=True)``. Each batch
+    directory carries its own ``_MANIFEST.json`` (manifest published
+    before stale-part deletes, so readers never see a torn commit).
+
+    At scale: the writer serializes one FeatureCollection per
+    partition — a narrow map over the micro-batch, no added shuffle;
+    the per-batch directory keeps commit scope (and replay scope)
+    bounded to one trigger's data."""
+    spark = events_stream.sparkSession
+    from ..sources.usgs_datasource import UsgsGeoJsonDataSource
+
+    spark.dataSource.register(UsgsGeoJsonDataSource)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # empty-trigger skip (reference F3)
+            return
+        (
+            batch_df.write.format("usgs_geojson")
+            .mode("overwrite")
+            .save(f"{out_path.rstrip('/')}/batch={batch_id}")
+        )
+
+    writer = events_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
