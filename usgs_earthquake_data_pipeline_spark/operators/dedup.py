@@ -476,6 +476,19 @@ def ngram_jaccard_prefix_pairs(
     vs the inverted-index twin is asserted in tests at multiple
     thresholds; the oracle gate hashes it against the same plain-SQL
     Jaccard.
+
+    REGIME BOUNDARY (round-12 sf10 rung, EXPLAIN.md): prefix filtering
+    delays but does not remove the posting self-join's Σ len² term.
+    On corpora whose feature frequencies are near-UNIFORM (the
+    vocab-capped test corpus: gram df 800-1085 at 500k docs), posting
+    lists densify linearly with corpus size and this operator goes
+    quadratic one rung after the inverted index (51x at the 10x
+    sf1→sf10 step) — and ascending-df canonical order, the textbook
+    fix, provably cannot help there (rarest ≈ average). PPJoin is the
+    right tier for ZIPFIAN feature distributions (real text), where
+    prefixes are genuinely rare; for dense-uniform corpora the 100 TB
+    path is ``minhash_lsh_pairs`` (banded buckets stay flat: max
+    bucket 14, candidates linear at sf10) with exact verification.
     """
     docs = hashed_shingle_sets(df, id_col, text_col, n_shingle).select(
         "id", F.col("hs").alias("sh"), F.size("hs").alias("n_sh")
