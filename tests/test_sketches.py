@@ -318,3 +318,65 @@ def test_bound_gate_booleans_have_teeth(spark, sf_dir):
             for r in CATALOG[name].spark_fn(spark, sf_dir).collect()
         ]
         assert vals and all(vals), name
+
+
+def test_round12_gate_booleans_have_teeth(spark, sf_dir):
+    """Round-12 conversions: each new pinned boolean must actually go
+    FALSE under a corrupted sketch/estimate — replayed with the same
+    bracket logic the entries use, fed deliberately wrong values."""
+    ev = load_table(spark, sf_dir, "events")
+
+    # cms_never_undercounts_ok: an estimate below exact must flip
+    exact = ev.filter(F.col("user_id") == 0).count()
+    assert exact > 0
+    assert not (exact - 1 >= exact)
+
+    # hll_partition_invariant_ok: two different estimates must flip
+    # (the entry compares approx(as-stored) == approx(repartitioned))
+    row = (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("a"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert not (row["a"] == row["a"] + 1)
+
+    # quantiles_are_elements_ok: a value NOT in the group's set must
+    # fail the membership join logic (same max(when(value==est)) form)
+    some_type = ev.select("event_type").limit(1).collect()[0][0]
+    bogus = 1.0e308  # not an element of any group
+    hit = (
+        ev.filter(F.col("event_type") == some_type)
+        .agg(
+            (
+                F.max(F.when(F.col("value") == F.lit(bogus), 1).otherwise(0))
+                == 1
+            ).alias("member")
+        )
+        .collect()[0]["member"]
+    )
+    assert hit is False
+
+    # histogram lambdas: corrupted bins arrays must flip each check
+    corrupt = spark.sql(
+        "SELECT "
+        # weights sum to 2.0, n = 3 -> weights_sum_ok false
+        "abs(aggregate(array(struct(1.0D AS x, 1.0D AS y), "
+        "  struct(2.0D AS x, 1.0D AS y)), CAST(0.0 AS DOUBLE), "
+        "  (acc, b) -> acc + CAST(b.y AS DOUBLE)) - CAST(3 AS DOUBLE)) "
+        "  < 1e-6 AS weights_sum_ok, "
+        # centroid 99 outside [0, 10] -> centroids_in_range_ok false
+        "forall(array(struct(99.0D AS x, 1.0D AS y)), "
+        "  b -> b.x >= 0.0D AND b.x <= 10.0D AND b.y > 0) "
+        "  AS centroids_in_range_ok, "
+        # descending centroids -> bins_sorted_ok false
+        "aggregate(array(struct(5.0D AS x, 1.0D AS y), "
+        "  struct(1.0D AS x, 1.0D AS y)), "
+        "  named_struct('prev', CAST('-Infinity' AS DOUBLE), 'ok', true), "
+        "  (acc, b) -> named_struct('prev', CAST(b.x AS DOUBLE), "
+        "              'ok', acc.ok AND b.x >= acc.prev), "
+        "  acc -> acc.ok) AS bins_sorted_ok"
+    ).collect()[0]
+    assert corrupt["weights_sum_ok"] is False
+    assert corrupt["centroids_in_range_ok"] is False
+    assert corrupt["bins_sorted_ok"] is False
