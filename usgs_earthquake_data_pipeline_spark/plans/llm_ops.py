@@ -649,6 +649,84 @@ def ann_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_persisted_index",
+    oracle=_cosine_topk_oracle(
+        5,
+        "TRUE AS persisted_matches_memory_ok, "
+        "TRUE AS fullprobe_after_roundtrip_exact_ok",
+    ),
+    tags=("llm", "ann", "index-maintenance", "checked"),
+)
+def ann_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index as a TABLE ON DISK — the storage leg of the
+    round-12 ``ivf_assign`` / ``ivf_search_assigned`` seam (the
+    incremental-append entry materializes in memory; production
+    stores the assigned lists in parquet and serves readers that
+    never see the raw corpus). The assigned table
+    ``(vec_id, vec, list_id)`` is written to parquet scratch, read
+    back, and searched; two pinned theorems certify the round trip:
+
+    - ``persisted_matches_memory_ok`` — searching the parquet-read
+      index equals searching the in-memory assignment, as an empty
+      symmetric exceptAll. Doubles (IEEE) and ints survive parquet
+      bit-exactly, so any divergence means the writer/reader mangled
+      the index.
+    - ``fullprobe_after_roundtrip_exact_ok`` — full probe over the
+      stored index still equals the exact cosine top-5 (payload, from
+      the shared checkpointed universe): storage round-trip composed
+      with the n_probe == n_lists identity is still brute force.
+
+    Scale shape: the stored index is exactly as wide as the corpus
+    projection + one int — the search-side plan over it is identical
+    to the in-memory one (candidate equi-join on list_id), and a real
+    deployment would additionally partition the parquet by list_id so
+    probes prune files; at this SF that would produce 16 tiny files
+    per run, so the layout choice is documented rather than forced."""
+    import os as _os
+
+    from ..session import _scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = S.default_ivf_centroids(emb, n_lists=16).localCheckpoint()
+    assigned = S.ivf_assign(emb, centroids)
+    out = _os.path.join(
+        _scratch_dir(),
+        f"ivf_index_{_os.path.basename(_os.path.normpath(sf_dir))}",
+    )
+    assigned.write.mode("overwrite").parquet(out)
+    stored = spark.read.parquet(out)
+    mem = S.ivf_search_assigned(assigned, queries, centroids, k=5, n_probe=4)
+    disk = S.ivf_search_assigned(stored, queries, centroids, k=5, n_probe=4)
+    same_ok = (
+        disk.exceptAll(mem)
+        .unionAll(mem.exceptAll(disk))
+        .agg((F.count(F.lit(1)) == 0).alias("persisted_matches_memory_ok"))
+    )
+    all_pairs = _exact_all_pairs_cached(spark, sf_dir)
+    exact5 = all_pairs.filter(F.col("rank") <= 5).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+    full = S.ivf_search_assigned(
+        stored, queries, centroids, k=5, n_probe=16
+    ).select("query_id", "neighbor_id", "score", "rank")
+    full_ok = (
+        full.exceptAll(exact5)
+        .unionAll(exact5.exceptAll(full))
+        .agg(
+            (F.count(F.lit(1)) == 0).alias(
+                "fullprobe_after_roundtrip_exact_ok"
+            )
+        )
+    )
+    return (
+        exact5.crossJoin(F.broadcast(same_ok))
+        .crossJoin(F.broadcast(full_ok))
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=(
         "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
