@@ -755,3 +755,47 @@ def test_ivf_seam_boolean_has_teeth(spark, sf_dir):
         ).collect()
     }
     assert bad_res != good_res
+
+
+def test_ivf_index_partitioned_by_list_prunes_and_matches(
+    spark, sf_dir, tmp_path
+):
+    """The 100 TB index layout the persisted-index entry's docstring
+    documents: store the assigned lists partitioned BY list_id, so a
+    probe's candidate read prunes to its n_probe directories. The
+    partitioned round trip must search identically to the in-memory
+    index, and a single-list read must touch only that partition's
+    files (partition pruning visible in the scan plan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = S.default_ivf_centroids(emb, n_lists=8).localCheckpoint()
+    assigned = S.ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf_index")
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    stored = spark.read.parquet(path)
+
+    mem = {
+        tuple(r)
+        for r in S.ivf_search_assigned(
+            assigned, queries, cents, k=5, n_probe=3
+        ).collect()
+    }
+    disk = {
+        tuple(r)
+        for r in S.ivf_search_assigned(
+            stored, queries, cents, k=5, n_probe=3
+        ).collect()
+    }
+    assert disk == mem
+
+    # partition pruning: a one-list filter reaches the scan as a
+    # partition filter, not a post-scan predicate
+    plan = (
+        stored.filter(F.col("list_id") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
