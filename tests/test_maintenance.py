@@ -799,3 +799,29 @@ def test_ivf_index_partitioned_by_list_prunes_and_matches(
     assert "PartitionFilters" in plan and "list_id" in plan.split(
         "PartitionFilters", 1
     )[1][:200]
+
+
+def test_exact_pairs_memo_invalidates_on_regenerated_data(spark, tmp_path):
+    """Round-12 advice: the shared exact all-pairs universe is keyed on
+    the embeddings files' (mtime, size) fingerprint, so regenerating
+    the parquet under an sf_dir within one session recomputes the
+    truth set instead of silently reusing the stale checkpoint."""
+    import shutil
+
+    from usgs_earthquake_data_pipeline_spark.plans.llm_ops import (
+        _exact_all_pairs_cached,
+    )
+    from tools.gen_testdata import generate
+
+    d = str(tmp_path / "sf")
+    generate(0.001, d, only={"embeddings"})
+    first = _exact_all_pairs_cached(spark, d)
+    assert _exact_all_pairs_cached(spark, d) is first  # memo hit
+
+    shutil.rmtree(os.path.join(d, "embeddings.parquet"), ignore_errors=True)
+    if os.path.isfile(os.path.join(d, "embeddings.parquet")):
+        os.remove(os.path.join(d, "embeddings.parquet"))
+    generate(0.001, d, seed=7, only={"embeddings"})  # different data
+    second = _exact_all_pairs_cached(spark, d)
+    assert second is not first  # stale truth set recomputed
+    assert _exact_all_pairs_cached(spark, d) is second

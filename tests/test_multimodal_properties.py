@@ -71,6 +71,24 @@ def test_mp4_planted_mvhd_always_recovered(ts, dur, version, pad):
 
 
 @settings(max_examples=100, deadline=None)
+@given(short=st.integers(min_value=0, max_value=31))
+def test_mp4_mvhd_v1_short_body_is_malformed_not_v0(short):
+    """An mvhd that claims version 1 but whose body is shorter than the
+    32 bytes the v1 layout needs is malformed: the parser must return
+    None (or ignore the box), never fall through and read the v1
+    creation/modification-time bytes as the v0 timescale/duration."""
+
+    def box(btype, body):
+        return struct.pack(">I4s", 8 + len(body), btype) + body
+
+    body = (b"\x01\x00\x00\x00" + b"\xff" * 32)[:short]
+    content = box(b"ftyp", b"mp42" + b"\x00" * 4) + box(
+        b"moov", box(b"mvhd", body)
+    )
+    assert _parse_mp4(content) is None
+
+
+@settings(max_examples=100, deadline=None)
 @given(
     sr=st.integers(min_value=1, max_value=192_000),
     channels=st.integers(min_value=1, max_value=8),

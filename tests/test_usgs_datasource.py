@@ -355,3 +355,61 @@ def test_datasource_writer_commit_publishes_manifest_before_deletes(
     # the stale part survived the simulated crash — unreferenced, which
     # manifest-honoring readers ignore
     assert stale.exists()
+
+
+def test_datasource_writer_next_commit_self_heals_orphans(tmp_path):
+    """Self-heal (round-13): a part file referenced by neither the
+    prior manifest nor the incoming winning set — the leftover of a
+    crash between a prior commit's manifest publish and its stale-part
+    deletes — is swept by the NEXT commit before it publishes, so
+    naive globbers stop over-reading after one successful commit.
+    Referenced prior parts survive an append commit untouched."""
+    import json as _json
+
+    from usgs_earthquake_data_pipeline_spark.sources.usgs_datasource import (
+        GeoJsonCommit,
+        UsgsGeoJsonWriter,
+    )
+
+    def feature_file(path, n):
+        path.write_text(
+            _json.dumps(
+                {
+                    "type": "FeatureCollection",
+                    "metadata": {"count": n},
+                    "features": [{} for _ in range(n)],
+                }
+            )
+        )
+
+    out = tmp_path / "gj"
+    out.mkdir()
+    committed = out / "part-job1-00000-1.json"
+    orphan = out / "part-crashed-00000-9.json"
+    incoming = out / "part-job2-00000-3.json"
+    feature_file(committed, 2)
+    feature_file(orphan, 5)
+    feature_file(incoming, 1)
+    # prior manifest references only the committed part — the orphan
+    # simulates a crashed prior overwrite that never reached deletes
+    (out / "_MANIFEST.json").write_text(
+        _json.dumps(
+            {
+                "files": [committed.name],
+                "file_counts": {committed.name: 2},
+                "n_features": 2,
+            }
+        )
+    )
+
+    writer = UsgsGeoJsonWriter({"path": str(out)}, overwrite=False)
+    writer.commit([GeoJsonCommit(str(incoming), 1)])
+
+    assert not orphan.exists(), "orphan must be swept by the next commit"
+    assert committed.exists() and incoming.exists()
+    manifest = _json.loads((out / "_MANIFEST.json").read_text())
+    assert set(manifest["files"]) == {committed.name, incoming.name}
+    assert manifest["n_features"] == 3
+    # glob view == manifest view again
+    on_disk = {p.name for p in out.glob("part-*.json")}
+    assert on_disk == set(manifest["files"])

@@ -52,6 +52,14 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
+KNOWN_TABLES = frozenset(
+    {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+)
+
+
 def generate(
     sf: float,
     out_dir: str,
@@ -65,6 +73,13 @@ def generate(
     to the same tables out of a full run — fine for timing smokes
     (the distribution family is what matters), do not mix dirs."""
     rng = np.random.default_rng(seed)
+    # Typo'd table names would otherwise "succeed" while generating
+    # nothing, and a downstream smoke then reads an empty dir.
+    if only is not None and (unknown := sorted(set(only) - KNOWN_TABLES)):
+        raise SystemExit(
+            f"unknown table name(s): {unknown}; "
+            f"known: {sorted(KNOWN_TABLES)}"
+        )
     os.makedirs(out_dir, exist_ok=True)
 
     def want(name: str) -> bool:

@@ -564,18 +564,24 @@ def _parse_mp4(content: bytes):
         for t2, s2, e2 in _walk_boxes(content, s, e):
             if t2 == b"mvhd" and e2 - s2 >= 20:
                 ver = content[s2]
-                if ver == 1 and e2 - s2 >= 32:
+                if ver == 1:
+                    if e2 - s2 < 32:
+                        # malformed v1 box: stop rather than reading
+                        # the v1 creation/modification bytes as the
+                        # v0 timescale/duration layout
+                        continue
                     # v1: ver/flags 4 + creation 8 + modification 8,
                     # then timescale u32 + duration u64
                     timescale, duration = struct.unpack(
                         ">IQ", content[s2 + 20 : s2 + 32]
                     )
-                else:
+                elif ver == 0:
                     # v0: ver/flags 4 + creation 4 + modification 4,
                     # then timescale u32 + duration u32
                     timescale, duration = struct.unpack(
                         ">II", content[s2 + 12 : s2 + 20]
                     )
+                # any other version byte: unknown layout, skip
             elif t2 == b"trak":
                 handler = None
                 for t3, s3, e3 in _walk_boxes(content, s2, e2):

@@ -261,15 +261,24 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quantiles_are_elements_ok")
         )
     )
+    # NULL-safe: percentile_approx ignores NULL values, so a group
+    # whose values are all NULL yields NULL estimates — both theorems
+    # are then vacuously true, not false/NULL (keeps the pinned-TRUE
+    # booleans unconditional rather than corpus-dependent).
+    no_values = F.col("_p50").isNull()
     return (
         est.join(member, "event_type")
         .select(
             "event_type",
             "n",
-            (
+            F.when(no_values, F.lit(True))
+            .otherwise(
                 (F.col("_p50") <= F.col("_p90")) & (F.col("_p90") <= F.col("_p99"))
-            ).alias("quantiles_monotone_ok"),
-            "quantiles_are_elements_ok",
+            )
+            .alias("quantiles_monotone_ok"),
+            F.when(no_values, F.lit(True))
+            .otherwise(F.col("quantiles_are_elements_ok"))
+            .alias("quantiles_are_elements_ok"),
         )
         .orderBy("event_type")
     )
@@ -591,7 +600,7 @@ def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sketch_histogram_numeric",
     oracle=(
-        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n, "
         "MIN(value) AS min_v, MAX(value) AS max_v, "
         "TRUE AS weights_sum_ok, TRUE AS centroids_in_range_ok, "
         "TRUE AS bins_sorted_ok "
@@ -625,8 +634,11 @@ def sketch_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__hist_ev")
     return spark.sql(
+        # COUNT(value), not COUNT(*): histogram_numeric ignores NULL
+        # values, so the weights-sum theorem must count non-null rows
+        # or a NULL value would flip the pinned-TRUE boolean.
         "WITH g AS (SELECT event_type, histogram_numeric(value, 5) AS bins, "
-        "COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v "
+        "COUNT(value) AS n, MIN(value) AS min_v, MAX(value) AS max_v "
         "FROM __hist_ev GROUP BY event_type) "
         "SELECT event_type, n, min_v, max_v, "
         "abs(aggregate(bins, CAST(0.0 AS DOUBLE), "

@@ -391,14 +391,39 @@ _EXACT_PAIRS_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    """(path, mtime_ns, size) of every file under the sf_dir's
+    embeddings parquet — memo-invalidation key so a long-lived session
+    never verifies against a stale truth set after the data under an
+    sf_dir is regenerated (round-12 advice)."""
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isfile(root):
+        st = os.stat(root)
+        return ((root, st.st_mtime_ns, st.st_size),)
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in sorted(files):
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out.append((os.path.relpath(p, root), st.st_mtime_ns, st.st_size))
+    return tuple(out)
+
+
 def _exact_all_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The checkpointed exact cosine all-pairs universe for this
     (session, sf_dir), computed once and shared across the ANN gate
     family. Safe to share: every consumer treats it as an immutable
-    (query_id, neighbor_id, score, rank) relation."""
+    (query_id, neighbor_id, score, rank) relation. Keyed on the
+    embeddings files' (mtime, size) fingerprint as well as the path,
+    so regenerating the parquet within one session recomputes the
+    truth instead of silently reusing the stale checkpoint."""
     per = _EXACT_PAIRS_MEMO.setdefault(spark, {})
-    key = os.path.normpath(sf_dir)
+    key = (os.path.normpath(sf_dir), _embeddings_fingerprint(sf_dir))
     if key not in per:
+        # drop superseded fingerprints for the same sf_dir so a
+        # regenerate-loop can't grow the memo without bound
+        for old in [k for k in per if k[0] == key[0]]:
+            del per[old]
         emb = load_table(spark, sf_dir, "embeddings")
         per[key] = _cosine_exact_all_pairs(emb).localCheckpoint()
     return per[key]

@@ -249,6 +249,10 @@ class UsgsGeoJsonWriter(DataSourceWriter):
     published FIRST (temp file + ``os.replace``, so it is never torn),
     THEN stale parts are deleted — a crash mid-commit leaves extra
     unreferenced files, never a manifest pointing at removed ones.
+    Naive globbers may therefore transiently over-read between such a
+    crash and the next commit: the NEXT commit self-heals by sweeping
+    every part file referenced by neither the prior manifest nor its
+    own winning set before publishing (round-13).
     ``append`` MERGES the prior manifest's file list into the new one
     (name-keyed, new wins), so manifest readers keep seeing earlier
     appends instead of silently losing them."""
@@ -317,6 +321,31 @@ class UsgsGeoJsonWriter(DataSourceWriter):
             if m is not None
         }
         manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        # Self-heal (round-12 advice): a crash in a PRIOR commit
+        # between the manifest os.replace and its stale-part deletes
+        # leaves orphaned part-*.json that naive globbers would read
+        # as live data. Sweep any part file referenced by neither the
+        # current manifest nor this job's winning set before
+        # publishing — single-writer directories, so unreferenced
+        # parts can only be crash/abort leftovers.
+        prior_names: set[str] = set()
+        if os.path.exists(manifest_path):
+            try:
+                with open(manifest_path) as fh:
+                    prior_names = set(json.load(fh).get("files", []))
+            except (json.JSONDecodeError, OSError):  # pragma: no cover
+                prior_names = set()
+        for name in os.listdir(self.path):
+            if (
+                name.startswith("part-")
+                and name.endswith(".json")
+                and name not in prior_names
+                and name not in new_files
+            ):
+                try:  # best-effort: a failed heal must not fail the commit
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
         if self.overwrite:
             files = new_files
         else:
