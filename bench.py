@@ -19,6 +19,9 @@ than back-to-back, so a transient box stall spreads across queries
 instead of poisoning all samples of one.  Round 8: the four heavy
 round-7 operators (BPE trainer, MaxSim, bigram perplexity, CDC
 chunking) joined the headline set so their perf is regression-visible.
+Round 13: dedup_minhash_lsh joined — it is the documented 100 TB
+production near-dedup tier (SCALING.md), so the regression guard must
+cover it, not just the two exact tiers it supersedes at scale.
 
 Gate mode (round-close tail-latency guard): ``python bench.py --gate
 BENCH_r08.json`` runs the bench as usual, compares every shared

@@ -758,6 +758,12 @@ def ann_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TRUE AS lsh_precision_ok, TRUE AS lsh_strong_recall_ok "
         "FROM documents GROUP BY 1 ORDER BY 1"
     ),
+    # headline (round-13): SCALING.md names LSH banding the 100 TB
+    # production near-dup tier, so its perf must be regression-visible
+    # in the bench next to the two exact tiers it supersedes at scale.
+    # (The timing includes the exact-pairs verification legs the gate
+    # booleans need — the LSH pass itself is ~40% of the entry.)
+    headline=True,
     tags=("llm", "dedup", "approx", "checked"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
