@@ -206,6 +206,91 @@ def test_multimodal_png_ihdr_byte_exact(spark):
     assert out[3].format == "invalid" and out[3].width is None
 
 
+def _webp_bytes(width: int, height: int, variant: str) -> bytearray:
+    """Hand-built minimal WebP: RIFF/WEBP preamble + one of the three
+    dimension-bearing chunks (VP8X canvas, VP8 keyframe header, VP8L
+    signature word) — exactly the bytes the header decoder reads."""
+    import struct as _s
+
+    if variant == "vp8x":
+        body = (
+            b"\x02\x00\x00\x00"
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        chunk = b"VP8X" + _s.pack("<I", len(body)) + body
+    elif variant == "vp8":
+        body = (
+            b"\x00\x00\x00"  # frame tag (keyframe)
+            + b"\x9d\x01\x2a"  # sync code
+            + _s.pack("<HH", width, height)
+            + b"\x00\x00"  # a little entropy payload
+        )
+        chunk = b"VP8 " + _s.pack("<I", len(body)) + body
+    else:  # vp8l
+        bits = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + _s.pack("<I", bits)
+        chunk = b"VP8L" + _s.pack("<I", len(body)) + body + b"\x00"[: len(body) & 1]
+    riff_body = b"WEBP" + chunk
+    return bytearray(b"RIFF" + _s.pack("<I", len(riff_body)) + riff_body)
+
+
+def _avif_bytes(width: int, height: int, depth: int | None = None) -> bytearray:
+    """Hand-built minimal AVIF: ftyp(avif) + meta FullBox containing
+    iprp > ipco > ispe (ver/flags + u32be dims) and optionally pixi."""
+    import struct as _s
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return _s.pack(">I4s", 8 + len(body), btype) + body
+
+    ispe = box(b"ispe", b"\x00" * 4 + _s.pack(">II", width, height))
+    props = ispe
+    if depth is not None:
+        props += box(b"pixi", b"\x00" * 4 + bytes([3, depth, depth, depth]))
+    meta = box(
+        b"meta", b"\x00" * 4 + box(b"iprp", box(b"ipco", props))
+    )
+    return bytearray(
+        box(b"ftyp", b"avif" + b"\x00" * 4 + b"avifmif1") + meta
+    )
+
+
+def test_multimodal_webp_avif_dims_byte_exact(spark):
+    """Round-13 (verdict item 3): WebP and AVIF dimensions parse with
+    the stdlib RIFF / ISO-BMFF walkers — all three WebP dimension
+    encodings, AVIF with and without a pixi bit-depth box, and
+    malformed variants stay 'invalid' rather than raising."""
+    rows = [
+        (1, _webp_bytes(1_920, 1_080, "vp8x")),
+        (2, _webp_bytes(640, 360, "vp8")),
+        (3, _webp_bytes(16_383, 16_383, "vp8l")),  # 14-bit max dims
+        (4, _avif_bytes(1_024, 768, depth=10)),
+        (5, _avif_bytes(99, 7)),  # no pixi: depth unknown
+        # VP8 chunk with a corrupted sync code -> invalid, not garbage
+        (6, bytearray(bytes(_webp_bytes(640, 360, "vp8")).replace(
+            b"\x9d\x01\x2a", b"\x9d\x01\x2b"))),
+        # avif brand but empty meta -> invalid
+        (7, bytearray(bytes(_avif_bytes(1, 1))[:32])),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in M.decode_image_meta(df).collect()}
+    assert (out[1].width, out[1].height, out[1].bit_depth, out[1].format) == (
+        1_920, 1_080, 8, "webp",
+    )
+    assert (out[2].width, out[2].height, out[2].format) == (640, 360, "webp")
+    assert (out[3].width, out[3].height, out[3].format) == (
+        16_383, 16_383, "webp",
+    )
+    assert (out[4].width, out[4].height, out[4].bit_depth, out[4].format) == (
+        1_024, 768, 10, "avif",
+    )
+    assert (out[5].width, out[5].height, out[5].bit_depth, out[5].format) == (
+        99, 7, None, "avif",
+    )
+    assert out[6].format == "invalid" and out[6].width is None
+    assert out[7].format == "invalid" and out[7].width is None
+
+
 def test_text_functions_edge_cases(spark):
     rows = [(1, ""), (2, "   "), (3, "one"), (4, "a b!! c??")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])

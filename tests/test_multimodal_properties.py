@@ -12,9 +12,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from usgs_earthquake_data_pipeline_spark.functions.multimodal import (
+    _parse_avif_dims,
     _parse_jpeg_dims,
     _parse_mp4,
     _parse_wav,
+    _parse_webp_dims,
     _walk_boxes,
 )
 
@@ -26,6 +28,8 @@ def test_parsers_never_raise_on_garbage(data):
     _parse_mp4(data)
     _parse_wav(data)
     _parse_jpeg_dims(data)
+    _parse_webp_dims(data)
+    _parse_avif_dims(data)
     list(_walk_boxes(data, 0, len(data)))
 
 
@@ -68,6 +72,65 @@ def test_mp4_planted_mvhd_always_recovered(ts, dur, version, pad):
     assert parsed is not None
     major, got_ts, got_dur, tracks = parsed
     assert (major, got_ts, got_dur, tracks) == ("mp42", ts, dur, [])
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16_383),
+    h=st.integers(min_value=1, max_value=16_383),
+    variant=st.sampled_from(["vp8x", "vp8", "vp8l"]),
+    tail=st.binary(max_size=32),
+)
+def test_webp_planted_dims_always_recovered(w, h, variant, tail):
+    """All three WebP dimension encodings round-trip through the RIFF
+    chunk walk, with trailing junk (incl. a lying chunk size) ignored
+    up to the dimension-bearing chunk."""
+    if variant == "vp8x":
+        body = (
+            b"\x02\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+        chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    elif variant == "vp8":
+        body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    else:
+        bits = (w - 1) | ((h - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body + b"\x00"
+    # an unknown leading chunk the walker must skip (word-aligned)
+    lead = b"EXIF" + struct.pack("<I", 3) + b"abc\x00"
+    riff_body = b"WEBP" + lead + chunk + tail
+    data = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    assert _parse_webp_dims(data) == (w, h)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=2**32 - 1),
+    h=st.integers(min_value=1, max_value=2**32 - 1),
+    depth=st.one_of(st.none(), st.integers(min_value=1, max_value=16)),
+    pad=st.binary(max_size=24),
+)
+def test_avif_planted_ispe_always_recovered(w, h, depth, pad):
+    """A spec-shaped meta/iprp/ipco/ispe chain embedded next to junk
+    boxes parses to exactly the planted dims (+ pixi depth)."""
+
+    def box(btype, body):
+        return struct.pack(">I4s", 8 + len(body), btype) + body
+
+    props = box(b"ispe", b"\x00" * 4 + struct.pack(">II", w, h))
+    if depth is not None:
+        props += box(b"pixi", b"\x00" * 4 + bytes([1, depth]))
+    meta = box(b"meta", b"\x00" * 4 + box(b"iprp", box(b"ipco", props)))
+    data = (
+        box(b"ftyp", b"avif" + b"\x00" * 4)
+        + box(b"free", pad)
+        + meta
+        + box(b"mdat", b"\x00" * 4)
+    )
+    assert _parse_avif_dims(data) == (w, h, depth)
 
 
 @settings(max_examples=100, deadline=None)

@@ -9,8 +9,11 @@ parsed for real — PNG (signature + IHDR: width/height/bit-depth),
 JPEG (marker-segment walk to the SOFn frame header:
 width/height/precision — dimensions need no entropy decoding), WAV
 (RIFF chunk walk: fmt/data → channels/sample-rate/duration, PCM16
-waveform stats), and MP4/ISO BMFF (box walk: ftyp brand, moov/mvhd
-timescale+duration, per-trak mdia/hdlr stream types). Full
+waveform stats), MP4/ISO BMFF (box walk: ftyp brand, moov/mvhd
+timescale+duration, per-trak mdia/hdlr stream types), WebP (the same
+RIFF chunk walk: VP8X canvas / VP8 keyframe / VP8L signature dims),
+and AVIF (the same ISO BMFF box walk: meta/iprp/ipco/ispe dims +
+pixi bit depth). Full
 pixel/sample/frame DECODING of compressed codecs (JPEG pixels, H.264
 frames, MP3, ...) would need real image/audio libraries this
 container doesn't ship, so those paths raise
@@ -115,6 +118,85 @@ def _parse_jpeg_dims(content: bytes):
     return None
 
 
+def _parse_webp_dims(content: bytes):
+    """Stdlib WebP dimension parse (round-13: the dims ARE parseable
+    without an image lib — WebP is a RIFF container, the same chunk
+    walk `_parse_wav` does). Walks the word-aligned chunk list after
+    the ``RIFF....WEBP`` preamble and reads dims from the first of:
+
+    - ``VP8X`` (extended): canvas width-1 / height-1 as 24-bit LE
+      at payload bytes 4-9;
+    - ``VP8 `` (lossy): the keyframe header — 3-byte frame tag, the
+      0x9D 0x01 0x2A sync code, then 14-bit LE width/height;
+    - ``VP8L`` (lossless): 0x2F signature byte, then width-1 in bits
+      0-13 and height-1 in bits 14-27 of the next LE u32.
+
+    Returns ``(width, height)`` or None. Pixel DECODE still requires
+    an image lib and keeps its NotImplementedError guard."""
+    pos = 12
+    n = len(content)
+    while pos + 8 <= n:
+        cid = content[pos : pos + 4]
+        (csize,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + csize]
+        if len(body) < csize:
+            return None  # lying chunk size: truncated container
+        if cid == b"VP8X" and csize >= 10:
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return w, h
+        if cid == b"VP8 " and csize >= 10:
+            if body[3:6] != b"\x9d\x01\x2a":  # keyframe sync code
+                return None
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            return w, h
+        if cid == b"VP8L" and csize >= 5:
+            if body[0] != 0x2F:  # lossless signature
+                return None
+            bits = struct.unpack("<I", body[1:5])[0]
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        pos += 8 + csize + (csize & 1)  # chunks are 2-byte aligned
+    return None
+
+
+def _parse_avif_dims(content: bytes):
+    """Stdlib AVIF dimension parse (round-13): AVIF is ISO BMFF, the
+    same container `_parse_mp4`'s `_walk_boxes` already walks. Dims
+    live in ``meta/iprp/ipco/ispe`` (ImageSpatialExtents: ver/flags u32
+    + width u32be + height u32be); bits-per-channel, when present, in
+    the sibling ``pixi`` box. ``meta`` is a FullBox, so its children
+    start 4 bytes into the body. Uses the FIRST ispe in ipco — the
+    primary item's properties lead in practice; resolving pitm→ipma
+    associations is decode-level work this environment can't verify.
+
+    Returns ``(width, height, bit_depth-or-None)`` or None."""
+    dims = None
+    depth = None
+    for btype, s, e in _walk_boxes(content, 0, len(content)):
+        if btype != b"meta" or e - s < 4:
+            continue
+        for t2, s2, e2 in _walk_boxes(content, s + 4, e):  # FullBox skip
+            if t2 != b"iprp":
+                continue
+            for t3, s3, e3 in _walk_boxes(content, s2, e2):
+                if t3 != b"ipco":
+                    continue
+                for t4, s4, e4 in _walk_boxes(content, s3, e3):
+                    if t4 == b"ispe" and dims is None and e4 - s4 >= 12:
+                        w, h = struct.unpack(
+                            ">II", content[s4 + 4 : s4 + 12]
+                        )
+                        dims = (w, h)
+                    elif t4 == b"pixi" and depth is None and e4 - s4 >= 6:
+                        # ver/flags u32 + num_channels u8 + bits u8/ch
+                        if content[s4 + 4] >= 1:
+                            depth = content[s4 + 5]
+    if dims is None:
+        return None
+    return dims[0], dims[1], depth
+
+
 def encode_fake_image(media_id: int, width: int, height: int) -> bytes:
     """Deterministic fake image bytes (header + id-seeded payload).
     Byte-identical to what :func:`attach_fake_media` builds JVM-side."""
@@ -165,18 +247,33 @@ def _decode_one(media_id: int, content: bytes | None):
             width, height, precision = dims
             return media_id, width, height, precision, len(content), "jpeg"
         return media_id, None, None, None, len(content), "invalid"
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        dims = _parse_webp_dims(content)
+        if dims is not None:
+            # VP8/VP8L code 8-bit channels by spec
+            return media_id, dims[0], dims[1], 8, len(content), "webp"
+        return media_id, None, None, None, len(content), "invalid"
+    if len(content) >= 12 and content[4:8] == b"ftyp" and content[
+        8:12
+    ] in (b"avif", b"avis"):
+        parsed = _parse_avif_dims(content)
+        if parsed is not None:
+            width, height, depth = parsed
+            return media_id, width, height, depth, len(content), "avif"
+        return media_id, None, None, None, len(content), "invalid"
     magic, width, height = struct.unpack(_HEADER_FMT, content[:_HEADER_SIZE])
     if magic == FAKE_MAGIC:
         # fake payload is 1 byte/px — report it as 8-bit
         return media_id, width, height, 8, len(content), "fake"
     # REAL-CODEC INTEGRATION POINT: PIL.Image.open(io.BytesIO(content))
-    # goes here for other compressed formats (WebP, AVIF, ...); the
+    # goes here for other compressed formats (HEIC, TIFF, ...); the
     # container ships no image libs, so those are explicitly
-    # unsupported rather than silently wrong. PNG/JPEG/FAKEIMG1
-    # headers parse above with stdlib struct.
+    # unsupported rather than silently wrong. PNG/JPEG/WebP/AVIF/
+    # FAKEIMG1 headers parse above with stdlib struct.
     raise NotImplementedError(
-        "decoding this image format requires PIL/pillow; PNG, JPEG and "
-        "FAKEIMG1 containers decode header-only in this environment"
+        "decoding this image format requires PIL/pillow; PNG, JPEG, "
+        "WebP, AVIF and FAKEIMG1 containers decode header-only in "
+        "this environment"
     )
 
 
@@ -632,6 +729,83 @@ _MP4_MVHD_POST = (
 _MP4_TRAK_VIDE = _mp4_hdlr_trak(b"vide")
 _MP4_TRAK_SOUN = _mp4_hdlr_trak(b"soun")
 _MP4_MVHD_SIZE = 8 + len(_MP4_MVHD_PRE) + 8 + len(_MP4_MVHD_POST)
+
+
+# Constant fragments of the fake WebP/AVIF containers (round 13 —
+# everything except the dims and the pixi depth is fixed-layout, so
+# box/chunk sizes are Python-side constants):
+_WEBP_VP8X_PRE = (
+    b"RIFF" + struct.pack("<I", 22) + b"WEBP"
+    + b"VP8X" + struct.pack("<I", 10) + b"\x02\x00\x00\x00"
+)
+_WEBP_VP8L_PRE = (
+    b"RIFF" + struct.pack("<I", 18) + b"WEBP"
+    + b"VP8L" + struct.pack("<I", 5) + b"\x2f"
+)
+_AVIF_FTYP = _mp4_box(b"ftyp", b"avif" + b"\x00" * 4)
+# meta FullBox > iprp > ipco > [ispe(dims) pixi(1ch depth)]
+_AVIF_ISPE_HDR = struct.pack(">I4s", 20, b"ispe") + b"\x00" * 4
+_AVIF_PIXI_HDR = struct.pack(">I4s", 14, b"pixi") + b"\x00" * 4 + b"\x01"
+_AVIF_IPCO_HDR = struct.pack(">I4s", 42, b"ipco")
+_AVIF_IPRP_HDR = struct.pack(">I4s", 50, b"iprp")
+_AVIF_META_HDR = struct.pack(">I4s", 62, b"meta") + b"\x00" * 4
+
+
+def attach_fake_webp_avif(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL-container WebP/AVIF column derived from an
+    id — the still-image sibling of :func:`attach_fake_video`, built
+    for the round-13 de-guarding of WebP/AVIF dims. Container by id:
+    id%4==0 → WebP VP8X (extended canvas), id%4==2 → WebP VP8L
+    (lossless signature word), odd → AVIF (meta/iprp/ipco/ispe +
+    pixi). Dims are width=id%1000+1, height=id%700+1; AVIF pixi depth
+    is 8+id%5 — all formula-predictable so an oracle can pin every
+    decoded field. Built JVM-side: constant fragments are binary
+    literals, varying ints become hex/unhex slices (little-endian by
+    hex-pair reversal for the RIFF side); the encode never leaves
+    codegen."""
+    mid = F.col(id_col).cast("long")
+    w = (mid % 1000 + 1).cast("bigint")
+    h = (mid % 700 + 1).cast("bigint")
+    depth = (mid % 5 + 8).cast("bigint")
+
+    def be(c, n_bytes):
+        return F.unhex(F.lpad(F.hex(c), 2 * n_bytes, "0"))
+
+    def le(c, n_bytes):
+        hx = F.lpad(F.hex(c), 2 * n_bytes, "0")
+        pairs = [
+            F.substring(hx, 2 * i + 1, 2) for i in reversed(range(n_bytes))
+        ]
+        return F.unhex(F.concat(*pairs))
+
+    webp_vp8x = F.concat(
+        F.lit(_WEBP_VP8X_PRE), le(w - 1, 3), le(h - 1, 3)
+    )
+    vp8l_bits = (w - 1) + (h - 1) * F.lit(16384)
+    webp_vp8l = F.concat(
+        F.lit(_WEBP_VP8L_PRE), le(vp8l_bits, 4), F.lit(b"\x00")  # align pad
+    )
+    avif = F.concat(
+        F.lit(_AVIF_FTYP),
+        F.lit(_AVIF_META_HDR),
+        F.lit(_AVIF_IPRP_HDR),
+        F.lit(_AVIF_IPCO_HDR),
+        F.lit(_AVIF_ISPE_HDR),
+        be(w, 4),
+        be(h, 4),
+        F.lit(_AVIF_PIXI_HDR),
+        be(depth, 1),
+    )
+    content = (
+        F.when((mid % 2) == 1, avif)
+        .when((mid % 4) == 0, webp_vp8x)
+        .otherwise(webp_vp8l)
+    )
+    return (
+        df.withColumn("media_id", mid)
+        .withColumn("content", content.cast("binary"))
+        .withColumn("media_type", F.lit("image"))
+    )
 
 
 def attach_fake_video(df: DataFrame, id_col: str) -> DataFrame:
