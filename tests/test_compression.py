@@ -142,3 +142,48 @@ def test_ncd_mirror_source_scores_low(spark, tmp_path):
     assert got[("srcA", "srcB")] < 0.55
     assert got[("srcA", "srcC")] > got[("srcA", "srcB")] + 0.2
     assert got[("srcB", "srcC")] > got[("srcA", "srcB")] + 0.2
+
+
+def test_ratio_bracket_flips_on_identity_compressor(spark, sf_dir, monkeypatch):
+    """Teeth (round-13 verdict item 4): the corpus-measured per-source
+    mean-ratio bracket [0.35, 0.80] must catch a do-nothing compressor
+    that the compressBound expansion envelope alone cannot — inject a
+    stub returning len(raw) THROUGH the operator (monkeypatched
+    deflate_size) and require ratio_bracket_ok to flip false for every
+    source while the (still-satisfied) envelope boolean stays true."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from usgs_earthquake_data_pipeline_spark.functions import compress
+
+    # genuine entry first: both booleans true on the real kernel
+    real = {
+        r.source: r
+        for r in CATALOG["text_compression_ratio"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert all(r.deflate_bound_ok and r.ratio_bracket_ok for r in real.values())
+
+    identity_size = pandas_udf(
+        lambda texts: texts.map(
+            lambda t: len(t.encode("utf-8")) if t else None
+        ).astype("Int64"),
+        "int",
+    )
+
+    def stub(col):
+        c = F.col(col) if isinstance(col, str) else col
+        return identity_size(c)
+
+    monkeypatch.setattr(compress, "deflate_size", stub)
+    corrupted = {
+        r.source: r
+        for r in CATALOG["text_compression_ratio"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(corrupted) == set(real)
+    for r in corrupted.values():
+        assert not r.ratio_bracket_ok, r  # mean ratio 1.0 > 0.80
+        assert r.deflate_bound_ok, r  # envelope alone is blind to it
