@@ -322,24 +322,82 @@ def test_bound_gate_booleans_have_teeth(spark, sf_dir):
 
 def test_round12_gate_booleans_have_teeth(spark, sf_dir):
     """Round-12 conversions: each new pinned boolean must actually go
-    FALSE under a corrupted sketch/estimate — replayed with the same
-    bracket logic the entries use, fed deliberately wrong values."""
+    FALSE under a corrupted sketch/estimate. Round 13 (verdict item
+    5): the HLL/CMS cases inject THROUGH the operator — a cloned plan
+    whose estimate column is wrong (wrong-column sketch, or a
+    perturbation of the real sketch value) evaluated by the ENGINE
+    against the entries' own bracket expressions — instead of
+    asserting comparator arithmetic in Python."""
+    from usgs_earthquake_data_pipeline_spark.operators.sketches import (
+        cms_cells,
+        cms_point_estimates,
+    )
+
     ev = load_table(spark, sf_dir, "events")
 
-    # cms_never_undercounts_ok: an estimate below exact must flip
-    exact = ev.filter(F.col("user_id") == 0).count()
-    assert exact > 0
-    assert not (exact - 1 >= exact)
-
-    # hll_partition_invariant_ok: two different estimates must flip
-    # (the entry compares approx(as-stored) == approx(repartitioned))
-    row = (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("a"))
-        .limit(1)
-        .collect()[0]
+    # cms_never_undercounts_ok: clone the entry's plan but perturb the
+    # estimate column to 2*exact - est - 1 (<= exact-1 whenever the
+    # theorem est >= exact holds), and evaluate the entry's own
+    # `est >= exact_cnt` expression on it engine-side.
+    cells = cms_cells(ev, "user_id", depth=5, width=4096)
+    probes = spark.range(0, 20).select(F.col("id").alias("user_id"))
+    est = cms_point_estimates(cells, probes, "user_id", depth=5, width=4096)
+    exact = (
+        ev.filter(F.col("user_id").between(0, 19))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
     )
-    assert not (row["a"] == row["a"] + 1)
+    cms_rows = (
+        est.join(exact, "user_id", "left")
+        .fillna(0, subset=["exact_cnt"])
+        .withColumn(
+            "est",
+            F.lit(2) * F.col("exact_cnt") - F.col("est") - F.lit(1),
+        )
+        .select(
+            "user_id",
+            (F.col("est") >= F.col("exact_cnt")).alias(
+                "cms_never_undercounts_ok"
+            ),
+        )
+        .collect()
+    )
+    assert cms_rows and all(
+        r["cms_never_undercounts_ok"] is False for r in cms_rows
+    )
+
+    # hll_partition_invariant_ok / hll_in_bound_ok: clone
+    # sketch_distinct_users but compute the repartitioned leg's sketch
+    # over the WRONG COLUMN (value: far higher cardinality than
+    # user_id) — both of the entry's bracket expressions must flip.
+    base = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_a"),
+    )
+    wrong_col = (
+        ev.repartition(7, "user_id")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("value", rsd=0.01).alias("_b"))
+    )
+    hll_rows = (
+        base.join(wrong_col, "event_type")
+        .select(
+            "event_type",
+            (F.col("_a") == F.col("_b")).alias(
+                "hll_partition_invariant_ok"
+            ),
+            (
+                F.abs(F.col("_b") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(5.0), F.col("exact_users") * F.lit(0.05)
+                )
+            ).alias("hll_in_bound_ok"),
+        )
+        .collect()
+    )
+    assert hll_rows
+    assert all(r["hll_partition_invariant_ok"] is False for r in hll_rows)
+    assert all(r["hll_in_bound_ok"] is False for r in hll_rows)
 
     # quantiles_are_elements_ok: a value NOT in the group's set must
     # fail the membership join logic (same max(when(value==est)) form)
