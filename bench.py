@@ -68,7 +68,9 @@ def _spread(s: list[float]) -> float:
     return round(max(core) - min(core), 4)
 
 
-def run_bench(sf_dir: str, only: set[str] | None = None) -> dict:
+def run_bench(
+    sf_dir: str, only: set[str] | None = None, runs: int | None = None
+) -> dict:
     from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
     from usgs_earthquake_data_pipeline_spark.session import get_spark
 
@@ -86,8 +88,9 @@ def run_bench(sf_dir: str, only: set[str] | None = None) -> dict:
     for entry in headline:
         entry.spark_fn(spark, sf_dir).count()
 
+    base_runs = RUNS if runs is None else runs
     samples: dict[str, list[float]] = {e.name: [] for e in headline}
-    runs_for = {e.name: EXTRA_RUNS.get(e.name, RUNS) for e in headline}
+    runs_for = {e.name: EXTRA_RUNS.get(e.name, base_runs) for e in headline}
     for i in range(max(runs_for.values())):
         for entry in headline:
             if i >= runs_for[entry.name]:
@@ -113,7 +116,7 @@ def run_bench(sf_dir: str, only: set[str] | None = None) -> dict:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
-        "runs": RUNS,
+        "runs": base_runs,
         "aggregation": "median",
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         # Box-load evidence (round-10 verdict item 5): recordings on a
@@ -203,22 +206,31 @@ def gate_with_retry(result: dict, prior: dict, sf_dir: str) -> list[str]:
     return gate(result, prior)
 
 
-def parse_args(argv: list[str]) -> str | None:
-    """Strict argv: the ONLY accepted form is ``--gate FILE``
-    (exactly). Anything else — ``--gate=FILE``, a typo'd flag,
-    trailing tokens — is a usage error, never silently ignored: an
+def parse_args(argv: list[str]) -> tuple[str | None, str | None, int | None]:
+    """Strict argv: the ONLY accepted forms are ``--gate FILE``
+    (exactly), or ``--sf-dir DIR [--runs N]`` (the round-13 scaling
+    leg: time the headliners at another SF — e.g.
+    ``--sf-dir tmp_scale/sf1 --runs 3`` — with NO gate, since prior
+    recordings are sf0.1 medians by convention). Anything else —
+    ``--gate=FILE``, a typo'd flag, trailing tokens, --gate combined
+    with --sf-dir — is a usage error, never silently ignored: an
     ungated bench that exits 0 would let a round-close CI gate pass
-    vacuously."""
+    vacuously. Returns (gate_path, sf_dir_override, runs_override)."""
     if not argv:
-        return None
-    if argv[0] != "--gate" or len(argv) != 2:
-        print(
-            f"unrecognized arguments: {' '.join(argv)}\n"
-            "usage: bench.py [--gate BENCH_rN.json]",
-            file=sys.stderr,
-        )
-        raise SystemExit(2)
-    return argv[1]
+        return None, None, None
+    if argv[0] == "--gate" and len(argv) == 2:
+        return argv[1], None, None
+    if argv[0] == "--sf-dir" and len(argv) in (2, 4):
+        if len(argv) == 2:
+            return None, argv[1], None
+        if argv[2] == "--runs" and argv[3].isdigit() and int(argv[3]) > 0:
+            return None, argv[1], int(argv[3])
+    print(
+        f"unrecognized arguments: {' '.join(argv)}\n"
+        "usage: bench.py [--gate BENCH_rN.json | --sf-dir DIR [--runs N]]",
+        file=sys.stderr,
+    )
+    raise SystemExit(2)
 
 
 def resolve_prior(raw: dict, gate_path: str) -> dict:
@@ -242,10 +254,12 @@ def resolve_prior(raw: dict, gate_path: str) -> dict:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    gate_path = parse_args(sys.argv[1:])
+    gate_path, sf_override, runs = parse_args(sys.argv[1:])
+    sf_dir = sf_override or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
 
-    result = run_bench(sf_dir)
+    result = run_bench(sf_dir, runs=runs)
 
     # gate BEFORE printing: the retry protocol may settle flagged
     # medians, and the recorded line must carry the numbers the

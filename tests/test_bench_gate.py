@@ -73,14 +73,22 @@ def test_parse_args_strict():
 
     from bench import parse_args
 
-    assert parse_args([]) is None
-    assert parse_args(["--gate", "B.json"]) == "B.json"
+    assert parse_args([]) == (None, None, None)
+    assert parse_args(["--gate", "B.json"]) == ("B.json", None, None)
+    # the round-13 scaling leg
+    assert parse_args(["--sf-dir", "/d"]) == (None, "/d", None)
+    assert parse_args(["--sf-dir", "/d", "--runs", "3"]) == (None, "/d", 3)
     for bad in (
         ["--gate=B.json"],          # equals form
         ["--gate"],                 # missing file
         ["--gate", "B.json", "x"],  # trailing token
         ["--gat", "B.json"],        # typo
         ["B.json"],                 # bare positional
+        ["--sf-dir"],               # missing dir
+        ["--sf-dir", "/d", "--runs"],        # missing N
+        ["--sf-dir", "/d", "--runs", "0"],   # non-positive N
+        ["--sf-dir", "/d", "--runs", "x"],   # non-numeric N
+        ["--gate", "B.json", "--sf-dir", "/d"],  # gate+sf-dir combo
     ):
         with pytest.raises(SystemExit) as exc:
             parse_args(bad)
