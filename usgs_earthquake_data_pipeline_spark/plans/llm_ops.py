@@ -379,24 +379,27 @@ def _cosine_exact_all_pairs(emb: DataFrame) -> DataFrame:
     )
 
 
-# Per-(session, sf_dir) memo of the checkpointed exact all-pairs
-# cosine universe: four gate entries (ann_ivf, ann_lsh_bucketed,
-# ann_ivf_probe_sweep, ann_ivf_incremental_append) verify against the
-# SAME truth, and each used to recompute + re-checkpoint it (round-11
-# verdict item 6 measured the family's profile cost at ~2x what the
-# shared universe needs). WeakKeyDictionary: a stopped session's
-# checkpoint blocks are gone, so its cache entry must die with it.
-_EXACT_PAIRS_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+# Per-(session, sf_dir) memo of checkpointed shared TRUTH SETS: the
+# exact all-pairs cosine universe (four ANN gate entries verify
+# against it — round-11 verdict item 6 measured the family's profile
+# cost at ~2x what one shared universe needs), and since round 13 the
+# exact t=0.3 Jaccard pair set (three minhash gate entries) and the
+# k=1 SemDeDup survivor set (both semdedup entries) — the r12
+# verdict's item 7, PROFILE.md's two dominant gate families.
+# WeakKeyDictionary: a stopped session's checkpoint blocks are gone,
+# so its cache entry must die with it. Keys carry the source table's
+# file fingerprint so regenerating the parquet within one session
+# recomputes the truth instead of silently reusing a stale checkpoint
+# (round-12 advice).
+_TRUTH_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
 
 
-def _embeddings_fingerprint(sf_dir: str) -> tuple:
+def _table_fingerprint(sf_dir: str, table: str) -> tuple:
     """(path, mtime_ns, size) of every file under the sf_dir's
-    embeddings parquet — memo-invalidation key so a long-lived session
-    never verifies against a stale truth set after the data under an
-    sf_dir is regenerated (round-12 advice)."""
-    root = os.path.join(sf_dir, "embeddings.parquet")
+    ``<table>.parquet`` — the memo-invalidation key."""
+    root = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isfile(root):
         st = os.stat(root)
         return ((root, st.st_mtime_ns, st.st_size),)
@@ -409,24 +412,63 @@ def _embeddings_fingerprint(sf_dir: str) -> tuple:
     return tuple(out)
 
 
+def _truth_cached(spark: SparkSession, sf_dir: str, name: str, table: str, build):
+    """Memoized localCheckpoint of a shared truth set. ``build`` takes
+    the loaded source table and returns the truth DataFrame. Safe to
+    share: every consumer treats the result as an immutable relation."""
+    per = _TRUTH_MEMO.setdefault(spark, {})
+    key = (name, os.path.normpath(sf_dir), _table_fingerprint(sf_dir, table))
+    if key not in per:
+        # drop superseded fingerprints for the same (name, sf_dir) so
+        # a regenerate-loop can't grow the memo without bound
+        for old in [k for k in per if k[:2] == key[:2]]:
+            del per[old]
+        per[key] = build(load_table(spark, sf_dir, table)).localCheckpoint()
+    return per[key]
+
+
 def _exact_all_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The checkpointed exact cosine all-pairs universe for this
     (session, sf_dir), computed once and shared across the ANN gate
-    family. Safe to share: every consumer treats it as an immutable
-    (query_id, neighbor_id, score, rank) relation. Keyed on the
-    embeddings files' (mtime, size) fingerprint as well as the path,
-    so regenerating the parquet within one session recomputes the
-    truth instead of silently reusing the stale checkpoint."""
-    per = _EXACT_PAIRS_MEMO.setdefault(spark, {})
-    key = (os.path.normpath(sf_dir), _embeddings_fingerprint(sf_dir))
-    if key not in per:
-        # drop superseded fingerprints for the same sf_dir so a
-        # regenerate-loop can't grow the memo without bound
-        for old in [k for k in per if k[0] == key[0]]:
-            del per[old]
-        emb = load_table(spark, sf_dir, "embeddings")
-        per[key] = _cosine_exact_all_pairs(emb).localCheckpoint()
-    return per[key]
+    family: an immutable (query_id, neighbor_id, score, rank)
+    relation."""
+    return _truth_cached(
+        spark, sf_dir, "ann_exact_pairs", "embeddings",
+        _cosine_exact_all_pairs,
+    )
+
+
+def _exact_jaccard03_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed exact 3-gram Jaccard pair set at t=0.3 —
+    the truth relation the three minhash gate entries verify against
+    (each used to recompute the full posting-list self-join). The
+    HEADLINE entry ``dedup_ngram_jaccard`` deliberately does NOT use
+    the memo: it is the exact tier's regression-visible timing."""
+    return _truth_cached(
+        spark, sf_dir, "jaccard03_pairs", "documents",
+        lambda docs: D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ),
+    )
+
+
+def _semdedup_exact_survivors_cached(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The checkpointed k=1 SemDeDup survivor set (expr comparator —
+    the bit-stable keep-min rule): (vec_id, list_id) rows shared by
+    ``dedup_semdedup_exact`` (its whole payload) and
+    ``dedup_semantic_semdedup`` (its exactness reference leg) —
+    PROFILE.md's single most expensive truth recompute."""
+    from ..operators.similarity import semantic_dedup
+
+    return _truth_cached(
+        spark, sf_dir, "semdedup_exact_k1", "embeddings",
+        lambda emb: semantic_dedup(
+            emb, "vec_id", "embedding", k=1, dim=64, threshold=0.3,
+            comparator="expr",
+        ),
+    )
 
 
 def _ann_cosine_gate(
@@ -791,7 +833,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = D.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.3
     ).select("id_a", "id_b").localCheckpoint()
-    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    exact = _exact_jaccard03_cached(spark, sf_dir)
     prec = lsh.join(
         exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     ).agg((F.count(F.lit(1)) == 0).alias("lsh_precision_ok"))
@@ -865,7 +907,7 @@ def dedup_minhash_estimate_checked(spark: SparkSession, sf_dir: str) -> DataFram
     signature truncation — flips some pair's boolean and the driver
     row goes red."""
     docs = load_table(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    exact = _exact_jaccard03_cached(spark, sf_dir)
     sigs = D.hashed_shingle_sets(docs, "doc_id", "text").select(
         "id", D.minhash_signature(F.col("hs"), 32).alias("sig")
     )
@@ -989,7 +1031,7 @@ def dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
       measured recall on the driver corpora is 1.0 at every SF (all
       true pairs are near-identical documents)."""
     docs = load_table(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    exact = _exact_jaccard03_cached(spark, sf_dir)
     lsh = D.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.3
     ).select("id_a", "id_b")
@@ -2285,10 +2327,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prod = semantic_dedup(
         emb, "vec_id", "embedding", k=8, dim=64, threshold=0.3
     ).select("vec_id").localCheckpoint()
-    exact = semantic_dedup(
-        emb, "vec_id", "embedding", k=1, dim=64, threshold=0.3,
-        comparator="expr",
-    ).select("vec_id").localCheckpoint()
+    exact = _semdedup_exact_survivors_cached(spark, sf_dir).select("vec_id")
     no_false = exact.join(prod, "vec_id", "left_anti").agg(
         (F.count(F.lit(1)) == 0).alias("no_false_drops")
     )
@@ -2345,13 +2384,7 @@ def dedup_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary cannot flip between engines; arrow-vs-expr equality on
     this corpus is asserted in tests, keeping the production numpy
     path covered."""
-    from ..operators.similarity import semantic_dedup
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(
-        emb, "vec_id", "embedding", k=1, dim=64, threshold=0.3,
-        comparator="expr",
-    ).orderBy("vec_id")
+    return _semdedup_exact_survivors_cached(spark, sf_dir).orderBy("vec_id")
 
 
 @register(
