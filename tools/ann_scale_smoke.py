@@ -236,7 +236,18 @@ def main() -> None:
 
     out["pruning_small"] = pruned_scan_evidence(p_s, q_s, c_s)
     out["pruning_big"] = pruned_scan_evidence(p_b, q_b, c_b)
-    print("pruning:", out["pruning_small"], out["pruning_big"], flush=True)
+    # a BATCH of 50 queries collectively probes nearly every list
+    # (50 x n_probe draws over 64 lists), so batch pruning is weak by
+    # construction; the single-query case is the low-fanout serving
+    # shape the partition layout exists for (n_probe/n_lists of the
+    # corpus read).
+    out["pruning_big_1q"] = pruned_scan_evidence(
+        p_b, q_b.filter(F.col("vec_id") == 0), c_b
+    )
+    print(
+        "pruning:", out["pruning_small"], out["pruning_big"],
+        "1q:", out["pruning_big_1q"], flush=True,
+    )
 
     print(json.dumps(out))
     spark.stop()
