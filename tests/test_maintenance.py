@@ -825,3 +825,38 @@ def test_exact_pairs_memo_invalidates_on_regenerated_data(spark, tmp_path):
     second = _exact_all_pairs_cached(spark, d)
     assert second is not first  # stale truth set recomputed
     assert _exact_all_pairs_cached(spark, d) is second
+
+
+def test_ivf_delete_compact_entry_and_teeth(spark, sf_dir):
+    """Round-13 delete/compact seam: tombstoned vectors never appear
+    as neighbors in the gated payload, both pinned booleans hold —
+    and the delete theorem has TEETH: a 'delete' that forgets the
+    anti-join (serving the full index against the rebuilt one) must
+    flip delete_matches_rebuild_ok to False through the same
+    symmetric-exceptAll expression the entry uses."""
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["ann_ivf_delete_compact"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert not (r.neighbor_id % 7 == 3 and r.neighbor_id >= 10), r
+        assert r.delete_matches_rebuild_ok and r.compact_fullprobe_exact_ok
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = S.default_ivf_centroids(emb, n_lists=16).localCheckpoint()
+    assigned = S.ivf_assign(emb, cents)
+    tombstones = emb.filter(
+        (F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= 10)
+    ).select("vec_id")
+    rebuilt = S.ivf_assign(emb.join(tombstones, "vec_id", "left_anti"), cents)
+    # corrupted delete: the anti-join is "forgotten" — full index served
+    forgot = S.ivf_search_assigned(assigned, queries, cents, k=5, n_probe=4)
+    reb = S.ivf_search_assigned(rebuilt, queries, cents, k=5, n_probe=4)
+    flag = (
+        forgot.exceptAll(reb)
+        .unionAll(reb.exceptAll(forgot))
+        .agg((F.count(F.lit(1)) == 0).alias("ok"))
+        .collect()[0]["ok"]
+    )
+    assert flag is False

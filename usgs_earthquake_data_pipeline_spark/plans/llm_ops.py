@@ -794,6 +794,114 @@ def ann_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_delete_compact",
+    oracle=(
+        # exact cosine top-5 over the corpus MINUS the tombstoned
+        # vectors (vec_id % 7 == 3, queries excluded) — the truth an
+        # index must serve after deletions
+        "SELECT query_id, neighbor_id, score, rnk AS rank, "
+        "TRUE AS delete_matches_rebuild_ok, "
+        "TRUE AS compact_fullprobe_exact_ok FROM ("
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        "  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "                               CAST(c.embedding AS DOUBLE[])), 6) AS score,"
+        "  CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+        "    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+        "                           CAST(c.embedding AS DOUBLE[])) DESC,"
+        "    c.vec_id) AS INT) AS rnk"
+        "  FROM embeddings q CROSS JOIN embeddings c"
+        "  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id"
+        "    AND NOT (c.vec_id % 7 = 3 AND c.vec_id >= 10)) t "
+        "WHERE rnk <= 5 ORDER BY query_id, rank"
+    ),
+    tags=("llm", "ann", "index-maintenance", "checked"),
+)
+def ann_ivf_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE + COMPACT — the last leg of the IVF index lifecycle
+    (build → persist → append → delete), round 13. Production can't
+    rebuild a 100 TB index to forget vectors; it anti-joins a
+    tombstone set at serve time and periodically COMPACTS by
+    rewriting the stored lists without the tombstoned rows. Both
+    moves are certified here on a deterministic tombstone set
+    (vec_id % 7 == 3, query ids excluded so the query batch stays
+    live):
+
+    - ``delete_matches_rebuild_ok`` — searching (assigned ⟂
+      tombstones) equals searching ``ivf_assign`` of the remaining
+      corpus, as an empty symmetric exceptAll. THE theorem that makes
+      tombstone deletes safe: assignment is a pure per-row function
+      of (row, centroids), so dropping rows from the assigned table
+      IS the rebuilt index — no other ANN structure (graphs, trees)
+      has this property, which is exactly why IVF is the 100 TB
+      layout.
+    - ``compact_fullprobe_exact_ok`` — the compacted index (the
+      anti-join materialized to parquet, partitioned by list_id like
+      the production layout, and read back) searched at n_probe ==
+      n_lists equals the exact cosine top-5 over the REMAINING
+      corpus. The exact side derives from the shared checkpointed
+      universe by filtering tombstoned neighbors and re-ranking on
+      the ORIGINAL rank (deletion preserves the relative order of
+      survivors, so re-ranking needs no score ties revisited).
+
+    The payload is that post-delete exact top-5, which the oracle
+    recomputes verbatim with the same tombstone predicate."""
+    import os as _os
+
+    from ..session import _scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = S.default_ivf_centroids(emb, n_lists=16).localCheckpoint()
+    assigned = S.ivf_assign(emb, centroids)
+    dead = (F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= 10)
+    tombstones = emb.filter(dead).select("vec_id")
+    live = assigned.join(tombstones, "vec_id", "left_anti")
+    rebuilt = S.ivf_assign(
+        emb.join(tombstones, "vec_id", "left_anti"), centroids
+    )
+    del_search = S.ivf_search_assigned(
+        live, queries, centroids, k=5, n_probe=4
+    )
+    reb_search = S.ivf_search_assigned(
+        rebuilt, queries, centroids, k=5, n_probe=4
+    )
+    del_ok = (
+        del_search.exceptAll(reb_search)
+        .unionAll(reb_search.exceptAll(del_search))
+        .agg((F.count(F.lit(1)) == 0).alias("delete_matches_rebuild_ok"))
+    )
+    out = _os.path.join(
+        _scratch_dir(),
+        f"ivf_compact_{_os.path.basename(_os.path.normpath(sf_dir))}",
+    )
+    live.write.mode("overwrite").partitionBy("list_id").parquet(out)
+    compacted = spark.read.parquet(out)
+    full = S.ivf_search_assigned(
+        compacted, queries, centroids, k=5, n_probe=16
+    ).select("query_id", "neighbor_id", "score", "rank")
+    all_pairs = _exact_all_pairs_cached(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    exact5_after = (
+        all_pairs.filter(
+            ~((F.col("neighbor_id") % 7 == 3) & (F.col("neighbor_id") >= 10))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+    compact_ok = (
+        full.exceptAll(exact5_after)
+        .unionAll(exact5_after.exceptAll(full))
+        .agg((F.count(F.lit(1)) == 0).alias("compact_fullprobe_exact_ok"))
+    )
+    return (
+        exact5_after.crossJoin(F.broadcast(del_ok))
+        .crossJoin(F.broadcast(compact_ok))
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=(
         "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
