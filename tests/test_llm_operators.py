@@ -124,11 +124,18 @@ def test_multimodal_decode_invalid_and_empty(spark):
 
 
 def test_multimodal_unsupported_format_raises(spark):
-    # WebP still needs PIL — must raise, not guess
-    webp = bytearray(b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
-    df = spark.createDataFrame([(1, webp)], "media_id long, content binary")
+    # HEIC still needs PIL — must raise, not guess
+    heic = bytearray(
+        b"\x00\x00\x00\x10ftypheic" + b"\x00" * 4 + b"\x00" * 8
+    )
+    df = spark.createDataFrame([(1, heic)], "media_id long, content binary")
     with pytest.raises(Exception, match="NotImplementedError|image format"):
         M.decode_image_meta(df).collect()
+    # a WebP whose dimension chunk is malformed parses (r13 de-guard)
+    # to an explicit 'invalid' row rather than raising or guessing
+    webp = bytearray(b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
+    df2 = spark.createDataFrame([(2, webp)], "media_id long, content binary")
+    assert M.decode_image_meta(df2).collect()[0].format == "invalid"
 
 
 def _jpeg_bytes(width: int, height: int, precision: int = 8) -> bytearray:

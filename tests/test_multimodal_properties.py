@@ -15,6 +15,10 @@ from usgs_earthquake_data_pipeline_spark.functions.multimodal import (
     _parse_avif_dims,
     _parse_jpeg_dims,
     _parse_mp4,
+    _parse_bmp_dims,
+    _parse_flac,
+    _parse_gif_dims,
+    _parse_tiff_dims,
     _parse_wav,
     _parse_webp_dims,
     _walk_boxes,
@@ -177,3 +181,134 @@ def test_wav_planted_header_always_recovered(sr, channels, samples, junk):
     got_channels, got_sr, n_frames, _ = parsed
     assert (got_channels, got_sr) == (channels, sr)
     assert n_frames == len(data) // block
+
+
+# ---------------------------------------------------------------------------
+# Round-13 legacy-format sweep: GIF / BMP / TIFF dims, FLAC STREAMINFO
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=512))
+def test_legacy_parsers_never_raise_on_garbage(data):
+    _parse_gif_dims(data)
+    _parse_bmp_dims(data)
+    _parse_tiff_dims(data)
+    _parse_flac(data)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=64))
+def test_legacy_parsers_prefixed_garbage_never_raises(tail):
+    # real magics followed by garbage: bounds-checked walks, no raise
+    _parse_gif_dims(b"GIF89a" + tail)
+    _parse_bmp_dims(b"BM" + tail)
+    _parse_tiff_dims(b"II\x2a\x00" + tail)
+    _parse_tiff_dims(b"MM\x00\x2a" + tail)
+    _parse_flac(b"fLaC" + tail)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=65_535),
+    h=st.integers(min_value=1, max_value=65_535),
+    cres=st.integers(min_value=0, max_value=7),
+    tail=st.binary(max_size=32),
+)
+def test_gif_planted_lsd_always_recovered(w, h, cres, tail):
+    data = (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([cres << 4])
+        + b"\x00\x00"
+        + tail
+    )
+    assert _parse_gif_dims(data) == (w, h, cres + 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=2**28),
+    h=st.integers(min_value=1, max_value=2**28),
+    bpp=st.sampled_from([1, 4, 8, 16, 24, 32]),
+    topdown=st.booleans(),
+    core=st.booleans(),
+)
+def test_bmp_planted_header_always_recovered(w, h, bpp, topdown, core):
+    if core:  # OS/2 BITMAPCOREHEADER: u16 fields
+        w, h = w % 65_535 + 1, h % 65_535 + 1
+        dib = struct.pack("<IHHHH", 12, w, h, 1, bpp)
+    else:
+        sh = -h if topdown else h
+        dib = struct.pack("<IiiHH", 40, w, sh, 1, bpp) + b"\x00" * 24
+    data = (
+        b"BM"
+        + struct.pack("<I", 14 + len(dib))
+        + b"\x00" * 4
+        + struct.pack("<I", 14 + len(dib))
+        + dib
+    )
+    assert _parse_bmp_dims(data) == (w, h, bpp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=2**31 - 1),
+    h=st.integers(min_value=1, max_value=65_535),
+    bits=st.integers(min_value=1, max_value=64),
+    big=st.booleans(),
+    tail=st.binary(max_size=16),
+)
+def test_tiff_planted_ifd_always_recovered(w, h, bits, big, tail):
+    """Width as inline LONG, height as inline SHORT, both byte
+    orders; an unknown tag and a behind-offset (count>1) tag must be
+    skipped, trailing junk ignored."""
+    en = ">" if big else "<"
+
+    def entry(tag, vtype, count, raw4):
+        return struct.pack(en + "HHI", tag, vtype, count) + raw4
+
+    entries = [
+        entry(255, 3, 1, struct.pack(en + "H", 9) + b"\x00\x00"),  # unknown
+        entry(256, 4, 1, struct.pack(en + "I", w)),
+        entry(257, 3, 1, struct.pack(en + "H", h) + b"\x00\x00"),
+        entry(258, 3, 1, struct.pack(en + "H", bits) + b"\x00\x00"),
+        entry(259, 3, 3, struct.pack(en + "I", 999)),  # offset-valued
+    ]
+    magic = b"MM\x00\x2a" if big else b"II\x2a\x00"
+    data = (
+        magic
+        + struct.pack(en + "I", 8)
+        + struct.pack(en + "H", len(entries))
+        + b"".join(entries)
+        + struct.pack(en + "I", 0)
+        + tail
+    )
+    assert _parse_tiff_dims(data) == (w, h, bits)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    sr=st.integers(min_value=1, max_value=(1 << 20) - 1),
+    channels=st.integers(min_value=1, max_value=8),
+    bits=st.integers(min_value=4, max_value=32),
+    total=st.integers(min_value=0, max_value=(1 << 36) - 1),
+    lead_pad=st.binary(max_size=16),
+)
+def test_flac_planted_streaminfo_always_recovered(
+    sr, channels, bits, total, lead_pad
+):
+    """The bit-packed STREAMINFO core round-trips, including behind a
+    leading PADDING block (reordered-writer tolerance)."""
+    core = bytes(
+        [
+            (sr >> 12) & 0xFF,
+            (sr >> 4) & 0xFF,
+            ((sr & 0xF) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4),
+            (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF),
+        ]
+    ) + (total & 0xFFFFFFFF).to_bytes(4, "big")
+    body = struct.pack(">HH", 4096, 4096) + b"\x00" * 6 + core + b"\x00" * 16
+    pad_block = b"\x01" + len(lead_pad).to_bytes(3, "big") + lead_pad
+    data = b"fLaC" + pad_block + b"\x80" + b"\x00\x00\x22" + body
+    assert _parse_flac(data) == (channels, sr, total, bits)

@@ -12,8 +12,10 @@ width/height/precision — dimensions need no entropy decoding), WAV
 waveform stats), MP4/ISO BMFF (box walk: ftyp brand, moov/mvhd
 timescale+duration, per-trak mdia/hdlr stream types), WebP (the same
 RIFF chunk walk: VP8X canvas / VP8 keyframe / VP8L signature dims),
-and AVIF (the same ISO BMFF box walk: meta/iprp/ipco/ispe dims +
-pixi bit depth). Full
+AVIF (the same ISO BMFF box walk: meta/iprp/ipco/ispe dims + pixi
+bit depth), GIF (Logical Screen Descriptor), BMP (BITMAPINFOHEADER /
+BITMAPCOREHEADER), TIFF (first-IFD inline tags, both byte orders)
+and FLAC (STREAMINFO bit-unpack: rate/channels/bits/total). Full
 pixel/sample/frame DECODING of compressed codecs (JPEG pixels, H.264
 frames, MP3, ...) would need real image/audio libraries this
 container doesn't ship, so those paths raise
@@ -197,6 +199,90 @@ def _parse_avif_dims(content: bytes):
     return dims[0], dims[1], depth
 
 
+def _parse_gif_dims(content: bytes):
+    """Stdlib GIF dimension parse (round-13 legacy-raster sweep): the
+    Logical Screen Descriptor directly follows the 6-byte
+    ``GIF87a``/``GIF89a`` signature — width/height as LE u16, and the
+    packed byte's color-resolution field (bits 4-6) as bits per
+    primary color. No LZW decoding is touched. Returns
+    ``(width, height, color_resolution_bits)`` or None."""
+    if len(content) < 11:
+        return None
+    width, height = struct.unpack("<HH", content[6:10])
+    if width == 0 or height == 0:
+        return None
+    return width, height, ((content[10] >> 4) & 0x07) + 1
+
+
+def _parse_bmp_dims(content: bytes):
+    """Stdlib BMP dimension parse: 14-byte file header, then the DIB
+    header whose leading u32 size names its own layout —
+    BITMAPINFOHEADER-and-later (>=40: i32 width/height, u16 bpp) or
+    the OS/2 BITMAPCOREHEADER (==12: u16 width/height/bpp). Height may
+    be negative (top-down rows); dimensions are reported absolute.
+    Returns ``(width, height, bits_per_pixel)`` or None."""
+    if len(content) < 26:
+        return None
+    (dib_size,) = struct.unpack("<I", content[14:18])
+    if dib_size >= 40 and len(content) >= 30:
+        width, height = struct.unpack("<ii", content[18:26])
+        (bpp,) = struct.unpack("<H", content[28:30])
+    elif dib_size == 12:
+        width, height, _planes, bpp = struct.unpack("<HHHH", content[18:26])
+    else:
+        return None
+    if width == 0 or height == 0:
+        return None
+    return abs(width), abs(height), bpp
+
+
+def _parse_tiff_dims(content: bytes):
+    """Stdlib TIFF dimension parse: byte-order word (``II``/``MM``),
+    magic 42, then the first IFD's 12-byte entries — tags 256/257
+    (ImageWidth/ImageLength, SHORT or LONG, value inline when
+    count==1) and 258 (BitsPerSample; taken only when inline, i.e.
+    a single sample — multi-sample values live behind an offset this
+    header-only parse deliberately doesn't chase). Returns
+    ``(width, height, bits_or_None)`` or None."""
+    if len(content) < 8:
+        return None
+    if content[:4] == b"II\x2a\x00":
+        endian = "<"
+    elif content[:4] == b"MM\x00\x2a":
+        endian = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack(endian + "I", content[4:8])
+    if ifd_off + 2 > len(content):
+        return None
+    (n_entries,) = struct.unpack(
+        endian + "H", content[ifd_off : ifd_off + 2]
+    )
+    width = height = bits = None
+    for i in range(n_entries):
+        s = ifd_off + 2 + 12 * i
+        if s + 12 > len(content):
+            return None
+        tag, vtype, count = struct.unpack(
+            endian + "HHI", content[s : s + 8]
+        )
+        if count != 1 or vtype not in (3, 4):  # inline SHORT/LONG only
+            continue
+        if vtype == 3:  # SHORT: value in the leading 2 value bytes
+            (value,) = struct.unpack(endian + "H", content[s + 8 : s + 10])
+        else:  # LONG
+            (value,) = struct.unpack(endian + "I", content[s + 8 : s + 12])
+        if tag == 256:
+            width = value
+        elif tag == 257:
+            height = value
+        elif tag == 258:
+            bits = value
+    if not width or not height:
+        return None
+    return width, height, bits
+
+
 def encode_fake_image(media_id: int, width: int, height: int) -> bytes:
     """Deterministic fake image bytes (header + id-seeded payload).
     Byte-identical to what :func:`attach_fake_media` builds JVM-side."""
@@ -261,19 +347,34 @@ def _decode_one(media_id: int, content: bytes | None):
             width, height, depth = parsed
             return media_id, width, height, depth, len(content), "avif"
         return media_id, None, None, None, len(content), "invalid"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        dims = _parse_gif_dims(content)
+        if dims is not None:
+            return media_id, dims[0], dims[1], dims[2], len(content), "gif"
+        return media_id, None, None, None, len(content), "invalid"
+    if content[:2] == b"BM":
+        dims = _parse_bmp_dims(content)
+        if dims is not None:
+            return media_id, dims[0], dims[1], dims[2], len(content), "bmp"
+        return media_id, None, None, None, len(content), "invalid"
+    if content[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        dims = _parse_tiff_dims(content)
+        if dims is not None:
+            return media_id, dims[0], dims[1], dims[2], len(content), "tiff"
+        return media_id, None, None, None, len(content), "invalid"
     magic, width, height = struct.unpack(_HEADER_FMT, content[:_HEADER_SIZE])
     if magic == FAKE_MAGIC:
         # fake payload is 1 byte/px — report it as 8-bit
         return media_id, width, height, 8, len(content), "fake"
     # REAL-CODEC INTEGRATION POINT: PIL.Image.open(io.BytesIO(content))
-    # goes here for other compressed formats (HEIC, TIFF, ...); the
+    # goes here for other compressed formats (HEIC, JPEG XL, ...); the
     # container ships no image libs, so those are explicitly
-    # unsupported rather than silently wrong. PNG/JPEG/WebP/AVIF/
-    # FAKEIMG1 headers parse above with stdlib struct.
+    # unsupported rather than silently wrong. PNG/JPEG/WebP/AVIF/GIF/
+    # BMP/TIFF/FAKEIMG1 headers parse above with stdlib struct.
     raise NotImplementedError(
         "decoding this image format requires PIL/pillow; PNG, JPEG, "
-        "WebP, AVIF and FAKEIMG1 containers decode header-only in "
-        "this environment"
+        "WebP, AVIF, GIF, BMP, TIFF and FAKEIMG1 containers decode "
+        "header-only in this environment"
     )
 
 
@@ -474,6 +575,39 @@ def _parse_wav(content: bytes):
     return channels, sample_rate, n_frames, samples
 
 
+def _parse_flac(content: bytes):
+    """Stdlib FLAC STREAMINFO parse (round-13 legacy-codec sweep):
+    after the ``fLaC`` marker, walk the metadata-block headers (1-byte
+    last-flag<<7|type + u24be length) to the STREAMINFO block (type 0
+    — mandatory first per the spec, but the walk tolerates reordered
+    writers) and unpack the bit-packed core: sample rate (20 bits),
+    channels-1 (3 bits), bits-per-sample-1 (5 bits), total inter-
+    channel samples (36 bits). Audio DATA stays entropy-coded —
+    decoding it needs a real FLAC codec and keeps its guard. Returns
+    ``(channels, sample_rate, total_samples, bits_per_sample)`` or
+    None."""
+    pos = 4
+    while pos + 4 <= len(content):
+        header = content[pos]
+        length = int.from_bytes(content[pos + 1 : pos + 4], "big")
+        body = content[pos + 4 : pos + 4 + length]
+        if header & 0x7F == 0:  # STREAMINFO
+            if len(body) < 18:
+                return None  # malformed: stop, don't guess
+            b = body[10:18]
+            sample_rate = (b[0] << 12) | (b[1] << 4) | (b[2] >> 4)
+            channels = ((b[2] >> 1) & 0x07) + 1
+            bits = (((b[2] & 0x01) << 4) | (b[3] >> 4)) + 1
+            total = ((b[3] & 0x0F) << 32) | int.from_bytes(b[4:8], "big")
+            if sample_rate == 0:
+                return None
+            return channels, sample_rate, total, bits
+        if header & 0x80:  # last metadata block and still no STREAMINFO
+            return None
+        pos += 4 + length
+    return None
+
+
 def attach_fake_audio(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic fake PCM audio column derived from an id — the
     audio twin of :func:`attach_fake_media`. Header = magic +
@@ -555,16 +689,41 @@ def decode_audio_stats(df: DataFrame) -> DataFrame:
                         )
                     )
                     continue
+                if content[:4] == b"fLaC":
+                    parsed = _parse_flac(content)
+                    if parsed is None:  # fLaC marker but no STREAMINFO
+                        out.append(
+                            (media_id, None, None, None, None, None, None)
+                        )
+                        continue
+                    channels, sr, total, _bits = parsed
+                    # STREAMINFO header stats only — rms/peak need the
+                    # entropy-coded frames a real FLAC codec would
+                    # decode at the integration point below.
+                    out.append(
+                        (
+                            media_id,
+                            sr,
+                            channels,
+                            total,
+                            total * 1000.0 / sr,
+                            None,
+                            None,
+                        )
+                    )
+                    continue
                 magic, sr, n = struct.unpack(
                     _AUDIO_HEADER_FMT, content[:_AUDIO_HEADER_SIZE]
                 )
                 if magic != FAKE_AUDIO_MAGIC:
                     # REAL-CODEC INTEGRATION POINT (soundfile/libav) for
-                    # compressed audio (MP3/AAC/...); WAV and FAKEAUD1
-                    # decode above without any library.
+                    # compressed audio (MP3/AAC/...); WAV headers, FLAC
+                    # STREAMINFO and FAKEAUD1 decode above without any
+                    # library.
                     raise NotImplementedError(
                         "decoding compressed audio requires an audio "
-                        "library; WAV and FAKEAUD1 containers decode here"
+                        "library; WAV, FLAC STREAMINFO and FAKEAUD1 "
+                        "containers decode here"
                     )
                 samples = np.frombuffer(
                     content[_AUDIO_HEADER_SIZE:], dtype=">i2"
@@ -805,6 +964,136 @@ def attach_fake_webp_avif(df: DataFrame, id_col: str) -> DataFrame:
         df.withColumn("media_id", mid)
         .withColumn("content", content.cast("binary"))
         .withColumn("media_type", F.lit("image"))
+    )
+
+
+# Constant fragments of the fake GIF/BMP/TIFF/FLAC containers
+# (round-13 legacy-format sweep; varying fields are hex/unhex
+# expressions in the attach functions below).
+_GIF_SIG = b"GIF89a"
+# comment-extension sub-block + GIF trailer: pads the header-only
+# fixture past the generic 16-byte minimum while staying walkable
+_GIF_TAIL = b"\x21\xfe\x01\x2a\x00\x3b"
+_BMP_PRE = (
+    b"BM"
+    + struct.pack("<I", 54)  # file size: headers only
+    + b"\x00\x00\x00\x00"
+    + struct.pack("<I", 54)  # pixel-data offset
+    + struct.pack("<I", 40)  # BITMAPINFOHEADER
+)
+_BMP_PLANES = struct.pack("<H", 1)
+_TIFF_PRE = b"II\x2a\x00" + struct.pack("<I", 8) + struct.pack("<H", 3)
+_TIFF_E_WIDTH = struct.pack("<HHI", 256, 3, 1)
+_TIFF_E_HEIGHT = struct.pack("<HHI", 257, 3, 1)
+_TIFF_E_BITS = struct.pack("<HHI", 258, 3, 1)
+_TIFF_TAIL = struct.pack("<I", 0)  # no next IFD
+# fLaC marker + last-block STREAMINFO header (type 0, 34 bytes) +
+# min/max blocksize 4096 + zero min/max framesize
+_FLAC_PRE = (
+    b"fLaC\x80\x00\x00\x22" + struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+)
+_FLAC_MD5 = b"\x00" * 16
+
+
+def attach_fake_legacy_raster(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL-container GIF/BMP/TIFF column derived from
+    an id — the legacy-raster sibling of :func:`attach_fake_webp_avif`
+    (round 13). Container by id: id%3==0 → GIF89a (LSD dims + color-
+    resolution bits, comment-extension tail), id%3==1 → BMP
+    (BITMAPINFOHEADER, header-only file), id%3==2 → little-endian TIFF
+    (one IFD with inline SHORT ImageWidth/ImageLength/BitsPerSample).
+    Dims are width=id%1000+1, height=id%700+1 (both fit the u16
+    fields); depth is id%8+1 (GIF), 24/8 by id parity (BMP), id%15+1
+    (TIFF) — all formula-predictable so an oracle can pin every
+    decoded field. Built JVM-side like every other attach fixture."""
+    mid = F.col(id_col).cast("long")
+    w = (mid % 1000 + 1).cast("bigint")
+    h = (mid % 700 + 1).cast("bigint")
+
+    def be(c, n_bytes):
+        return F.unhex(F.lpad(F.hex(c), 2 * n_bytes, "0"))
+
+    def le(c, n_bytes):
+        hx = F.lpad(F.hex(c), 2 * n_bytes, "0")
+        pairs = [
+            F.substring(hx, 2 * i + 1, 2) for i in reversed(range(n_bytes))
+        ]
+        return F.unhex(F.concat(*pairs))
+
+    gif = F.concat(
+        F.lit(_GIF_SIG),
+        le(w, 2),
+        le(h, 2),
+        be((mid % 8) * 16, 1),  # packed: color resolution = id%8 + 1
+        F.lit(b"\x00\x00"),  # background + aspect
+        F.lit(_GIF_TAIL),
+    )
+    bmp_bpp = F.when((mid % 2) == 0, F.lit(24)).otherwise(F.lit(8))
+    bmp = F.concat(
+        F.lit(_BMP_PRE),
+        le(w, 4),
+        le(h, 4),
+        F.lit(_BMP_PLANES),
+        le(bmp_bpp.cast("bigint"), 2),
+        F.lit(b"\x00" * 24),  # compression..colors-important zeroed
+    )
+    tiff = F.concat(
+        F.lit(_TIFF_PRE),
+        F.lit(_TIFF_E_WIDTH),
+        le(w, 2),
+        F.lit(b"\x00\x00"),
+        F.lit(_TIFF_E_HEIGHT),
+        le(h, 2),
+        F.lit(b"\x00\x00"),
+        F.lit(_TIFF_E_BITS),
+        le(mid % 15 + 1, 2),
+        F.lit(b"\x00\x00"),
+        F.lit(_TIFF_TAIL),
+    )
+    content = (
+        F.when((mid % 3) == 0, gif)
+        .when((mid % 3) == 1, bmp)
+        .otherwise(tiff)
+    )
+    return (
+        df.withColumn("media_id", mid)
+        .withColumn("content", content.cast("binary"))
+        .withColumn("media_type", F.lit("image"))
+    )
+
+
+def attach_fake_flac(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL-container FLAC column derived from an id —
+    the compressed-audio sibling of :func:`attach_fake_audio` (round
+    13): a spec-shaped fLaC stream with a single last-flagged
+    STREAMINFO metadata block whose bit-packed core encodes sample
+    rate 8000+(id%3)·4000, channels (id%2)+1, 16 bits/sample and
+    id%32+16 total samples (the same id formulas the PCM fixture
+    uses, so the two audio entries share one oracle arithmetic).
+    Header-only: no frames follow the metadata, mirroring what the
+    STREAMINFO-only decoder can see. Built JVM-side."""
+    mid = F.col(id_col).cast("long")
+    sr = (F.lit(8000) + (mid % 3) * 4000).cast("bigint")
+    ch = (mid % 2 + 1).cast("bigint")
+    total = (mid % 32 + 16).cast("bigint")
+
+    def be(c, n_bytes):
+        return F.unhex(F.lpad(F.hex(c), 2 * n_bytes, "0"))
+
+    # STREAMINFO bit-packing (bits/sample fixed at 16 → the low
+    # (bps-1)>>4 bit of byte2 is 0 and byte3's high nibble is 0xF):
+    packed = F.concat(
+        be(F.floor(sr / 4096).cast("bigint"), 1),  # sample rate >> 12
+        be((F.floor(sr / 16) % 256).cast("bigint"), 1),  # (sr >> 4) & 255
+        be((sr % 16) * 16 + (ch - 1) * 2, 1),  # sr low nibble | channels-1
+        F.lit(b"\xf0"),  # (16-1) & 0xF << 4 | total>>32 (= 0 here)
+        be(total, 4),
+    )
+    content = F.concat(F.lit(_FLAC_PRE), packed, F.lit(_FLAC_MD5))
+    return (
+        df.withColumn("media_id", mid)
+        .withColumn("content", content.cast("binary"))
+        .withColumn("media_type", F.lit("audio"))
     )
 
 

@@ -1635,6 +1635,77 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_dims_legacy",
+    oracle=(
+        "SELECT doc_id AS media_id, "
+        "CAST(doc_id % 1000 + 1 AS INT) AS width, "
+        "CAST(doc_id % 700 + 1 AS INT) AS height, "
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 8 + 1 "
+        "     WHEN doc_id % 3 = 1 THEN "
+        "       CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 8 END "
+        "     ELSE doc_id % 15 + 1 END AS INT) AS bit_depth, "
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 19 WHEN 1 THEN 54 "
+        "     ELSE 50 END AS BIGINT) AS n_bytes, "
+        "CASE doc_id % 3 WHEN 0 THEN 'gif' WHEN 1 THEN 'bmp' "
+        "ELSE 'tiff' END AS format "
+        "FROM documents ORDER BY media_id"
+    ),
+    tags=("llm", "multimodal"),
+)
+def multimodal_image_dims_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF + BMP + TIFF container dimensions via stdlib struct parses
+    (functions/multimodal.py:_parse_gif_dims / _parse_bmp_dims /
+    _parse_tiff_dims, round 13 — the legacy-raster leg of the
+    de-guarding sweep that closed WebP/AVIF earlier this round):
+    JVM-built spec-shaped containers (GIF89a Logical Screen
+    Descriptor, BITMAPINFOHEADER, a little-endian TIFF IFD with
+    inline SHORT tags) decode to width / height / bit depth / format
+    through the same Arrow-batched mapInPandas crossing as every
+    other image format. The oracle predicts every field from the id
+    formulas, validating the full encode→header-walk path for all
+    three containers. Pixel DECODE (LZW / RLE / TIFF strips) still
+    requires PIL and keeps its guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_fake_legacy_raster(docs, "doc_id")
+    return M.decode_image_meta(media).orderBy("media_id")
+
+
+@register(
+    "multimodal_audio_flac_meta",
+    oracle=(
+        # STREAMINFO fields recomputed from the id formulas; rms/peak
+        # are NULL by contract — they live in the entropy-coded frames
+        # a header-only parse never touches
+        "SELECT doc_id AS media_id, "
+        "CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate, "
+        "CAST(doc_id % 2 + 1 AS INT) AS channels, "
+        "CAST(doc_id % 32 + 16 AS INT) AS n_frames, "
+        "(doc_id % 32 + 16) * 1000.0 / (8000 + (doc_id % 3) * 4000) "
+        "  AS duration_ms, "
+        "CAST(NULL AS DOUBLE) AS rms, "
+        "CAST(NULL AS INT) AS peak "
+        "FROM documents ORDER BY media_id"
+    ),
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO metadata via the stdlib bit-unpack
+    (functions/multimodal.py:_parse_flac, round 13): JVM-built
+    spec-shaped fLaC streams decode to sample rate / channels / total
+    samples / duration through the same Arrow-batched audio-stats
+    crossing the WAV path uses, with rms/peak NULL — the honest
+    boundary between what a STREAMINFO header carries and what only a
+    real FLAC codec could compute. The oracle predicts every decoded
+    field from the id formulas (shared with the PCM fixture, so the
+    two audio entries cross-check each other's arithmetic);
+    duration_ms is one IEEE double division on identical operands on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    audio = M.attach_fake_flac(docs, "doc_id")
+    return M.decode_audio_stats(audio).orderBy("media_id")
+
+
+@register(
     "multimodal_image_features",
     oracle=(
         "SELECT doc_id AS media_id, "
