@@ -438,3 +438,80 @@ def test_round12_gate_booleans_have_teeth(spark, sf_dir):
     assert corrupt["weights_sum_ok"] is False
     assert corrupt["centroids_in_range_ok"] is False
     assert corrupt["bins_sorted_ok"] is False
+
+
+def test_kmv_sketch_merge_invariance_and_estimates(spark, sf_dir):
+    """Unit teeth for the round-13 KMV operators: the two-level build
+    equals the direct build for several (k, n_buckets) shapes, the
+    estimator tracks exact distinct counts, and the catalog entry's
+    pinned booleans are genuinely TRUE."""
+    from usgs_earthquake_data_pipeline_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("event_id").distinct().count()
+    for k, nb in ((64, 8), (128, 32), (256, 5)):
+        direct = kmv_sketch(ev, "event_id", k=k).collect()[0]["kmv"]
+        two_level = kmv_sketch(ev, "event_id", k=k, n_buckets=nb).collect()[
+            0
+        ]["kmv"]
+        assert direct == two_level, (k, nb)
+        est = (
+            kmv_sketch(ev, "event_id", k=k)
+            .select(kmv_estimate(F.col("kmv"), k).alias("e"))
+            .collect()[0]["e"]
+        )
+        if exact < k:
+            assert est == exact
+        else:
+            assert abs(est - exact) <= 0.5 * exact, (k, est, exact)
+    for r in (
+        CATALOG["sketch_theta_setops_checked"].spark_fn(spark, sf_dir).collect()
+    ):
+        assert r["within_bound"] and r["merge_invariant_ok"], r
+
+
+def test_kmv_gate_booleans_have_teeth(spark, sf_dir):
+    """Inject corruption THROUGH the operators (round-12 advice
+    convention): a range-compressed hash (h // 4096 — theta shrinks
+    4096x, estimates explode) must flip within_bound through the
+    entry's own bound expression, and a two-level build that drops
+    each bucket's minimum (slice from 2) must flip the
+    merge-invariance equality."""
+    from usgs_earthquake_data_pipeline_spark.operators.sketches import (
+        KMV_SPACE,
+        kmv_estimate,
+        kmv_hash,
+    )
+
+    k = 128
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.select("event_id").distinct().count()
+    if n < k:
+        return  # corruption needs the saturated-estimator regime
+    corrupt = ev.select(
+        (kmv_hash("event_id") / 4096).cast("long").alias("h")
+    ).agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmv"))
+    est = corrupt.select(kmv_estimate(F.col("kmv"), k).alias("e")).collect()[
+        0
+    ]["e"]
+    # the entry's bound: max(16, 0.25 * exact_union) with union <= n
+    assert not (abs(est - n) <= max(16.0, 0.25 * n)), (est, n)
+
+    good = ev.select(kmv_hash("event_id").alias("h"))
+    direct = good.agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmv")
+    ).collect()[0]["kmv"]
+    broken_two_level = (
+        good.groupBy((F.col("h") % 32).alias("b"))
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 2, k).alias("p"))
+        .agg(
+            F.slice(F.array_sort(F.flatten(F.collect_list("p"))), 1, k).alias(
+                "kmv"
+            )
+        )
+        .collect()[0]["kmv"]
+    )
+    assert direct != broken_two_level

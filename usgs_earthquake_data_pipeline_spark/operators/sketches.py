@@ -202,3 +202,99 @@ def cms_point_estimates(
         .agg(F.min("cnt").alias("est"))
         .select(F.col("k").alias(key_col), "est")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketches: distinct-count SET ALGEBRA (union, intersect,
+# A-not-B) under a fixed-size sample of the hash space. HLL unions
+# losslessly but cannot subtract or intersect; the k-minimum-values
+# sketch (Bar-Yossef et al. '02; Dasgupta et al., "Theta sketch
+# framework", 2016) keeps the k smallest distinct hash values, so any
+# set expression evaluates on the retained samples below
+# theta = min(k-th values) and scales by 1/theta. At 100 TB this is
+# what answers "how many of today's keys are NEW vs yesterday's
+# trillion-key set" from two KB-sized summaries.
+# ---------------------------------------------------------------------------
+
+KMV_SPACE = float(1 << 48)  # hash range: 12 md5 hex chars
+
+
+def kmv_hash(col) -> F.Column:
+    """Deterministic 48-bit integer hash of a key: first 12 hex chars
+    of md5, base-16 — the same cross-engine idiom as
+    plans/sampling.hash_bucket, sized so (k-1)*SPACE/theta arithmetic
+    stays exact in doubles (2^48 < 2^53)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, k: int = 128, n_buckets: int = 0
+) -> DataFrame:
+    """One-row DataFrame holding the KMV sketch of a key column: the
+    ``k`` smallest DISTINCT 48-bit hashes, ascending. With
+    ``n_buckets`` > 0 the sketch is built two-level — per-bucket
+    partial sketches (bucket = hash % n_buckets, so buckets partition
+    the hash space and partials are disjoint) merged by
+    flatten→sort→take-k. The two paths are provably identical: each
+    bucket keeps its k smallest, and the global k smallest all
+    survive their own bucket's cut — the mergeability theorem
+    ``sketch_theta_setops_checked`` pins, and the shape that matters
+    at scale (partials are size-k per bucket; the merge never sees
+    raw keys)."""
+    h = kmv_hash(key_col).alias("h")
+    if n_buckets:
+        per = (
+            df.select(h)
+            .groupBy((F.col("h") % n_buckets).alias("b"))
+            .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("p"))
+        )
+        return per.agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("p"))), 1, k
+            ).alias("kmv")
+        )
+    return df.select(h).agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmv")
+    )
+
+
+def kmv_theta(sk: F.Column, k: int) -> F.Column:
+    """Effective theta (raw hash units): the k-th smallest value when
+    the sketch is full, else the whole space (the sketch IS the set)."""
+    return F.when(
+        F.size(sk) >= k, F.element_at(sk, k).cast("double")
+    ).otherwise(F.lit(KMV_SPACE))
+
+
+def kmv_estimate(sk: F.Column, k: int) -> F.Column:
+    """Distinct-count estimate: exact size below k, else the
+    unbiased (k-1)/theta estimator."""
+    return F.when(
+        F.size(sk) < k, F.size(sk).cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(KMV_SPACE) / kmv_theta(sk, k))
+
+
+def theta_combine_estimate(
+    a: F.Column, b: F.Column, k: int, op: str
+) -> F.Column:
+    """Set-expression cardinality estimate from two same-k KMV
+    sketches, theta-framework style: theta = min(theta_a, theta_b);
+    evaluate the expression on retained hashes below theta; scale by
+    SPACE/theta. ``op`` is 'union', 'intersect', or 'a_not_b'. For
+    union the combined sketch may re-saturate, so the k-th combined
+    value tightens theta further (this IS the union KMV sketch)."""
+    theta = F.least(kmv_theta(a, k), kmv_theta(b, k))
+    if op == "union":
+        merged = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+        return kmv_estimate(merged, k)
+    if op == "intersect":
+        kept = F.array_intersect(a, b)
+    elif op == "a_not_b":
+        kept = F.array_except(a, b)
+    else:
+        raise ValueError(f"unknown theta op: {op}")
+    n_kept = F.size(F.filter(kept, lambda v: v.cast("double") < theta))
+    return n_kept.cast("double") * F.lit(KMV_SPACE) / theta
