@@ -515,3 +515,62 @@ def test_kmv_gate_booleans_have_teeth(spark, sf_dir):
         .collect()[0]["kmv"]
     )
     assert direct != broken_two_level
+
+
+def test_theta_overlap_bound_has_teeth(spark, sf_dir):
+    """Corrupt the per-source sketches through the operator pipeline
+    (range-compressed hash) and replay the overlap entry's own bound
+    expressions: the estimates explode ~4096x, so every saturated
+    pair's within_bound must flip FALSE."""
+    from usgs_earthquake_data_pipeline_spark.operators.sketches import (
+        kmv_hash,
+        theta_combine_estimate,
+    )
+    from usgs_earthquake_data_pipeline_spark.plans.vocab_ops import (
+        _trigram_rows,
+    )
+
+    k = 128
+    docs = load_table(spark, sf_dir, "documents")
+    g = _trigram_rows(docs, "source").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    sk = (
+        g.select(
+            "source", (kmv_hash("gram") / 4096).cast("long").alias("h")
+        )
+        .groupBy("source")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmv"))
+    )
+    sizes = {
+        r["source"]: r["n"]
+        for r in g.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    if min(sizes.values()) < k:
+        return  # corruption needs the saturated regime
+    n_inter = (
+        g.filter(F.col("source") == "src0")
+        .select("gram")
+        .join(g.filter(F.col("source") == "src1").select("gram"), "gram")
+        .count()
+    )
+    union = sizes["src0"] + sizes["src1"] - n_inter
+    pair = (
+        sk.filter(F.col("source") == "src0")
+        .select(F.col("kmv").alias("kmv_a"))
+        .crossJoin(
+            sk.filter(F.col("source") == "src1").select(
+                F.col("kmv").alias("kmv_b")
+            )
+        )
+    )
+    est = pair.select(
+        theta_combine_estimate(
+            F.col("kmv_a"), F.col("kmv_b"), k, "intersect"
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert not (abs(est - n_inter) <= max(16.0, 0.3 * union)), (
+        est,
+        n_inter,
+        union,
+    )

@@ -1256,3 +1256,150 @@ def quality_kn_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# KMV/theta SQL fragments for the sketched overlap entry (the gram-
+# keyed twins of plans/curation.py's event-keyed fragments)
+_KMV_GRAM_HASH_SQL = (
+    "list_reduce(list_transform(regexp_extract_all("
+    "substr(md5(gram),1,12),'.'),"
+    " c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16+b)"
+)
+_KMV_SPACE_SQL = "CAST(281474976710656 AS DOUBLE)"  # 2^48
+_KMV_TH128 = (
+    "CASE WHEN len({sk}) >= 128 THEN CAST({sk}[128] AS DOUBLE) "
+    "ELSE " + _KMV_SPACE_SQL + " END"
+)
+
+
+@register(
+    "source_overlap_theta_checked",
+    oracle=(
+        "WITH g AS ("
+        + _TRIGRAM_SQL.format(key="source", src="documents")
+        + "), "
+        f"hx AS (SELECT DISTINCT source, {_KMV_GRAM_HASH_SQL} AS h FROM g), "
+        "sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1), "
+        "sk AS (SELECT source, (list(h ORDER BY h))[1:128] AS kmv "
+        "FROM hx GROUP BY source), "
+        "inter AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "count(*) AS n_inter FROM g a JOIN g b USING (gram) "
+        "WHERE a.source < b.source GROUP BY 1, 2), "
+        "pairs AS (SELECT i.src_a, i.src_b, i.n_inter, sa.n AS na, "
+        "sb.n AS nb, ka.kmv AS kmv_a, kb.kmv AS kmv_b "
+        "FROM inter i JOIN sz sa ON sa.source = i.src_a "
+        "JOIN sz sb ON sb.source = i.src_b "
+        "JOIN sk ka ON ka.source = i.src_a "
+        "JOIN sk kb ON kb.source = i.src_b), "
+        "p2 AS (SELECT *, "
+        f"least({_KMV_TH128.format(sk='kmv_a')}, "
+        f"{_KMV_TH128.format(sk='kmv_b')}) AS th, "
+        "list_sort(list_distinct(list_cat(kmv_a, kmv_b)))[1:128] AS kmv_u "
+        "FROM pairs), "
+        "p3 AS (SELECT src_a, src_b, n_inter, na, nb, "
+        "CAST(len(list_filter(kmv_a, x -> CAST(x AS DOUBLE) < th "
+        "AND list_contains(kmv_b, x))) AS DOUBLE) "
+        f"* {_KMV_SPACE_SQL} / th AS est_inter, "
+        "CASE WHEN len(kmv_u) < 128 THEN CAST(len(kmv_u) AS DOUBLE) "
+        f"ELSE CAST(127 AS DOUBLE) * {_KMV_SPACE_SQL} / "
+        "CAST(kmv_u[128] AS DOUBLE) END AS est_union "
+        "FROM p2) "
+        "SELECT src_a, src_b, CAST(n_inter AS BIGINT) AS n_inter, "
+        "round(CAST(n_inter AS DOUBLE) / "
+        "CAST(na + nb - n_inter AS DOUBLE), 6) AS jaccard, "
+        "est_inter, est_inter / est_union AS est_jaccard, "
+        "TRUE AS within_bound "
+        "FROM p3 ORDER BY src_a, src_b"
+    ),
+    tags=("llm", "vocab", "dedup", "sketch", "approx", "checked"),
+)
+def source_overlap_theta_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketched scale path for `source_overlap_jaccard`: pairwise
+    cross-source 3-gram overlap estimated from one k=128 KMV sketch
+    per source (operators/sketches.py) instead of the gram-keyed
+    posting self-join. The exact matrix's exchange carries every
+    DISTINCT (source, gram) row — fine while sources are dozens, but
+    corpus-vs-corpus questions ("how much of crawl A is already in
+    crawl B") have BOTH sides huge; the theta-framework answer
+    intersects two KB-sized summaries and never rescans either side.
+    This entry runs both and certifies the sketch against the exact
+    twin pair-by-pair:
+
+    - the EXACT n_inter/jaccard columns and the sketch ESTIMATES are
+      all hash-gated (the estimator is plain SQL arithmetic, so the
+      oracle recomputes the estimates exactly — stronger than the
+      bracket-only HLL/CMS gates);
+    - ``within_bound`` (oracle-pinned TRUE) asserts every one of the
+      190 pairs' |est_inter - n_inter| <= max(16, 0.3·|A∪B|) AND
+      |est_jaccard - jaccard| <= 0.3. Corpus-measured: worst observed
+      err/|union| across sf0.001/0.01/0.1 is 0.088 and worst jaccard
+      error 0.0795 (both at sf0.1, the max over 190 deterministic
+      pairs), so 0.3 carries a 3.4× margin at ~3.4σ of the k=128
+      estimator — same measured-slack device as the NCD brackets.
+
+    Scale shape: the sketch side is one DISTINCT-gram exchange into a
+    per-source aggregate whose partials are k values, then a
+    |sources|² broadcast self-join of KB-sized rows. The exact side
+    rides only as the certification twin."""
+    from ..operators.sketches import (
+        KMV_SPACE,
+        kmv_estimate,
+        kmv_hash,
+        kmv_theta,
+        theta_combine_estimate,
+    )
+
+    k = 128
+    docs = load_table(spark, sf_dir, "documents")
+    g = _trigram_rows(docs, "source")
+    sz = g.groupBy("source").agg(F.count("*").alias("n"))
+    sk = (
+        g.select("source", kmv_hash("gram").alias("h"))
+        .groupBy("source")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("kmv"))
+    )
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    pairs = (
+        inter.join(
+            F.broadcast(sz.select(F.col("source").alias("src_a"),
+                                  F.col("n").alias("na"))), "src_a")
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("src_b"),
+                                  F.col("n").alias("nb"))), "src_b")
+        .join(
+            F.broadcast(sk.select(F.col("source").alias("src_a"),
+                                  F.col("kmv").alias("kmv_a"))), "src_a")
+        .join(
+            F.broadcast(sk.select(F.col("source").alias("src_b"),
+                                  F.col("kmv").alias("kmv_b"))), "src_b")
+    )
+    ka, kb = F.col("kmv_a"), F.col("kmv_b")
+    est_inter = theta_combine_estimate(ka, kb, k, "intersect")
+    est_union = theta_combine_estimate(ka, kb, k, "union")
+    union_exact = (F.col("na") + F.col("nb") - F.col("n_inter")).cast(
+        "double"
+    )
+    jacc_raw = F.col("n_inter").cast("double") / union_exact
+    wide = pairs.select(
+        "src_a",
+        "src_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.round(jacc_raw, 6).alias("jaccard"),
+        est_inter.alias("est_inter"),
+        (est_inter / est_union).alias("est_jaccard"),
+        (
+            (
+                F.abs(est_inter - F.col("n_inter"))
+                <= F.greatest(F.lit(16.0), F.lit(0.3) * union_exact)
+            )
+            & (F.abs(est_inter / est_union - jacc_raw) <= F.lit(0.3))
+        ).alias("within_bound"),
+    )
+    return wide.orderBy("src_a", "src_b")
