@@ -215,3 +215,31 @@ def test_stream_events_to_geojson_sink(spark, tmp_path):
     assert manifest2["n_features"] == 2  # overwrote itself
     on_disk = {p.name for p in batch_dirs[0].glob("part-*.json")}
     assert on_disk == set(manifest2["files"])  # no stale parts either
+
+
+def test_streaming_theta_daily_rationale_and_booleans(spark, sf_dir):
+    """The round-13 streaming sketch entry exists because EXACT
+    streaming distinct is unsupported — pin that premise (a streaming
+    countDistinct agg must be rejected by the engine) and the entry's
+    oracle-pinned bound."""
+    import pytest as _pytest
+
+    from usgs_earthquake_data_pipeline_spark.plans.catalog import CATALOG
+    from usgs_earthquake_data_pipeline_spark.plans.streaming_entries import (
+        _events_stream,
+        _run_available_now,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    exact_agg = ev.groupBy(F.window("ts", "1 day")).agg(
+        F.countDistinct("event_id").alias("n")
+    )
+    with _pytest.raises(Exception, match="[Dd]istinct"):
+        _run_available_now(exact_agg, "theta_rationale_probe", "complete")
+
+    rows = CATALOG["streaming_theta_daily"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["within_bound"], r
+        if r["exact_distinct"] < 128:  # small-set branch is exact
+            assert r["est_distinct"] == r["exact_distinct"]

@@ -630,3 +630,100 @@ def _wire_streaming_url_dedup_oracle() -> None:
 
 
 _wire_streaming_url_dedup_oracle()
+
+
+_KMV_EVENT_HASH_SQL = (
+    "list_reduce(list_transform(regexp_extract_all("
+    "substr(md5(CAST(event_id AS VARCHAR)),1,12),'.'),"
+    " c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16+b)"
+)
+
+
+@register(
+    "streaming_theta_daily",
+    oracle=(
+        "WITH h AS (SELECT DISTINCT date_trunc('day', ts) AS d, "
+        f"{_KMV_EVENT_HASH_SQL} AS h FROM events), "
+        "sk AS (SELECT d, (list(h ORDER BY h))[1:128] AS kmv "
+        "FROM h GROUP BY d), "
+        "ex AS (SELECT date_trunc('day', ts) AS d, count(*) AS n_rows, "
+        "count(DISTINCT event_id) AS exact_distinct FROM events GROUP BY 1) "
+        "SELECT epoch_us(d) AS day_start_us, "
+        "CAST(n_rows AS BIGINT) AS n_rows, "
+        "CAST(exact_distinct AS BIGINT) AS exact_distinct, "
+        "CASE WHEN len(kmv) < 128 THEN CAST(len(kmv) AS DOUBLE) "
+        "ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / "
+        "CAST(kmv[128] AS DOUBLE) END AS est_distinct, "
+        "TRUE AS within_bound "
+        "FROM sk JOIN ex USING (d) ORDER BY day_start_us"
+    ),
+    tags=("streaming", "sketch", "approx", "checked"),
+)
+def streaming_theta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counting INSIDE the streaming engine via a per-window
+    KMV sketch (round 13) — the pattern Structured Streaming forces at
+    scale, because exact streaming distinct is unsupported
+    (countDistinct in a streaming agg raises) and dropDuplicates
+    state grows with key cardinality. The stream maintains k=128
+    minimum hashes per UTC day (collect_set → sort → slice inside the
+    windowed agg, so state per window is bounded by k regardless of
+    daily cardinality); the batch side then certifies the streamed
+    sketch: exact per-day distincts join on, the estimate is the
+    same (k-1)/theta arithmetic as the batch theta entries (so the
+    oracle hash-gates the ESTIMATE exactly), and ``within_bound``
+    (oracle-pinned TRUE) asserts |est - exact| <= max(16, 0.5·exact)
+    per day. The 0.5 slack is deliberate: per-day sets are small
+    (3.2-3.5k at sf0.1), so the pinned bound is max-of-30-days of an
+    σ≈8.9% estimator — measured worst 0.269 at sf0.1 (1.9× margin on
+    this corpus, 5.6σ ≈ 1e-8/day under any reseed). At 100 TB the
+    same query needs only k longs per live window of state, and
+    yesterday's sketch unions/intersects with any other via the
+    theta algebra."""
+    from ..operators.sketches import kmv_estimate, kmv_hash
+
+    k = 128
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set(kmv_hash("event_id"))), 1, k
+            ).alias("kmv"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("day_start_us"),
+            "kmv",
+            "n_rows",
+        )
+    )
+    name = "streaming_theta_daily_sink"
+    _run_available_now(agg, name, "complete")
+    streamed = spark.table(name)
+    from ..sources.tables import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.countDistinct("event_id").alias("exact_distinct"))
+        .select(
+            F.unix_micros(F.col("d")).alias("day_start_us"), "exact_distinct"
+        )
+    )
+    est = kmv_estimate(F.col("kmv"), k)
+    return (
+        streamed.join(exact, "day_start_us")
+        .select(
+            "day_start_us",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            est.alias("est_distinct"),
+            (
+                F.abs(est - F.col("exact_distinct"))
+                <= F.greatest(
+                    F.lit(16.0), F.col("exact_distinct") * F.lit(0.5)
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("day_start_us")
+    )
