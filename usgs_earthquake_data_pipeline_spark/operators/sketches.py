@@ -298,3 +298,17 @@ def theta_combine_estimate(
         raise ValueError(f"unknown theta op: {op}")
     n_kept = F.size(F.filter(kept, lambda v: v.cast("double") < theta))
     return n_kept.cast("double") * F.lit(KMV_SPACE) / theta
+
+
+def kmv_hash_sql(expr: str) -> str:
+    """DuckDB twin of :func:`kmv_hash` for the entries' oracles
+    (DuckDB has no base-16 conv; fold the 12 md5 hex digits
+    explicitly — the same device as plans/sampling._bucket_sql)."""
+    return (
+        "list_reduce(list_transform(regexp_extract_all("
+        f"substr(md5({expr}),1,12),'.'),"
+        " c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16+b)"
+    )
+
+
+KMV_SPACE_SQL = "CAST(281474976710656 AS DOUBLE)"  # 2^48, the hash range

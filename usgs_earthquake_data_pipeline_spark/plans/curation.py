@@ -1489,12 +1489,10 @@ def sketch_join_cardinality_checked(spark, sf_dir: str):
     )
 
 
-_KMV_HASH_SQL = (
-    "list_reduce(list_transform(regexp_extract_all("
-    "substr(md5(CAST(event_id AS VARCHAR)),1,12),'.'),"
-    " c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16+b)"
-)
-_KMV_SPACE_SQL = "CAST(281474976710656 AS DOUBLE)"  # 2^48
+from ..operators.sketches import KMV_SPACE_SQL as _KMV_SPACE_SQL
+from ..operators.sketches import kmv_hash_sql as _kmv_hash_sql
+
+_KMV_HASH_SQL = _kmv_hash_sql("CAST(event_id AS VARCHAR)")
 _KMV_EST = (  # (k-1)/theta estimator with the small-set exact branch
     "CASE WHEN len({sk}) < 128 THEN CAST(len({sk}) AS DOUBLE) "
     "ELSE CAST(127 AS DOUBLE) * " + _KMV_SPACE_SQL + " / {th} END"

@@ -632,11 +632,9 @@ def _wire_streaming_url_dedup_oracle() -> None:
 _wire_streaming_url_dedup_oracle()
 
 
-_KMV_EVENT_HASH_SQL = (
-    "list_reduce(list_transform(regexp_extract_all("
-    "substr(md5(CAST(event_id AS VARCHAR)),1,12),'.'),"
-    " c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16+b)"
-)
+from ..operators.sketches import kmv_hash_sql as _kmv_hash_sql
+
+_KMV_EVENT_HASH_SQL = _kmv_hash_sql("CAST(event_id AS VARCHAR)")
 
 
 @register(

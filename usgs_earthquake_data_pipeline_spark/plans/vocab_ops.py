@@ -1258,14 +1258,12 @@ def quality_kn_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# KMV/theta SQL fragments for the sketched overlap entry (the gram-
-# keyed twins of plans/curation.py's event-keyed fragments)
-_KMV_GRAM_HASH_SQL = (
-    "list_reduce(list_transform(regexp_extract_all("
-    "substr(md5(gram),1,12),'.'),"
-    " c -> strpos('0123456789abcdef', c) - 1), (a,b) -> a*16+b)"
-)
-_KMV_SPACE_SQL = "CAST(281474976710656 AS DOUBLE)"  # 2^48
+# KMV/theta SQL fragments for the sketched overlap entry (shared
+# twins in operators/sketches.py; this file only binds the key expr)
+from ..operators.sketches import KMV_SPACE_SQL as _KMV_SPACE_SQL
+from ..operators.sketches import kmv_hash_sql as _kmv_hash_sql
+
+_KMV_GRAM_HASH_SQL = _kmv_hash_sql("gram")
 _KMV_TH128 = (
     "CASE WHEN len({sk}) >= 128 THEN CAST({sk}[128] AS DOUBLE) "
     "ELSE " + _KMV_SPACE_SQL + " END"
