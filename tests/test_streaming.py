@@ -241,5 +241,5 @@ def test_streaming_theta_daily_rationale_and_booleans(spark, sf_dir):
     assert len(rows) == 30
     for r in rows:
         assert r["within_bound"], r
-        if r["exact_distinct"] < 128:  # small-set branch is exact
+        if r["exact_distinct"] < 256:  # small-set branch is exact
             assert r["est_distinct"] == r["exact_distinct"]

@@ -642,16 +642,16 @@ _KMV_EVENT_HASH_SQL = _kmv_hash_sql("CAST(event_id AS VARCHAR)")
     oracle=(
         "WITH h AS (SELECT DISTINCT date_trunc('day', ts) AS d, "
         f"{_KMV_EVENT_HASH_SQL} AS h FROM events), "
-        "sk AS (SELECT d, (list(h ORDER BY h))[1:128] AS kmv "
+        "sk AS (SELECT d, (list(h ORDER BY h))[1:256] AS kmv "
         "FROM h GROUP BY d), "
         "ex AS (SELECT date_trunc('day', ts) AS d, count(*) AS n_rows, "
         "count(DISTINCT event_id) AS exact_distinct FROM events GROUP BY 1) "
         "SELECT epoch_us(d) AS day_start_us, "
         "CAST(n_rows AS BIGINT) AS n_rows, "
         "CAST(exact_distinct AS BIGINT) AS exact_distinct, "
-        "CASE WHEN len(kmv) < 128 THEN CAST(len(kmv) AS DOUBLE) "
-        "ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / "
-        "CAST(kmv[128] AS DOUBLE) END AS est_distinct, "
+        "CASE WHEN len(kmv) < 256 THEN CAST(len(kmv) AS DOUBLE) "
+        "ELSE CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / "
+        "CAST(kmv[256] AS DOUBLE) END AS est_distinct, "
         "TRUE AS within_bound "
         "FROM sk JOIN ex USING (d) ORDER BY day_start_us"
     ),
@@ -662,7 +662,7 @@ def streaming_theta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMV sketch (round 13) — the pattern Structured Streaming forces at
     scale, because exact streaming distinct is unsupported
     (countDistinct in a streaming agg raises) and dropDuplicates
-    state grows with key cardinality. The stream maintains k=128
+    state grows with key cardinality. The stream maintains k=256
     minimum hashes per UTC day (collect_set → sort → slice inside the
     windowed agg, so state per window is bounded by k regardless of
     daily cardinality); the batch side then certifies the streamed
@@ -672,14 +672,15 @@ def streaming_theta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (oracle-pinned TRUE) asserts |est - exact| <= max(16, 0.5·exact)
     per day. The 0.5 slack is deliberate: per-day sets are small
     (3.2-3.5k at sf0.1), so the pinned bound is max-of-30-days of an
-    σ≈8.9% estimator — measured worst 0.269 at sf0.1 (1.9× margin on
-    this corpus, 5.6σ ≈ 1e-8/day under any reseed). At 100 TB the
+    σ≈6.3% estimator — measured worst 0.153 at sf0.1 (3.3× margin on
+    this corpus, ~8σ under any reseed; k=128 measured worst 0.269,
+    which is why this entry runs k=256). At 100 TB the
     same query needs only k longs per live window of state, and
     yesterday's sketch unions/intersects with any other via the
     theta algebra."""
     from ..operators.sketches import kmv_estimate, kmv_hash
 
-    k = 128
+    k = 256
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.groupBy(F.window("ts", "1 day").alias("win"))
