@@ -241,9 +241,15 @@ def kmv_sketch(
     flatten→sort→take-k. The two paths are provably identical: each
     bucket keeps its k smallest, and the global k smallest all
     survive their own bucket's cut — the mergeability theorem
-    ``sketch_theta_setops_checked`` pins, and the shape that matters
-    at scale (partials are size-k per bucket; the merge never sees
-    raw keys)."""
+    ``sketch_theta_setops_checked`` pins. Scale shape, stated
+    honestly: the EXCHANGE into the merge carries exactly k longs per
+    bucket (the slice runs inside the per-bucket aggregate), but the
+    per-bucket ``collect_set`` buffer itself is O(distinct/bucket) —
+    the same working set as any exact distinct — so n_buckets is the
+    memory dial: size it so distinct/n_buckets fits an executor
+    (10⁵ buckets over a trillion keys → 10⁷-value buffers), or
+    pre-filter ``h < θ_est`` from a first-pass estimate to cut the
+    buffer to ~k before aggregating."""
     h = kmv_hash(key_col).alias("h")
     if n_buckets:
         per = (
