@@ -860,3 +860,40 @@ def test_ivf_delete_compact_entry_and_teeth(spark, sf_dir):
         .collect()[0]["ok"]
     )
     assert flag is False
+
+
+def test_two_phase_components_equals_label_propagation(spark, sf_dir):
+    """The round-13 large-star/small-star components must equal
+    min-label propagation row-for-row on the real near-dup pair set
+    (the catalog entry additionally pins this against the recursive-
+    CTE oracle), AND contract a diameter-39 chain in polylog rounds —
+    the topology where label propagation needs 39 passes."""
+    from usgs_earthquake_data_pipeline_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_prefix_pairs(
+        docs, "doc_id", "text", threshold=0.3
+    ).localCheckpoint()
+    a = D.resolve_dup_clusters(pairs)
+    b = D.two_phase_components(pairs)
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    rounds: list[float] = []
+    labels = D.two_phase_components(chain, round_times=rounds).collect()
+    assert len(labels) == 41
+    assert all(r.canonical_id == 0 for r in labels)
+    assert len(rounds) <= 10, rounds  # O(log^2 n), not diameter
+
+    # two disjoint components + a singleton-free node pair
+    multi = spark.createDataFrame(
+        [(5, 9), (9, 7), (20, 30), (30, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.id: r.canonical_id
+        for r in D.two_phase_components(multi).collect()
+    }
+    assert got == {5: 5, 9: 5, 7: 5, 20: 20, 30: 20, 21: 20}

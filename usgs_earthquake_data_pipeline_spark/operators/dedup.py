@@ -798,3 +798,125 @@ def ngram_containment_pairs(
             F.round(containment, 6).alias("containment"),
         )
     )
+
+
+def two_phase_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 30,
+    round_times: list[float] | None = None,
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log² n)-round general-graph algorithm
+    :func:`resolve_dup_clusters`'s docstring defers to for true
+    100 TB component scale. Label propagation needs graph-DIAMETER
+    rounds (fine for near-dup blobs, hopeless for long chains);
+    the star operations contract arbitrary topology in a
+    polylogarithmic number of rounds, each round two key-bounded
+    aggregate+join passes over the edge set, state = the edge set
+    itself (no separate label table).
+
+    The edge set is kept as a canonical undirected (hi, lo) DISTINCT
+    table between phases; convergence = the canonical set reaches a
+    fixed point (checked exactly via symmetric exceptAll — at real
+    scale you'd fingerprint instead, same as the convergence note on
+    resolve_dup_clusters). At the fixed point every component is a
+    star centered at its minimum id, so the final labeling is one
+    neighbor-min aggregate. Output schema and semantics are
+    IDENTICAL to resolve_dup_clusters — (id, canonical_id), canonical
+    = component-min — which is exactly what the catalog entry's
+    shared recursive-CTE oracle certifies.
+
+    Raises RuntimeError if not converged after ``max_rounds`` (the
+    paper's bound is O(log² n); 30 rounds covers any conceivable
+    corpus — a silent partial contraction would mislabel quietly)."""
+    import time
+
+    canon = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(c: DataFrame) -> DataFrame:
+        return c.select(F.col("hi").alias("src"), F.col("lo").alias("dst")).unionByName(
+            c.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        )
+
+    def _norm(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.greatest(F.col("src"), F.col("dst")).alias("hi"),
+                F.least(F.col("src"), F.col("dst")).alias("lo"),
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        t0 = time.monotonic()
+        # large-star: every node connects its LARGER neighbors to its
+        # neighborhood minimum (incl. itself)
+        sym = _sym(canon)
+        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        mins = mins.select(
+            "src", F.least(F.col("src"), F.col("mn")).alias("m")
+        )
+        large = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        after_large = _norm(large).localCheckpoint()
+        # small-star: orient (hi → lo); every node connects its
+        # smaller neighbors (and itself) to the smallest of them
+        smins = after_large.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = after_large.join(smins, "hi")
+        small = (
+            joined.filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("src"), F.col("m").alias("dst"))
+            .unionByName(
+                smins.select(
+                    F.col("hi").alias("src"), F.col("m").alias("dst")
+                )
+            )
+        )
+        new_canon = _norm(small).localCheckpoint()
+        if round_times is not None:
+            round_times.append(time.monotonic() - t0)
+        changed = (
+            new_canon.exceptAll(canon).unionAll(canon.exceptAll(new_canon))
+        ).limit(1).count()
+        canon = new_canon
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"two_phase_components: no fixed point in {max_rounds} rounds"
+        )
+    # fixed point = stars at component minima: label every node with
+    # min(self, neighbors); nodes = every id in the ORIGINAL pairs
+    # (contraction removes leaf-leaf edges, never nodes' reachability)
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    nbr_min = (
+        _sym(canon)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nm"))
+    )
+    return nodes.join(nbr_min, "id", "left").select(
+        "id",
+        F.least(F.col("id"), F.coalesce(F.col("nm"), F.col("id"))).alias(
+            "canonical_id"
+        ),
+    )
