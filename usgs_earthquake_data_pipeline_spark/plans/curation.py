@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators.sketches import KMV_SPACE_SQL as _KMV_SPACE_SQL
+from ..operators.sketches import kmv_hash_sql as _kmv_hash_sql
 from ..sources.tables import load_table
 from .catalog import register
 
@@ -1488,9 +1490,6 @@ def sketch_join_cardinality_checked(spark, sf_dir: str):
         .orderBy("type_a")
     )
 
-
-from ..operators.sketches import KMV_SPACE_SQL as _KMV_SPACE_SQL
-from ..operators.sketches import kmv_hash_sql as _kmv_hash_sql
 
 _KMV_HASH_SQL = _kmv_hash_sql("CAST(event_id AS VARCHAR)")
 _KMV_EST = (  # (k-1)/theta estimator with the small-set exact branch

@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.sketches import kmv_hash_sql as _kmv_hash_sql
 from ..session import configure_runtime
 from ..sources.tables import normalize_timestamp_col
 from .catalog import register
@@ -631,8 +632,6 @@ def _wire_streaming_url_dedup_oracle() -> None:
 
 _wire_streaming_url_dedup_oracle()
 
-
-from ..operators.sketches import kmv_hash_sql as _kmv_hash_sql
 
 _KMV_EVENT_HASH_SQL = _kmv_hash_sql("CAST(event_id AS VARCHAR)")
 

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators.sketches import KMV_SPACE_SQL as _KMV_SPACE_SQL
+from ..operators.sketches import kmv_hash_sql as _kmv_hash_sql
 from ..sources.tables import load_table
 from .catalog import register
 
@@ -1260,9 +1262,6 @@ def quality_kn_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # KMV/theta SQL fragments for the sketched overlap entry (shared
 # twins in operators/sketches.py; this file only binds the key expr)
-from ..operators.sketches import KMV_SPACE_SQL as _KMV_SPACE_SQL
-from ..operators.sketches import kmv_hash_sql as _kmv_hash_sql
-
 _KMV_GRAM_HASH_SQL = _kmv_hash_sql("gram")
 _KMV_TH128 = (
     "CASE WHEN len({sk}) >= 128 THEN CAST({sk}[128] AS DOUBLE) "
