@@ -53,10 +53,12 @@ def main() -> None:
     spark = get_spark(app_name="sf1_smoke")
     headline = [e for e in CATALOG.values() if e.headline]
     if names is not None:
-        unknown = names - {e.name for e in headline}
+        # --entries may name ANY catalog entry (r13: scaling rungs for
+        # non-headline families); unknown names still fail loudly
+        unknown = names - set(CATALOG)
         if unknown:
-            raise SystemExit(f"not headline entries: {sorted(unknown)}")
-        headline = [e for e in headline if e.name in names]
+            raise SystemExit(f"not catalog entries: {sorted(unknown)}")
+        headline = [e for e in CATALOG.values() if e.name in names]
     spark.range(1000).count()
     for e in headline:
         e.spark_fn(spark, small).count()
