@@ -537,17 +537,22 @@ def test_snm_single_window_pass(spark, sf_dir):
 
 
 def test_bigram_model_tables_join_by_hash(spark, sf_dir):
-    """The bigram LM's model tables join back by equi-join (broadcast
-    at test scale, shuffle-hash/SMJ at cluster scale) — never a
-    nested loop on the corpus side; the only nested-loop join is the
-    broadcast of the ONE-ROW vocab-size aggregate."""
+    """The bigram LM (r13 window form): the bigram conditional count
+    is a count window over the hashed bigram key — no join-back, no
+    separate c2 aggregate — and the unigram model table meets the
+    stream in exactly ONE equi-join (broadcast at test scale,
+    shuffle-hash/SMJ at cluster scale). No nested loop anywhere (the
+    former one-row |V| broadcast BNLJ is now a single-partition count
+    window over the vocab-bounded c1 table), and the tokenize+explode
+    subtree evaluates once per stream: exactly 2 parquet scans (the
+    pre-r13 agg+join-back shape planned 8)."""
     plan = _plan(CATALOG["quality_perplexity_bigram"].spark_fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # one-row |V| broadcast is the only nested-loop join
-    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") + plan.count(
         "ShuffledHashJoin"
-    ) >= 2, plan
+    ) == 1, plan
+    assert plan.count("Scan parquet") == 2, plan
 
 
 def test_dynamic_partition_pruning_on_partitioned_join(spark, sf_dir, tmp_path):
@@ -574,13 +579,15 @@ def test_dynamic_partition_pruning_on_partitioned_join(spark, sf_dir, tmp_path):
 
 
 def test_dup_spans_plan_shape(spark, sf_dir):
-    """Span detection must stay key-bounded: the gram aggregate and
-    the per-doc island window are the only hash exchanges (the
-    duplicated-gram join-back broadcasts at test scale — AQE flips it
-    to a shuffle join when the dup set outgrows the threshold), and
-    the stride-1 window explode must never become a cartesian."""
+    """Span detection must stay key-bounded: the gram count window
+    and the per-doc island window are the only hash exchanges (r13:
+    the duplicated-gram filter is a count window over the gram key —
+    one evaluation of the tokenize+explode subtree, one scan — where
+    the former aggregate+join-back planned two of each), and the
+    stride-1 window explode must never become a cartesian."""
     plan = _plan(CATALOG["dedup_dup_spans"].spark_fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Scan parquet") == 1, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -4045,13 +4045,26 @@ def _dup_span_frame(docs: DataFrame) -> DataFrame:
     g = base.select(
         "doc_id", F.posexplode(grams).alias("pos_i", "gram")
     ).select("doc_id", F.col("pos_i").cast("long").alias("pos"), "gram")
-    dup = (
-        g.groupBy("gram")
-        .agg(F.count("*").alias("c"))
+    # Duplicated-gram filter as ONE count window over the gram key
+    # (r13 optimization round, guide §2.4): the former groupBy(gram)
+    # + join-back evaluated the tokenize+xxhash64+posexplode subtree
+    # TWICE (Spark materializes nothing between the two references)
+    # and cost an extra exchange for the dup-gram aggregate. The
+    # window shuffles g once by gram and reads the explode once:
+    # 0.93 s -> 0.44 s median at sf0.1 (plans/r13/dedup_dup_spans_
+    # {before,after}.txt: 2 Generate + 3 Exchange -> 1 Generate +
+    # 2 Exchange + the final sort). At 100 TB the trade holds: the
+    # join form's non-broadcast fallback shuffles g by gram anyway
+    # (plus the aggregate's own exchange), and a hot boilerplate gram
+    # lands in a single partition under either form (SMJ partition vs
+    # window partition) — rows are 24-byte (doc, pos, gram) triples
+    # either way, never text.
+    wc = Window.partitionBy("gram")
+    p = (
+        g.withColumn("c", F.count("*").over(wc))
         .filter(F.col("c") > 1)
-        .select("gram")
+        .select("doc_id", "pos")
     )
-    p = g.join(dup, "gram").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = p.withColumn("isl", F.col("pos") - F.row_number().over(w))
     return (

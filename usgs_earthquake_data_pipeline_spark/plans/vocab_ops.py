@@ -403,19 +403,38 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bigrams are built INSIDE the token array (a codegen
     ``transform`` over the already-split tokens — no self-join, no
-    window, no per-token shuffle to pair adjacent rows); the model
-    tables are vocabulary-sized aggregates (|V| and |V|² keys, far
-    below corpus size) joined back by plain equi-joins, and |V| is a
-    one-row broadcast.  Per-bigram floats follow the module's
-    convention: identical operation order both engines, round 6 dp,
-    DECIMAL-exact summation, one final rounded division."""
+    per-token shuffle to pair adjacent rows); the bigram conditional
+    count is ONE count window over the hashed bigram key (the bigram
+    stream shuffles exactly once, 24-byte rows); the unigram model is
+    a vocabulary-sized aggregate met by one equi-join on the hashed
+    unigram, with |V| attached by a single-partition count window
+    over that vocab-bounded table (never a recompute).  Per-bigram
+    floats follow the module's convention: identical operation order
+    both engines, round 6 dp, DECIMAL-exact summation, one final
+    rounded division."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.filter(T.tokens("text"), lambda t: t != "").alias("t")
     )
-    uni = toks.select(F.explode("t").alias("w"))
-    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
-    vocab = c1.agg(F.count("*").alias("v"))
+    # r13 optimization round (guide §2.3/§2.4): the former
+    # aggregate-then-join-back shape referenced the tokenize+explode
+    # subtree FOUR times (uni twice via c1's two consumers, bg twice
+    # via c2 + the scored join) — 8 parquet scans in the physical
+    # plan. Now (a) the bigram count is ONE count window over the
+    # bigram key (bg shuffles once, no separate c2 aggregate, no
+    # join-back), (b) |V| rides a single-partition count window over
+    # the vocab-bounded c1 table instead of a recomputing agg+cross
+    # join, and (c) unigram/bigram keys travel as xxhash64 longs, not
+    # strings — counts over hashed words equal counts over words up
+    # to xxhash64 collisions, the same convention as
+    # `hashed_shingle_sets` (a collision would surface as an oracle
+    # hash mismatch). 8 scans -> 2, 6 exchanges -> 4, ~1.0 s ->
+    # ~0.6 s median at sf0.1 (plans/r13/quality_perplexity_bigram_*).
+    uni = toks.select(F.explode("t").alias("w")).select(
+        F.xxhash64("w").alias("h1")
+    )
+    c1 = uni.groupBy("h1").agg(F.count("*").alias("c1"))
+    c1v = c1.withColumn("v", F.count("*").over(Window.partitionBy()))
     bg = (
         toks.filter(F.size("t") >= 2)
         .select(
@@ -423,13 +442,13 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(t) - 1), i -> "
-                    "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                    "struct(xxhash64(element_at(t, i)) AS h1, "
+                    "xxhash64(element_at(t, i + 1)) AS h2))"
                 )
             ).alias("b"),
         )
-        .select("doc_id", "b.w1", "b.w2")
+        .select("doc_id", "b.h1", "b.h2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     # per-term score in exact integer MICRO-units (−ln p rounded to the
     # nearest 1e-6, stored as BIGINT): summation is integer-exact and
     # the final average is pure IEEE division — no decimal round after
@@ -444,12 +463,10 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000.0,
         0,
     ).cast("bigint")
-    scored = (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1.withColumnRenamed("w", "w1"), "w1")
-        .join(F.broadcast(vocab))
-        .select("doc_id", m.alias("m"))
+    bgc = bg.withColumn(
+        "c2", F.count("*").over(Window.partitionBy("h1", "h2"))
     )
+    scored = bgc.join(c1v, "h1").select("doc_id", m.alias("m"))
     return (
         scored.groupBy("doc_id")
         .agg(
