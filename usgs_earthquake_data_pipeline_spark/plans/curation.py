@@ -57,13 +57,14 @@ _QUALITY_CTE = (
 )
 def curation_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite corpus build: quality gates → exact dedup
-    (first-doc-wins per content fingerprint) → per-(source, lang)
-    token/char budget. One scan, one shuffle on the fingerprint, one
-    tiny aggregation shuffle — each stage is pure-expression codegen,
-    so the chain pipelines without materialization. At 100 TB this is
-    the shape the whole engine exists for: the dedup shuffle carries
-    only gate-surviving rows, and the final exchange is |source×lang|
-    rows."""
+    (first-doc-wins per content fingerprint, as a min_by aggregate) →
+    per-(source, lang) token/char budget. One scan, one map-side-
+    combined shuffle on the fingerprint, one tiny aggregation shuffle
+    — each stage is pure-expression codegen, so the chain pipelines
+    without materialization. At 100 TB this is the shape the whole
+    engine exists for: the dedup exchange carries ~50-byte projected
+    rows for gate survivors only (never text), and the final exchange
+    is |source×lang| rows."""
     return _corpus_pipeline(load_table(spark, sf_dir, "documents"))
 
 
@@ -79,22 +80,39 @@ def _corpus_pipeline(
     gate = T.quality_gate("text")
     if with_classifier:
         gate = gate & (T.quality_clf_logit("text") >= 0)
+    # r13 optimization round (guide §2.3: project before the
+    # exchange, aggregate before you shuffle): the former fp-window
+    # dedup (row_number over fp, keep rn=1) shuffled the FULL text
+    # column through the fingerprint exchange and sorted each fp
+    # partition. First-doc-wins is min(doc_id) per fp, and every
+    # downstream consumer needs only (source, lang, n_tok, n_chars)
+    # of the kept row — so dedup is ONE min_by aggregate over rows
+    # projected down to ~50 bytes before the exchange (text length is
+    # computed map-side and never crosses). Map-side partial min_by
+    # additionally collapses duplicate fingerprints per partition.
+    # Neutral at sf0.1 (the scan + gate expressions dominate locally,
+    # measured 0.73 s ~ 0.76 s both forms); at 100 TB the exchange
+    # drops from corpus-text bytes + per-partition sort to narrow
+    # partially-aggregated rows.
     gated = docs.filter(gate).select(
         "doc_id",
-        "text",
         "lang",
         "source",
         T.token_count("text").cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars_kept"),
         T.fingerprint_md5("text").alias("fp"),
     )
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    kept = gated.groupBy("fp").agg(
+        F.min_by(
+            F.struct("source", "lang", "n_tok", "n_chars_kept"), "doc_id"
+        ).alias("k")
+    )
     return (
-        deduped.groupBy("source", "lang")
+        kept.groupBy("k.source", "k.lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_tok").alias("total_tokens"),
-            F.sum(F.length("text").cast("long")).alias("total_chars"),
+            F.sum("k.n_tok").alias("total_tokens"),
+            F.sum("k.n_chars_kept").alias("total_chars"),
         )
         .orderBy("source", "lang")
     )
