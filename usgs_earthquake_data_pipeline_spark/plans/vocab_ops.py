@@ -1222,28 +1222,44 @@ def quality_kn_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram, the per-doc sum is exact BIGINT, and bits re-emerge as
     two IEEE divisions (the tie-proof emission convention).
 
-    Scale shape: the LM is three vocab-/bigram-vocab-sized aggregate
-    tables met by equi-joins (broadcast at bench scale, shuffle joins
-    when the vocab outgrows broadcast — no plan change); the corpus
-    crosses the wire once as (doc, w₁, w₂) triples."""
+    Scale shape: ONE bigram-vocab-sized c12 aggregate carries all
+    three model statistics as windows over its own (w₁- and
+    w₂-partitioned) key space — no per-statistic join-back, no
+    re-evaluation of the bigram explode; the global type count stays
+    a tree-reduced aggregate; the corpus crosses the wire once as
+    (doc, w₁, w₂) hashed triples and meets the model in one
+    equi-join."""
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select(
         "doc_id", F.filter(T.tokens("text"), lambda x: x != "").alias("t")
     )
+    # r13 optimization round (guide §2.3/§2.4): the former shape
+    # planned FIVE parquet scans — c12's aggregate subtree (tokenize +
+    # bigram explode + agg) re-evaluated for each of c1/cw2/nt plus
+    # the join side. Now the three model statistics ride windows over
+    # the ONE c12 table (sum/count over w1-partitions, count over
+    # w2-partitions — vocab-bounded partitions, no join-back, no
+    # recompute); ntot stays a tree-reduced aggregate (a global count
+    # must not become a single-partition window at bigram-vocab
+    # cardinality); bigram keys travel as xxhash64 longs (the
+    # hashed_shingle_sets convention). 5 scans -> 3, the three model
+    # joins collapse to one.
     bg = tk.filter(F.size("t") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
                 "transform(sequence(1, size(t) - 1), i -> "
-                "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                "struct(xxhash64(element_at(t, i)) AS w1, "
+                "xxhash64(element_at(t, i + 1)) AS w2))"
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = c12.groupBy("w1").agg(
-        F.sum("c12").alias("c1"), F.count("*").alias("n1p")
+    c12t = (
+        c12.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+        .withColumn("n1p", F.count("*").over(Window.partitionBy("w1")))
+        .withColumn("nw2", F.count("*").over(Window.partitionBy("w2")))
     )
-    cw2 = c12.groupBy("w2").agg(F.count("*").alias("nw2"))
     nt = c12.agg(F.count("*").alias("ntot"))
     prob = (
         (F.col("c12") - F.lit(0.75)) / F.col("c1")
@@ -1251,9 +1267,7 @@ def quality_kn_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("nw2") / F.col("ntot").cast("double"))
     )
     p = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
-        .join(cw2, "w2")
+        bg.join(c12t, ["w1", "w2"])
         .crossJoin(F.broadcast(nt))
         .select(
             "doc_id",
