@@ -703,16 +703,29 @@ def simhash_near_pairs(
     *,
     max_hamming: int = 3,
     band_bits: int = 16,
+    fp_df: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on ``64/band_bits`` fingerprint
     bands (pigeonhole: any pair within ``max_hamming`` shares at least
     one exact band when bands > max_hamming), then verify Hamming
-    distance. Same ban-the-cross-join shape as MinHash-LSH."""
+    distance. Same ban-the-cross-join shape as MinHash-LSH.
+
+    ``fp_df``: optional precomputed ``(id, simhash)`` frame — callers
+    that also consume the fingerprints elsewhere (the gate entries'
+    brute-force twin) pass one shared materialized frame so the
+    per-document SimHash fold is computed once, not once per branch.
+    When absent, the fold is lazily localCheckpoint-ed here for the
+    same reason: ``banded`` is referenced twice (left/right sides of
+    the band self-join) and an un-materialized fp would re-run the
+    O(tokens·64) fold per reference (r13 optimization round)."""
     n_bands = 64 // band_bits
     assert n_bands > max_hamming, "need more bands than allowed bit flips"
-    fp = simhash_col(
-        _widen(df).select(F.col(id_col).alias("id"), text_col), text_col
-    ).select("id", "simhash")
+    if fp_df is not None:
+        fp = fp_df.select("id", "simhash")
+    else:
+        fp = simhash_col(
+            _widen(df).select(F.col(id_col).alias("id"), text_col), text_col
+        ).select("id", "simhash").localCheckpoint(eager=False)
     banded = fp.select(
         "id",
         "simhash",

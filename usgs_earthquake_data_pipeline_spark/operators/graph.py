@@ -123,6 +123,21 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
     )
+    # r13 optimization round: `oriented` is referenced THREE times
+    # below (two wedge sides + the closing join) and its lineage holds
+    # the canon distinct + two degree joins — un-materialized, Spark
+    # re-evaluated that subtree per reference (30 parquet scans in the
+    # entry's plan; each reference re-ran the upstream edge build).
+    # One LAZY localCheckpoint (computed inside the first action, the
+    # same device the DBSCAN/label-propagation operators use) makes it
+    # a single stage shared by all three consumers: interleaved A/B at
+    # sf0.1 (noop sink, median of 5) 9.1 s -> 8.3 s, identical count —
+    # a modest local win; the real payoff is structural (the upstream
+    # edge-build subtree runs once instead of three times, which at
+    # 100 TB is the difference between one shuffle of the edge list
+    # and three). Lineage truncation also keeps the plan bounded if
+    # callers chain it.
+    oriented = oriented.localCheckpoint(eager=False)
     wedges = (
         oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
         .join(
