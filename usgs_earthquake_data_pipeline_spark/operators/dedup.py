@@ -614,12 +614,18 @@ def resolve_dup_clusters(
     (Kiveris et al.) on a GraphFrames-class runtime, not more joins
     in this loop.
     """
+    # materialize the symmetric edge set ONCE: it is re-joined every
+    # iteration (plus the label init), and an un-checkpointed edges
+    # frame re-executes the whole upstream PAIR GENERATION per round —
+    # for the catalog's cluster entries that is the full prefix-join
+    # plan, diameter+1 times (r13 optimization round, guide §2.4).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -233,9 +233,9 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Pairs come from the prefix-filtered join — identical
     output to the inverted index (tested at t=0.3) without its
     full co-occurrence aggregation, which OOMs at permissive
-    thresholds as the corpus grows."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.3)
+    thresholds as the corpus grows. The pair set is the shared
+    checkpointed t=0.3 relation (``_prefix03_pairs_cached``)."""
+    pairs = _prefix03_pairs_cached(spark, sf_dir)
     return D.resolve_dup_clusters(pairs)
 
 
@@ -260,9 +260,9 @@ def dedup_components_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs 7 rounds here vs 39 labels passes — with state equal to
     the (shrinking) edge set itself. This is the general-graph
     100 TB component path resolve_dup_clusters' docstring defers
-    to, now implemented and gated rather than cited."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.3)
+    to, now implemented and gated rather than cited. The pair set is
+    the shared checkpointed t=0.3 relation (``_prefix03_pairs_cached``)."""
+    pairs = _prefix03_pairs_cached(spark, sf_dir)
     return D.two_phase_components(pairs)
 
 
@@ -303,7 +303,7 @@ def dedup_keep_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pluggable (any per-doc score column joins in the same way);
     n_chars is used here because the oracle can re-derive it."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.3)
+    pairs = _prefix03_pairs_cached(spark, sf_dir)
     clusters = D.resolve_dup_clusters(pairs)
     joined = clusters.join(
         docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
@@ -479,6 +479,39 @@ def _exact_jaccard03_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix03_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed prefix-filtered exact Jaccard pair set at
+    t=0.3 — the shared input of the four cluster-resolution entries
+    (``dedup_resolve_clusters``, ``dedup_components_two_phase``,
+    ``dedup_keep_best_in_cluster``, ``near_dedup_keep_one``), each of
+    which used to re-run the full PPJoin plan (r13 optimization
+    round — same device as the minhash/semdedup truth sets, guide
+    §2.4). The HEADLINE prefix entry ``dedup_jaccard_prefix`` (t=0.7)
+    deliberately does NOT share: it is the prefix tier's
+    regression-visible timing."""
+    return _truth_cached(
+        spark, sf_dir, "prefix03_pairs", "documents",
+        lambda docs: D.ngram_jaccard_prefix_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ),
+    )
+
+
+def _cosine03_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed exact (n_planes=0 — every pair compared)
+    embedding-cosine pair set at t=0.3: the truth relation shared by
+    ``dedup_embedding_cosine`` (its precision/recall reference legs)
+    and ``dedup_embedding_cosine_exact`` (its whole payload), which
+    each used to run the O(n²) single-bucket self-join per call
+    (r13 optimization round, guide §2.4)."""
+    return _truth_cached(
+        spark, sf_dir, "cosine03_pairs", "embeddings",
+        lambda emb: S.embedding_near_dup_pairs(
+            emb, threshold=0.3, n_planes=0
+        ),
+    )
+
+
 def _semdedup_exact_survivors_cached(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -621,10 +654,19 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     probes = [1, 2, 4, 8, 16]
+    # list ASSIGNMENT is probe-independent: assign the corpus once and
+    # search the materialized index per probe setting — the previous
+    # per-probe ivf_topk call re-ran the centroid broadcast + corpus
+    # assignment pass five times (199k-char before-plan; r13
+    # optimization round, guide §2.4). ivf_topk IS this composition
+    # (assign + search), so each probe's plan is unchanged from the
+    # candidate join down.
+    cents = S.default_ivf_centroids(emb, n_lists=16)
+    assigned = S.ivf_assign(emb, cents).localCheckpoint()
     hits = None
     for p in probes:
         h = (
-            S.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=p)
+            S.ivf_search_assigned(assigned, queries, cents, k=5, n_probe=p)
             .select("query_id", "neighbor_id")
             .join(exact5, ["query_id", "neighbor_id"], "left_semi")
             .agg(F.count(F.lit(1)).alias("hits"))
@@ -1301,9 +1343,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_pairs = S.embedding_near_dup_pairs(
         emb, threshold=0.3
     ).localCheckpoint()
-    exact_pairs = S.embedding_near_dup_pairs(
-        emb, threshold=0.3, n_planes=0
-    ).localCheckpoint()
+    exact_pairs = _cosine03_pairs_cached(spark, sf_dir)
     prec = lsh_pairs.select("id_a", "id_b").join(
         exact_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     ).agg((F.count(F.lit(1)) == 0).alias("bucket_precision_ok"))
@@ -2036,7 +2076,7 @@ def near_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix+positional filters bound the candidate set — identical
     output (tests/test_prefix_jaccard.py proves equality at 0.3)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.3)
+    pairs = _prefix03_pairs_cached(spark, sf_dir)
     clusters = D.resolve_dup_clusters(pairs)
     losers = clusters.filter(F.col("canonical_id") != F.col("id")).select("id")
     return (
@@ -2662,10 +2702,17 @@ def rag_index_ivf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 200) & (F.trim("text") != "")
     )
+    # materialize the featurized vectors ONCE: six downstream
+    # references (corpus+queries of the full probe, the k=200 brute
+    # universe, and the 2-probe pass) each re-ran the tokenize +
+    # hashed-BoW build otherwise — 26 parquet scans in the before-plan
+    # (r13 optimization round, guide §2.4; ~200 rows, trivial to hold)
     vecs = docs.select(
         F.col("doc_id").alias("vec_id"),
         hashed_bow("text", dim=16).alias("embedding"),
-    ).filter(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v) > 0)
+    ).filter(
+        F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v) > 0
+    ).localCheckpoint()
     full = ivf_topk(
         vecs, vecs, k=3, n_lists=4, n_probe=4, include_self=True
     ).select("query_id", "neighbor_id", "score", "rank")
@@ -2854,11 +2901,10 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry (`dedup_embedding_cosine`, n_planes=8) keeps the candidate
     space sub-quadratic. Cosine is the JVM sequential fold, the same
     left-to-right order as `list_cosine_similarity`, so raw scores
-    agree bit-for-bit before the 6-dp rounding."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(
-        emb, threshold=0.3, n_planes=0
-    ).orderBy("id_a", "id_b")
+    agree bit-for-bit before the 6-dp rounding. The pair set is the
+    shared checkpointed relation (``_cosine03_pairs_cached``) —
+    ``dedup_embedding_cosine`` verifies against the same one."""
+    return _cosine03_pairs_cached(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 @register(
@@ -5576,6 +5622,10 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     w8 = hashed_shingle_sets(docs, "doc_id", "text", 8)
     pa = w8.select("id", F.explode("hs").alias("w"))
     pb = pa.select(F.col("id").alias("id_b"), F.col("w").alias("w_b"))
+    # both pair sets feed TWO consumers each (the agreement join and
+    # their scalar counts); un-materialized, each posting/PPJoin plan
+    # executed twice — 22 parquet scans in the before-plan (r13
+    # optimization round, guide §2.4)
     sp = (
         pa.join(
             pb,
@@ -5583,10 +5633,11 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("id").alias("id_a"), "id_b")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     jp = ngram_jaccard_prefix_pairs(
         docs, "doc_id", "text", threshold=0.5
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     both = sp.join(jp, ["id_a", "id_b"])
     counts = (
         sp.agg(F.count(F.lit(1)).alias("n_span_pairs"))

@@ -956,18 +956,28 @@ def ngram_novelty_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the other vocab entries."""
     docs = _with_decile(load_table(spark, sf_dir, "documents"))
     g = _trigram_rows(docs, "bucket")
-    fst = g.groupBy("gram").agg(F.min("bucket").alias("bucket"))
-    tot = g.groupBy("bucket").agg(F.count("*").alias("n_grams"))
-    new = fst.groupBy("bucket").agg(F.count("*").alias("n_new"))
-    n_new = F.coalesce(F.col("n_new"), F.lit(0)).cast("long")
+    # r13 optimization round (guide §2.4): the first-seen table used
+    # to be a separate gram-keyed aggregate left-joined back onto the
+    # per-bucket totals, evaluating the tokenize+explode+distinct
+    # subtree TWICE (8 parquet scans in the before-plan). A gram is
+    # "new" in its min bucket, and the distinct (bucket, gram) rows
+    # contain that row exactly once — so one min-window over gram
+    # marks it, and a single per-bucket aggregate emits both counts:
+    # 1 subtree evaluation, no join, identical rows (a bucket with no
+    # new grams yields count 0, matching the old coalesce).
+    fb = F.min("bucket").over(Window.partitionBy("gram"))
+    n_new = F.count(F.when(F.col("fb") == F.col("bucket"), 1)).cast("long")
     return (
-        tot.join(new, "bucket", "left")
+        g.withColumn("fb", fb)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_grams"), n_new.alias("n_new"))
         .select(
             "bucket",
             "n_grams",
-            n_new.alias("n_new"),
+            "n_new",
             F.round(
-                n_new.cast("double") / F.col("n_grams").cast("double"), 6
+                F.col("n_new").cast("double") / F.col("n_grams").cast("double"),
+                6,
             ).alias("novelty"),
         )
         .orderBy("bucket")
@@ -1006,7 +1016,11 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy lifting is the same DISTINCT (source, gram) exchange the
     novelty curve uses. Output is |sources|²/2 rows."""
     docs = load_table(spark, sf_dir, "documents")
-    g = _trigram_rows(docs, "source")
+    # three consumers (set sizes + both posting sides) re-ran the
+    # tokenize+explode+distinct subtree — 8 parquet scans in the
+    # before-plan; materialize the distinct (source, gram) rows once
+    # (r13 optimization round, guide §2.4)
+    g = _trigram_rows(docs, "source").localCheckpoint(eager=False)
     sz = g.groupBy("source").agg(F.count("*").alias("n"))
     a = g.select(F.col("source").alias("src_a"), "gram")
     b = g.select(F.col("source").alias("src_b"), "gram")
@@ -1379,7 +1393,9 @@ def source_overlap_theta_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 128
     docs = load_table(spark, sf_dir, "documents")
-    g = _trigram_rows(docs, "source")
+    # four consumers (sizes, KMV sketch, both posting sides) — same
+    # materialize-once fix as the exact twin (r13, guide §2.4)
+    g = _trigram_rows(docs, "source").localCheckpoint(eager=False)
     sz = g.groupBy("source").agg(F.count("*").alias("n"))
     sk = (
         g.select("source", kmv_hash("gram").alias("h"))
