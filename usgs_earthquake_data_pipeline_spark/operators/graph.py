@@ -48,17 +48,25 @@ def pagerank(
     the gated 2, quadratic re-analysis pain at PageRank's real 20-50.
     """
     w = F.col(weight) if weight else F.lit(1.0)
+    # materialize the loop-invariant frames once (lazy localCheckpoint,
+    # computed inside the first action): `nodes` is referenced every
+    # round (the rank rebuild) plus the init, and `contrib_edges` every
+    # round — un-materialized, each reference re-executed the caller's
+    # whole edge-build subtree (for the catalog entry: the
+    # orders⋈lineitem aggregate, ~5 evaluations at iterations=2).
+    # r13 optimization round, guide §2.4.
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
-    )
+    ).localCheckpoint(eager=False)
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    contrib_edges = e.join(outw, "src")
+    contrib_edges = e.join(outw, "src").localCheckpoint(eager=False)
     for it in range(iterations):
         contribs = (
             contrib_edges.join(
