@@ -5191,16 +5191,26 @@ def rag_eval_ranker_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
     q0 = emb.filter(F.col("vec_id") == 0)
     qvec = [float(x) for x in q0.select("embedding").head()[0]]
 
-    bm10 = bm25_topk(docs, "doc_id", "text", terms, k=10).select(
+    # r13 optimization round (guide §2.4): both rankers rank by a
+    # deterministic TOTAL order (score desc, id), so the k=10 list is
+    # exactly the rank<=10 prefix of the k=50 list — run each ranker
+    # once at k=50 and slice, instead of two full corpus passes per
+    # ranker. Lazy localCheckpoints share the 50-row results across
+    # the prefix slice and the fusion join.
+    bm50_full = bm25_topk(
+        docs, "doc_id", "text", terms, k=50
+    ).localCheckpoint(eager=False)
+    bm10 = bm50_full.filter(F.col("rank") <= 10).select(
         "id", F.col("rank").alias("rnk")
     )
-    bm50 = bm25_topk(docs, "doc_id", "text", terms, k=50).select(
-        "id", F.col("rank").alias("rl")
+    bm50 = bm50_full.select("id", F.col("rank").alias("rl"))
+    cos50_full = S.brute_force_topk(emb, q0, k=50).localCheckpoint(
+        eager=False
     )
-    cos10 = S.brute_force_topk(emb, q0, k=10).select(
+    cos10 = cos50_full.filter(F.col("rank") <= 10).select(
         F.col("neighbor_id").alias("id"), F.col("rank").alias("rnk")
     )
-    cos50 = S.brute_force_topk(emb, q0, k=50).select(
+    cos50 = cos50_full.select(
         F.col("neighbor_id").alias("id"), F.col("rank").alias("rs")
     )
     fused = bm50.join(cos50, "id", "full_outer").select(
@@ -5225,7 +5235,11 @@ def rag_eval_ranker_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_rel = F.lit(True)
     for t in terms:
         is_rel = is_rel & padded.contains(f" {t} ")
-    rel = docs.select("doc_id", is_rel.cast("int").alias("r"))
+    # the qrel table feeds five consumers (n_relevant + one join per
+    # ranker) — materialize the narrow (doc_id, r) projection once
+    rel = docs.select(
+        "doc_id", is_rel.cast("int").alias("r")
+    ).localCheckpoint(eager=False)
     n_rel = rel.agg(F.sum("r").cast("long").alias("n_relevant"))
     idcg = (
         spark.range(1, 11)
