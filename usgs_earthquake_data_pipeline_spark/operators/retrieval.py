@@ -52,8 +52,13 @@ def bm25_topk(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     )
     # doc lengths BEFORE the query filter (BM25 normalizes by full
-    # document length) — one narrow (id, dl) aggregate
-    doclen = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # document length) — one narrow (id, dl) aggregate, materialized
+    # once: it feeds both the corpus totals and the scoring join, and
+    # un-checkpointed each consumer re-ran the tokenize+explode pass
+    # (r13 optimization round, guide §2.4)
+    doclen = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("dl")
+    ).localCheckpoint(eager=False)
     # query-term pruning first: everything downstream carries only
     # |Q|-term postings
     qtoks = toks.filter(F.col("term").isin(list(query_terms)))

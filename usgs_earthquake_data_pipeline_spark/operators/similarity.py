@@ -421,6 +421,11 @@ def ivf_topk(
         centroid_src = centroids.select(
             "list_id", _as_double(F.col("centroid")).alias("centroid")
         )
+    # the centroid table is consumed twice (corpus assignment + query
+    # probing) and the default derivation is a full-corpus TakeOrdered
+    # — un-materialized, each consumer re-ran it (r13 optimization
+    # round, guide §2.4; n_lists rows, trivial to hold)
+    centroid_src = centroid_src.localCheckpoint(eager=False)
     assigned = ivf_assign(
         corpus, centroid_src, id_col=id_col, vec_col=vec_col
     )

@@ -1269,11 +1269,18 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     The differential proves the decomposition reproduces the global
     greedy prefix exactly: same kept-set count, token total, and
     minimum admitted quality."""
+    # the scored projection feeds FOUR consumers (budget total, bucket
+    # aggregate, the keep filter, the boundary window) — un-materialized
+    # each re-ran the quality-logit + token-count expressions over the
+    # corpus (r13 optimization round, guide §2.4). Materialized it is
+    # 24 bytes/row; at true 100 TB either hold this projection or
+    # recompute per pass — here the logit is ~4x the scan cost, so
+    # materialize-once wins.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         T.token_count("text").cast("long").alias("n_tok"),
         (T.quality_clf_logit("text") * 1_000_000).cast("long").alias("q"),
-    )
+    ).localCheckpoint(eager=False)
     btot = docs.agg(
         F.floor(F.sum("n_tok") * F.lit(0.5)).cast("long").alias("b")
     )

@@ -661,7 +661,9 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # optimization round, guide §2.4). ivf_topk IS this composition
     # (assign + search), so each probe's plan is unchanged from the
     # candidate join down.
-    cents = S.default_ivf_centroids(emb, n_lists=16)
+    cents = S.default_ivf_centroids(emb, n_lists=16).localCheckpoint(
+        eager=False
+    )
     assigned = S.ivf_assign(emb, cents).localCheckpoint()
     hits = None
     for p in probes:
@@ -924,7 +926,11 @@ def ann_ivf_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = S.ivf_assign(emb, centroids)
     dead = (F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= 10)
     tombstones = emb.filter(dead).select("vec_id")
-    live = assigned.join(tombstones, "vec_id", "left_anti")
+    # two consumers (the tombstone-delete search and the compaction
+    # write) re-ran the assign+anti-join otherwise (r13, guide §2.4)
+    live = assigned.join(tombstones, "vec_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     rebuilt = S.ivf_assign(
         emb.join(tombstones, "vec_id", "left_anti"), centroids
     )
@@ -1218,9 +1224,12 @@ def dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
       true pairs are near-identical documents)."""
     docs = load_table(spark, sf_dir, "documents")
     exact = _exact_jaccard03_cached(spark, sf_dir)
+    # the precision and recall legs both consume the LSH pair set —
+    # un-materialized, the banded pipeline ran twice (the headline
+    # sibling already checkpoints; r13 optimization round, guide §2.4)
     lsh = D.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.3
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     exact_ids = exact.select("id_a", "id_b")
     prec = lsh.join(exact_ids, ["id_a", "id_b"], "left_anti").agg(
         (F.count(F.lit(1)) == 0).alias("lsh_precision_ok")
@@ -4726,6 +4735,11 @@ def preference_bradley_terry_mm(
     b = s.select(
         "user_id", F.col("event_type").alias("tb"), F.col("sv").alias("sb")
     )
+    # the pair table is |types|²-bounded but its lineage holds ALL the
+    # corpus-sized work (the ratings aggregate + user-keyed self-join),
+    # and the d/t1/den chain references it repeatedly — un-materialized
+    # the corpus pass re-ran per reference (16 parquet scans in the
+    # before-plan; r13 optimization round, guide §2.4)
     p = (
         a.join(b, "user_id")
         .filter(F.col("ta") < F.col("tb"))
@@ -4734,6 +4748,7 @@ def preference_bradley_terry_mm(
             F.sum((F.col("sa") > F.col("sb")).cast("int")).alias("w_a"),
             F.sum((F.col("sb") > F.col("sa")).cast("int")).alias("w_b"),
         )
+        .localCheckpoint(eager=False)
     )
     n = F.col("w_a") + F.col("w_b")
     d = p.select(

@@ -1693,9 +1693,13 @@ def survival_logrank_purchase_vs_error(
             .alias("churned"),
         )
     )
+    # the |times|x2 cell table feeds THREE consumers (time grid, group
+    # grid, the zero-fill join) and its lineage holds the corpus-sized
+    # per-user aggregate — un-materialized, that chain re-ran per
+    # consumer (r13 optimization round, guide §2.4)
     cell = u.groupBy("grp", "t").agg(
         F.count("*").alias("m"), F.sum("churned").alias("d")
-    )
+    ).localCheckpoint(eager=False)
     times = cell.select("t").distinct()
     grps = cell.select("grp").distinct()
     grid = (
