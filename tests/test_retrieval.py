@@ -73,12 +73,13 @@ def test_bm25_plan_prunes_broadcasts_and_takeordered(spark, sf_dir):
     plan = _plan(df)
     # top-k is TakeOrdered, never a global Sort+Limit over the corpus
     assert "TakeOrderedAndProject" in plan
-    # term stats and corpus aggregate join as broadcasts
-    assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
-    # the query-term filter is pushed below the tf aggregation: the
-    # only aggregates over unfiltered tokens are the doc-length ones
-    assert "isin" in plan or "IN (" in plan.upper()
+    # single tokenize pass (r13): the corpus scan lives behind ONE
+    # lazily checkpointed per-doc aggregate — the final plan consumes
+    # the checkpoint, so no parquet scan of documents remains and no
+    # term-stats join exists (df_t rides the one-row stats aggregate)
+    assert plan.count("Scan parquet") == 0
+    assert "SortMergeJoin" not in plan
     df.count()  # the plan executes
 
 

@@ -6,14 +6,15 @@ BM25 (Robertson/Spärck Jones; the Lucene ``k1``/``b`` variant with
 the +1-smoothed IDF) over whitespace tokens.
 
 Scale shape (100 TB): the query's term set is tiny and known up
-front, so the FIRST operation after the token explode is
-``term IN (query)`` — postings for non-query terms never reach a
-shuffle, never aggregate, never join. What remains is one narrow
-aggregation per (doc, query-term), a BROADCAST join against the
-|Q|-row term-statistics table, and a top-k (TakeOrdered — no global
-sort). Corpus statistics (N, total length) are a one-row aggregate
-broadcast the same way. Nothing is quadratic and no stage carries
-the corpus' full token volume past the map side.
+front, so each term becomes a conditional counter inside ONE per-doc
+aggregate over the token explode — the corpus is tokenized exactly
+once, partial (map-side) aggregation collapses the token volume to
+one (id, dl, tf_0..tf_|Q|) row per doc per partition, and nothing
+wider than that crosses the single exchange. Per-term document
+frequencies and the corpus totals (N, Σdl) all fall out of a
+one-row aggregate over that frame, broadcast back as literals-by-
+another-name. No term-stats join, no second tokenize pass, nothing
+quadratic; top-k is TakeOrdered — never a global sort.
 """
 
 from __future__ import annotations
@@ -48,57 +49,62 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # dedupe while keeping a deterministic term order (a duplicated
+    # query term must not double-count its contribution)
+    qterms = list(dict.fromkeys(query_terms))
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     )
-    # doc lengths BEFORE the query filter (BM25 normalizes by full
-    # document length) — one narrow (id, dl) aggregate, materialized
-    # once: it feeds both the corpus totals and the scoring join, and
-    # un-checkpointed each consumer re-ran the tokenize+explode pass
-    # (r13 optimization round, guide §2.4)
-    doclen = toks.groupBy("id").agg(
-        F.count(F.lit(1)).alias("dl")
+    # ONE tokenize pass: full doc length (BM25 normalizes by |D|, so
+    # it counts every token) and the |Q| per-term frequencies are
+    # conditional counters in the same per-doc aggregate — the old
+    # doclen-pass + postings-pass form tokenized the corpus twice
+    # (r13 optimization round, guide §2.4/§2.3). Materialized once:
+    # it feeds the one-row stats aggregate and the scoring pass.
+    per_doc = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{i}")
+            for i in range(len(qterms))
+            for t in [qterms[i]]
+        ],
     ).localCheckpoint(eager=False)
-    # query-term pruning first: everything downstream carries only
-    # |Q|-term postings
-    qtoks = toks.filter(F.col("term").isin(list(query_terms)))
-    tf = qtoks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    stats = tf.groupBy("term").agg(F.countDistinct("id").alias("df_t"))
-    corpus = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    # N, Σdl and every per-term document frequency in ONE driver-row
+    # aggregate over the narrow checkpointed frame — replaces the old
+    # per-term stats aggregate + broadcast join
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(qterms))
+        ],
     )
-    scored = (
-        tf.join(F.broadcast(stats), "term")
-        .join(doclen, "id")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
-                / (F.col("df_t") + F.lit(0.5))
-            ),
+    # docs with no query term never scored a row in the postings form
+    tf_cols = [F.col(f"tf_{i}") for i in range(len(qterms))]
+    any_hit = tf_cols[0] if len(tf_cols) == 1 else F.greatest(*tf_cols)
+    matched = per_doc.filter(any_hit > 0).crossJoin(F.broadcast(stats))
+    # per-term contribution; tf==0 terms contribute an exact 0.0
+    # (numerator is tf·(k1+1)), so the fixed-order sum equals the old
+    # matching-terms-only aggregate within the 6-dp rounding grain
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col("sum_dl")
+    )
+
+    def _contrib(i: int):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
         )
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b)
-                    * F.col("dl")
-                    * F.col("n_docs")
-                    / F.col("sum_dl")
-                )
-            ),
-        )
-    )
-    by_doc = scored.groupBy("id").agg(
-        F.round(F.sum("contrib"), 6).alias("score")
-    )
+        tf_i = F.col(f"tf_{i}")
+        return idf * (tf_i * F.lit(k1 + 1.0)) / (tf_i + norm)
+
+    total = _contrib(0)
+    for i in range(1, len(qterms)):
+        total = total + _contrib(i)
+    by_doc = matched.select("id", F.round(total, 6).alias("score"))
     # rank over the k survivors only (a single tiny partition), never
     # a global window over the corpus — the limit compiles to
     # TakeOrdered, which is the distributed top-k

@@ -455,11 +455,15 @@ def embedding_near_dup_pairs(
     vectors land in the same bucket with overwhelming probability at
     high thresholds."""
     planes = _hyperplanes(dim, n_planes)
+    # the signature fold (n_planes × dim per row) feeds BOTH sides of
+    # the bucket self-join; un-materialized it would evaluate twice
+    # per call (r13 optimization round, guide §2.4). Narrow frame:
+    # (id, vec, bucket) — corpus-sized but no wider than the input.
     sigs = df.select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("vec"),
         signature_col(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     left = sigs.select(
         "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
     )

@@ -543,7 +543,13 @@ def _ann_cosine_gate(
     round-11 review's dedup): exact cosine top-5 payload + the
     scores-exact theorem + the recall floor, over any approximate
     (query_id, neighbor_id, score) result. ``all_pairs`` is the
-    (already-checkpointed) _exact_all_pairs_cached universe."""
+    (already-checkpointed) _exact_all_pairs_cached universe.
+
+    ``approx`` feeds both booleans; un-materialized, the caller's
+    whole approximate pipeline (bucket/candidate join + scoring)
+    would execute once per consumer. It is a ≤ k·|queries|-row frame,
+    so materialize it (r13 optimization round, guide §2.4)."""
+    approx = approx.localCheckpoint(eager=False)
     exact5 = all_pairs.filter(F.col("rank") <= 5).select(
         "query_id", "neighbor_id", "score", "rank"
     )
@@ -3095,8 +3101,9 @@ def _bm25_ctes(terms: tuple[str, ...]) -> str:
 )
 def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BM25 top-10 for a fixed query over the documents
-    corpus (``operators/retrieval.py``): query-term pruning straight
-    after the token explode, broadcast |Q|-row term stats, TakeOrdered
+    corpus (``operators/retrieval.py``): one tokenize pass with the
+    |Q| term frequencies as conditional counters in the per-doc
+    aggregate, one-row broadcast corpus/df stats, TakeOrdered
     top-k — the lexical half of a RAG retrieval stack next to the
     rag_index_* embedding entries. Scores ranked after 6-dp rounding
     (identical formula structure on both engines; only ln() is
