@@ -22,6 +22,13 @@ chunking) joined the headline set so their perf is regression-visible.
 Round 13: dedup_minhash_lsh joined — it is the documented 100 TB
 production near-dedup tier (SCALING.md), so the regression guard must
 cover it, not just the two exact tiers it supersedes at scale.
+Timing convention for that entry (r13 verdict item 9, disclosed in
+PROFILE.md): its median times the production LSH pipeline + the
+precision/recall gate joins; the exact-truth relation those gates
+compare against rides the per-process fingerprint-keyed memo, so the
+truth build cost lands in the warm-up pass, not the per-query median.
+Every bench process still recomputes the truth set from parquet
+(nothing persists across runs); the oracle verifies the entry cold.
 
 Gate mode (round-close tail-latency guard): ``python bench.py --gate
 BENCH_r08.json`` runs the bench as usual, compares every shared

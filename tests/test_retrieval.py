@@ -1,7 +1,10 @@
 """BM25 retrieval (operators.retrieval): scores against a
 hand-computed reference corpus, ranking/tiebreak determinism, and the
-plan-shape contract (query-term pruning before any shuffle, broadcast
-term stats, TakeOrdered top-k — never a global sort)."""
+plan-shape contract (r13 single-pass form: ONE tokenize pass whose
+per-doc aggregate carries |Q| conditional term counters, corpus stats
+from a one-row aggregate over that materialized frame — no term-stats
+join, no scan behind the lazy checkpoint, TakeOrdered top-k — never a
+global sort)."""
 
 from __future__ import annotations
 
@@ -56,6 +59,25 @@ def test_bm25_matches_hand_reference(spark):
     assert [(r.id, r.rank) for r in got] == [
         (i, rk + 1) for rk, (i, _) in enumerate(expect_order)
     ]
+
+
+def test_bm25_k1_zero_no_nan(spark):
+    """k1=0 is a legal BM25 parameter (pure presence scoring). The
+    r13 single-pass form divided by (tf + k1·norm) for EVERY query
+    term including tf==0 ones, which at k1=0 is 0.0/0.0 = NaN —
+    poisoning any matched doc that misses one query term. The r14
+    guard (tf>0 branch) must reproduce the reference exactly."""
+    corpus = {
+        1: "a b a",  # has a, not d — the NaN victim before the guard
+        2: "a d",
+        3: "c c c",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id LONG, text STRING")
+    got = {r.id: r.score for r in
+           bm25_topk(df, "doc_id", "text", ["a", "d"], k=10, k1=0.0).collect()}
+    ref = _ref_bm25(corpus, ["a", "d"], k1=0.0)
+    assert got == ref
+    assert all(s == s for s in got.values())  # no NaN
 
 
 def test_bm25_k_truncates_and_rank_is_dense(spark):

@@ -1,11 +1,13 @@
-"""Dump .explain("formatted") for catalog entries to plans/r13/.
+"""Dump .explain("formatted") for catalog entries to plans/<round>/.
 
 Usage:
     python tools/dump_plans.py before [name ...]   # all headliners if no names
     python tools/dump_plans.py after  [name ...]
 
-Writes plans/r13/<name>_<suffix>.txt — the optimization-round evidence
-files (the judge checks plan claims against these).
+Writes plans/<round>/<name>_<suffix>.txt — the optimization-round
+evidence files (the judge checks plan claims against these). The round
+dir defaults to r14 (the current optimization round); override with
+SPARK_GRAFT_PLAN_ROUND=r13 to regenerate an older census.
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
 

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 
 def _sq_dist_decimal(a: Column, b: Column) -> Column:
     """Exact squared Euclidean distance: per-component squared diffs
@@ -157,7 +159,7 @@ def kmeans_lloyd(
             "n",
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            cents = cents.localCheckpoint()
+            cents = cents.transform(materialize)
     return (
         cents.select(
             "list_id",

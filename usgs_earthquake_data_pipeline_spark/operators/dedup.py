@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ..materialize import materialize, materialize_lazy
 
 
 def _widen(df: DataFrame) -> DataFrame:
@@ -625,7 +626,7 @@ def resolve_dup_clusters(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -654,7 +655,7 @@ def resolve_dup_clusters(
         # ONE materialization per round: the checkpoint both truncates
         # lineage and serves the convergence probe — a separate
         # changed-count action would re-run the join a second time.
-        mat = updated.localCheckpoint()
+        mat = updated.transform(materialize)
         changed = mat.filter(F.col("__changed")).limit(1).count()
         labels = mat.drop("__changed")
         if round_times is not None:
@@ -731,7 +732,7 @@ def simhash_near_pairs(
     else:
         fp = simhash_col(
             _widen(df).select(F.col(id_col).alias("id"), text_col), text_col
-        ).select("id", "simhash").localCheckpoint(eager=False)
+        ).select("id", "simhash").transform(materialize_lazy)
     banded = fp.select(
         "id",
         "simhash",
@@ -864,7 +865,7 @@ def two_phase_components(
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     def _sym(c: DataFrame) -> DataFrame:
@@ -896,7 +897,7 @@ def two_phase_components(
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
-        after_large = _norm(large).localCheckpoint()
+        after_large = _norm(large).transform(materialize)
         # small-star: orient (hi → lo); every node connects its
         # smaller neighbors (and itself) to the smallest of them
         smins = after_large.groupBy("hi").agg(F.min("lo").alias("m"))
@@ -910,7 +911,7 @@ def two_phase_components(
                 )
             )
         )
-        new_canon = _norm(small).localCheckpoint()
+        new_canon = _norm(small).transform(materialize)
         if round_times is not None:
             round_times.append(time.monotonic() - t0)
         changed = (

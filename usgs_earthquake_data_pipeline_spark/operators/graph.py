@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize, materialize_lazy
+
 
 def pagerank(
     edges: DataFrame,
@@ -57,16 +59,16 @@ def pagerank(
     # r13 optimization round, guide §2.4.
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_lazy)
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    contrib_edges = e.join(outw, "src").localCheckpoint(eager=False)
+    contrib_edges = e.join(outw, "src").transform(materialize_lazy)
     for it in range(iterations):
         contribs = (
             contrib_edges.join(
@@ -85,7 +87,7 @@ def pagerank(
             ).alias("rank"),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(materialize)
     return ranks
 
 
@@ -145,7 +147,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # 100 TB is the difference between one shuffle of the edge list
     # and three). Lineage truncation also keeps the plan bounded if
     # callers chain it.
-    oriented = oriented.localCheckpoint(eager=False)
+    oriented = oriented.transform(materialize_lazy)
     wedges = (
         oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
         .join(

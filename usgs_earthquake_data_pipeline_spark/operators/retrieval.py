@@ -15,6 +15,18 @@ frequencies and the corpus totals (N, Σdl) all fall out of a
 one-row aggregate over that frame, broadcast back as literals-by-
 another-name. No term-stats join, no second tokenize pass, nothing
 quadratic; top-k is TakeOrdered — never a global sort.
+
+Two bounds to know before reusing this operator elsewhere:
+
+- The per-doc aggregate is O(|Q|) columns WIDE per corpus row — fine
+  for the fixed handful of query terms the catalog uses, but a
+  large |Q| (hundreds of terms) should go back to a postings join
+  (explode + semi-join on the term set), not |Q| counters.
+- The materialized per-doc frame is corpus-sized (narrow: id, dl,
+  tf_0..tf_|Q|). How it is pinned — and the executor-loss story at
+  100 TB — is the session materialization policy
+  (``materialize.py``: localCheckpoint locally; reliable checkpoint
+  or lineage-keeping persist on a cluster).
 """
 
 from __future__ import annotations
@@ -23,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ..materialize import materialize_lazy
 
 
 def bm25_topk(
@@ -68,7 +81,7 @@ def bm25_topk(
             for i in range(len(qterms))
             for t in [qterms[i]]
         ],
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_lazy)
     # N, Σdl and every per-term document frequency in ONE driver-row
     # aggregate over the narrow checkpointed frame — replaces the old
     # per-term stats aggregate + broadcast join
@@ -99,7 +112,14 @@ def bm25_topk(
             / (F.col(f"df_{i}") + F.lit(0.5))
         )
         tf_i = F.col(f"tf_{i}")
-        return idf * (tf_i * F.lit(k1 + 1.0)) / (tf_i + norm)
+        # tf==0 must contribute an EXACT 0.0 regardless of k1: with
+        # k1=0 (a legal BM25 parameter) norm is 0 and the unguarded
+        # form is 0.0/0.0 = NaN, poisoning the doc's whole score (the
+        # postings form only ever scored tf>0 rows). For k1>0 the
+        # branch equals the old expression bit-for-bit (0/norm = 0.0).
+        return F.when(
+            tf_i > 0, idf * (tf_i * F.lit(k1 + 1.0)) / (tf_i + norm)
+        ).otherwise(F.lit(0.0))
 
     total = _contrib(0)
     for i in range(1, len(qterms)):

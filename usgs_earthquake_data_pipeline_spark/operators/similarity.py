@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _widen
+from ..materialize import materialize_lazy
 
 
 def _as_double(col: Column) -> Column:
@@ -425,7 +426,7 @@ def ivf_topk(
     # probing) and the default derivation is a full-corpus TakeOrdered
     # — un-materialized, each consumer re-ran it (r13 optimization
     # round, guide §2.4; n_lists rows, trivial to hold)
-    centroid_src = centroid_src.localCheckpoint(eager=False)
+    centroid_src = centroid_src.transform(materialize_lazy)
     assigned = ivf_assign(
         corpus, centroid_src, id_col=id_col, vec_col=vec_col
     )
@@ -441,6 +442,32 @@ def ivf_topk(
     )
 
 
+def embedding_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """The (id, vec, bucket) hyperplane-signature frame
+    ``embedding_near_dup_pairs`` buckets on, materialized via the
+    session policy. Exposed (r14) so a caller that derives a second
+    corpus from the same vectors — e.g. the planted-duplicate
+    augmentation in ``dedup_embedding_cosine``, where every planted
+    copy has the SAME embedding and therefore the SAME signature —
+    can reuse one signature fold instead of re-running it over the
+    derived corpus (guide §2.4). The signature is a pure per-row
+    function of the vector (fixed seeded hyperplanes), so a reused
+    frame is exactly what a fresh fold would compute."""
+    planes = _hyperplanes(dim, n_planes)
+    return df.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        signature_col(F.col(vec_col), planes).alias("bucket"),
+    ).transform(materialize_lazy)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,
@@ -449,21 +476,25 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     dim: int = 64,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, score >=
     threshold) via the same hyperplane buckets — near-identical
     vectors land in the same bucket with overwhelming probability at
-    high thresholds."""
-    planes = _hyperplanes(dim, n_planes)
+    high thresholds.
+
+    ``sigs``: optional precomputed ``embedding_signatures`` frame for
+    ``df`` (same id/vec/plane config). The bucket join and verify are
+    identical either way; passing it lets several consumers share ONE
+    signature fold."""
     # the signature fold (n_planes × dim per row) feeds BOTH sides of
     # the bucket self-join; un-materialized it would evaluate twice
     # per call (r13 optimization round, guide §2.4). Narrow frame:
     # (id, vec, bucket) — corpus-sized but no wider than the input.
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        _as_double(F.col(vec_col)).alias("vec"),
-        signature_col(F.col(vec_col), planes).alias("bucket"),
-    ).localCheckpoint(eager=False)
+    if sigs is None:
+        sigs = embedding_signatures(
+            df, id_col=id_col, vec_col=vec_col, n_planes=n_planes, dim=dim
+        )
     left = sigs.select(
         "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
     )

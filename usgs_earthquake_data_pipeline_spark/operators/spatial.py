@@ -21,6 +21,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
 KM_PER_DEG_LAT = 111.0  # conservative (true range 110.57-111.69)
 
@@ -159,7 +161,7 @@ def dbscan_labels(
     pairs = grid_radius_join(
         pts, pts, radius_km=eps_km, max_abs_lat=max_abs_lat
     ).filter(F.col("l_id") != F.col("r_id"))
-    pairs = pairs.select("l_id", "r_id").localCheckpoint()
+    pairs = pairs.select("l_id", "r_id").transform(materialize)
 
     cores = (
         pairs.groupBy("l_id")

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..materialize import materialize_lazy
 from ..operators import dedup as D
 from ..sources.tables import load_table
 from .catalog import register
@@ -1280,7 +1281,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.token_count("text").cast("long").alias("n_tok"),
         (T.quality_clf_logit("text") * 1_000_000).cast("long").alias("q"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_lazy)
     btot = docs.agg(
         F.floor(F.sum("n_tok") * F.lit(0.5)).cast("long").alias("b")
     )

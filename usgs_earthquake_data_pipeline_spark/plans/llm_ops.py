@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import multimodal as M
+from ..materialize import materialize, materialize_lazy
 from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import similarity as S
@@ -450,7 +451,7 @@ def _truth_cached(spark: SparkSession, sf_dir: str, name: str, table: str, build
         # a regenerate-loop can't grow the memo without bound
         for old in [k for k in per if k[:2] == key[:2]]:
             del per[old]
-        per[key] = build(load_table(spark, sf_dir, table)).localCheckpoint()
+        per[key] = build(load_table(spark, sf_dir, table)).transform(materialize)
     return per[key]
 
 
@@ -549,7 +550,7 @@ def _ann_cosine_gate(
     whole approximate pipeline (bucket/candidate join + scoring)
     would execute once per consumer. It is a ≤ k·|queries|-row frame,
     so materialize it (r13 optimization round, guide §2.4)."""
-    approx = approx.localCheckpoint(eager=False)
+    approx = approx.transform(materialize_lazy)
     exact5 = all_pairs.filter(F.col("rank") <= 5).select(
         "query_id", "neighbor_id", "score", "rank"
     )
@@ -667,10 +668,10 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # optimization round, guide §2.4). ivf_topk IS this composition
     # (assign + search), so each probe's plan is unchanged from the
     # candidate join down.
-    cents = S.default_ivf_centroids(emb, n_lists=16).localCheckpoint(
-        eager=False
+    cents = S.default_ivf_centroids(emb, n_lists=16).transform(
+        materialize_lazy
     )
-    assigned = S.ivf_assign(emb, cents).localCheckpoint()
+    assigned = S.ivf_assign(emb, cents).transform(materialize)
     hits = None
     for p in probes:
         h = (
@@ -753,12 +754,12 @@ def ann_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     # stale centroids: first 16 OLD vectors by id (the default
     # convention, materialized explicitly so both searches share them)
-    centroids = S.default_ivf_centroids(old, n_lists=16).localCheckpoint()
+    centroids = S.default_ivf_centroids(old, n_lists=16).transform(materialize)
     # THE PERSISTED INDEX: old corpus assigned once and materialized
     # (localCheckpoint stands in for the stored index table); the
     # arriving batch is assigned ALONE and appended — old assignments
     # are physically reused, never recomputed.
-    old_index = S.ivf_assign(old, centroids).localCheckpoint()
+    old_index = S.ivf_assign(old, centroids).transform(materialize)
     new_rows = S.ivf_assign(new, centroids)
     incremental = S.ivf_search_assigned(
         old_index.unionByName(new_rows), queries, centroids, k=5, n_probe=4
@@ -832,7 +833,7 @@ def ann_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    centroids = S.default_ivf_centroids(emb, n_lists=16).localCheckpoint()
+    centroids = S.default_ivf_centroids(emb, n_lists=16).transform(materialize)
     assigned = S.ivf_assign(emb, centroids)
     out = _os.path.join(
         _scratch_dir(),
@@ -928,14 +929,14 @@ def ann_ivf_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    centroids = S.default_ivf_centroids(emb, n_lists=16).localCheckpoint()
+    centroids = S.default_ivf_centroids(emb, n_lists=16).transform(materialize)
     assigned = S.ivf_assign(emb, centroids)
     dead = (F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= 10)
     tombstones = emb.filter(dead).select("vec_id")
     # two consumers (the tombstone-delete search and the compaction
     # write) re-ran the assign+anti-join otherwise (r13, guide §2.4)
-    live = assigned.join(tombstones, "vec_id", "left_anti").localCheckpoint(
-        eager=False
+    live = assigned.join(tombstones, "vec_id", "left_anti").transform(
+        materialize_lazy
     )
     rebuilt = S.ivf_assign(
         emb.join(tombstones, "vec_id", "left_anti"), centroids
@@ -1021,7 +1022,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     lsh = D.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.3
-    ).select("id_a", "id_b").localCheckpoint()
+    ).select("id_a", "id_b").transform(materialize)
     exact = _exact_jaccard03_cached(spark, sf_dir)
     prec = lsh.join(
         exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
@@ -1156,7 +1157,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
         .select("id", "simhash")
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     banded = D.simhash_near_pairs(
         docs, "doc_id", "text", max_hamming=3, fp_df=fp
@@ -1235,7 +1236,7 @@ def dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sibling already checkpoints; r13 optimization round, guide §2.4)
     lsh = D.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.3
-    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    ).select("id_a", "id_b").transform(materialize_lazy)
     exact_ids = exact.select("id_a", "id_b")
     prec = lsh.join(exact_ids, ["id_a", "id_b"], "left_anti").agg(
         (F.count(F.lit(1)) == 0).alias("lsh_precision_ok")
@@ -1292,7 +1293,7 @@ def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
         .select("id", "simhash")
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     banded = D.simhash_near_pairs(
         docs, "doc_id", "text", max_hamming=3, fp_df=fp
@@ -1355,9 +1356,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold note: production near-dup uses ~0.95+; 0.3 here keeps a
     non-degenerate result set on the synthetic tables."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # ONE signature fold for both LSH legs (r13 verdict item 4; guide
+    # §2.4): the production pass buckets on `sigs`; the planted-
+    # duplicate pass buckets on sigs ∪ (sigs with id+offset) — exactly
+    # the frame a fresh fold over the augmented corpus would compute,
+    # because the signature is a pure function of the vector and every
+    # planted copy carries the SAME vector. Before: the fold ran 3×
+    # per call (production pass + both union branches of the aug run).
+    sigs = S.embedding_signatures(emb)
     lsh_pairs = S.embedding_near_dup_pairs(
-        emb, threshold=0.3
-    ).localCheckpoint()
+        emb, threshold=0.3, sigs=sigs
+    ).transform(materialize)
     exact_pairs = _cosine03_pairs_cached(spark, sf_dir)
     prec = lsh_pairs.select("id_a", "id_b").join(
         exact_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
@@ -1370,12 +1379,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "organic_recall_floor_ok",
     )
     offset = 1_000_000
-    planted = emb.select(
-        (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+    aug_sigs = sigs.unionByName(
+        sigs.select(
+            (F.col("id") + offset).alias("id"), "vec", "bucket"
+        )
     )
     aug_pairs = S.embedding_near_dup_pairs(
-        emb.select("vec_id", "embedding").unionByName(planted),
+        emb,  # id/vec config only — the bucket join reads aug_sigs
         threshold=0.3,
+        sigs=aug_sigs,
     )
     # zero-norm vectors cosine to 0.0 by convention, so their planted
     # copy legitimately never pairs — exclude them from the expectation
@@ -2368,7 +2380,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = PQ.train_pq_codebooks(emb, m=8, k_codes=16, dim=64, iterations=1)
     queries = emb.filter(F.col("vec_id") < 10)
     adc = PQ.pq_adc_topk(emb, queries, books, k=5)
-    exact5 = _exact_l2_topk(emb, 0, 10, 5).localCheckpoint()
+    exact5 = _exact_l2_topk(emb, 0, 10, 5).transform(materialize)
     recall_ok = _recall_floor_agg(
         adc, exact5, ("query_id", "neighbor_id"), 0.1, "adc_recall_ok"
     )
@@ -2411,7 +2423,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     ivfpq = PQ.ivf_pq_topk(
         emb, queries, books, k=5, n_lists=16, n_probe=4
-    ).localCheckpoint()
+    ).transform(materialize)
     adc_all = PQ.pq_adc_scores(emb, queries, books).select(
         "query_id", "neighbor_id", F.round("est_dist", 6).alias("est_dist")
     )
@@ -2424,7 +2436,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(adc_all, ["query_id", "neighbor_id", "est_dist"], "left_anti")
         .agg((F.count(F.lit(1)) == 0).alias("ivfpq_scores_consistent_ok"))
     )
-    exact5 = _exact_l2_topk(emb, 0, 10, 5).localCheckpoint()
+    exact5 = _exact_l2_topk(emb, 0, 10, 5).transform(materialize)
     recall_ok = _recall_floor_agg(
         ivfpq, exact5, ("query_id", "neighbor_id"), 0.1, "ivfpq_recall_ok"
     )
@@ -2617,7 +2629,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     prod = semantic_dedup(
         emb, "vec_id", "embedding", k=8, dim=64, threshold=0.3
-    ).select("vec_id").localCheckpoint()
+    ).select("vec_id").transform(materialize)
     exact = _semdedup_exact_survivors_cached(spark, sf_dir).select("vec_id")
     no_false = exact.join(prod, "vec_id", "left_anti").agg(
         (F.count(F.lit(1)) == 0).alias("no_false_drops")
@@ -2727,7 +2739,7 @@ def rag_index_ivf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_bow("text", dim=16).alias("embedding"),
     ).filter(
         F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v) > 0
-    ).localCheckpoint()
+    ).transform(materialize)
     full = ivf_topk(
         vecs, vecs, k=3, n_lists=4, n_probe=4, include_self=True
     ).select("query_id", "neighbor_id", "score", "rank")
@@ -2735,7 +2747,7 @@ def rag_index_ivf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the top-3 equality reference and the 2-probe score universe
     brute_all = brute_force_topk(
         vecs, vecs, k=200, include_self=True
-    ).localCheckpoint()
+    ).transform(materialize)
     brute3 = brute_all.filter(F.col("rank") <= 3).select(
         "query_id", "neighbor_id", "score", "rank"
     )
@@ -4755,7 +4767,7 @@ def preference_bradley_terry_mm(
             F.sum((F.col("sa") > F.col("sb")).cast("int")).alias("w_a"),
             F.sum((F.col("sb") > F.col("sa")).cast("int")).alias("w_b"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     n = F.col("w_a") + F.col("w_b")
     d = p.select(
@@ -4859,17 +4871,25 @@ def rag_eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     terms = ["spark", "merge", "window"]
+    # the 10-row ranking, the corpus-sized qrel projection and the
+    # 1-row |relevant| aggregate each feed 2+ consumers below —
+    # un-materialized, the final plan re-planned the docs scan (and
+    # the rel aggregate) per reference: 6 parquet scans in the r13
+    # after-plan (r13 verdict item 7; guide §2.4). Same device
+    # ranker_shootout uses for its shared qrel projection.
     ranked = bm25_topk(docs, "doc_id", "text", terms, k=10).select(
         "id", F.col("rank").alias("rnk")
-    )
+    ).transform(materialize_lazy)
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     is_rel = F.lit(True)
     for t in terms:
         is_rel = is_rel & padded.contains(f" {t} ")
     rel = docs.select(
         F.col("doc_id"), is_rel.cast("int").alias("r")
+    ).transform(materialize_lazy)
+    n_rel = rel.agg(F.sum("r").cast("long").alias("n_relevant")).transform(
+        materialize_lazy
     )
-    n_rel = rel.agg(F.sum("r").cast("long").alias("n_relevant"))
     hits = ranked.join(rel, ranked.id == rel.doc_id).select("rnk", "r")
     dcg = hits.agg(
         F.sum(
@@ -5221,13 +5241,13 @@ def rag_eval_ranker_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the prefix slice and the fusion join.
     bm50_full = bm25_topk(
         docs, "doc_id", "text", terms, k=50
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_lazy)
     bm10 = bm50_full.filter(F.col("rank") <= 10).select(
         "id", F.col("rank").alias("rnk")
     )
     bm50 = bm50_full.select("id", F.col("rank").alias("rl"))
-    cos50_full = S.brute_force_topk(emb, q0, k=50).localCheckpoint(
-        eager=False
+    cos50_full = S.brute_force_topk(emb, q0, k=50).transform(
+        materialize_lazy
     )
     cos10 = cos50_full.filter(F.col("rank") <= 10).select(
         F.col("neighbor_id").alias("id"), F.col("rank").alias("rnk")
@@ -5261,7 +5281,7 @@ def rag_eval_ranker_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranker) — materialize the narrow (doc_id, r) projection once
     rel = docs.select(
         "doc_id", is_rel.cast("int").alias("r")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_lazy)
     n_rel = rel.agg(F.sum("r").cast("long").alias("n_relevant"))
     idcg = (
         spark.range(1, 11)
@@ -5669,11 +5689,11 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("id").alias("id_a"), "id_b")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     jp = ngram_jaccard_prefix_pairs(
         docs, "doc_id", "text", threshold=0.5
-    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    ).select("id_a", "id_b").transform(materialize_lazy)
     both = sp.join(jp, ["id_a", "id_b"])
     counts = (
         sp.agg(F.count(F.lit(1)).alias("n_span_pairs"))

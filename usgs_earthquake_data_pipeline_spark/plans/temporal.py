@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import temporal as TP
+from ..materialize import materialize_lazy
 from ..sources.tables import load_table
 from .catalog import register
 
@@ -1699,7 +1700,7 @@ def survival_logrank_purchase_vs_error(
     # consumer (r13 optimization round, guide §2.4)
     cell = u.groupBy("grp", "t").agg(
         F.count("*").alias("m"), F.sum("churned").alias("d")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_lazy)
     times = cell.select("t").distinct()
     grps = cell.select("grp").distinct()
     grid = (

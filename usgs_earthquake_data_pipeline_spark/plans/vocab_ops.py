@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..materialize import materialize, materialize_lazy
 from ..operators.sketches import KMV_SPACE_SQL as _KMV_SPACE_SQL
 from ..operators.sketches import kmv_hash_sql as _kmv_hash_sql
 from ..sources.tables import load_table
@@ -651,7 +652,7 @@ def _bpe_train(
             )
             cur = cur.select(merged.alias("s"), "wf")
             if checkpoint_every and it % checkpoint_every == 0:
-                cur = cur.localCheckpoint()
+                cur = cur.transform(materialize)
             if round_times is not None:
                 # per-merge wall time for the depth-stress flatness
                 # assertion (each round's one action is the best-pair
@@ -864,7 +865,7 @@ def vocab_heaps_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumer replays the full corpus token explode — 4 scans
         # instead of 2 at 100 TB. localCheckpoint materializes the 10
         # rows once.
-        .localCheckpoint()
+        .transform(materialize)
     )
     xy = curve.select(
         F.round(F.log(F.col("cum_tokens").cast("double")), 9).alias("x"),
@@ -1020,7 +1021,7 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+explode+distinct subtree — 8 parquet scans in the
     # before-plan; materialize the distinct (source, gram) rows once
     # (r13 optimization round, guide §2.4)
-    g = _trigram_rows(docs, "source").localCheckpoint(eager=False)
+    g = _trigram_rows(docs, "source").transform(materialize_lazy)
     sz = g.groupBy("source").agg(F.count("*").alias("n"))
     a = g.select(F.col("source").alias("src_a"), "gram")
     b = g.select(F.col("source").alias("src_b"), "gram")
@@ -1395,7 +1396,7 @@ def source_overlap_theta_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # four consumers (sizes, KMV sketch, both posting sides) — same
     # materialize-once fix as the exact twin (r13, guide §2.4)
-    g = _trigram_rows(docs, "source").localCheckpoint(eager=False)
+    g = _trigram_rows(docs, "source").transform(materialize_lazy)
     sz = g.groupBy("source").agg(F.count("*").alias("n"))
     sk = (
         g.select("source", kmv_hash("gram").alias("h"))
