@@ -450,7 +450,7 @@ def embedding_signatures(
     n_planes: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """The (id, vec, bucket) hyperplane-signature frame
+    """The (id, vec, nrm, bucket) hyperplane-signature frame
     ``embedding_near_dup_pairs`` buckets on, materialized via the
     session policy. Exposed (r14) so a caller that derives a second
     corpus from the same vectors — e.g. the planted-duplicate
@@ -459,11 +459,21 @@ def embedding_signatures(
     can reuse one signature fold instead of re-running it over the
     derived corpus (guide §2.4). The signature is a pure per-row
     function of the vector (fixed seeded hyperplanes), so a reused
-    frame is exactly what a fresh fold would compute."""
+    frame is exactly what a fresh fold would compute.
+
+    ``nrm`` is the per-vector L2 norm, precomputed here so each
+    candidate pair costs ONE dot fold instead of three (dot + both
+    norms) — bit-identical to evaluating ``cosine()`` per pair, since
+    the denominator multiplies the same doubles either way (the
+    ``semantic_dedup`` expr-comparator convention; at n_planes=0 the
+    single bucket makes this the O(n²) exact tier, where the 3x fold
+    cut is the dominant cost — r14)."""
     planes = _hyperplanes(dim, n_planes)
+    vd = _as_double(F.col(vec_col))
     return df.select(
         F.col(id_col).alias("id"),
-        _as_double(F.col(vec_col)).alias("vec"),
+        vd.alias("vec"),
+        l2_norm(vd).alias("nrm"),
         signature_col(F.col(vec_col), planes).alias("bucket"),
     ).transform(materialize_lazy)
 
@@ -496,15 +506,27 @@ def embedding_near_dup_pairs(
             df, id_col=id_col, vec_col=vec_col, n_planes=n_planes, dim=dim
         )
     left = sigs.select(
-        "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+        "bucket",
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     right = sigs.select(
-        "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+        "bucket",
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
     )
+    # one dot fold per candidate pair; the norms ride the signature
+    # frame (see embedding_signatures — bit-identical to cosine())
+    denom = F.col("nrm_a") * F.col("nrm_b")
+    score = F.when(
+        denom > 0, dot(F.col("vec_a"), F.col("vec_b")) / denom
+    ).otherwise(F.lit(0.0))
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("score", score)
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", F.round("score", 6).alias("score"))
     )

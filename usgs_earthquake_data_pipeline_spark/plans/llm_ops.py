@@ -1381,7 +1381,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset = 1_000_000
     aug_sigs = sigs.unionByName(
         sigs.select(
-            (F.col("id") + offset).alias("id"), "vec", "bucket"
+            (F.col("id") + offset).alias("id"), "vec", "nrm", "bucket"
         )
     )
     aug_pairs = S.embedding_near_dup_pairs(
