@@ -48,7 +48,19 @@ def _ts_array(us: np.ndarray) -> pa.Array:
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    # Row-group layout (r14): pyarrow's default writes ONE row group
+    # per table at these sizes, and Spark cannot split a scan below a
+    # row group — so every scan stage over a generated table ran on
+    # one core no matter the cluster size, which flattened the
+    # bench's 8-vs-32-core scaling rung to ~1x for scan-bound entries
+    # (optimization guide §6: splits come from row groups). Cap row
+    # groups at ~n/64 rows (floor 4096) so a local[32] scan — and any
+    # real executor count — gets parallel splits. Content (values,
+    # order, determinism) is unchanged; only the physical layout.
+    rg = max(4096, table.num_rows // 64)
+    pq.write_table(
+        table, os.path.join(out_dir, f"{name}.parquet"), row_group_size=rg
+    )
     print(f"  {name}: {table.num_rows} rows")
 
 

@@ -209,4 +209,20 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf locked down
             pass
+    # Scan-parallelism floor (guide §6), derived from the session's
+    # core count — never a constant: a single small parquet file is
+    # ONE ≤128 MB split by default, so every scan stage over it runs
+    # on one core no matter how many the cluster has (measured r14:
+    # the sf1 scaling rung's scan-bound entries showed ~1x at 8-vs-32
+    # cores for exactly this reason). The floor makes Spark aim for
+    # >= defaultParallelism splits on small inputs; at real scale
+    # totalBytes/parallelism >> maxPartitionBytes, so the floor is
+    # inert and split sizing stays governed by maxPartitionBytes.
+    try:
+        spark.conf.set(
+            "spark.sql.files.minPartitionNum",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    except Exception:  # pragma: no cover - conf locked down
+        pass
     return spark
